@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Mirrors the role of DataFusion's `SessionContext`
+  * (reference: datafusion/core/src/execution/context/mod.rs:611) but delegates
+  * everything to Spark: one `SparkSession` configured for deterministic,
+  * oracle-comparable execution (UTC session time zone) and for local[N]
+  * throughput (shuffle partitions = cores, AQE on).
+  *
+  * At cluster scale the same settings hold: AQE handles runtime coalescing /
+  * skew; shuffle partition count would be tuned to cluster cores instead.
+  */
+object GraftSession {
+
+  def builder(cpus: Int): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session with sane defaults; idempotent via getOrCreate. */
+  def local(cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = builder(cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog facade over the shared parquet fixtures.
+  *
+  * Plays the role of DataFusion's `ListingTable`/catalog registration
+  * (reference: datafusion/catalog-listing/src/table.rs:180) — Spark's file
+  * source already does partition discovery, predicate pushdown and column
+  * pruning, so "registering" a table is just reading the path and exposing a
+  * temp view for SQL access.
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every fixture table as a temp view named after the table. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/selfcheck.py <sfdir> <verify_outdir>
+
+Reads <verify_outdir>/oracle_sql.json, registers the fixture tables as DuckDB
+views over <sfdir>/*.parquet, runs each oracle, and compares against the
+Spark-written parquet under <verify_outdir>/<name>/ — columns sorted by name,
+rows sorted by all columns, exact match (floats compared exactly, with a
+fallback report of max abs diff so rounding bugs are visible).
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stringify for a stable total order incl. NaN/None
+    key = df.astype(str)
+    order = key.sort_values(by=list(key.columns)).index
+    return df.loc[order].reset_index(drop=True)
+
+
+def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> bool:
+    if sorted(spark_df.columns) != sorted(oracle_df.columns):
+        print(f"FAIL {name}: columns spark={sorted(spark_df.columns)} oracle={sorted(oracle_df.columns)}")
+        return False
+    if len(spark_df) != len(oracle_df):
+        print(f"FAIL {name}: rows spark={len(spark_df)} oracle={len(oracle_df)}")
+        return False
+    a, b = normalize(spark_df), normalize(oracle_df)
+    ok = True
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            af = av.astype(float).to_numpy()
+            bf = bv.astype(float).to_numpy()
+            both_nan = np.isnan(af) & np.isnan(bf)
+            eq = (af == bf) | both_nan
+            if not eq.all():
+                diff = np.nanmax(np.abs(np.where(both_nan, 0, af - bf)))
+                print(f"FAIL {name}.{c}: {int((~eq).sum())} float diffs, max abs {diff:.3e}")
+                ok = False
+        else:
+            eq = (av.astype(str) == bv.astype(str))
+            if not eq.all():
+                i = int(np.argmax(~eq.to_numpy()))
+                print(f"FAIL {name}.{c}: {int((~eq).sum())} diffs, first at row {i}: "
+                      f"spark={av.iloc[i]!r} oracle={bv.iloc[i]!r}")
+                ok = False
+    sch_a = {c: str(spark_df[c].dtype) for c in sorted(spark_df.columns)}
+    sch_b = {c: str(oracle_df[c].dtype) for c in sorted(oracle_df.columns)}
+    if ok and sch_a != sch_b:
+        print(f"WARN {name}: dtype drift spark={sch_a} oracle={sch_b}")
+    return ok
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    npass = nfail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            spark_df = con.execute(
+                f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: spark result unreadable: {e}")
+            nfail += 1
+            continue
+        try:
+            oracle_df = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            nfail += 1
+            continue
+        if compare(name, spark_df, oracle_df):
+            print(f"PASS {name} ({len(spark_df)} rows)")
+            npass += 1
+        else:
+            nfail += 1
+    print(f"\n{npass} passed, {nfail} failed, {len(oracles)} total")
+    sys.exit(1 if nfail else 0)
+
+
+if __name__ == "__main__":
+    main()
