@@ -17,7 +17,18 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet reader
+      // rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos and
+      // truncate to Spark's native µs timestamps. Integer division (`div`)
+      // keeps full precision — a double roundtrip would lose sub-ms bits at
+      // 2024-era epoch-nanos magnitudes (~1.7e18 > 2^53).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
 
   /** Register every fixture table as a temp view named after the table. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -22,7 +22,7 @@ object Q {
   type QueryFn = (SparkSession, String) => DataFrame
 
   def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.Tables.load(s, dir, name)
 
   /** Round for money-ish sums. */
   def r2(c: Column): Column = round(c, 2)
