@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus pipelines: tokenization,
+  * quality scoring, language-ID heuristic, document fingerprinting.
+  *
+  * All pure Column expressions (codegen'd, no UDFs) so they vectorize over
+  * 100 TB the same way builtin functions do. Each has a DuckDB-expressible
+  * twin for the oracle (see PipelineQueries).
+  */
+object TextFunctions {
+
+  /** Non-empty whitespace tokens. */
+  def words(text: Column): Column =
+    filter(split(text, " "), w => w =!= "")
+
+  def tokenCount(text: Column): Column = size(words(text)).cast("long")
+
+  /** Tokens after lowercasing and stripping non-alphanumerics. */
+  def normWords(text: Column): Column =
+    filter(split(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " "), w => w =!= "")
+
+  /** Stopword lists for the langid heuristic (tiny, deterministic). */
+  val EnStop = Seq("the", "and", "of", "is", "a", "to", "in")
+  val DeStop = Seq("der", "die", "und", "das", "ist", "ein")
+  val FrStop = Seq("le", "la", "et", "les", "des", "un")
+  val EsStop = Seq("el", "los", "y", "una", "que", "en")
+
+  private def hits(ws: Column, stop: Seq[String]): Column =
+    size(filter(ws, w => w.isInCollection(stop))).cast("long")
+
+  /** n-gram/stopword language-ID heuristic: argmax of per-language stopword
+    * hit counts with a fixed priority order; 'und' when nothing matches. */
+  def langId(text: Column): Column = {
+    val ws = words(lower(text))
+    val en = hits(ws, EnStop); val de = hits(ws, DeStop)
+    val fr = hits(ws, FrStop); val es = hits(ws, EsStop)
+    val mx = greatest(en, de, fr, es)
+    when(mx === 0, "und")
+      .when(en === mx, "en")
+      .when(de === mx, "de")
+      .when(fr === mx, "fr")
+      .otherwise("es")
+  }
+
+  /** Quality score in [0,1]: blend of token count saturation, stopword
+    * ratio, alphanumeric ratio and mean word length band — the standard
+    * cheap heuristics for corpus filtering. */
+  def qualityScore(text: Column): Column = {
+    val ws = words(text)
+    val n = size(ws).cast("double")
+    val lenScore = least(n / 100.0, lit(1.0))
+    val stopRatio = hits(ws, EnStop).cast("double") / greatest(n, lit(1.0))
+    val alnum = length(regexp_replace(text, "[^a-zA-Z0-9]", "")).cast("double")
+    val alnumRatio = alnum / greatest(length(text).cast("double"), lit(1.0))
+    val meanLen = alnum / greatest(n, lit(1.0))
+    val lenBand = when(meanLen >= 3 && meanLen <= 10, 1.0).otherwise(0.5)
+    (lenScore * 0.3 + least(stopRatio * 3.0, lit(1.0)) * 0.2 +
+      alnumRatio * 0.3 + lenBand * 0.2)
+  }
+
+  /** OpenRefine-style fingerprint: md5 of the sorted distinct normalized
+    * token set — collapses reorderings/duplications of the same content. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(normWords(text)))).cast("binary"))
+
+  /** 3-word shingles; whole text when shorter than the shingle width. */
+  def shingles3(text: Column): Column = {
+    val ws = words(text)
+    when(size(ws) < 3, array(concat_ws(" ", ws)))
+      .otherwise(transform(sequence(lit(1), size(ws) - 2),
+        i => concat_ws(" ",
+          element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
+  }
+}

@@ -1,0 +1,152 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Vector math over `array<float>` embedding columns as native Catalyst
+  * expressions with whole-stage codegen — the Spark-first replacement for the
+  * reference's vector kernels (datafusion/functions-nested/src/distance.rs —
+  * `array_distance` L2; inner_product / cosine_distance in the same crate).
+  *
+  * A fused single-pass loop in generated Java is ~an order of magnitude
+  * faster than composing `zip_with`+`aggregate` lambdas, and unlike a Scala
+  * UDF it needs no serialization and keeps the operator inside the codegen
+  * stage — this is the hot inner loop of brute-force KNN over 100 TB.
+  *
+  * Accumulation is sequential in index order (matches DuckDB's
+  * list_inner_product / list_cosine_similarity / list_distance on DOUBLE[],
+  * so oracle results agree bit-for-bit before rounding).
+  */
+abstract class VectorBinaryExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  /** Java source computing `double result` from float arrays a, b of len n. */
+  protected def loopBody(a: String, b: String, n: String, result: String): String
+
+  protected def evalLoop(a: ArrayData, b: ArrayData): Double
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    evalLoop(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val result = ctx.freshName("result")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $result;
+         |${loopBody(a, b, n, result)}
+         |${ev.value} = $result;
+       """.stripMargin
+    })
+}
+
+/** Dot product: sum(a_i * b_i). */
+case class InnerProduct(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "inner_product"
+
+  override protected def loopBody(a: String, b: String, n: String, result: String): String =
+    s"""
+       |double acc = 0.0;
+       |for (int i = 0; i < $n; i++) {
+       |  acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+       |}
+       |$result = acc;
+     """.stripMargin
+
+  override protected def evalLoop(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Cosine distance: 1 - dot(a,b) / (||a|| * ||b||). */
+case class CosineDistance(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "cosine_distance"
+
+  override protected def loopBody(a: String, b: String, n: String, result: String): String =
+    s"""
+       |double dot = 0.0, na = 0.0, nb = 0.0;
+       |for (int i = 0; i < $n; i++) {
+       |  double x = (double) $a.getFloat(i);
+       |  double y = (double) $b.getFloat(i);
+       |  dot += x * y; na += x * x; nb += y * y;
+       |}
+       |$result = 1.0 - dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+     """.stripMargin
+
+  override protected def evalLoop(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Euclidean (L2) distance: sqrt(sum((a_i - b_i)^2)) —
+  * reference: functions-nested/src/distance.rs `array_distance`. */
+case class L2Distance(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "l2_distance"
+
+  override protected def loopBody(a: String, b: String, n: String, result: String): String =
+    s"""
+       |double acc = 0.0;
+       |for (int i = 0; i < $n; i++) {
+       |  double d = (double) $a.getFloat(i) - (double) $b.getFloat(i);
+       |  acc += d * d;
+       |}
+       |$result = java.lang.Math.sqrt(acc);
+     """.stripMargin
+
+  override protected def evalLoop(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d; i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Column-level API + SQL registration. */
+object VectorFunctions {
+  private def c(e: Expression): Column = GraftSqlBridge.column(e)
+  private def e(col: Column): Expression = GraftSqlBridge.expression(col)
+
+  def inner_product(a: Column, b: Column): Column = c(InnerProduct(e(a), e(b)))
+  def cosine_distance(a: Column, b: Column): Column = c(CosineDistance(e(a), e(b)))
+  def l2_distance(a: Column, b: Column): Column = c(L2Distance(e(a), e(b)))
+
+  /** Register as SQL functions on a session (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("inner_product", es => InnerProduct(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("cosine_distance", es => CosineDistance(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("l2_distance", es => L2Distance(es.head, es(1)), "built-in")
+  }
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Deduplication operators for corpus pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard.
+  *
+  * Everything is shuffle-conscious: exact dedup is one hash aggregation;
+  * MinHash is explode → partial-agg → band-key join (never all-pairs);
+  * n-gram Jaccard limits the quadratic step to small band buckets. At 100 TB
+  * the only all-pairs computation ever performed is within an LSH/band
+  * bucket.
+  */
+object Dedup {
+
+  /** Per-group exact-duplicate stats: docs, distinct texts, dup count. */
+  def exactStats(docs: DataFrame, textCol: String, groupCol: String): DataFrame =
+    docs.groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col(textCol).cast("binary"))).as("n_unique"),
+        (count(lit(1)) - countDistinct(md5(col(textCol).cast("binary")))).as("n_dups"))
+
+  /** Canonical assignment: every doc mapped to min doc_id of its exact-hash
+    * group; `is_dup` marks non-canonical members. */
+  def exactCanonical(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = md5(col(textCol).cast("binary")).as("h")
+    docs.select(col(idCol), h)
+      .groupBy(col("h"))
+      .agg(min(col(idCol)).as("canonical"), count(lit(1)).as("group_size"))
+  }
+
+  /** MinHash signatures: k seeded min-hashes over 3-word shingles.
+    *
+    * Hash = md5(seed || '|' || shingle); the per-seed minimum is taken
+    * lexicographically on the hex string, which is engine-independent (the
+    * DuckDB oracle reproduces it exactly — no xxhash64 dependence).
+    * Returns (doc_id, seed, m).
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val shingled = docs
+      .select(col(idCol).as("doc_id"), explode(TextFunctions.shingles3(col(textCol))).as("sh"))
+      .distinct()
+    shingled
+      .select(col("doc_id"), explode(sequence(lit(0), lit(k - 1))).as("seed"), col("sh"))
+      .groupBy("doc_id", "seed")
+      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("sh")).cast("binary"))).as("m"))
+  }
+
+  /** LSH band keys: group the k signatures into bands of `rowsPerBand`,
+    * key = md5 of the seed-ordered concatenation. Returns (doc_id, band, bkey). */
+  def lshBands(sigs: DataFrame, rowsPerBand: Int): DataFrame =
+    sigs
+      .groupBy(col("doc_id"), floor(col("seed") / rowsPerBand).cast("long").as("band"))
+      .agg(md5(concat_ws("",
+        transform(sort_array(collect_list(struct(col("seed"), col("m")))),
+          s => s.getField("m"))).cast("binary")).as("bkey"))
+
+  /** Candidate near-dup pairs: docs sharing any band bucket. */
+  def lshCandidatePairs(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("band"), col("bkey"), col("doc_id").as("ida"))
+    val b = bands.select(col("band"), col("bkey"), col("doc_id").as("idb"))
+    a.join(b, Seq("band", "bkey")).where(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+  }
+
+  /** SimHash aggregator: per-bit majority vote over 64-bit word hashes.
+    * The reference exposes custom accumulators for exactly this kind of
+    * sketch (AggregateUDFImpl / GroupsAccumulator — expr/src/udaf.rs:445);
+    * Spark's native equivalent is a typed Aggregator registered via
+    * functions.udaf. */
+  object SimHashAgg extends Aggregator[Long, Array[Int], Long] {
+    override def zero: Array[Int] = new Array[Int](64)
+    override def reduce(buf: Array[Int], h: Long): Array[Int] = {
+      var i = 0
+      while (i < 64) { if (((h >>> i) & 1L) == 1L) buf(i) += 1 else buf(i) -= 1; i += 1 }
+      buf
+    }
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < 64) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(buf: Array[Int]): Long = {
+      var out = 0L
+      var i = 0
+      while (i < 64) { if (buf(i) > 0) out |= (1L << i); i += 1 }
+      out
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Int]] =
+      org.apache.spark.sql.Encoders.javaSerialization[Array[Int]]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  /** 64-bit SimHash per document over xxhash64 word hashes. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sim = udaf(SimHashAgg)
+    docs
+      .select(col(idCol).as("doc_id"), explode(TextFunctions.words(col(textCol))).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+      .groupBy("doc_id")
+      .agg(sim(col("h")).as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: docs agreeing on any 16-bit band, verified
+    * by hamming distance ≤ maxHamming (bit_count of xor). */
+  def simhashPairs(sims: DataFrame, maxHamming: Int): DataFrame = {
+    val banded = sims.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bkey", expr("shiftrightunsigned(simhash, CAST(band * 16 AS INT)) & 65535"))
+    val a = banded.select(col("band"), col("bkey"), col("doc_id").as("ida"), col("simhash").as("sa"))
+    val b = banded.select(col("band"), col("bkey"), col("doc_id").as("idb"), col("simhash").as("sb"))
+    a.join(b, Seq("band", "bkey")).where(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** n-gram (3-word shingle) Jaccard similarity for pairs within a band
+    * (same grouping key), computed on distinct shingle sets. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String, bandCol: Column): DataFrame = {
+    val prepped = docs.select(
+      col(idCol).as("doc_id"),
+      bandCol.as("bucket"),
+      array_distinct(TextFunctions.shingles3(col(textCol))).as("sh"))
+    val a = prepped.select(col("bucket"), col("doc_id").as("ida"), col("sh").as("sha"))
+    val b = prepped.select(col("bucket"), col("doc_id").as("idb"), col("sh").as("shb"))
+    a.join(b, Seq("bucket")).where(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))).cast("double")).as("jaccard"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+import graft.queries.Q.r6
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Brute-force top-k is the exact baseline: a broadcast of the (small) query
+  * set against the full corpus — one scan, no shuffle of the corpus, the
+  * cosine kernel fused into codegen (graft.functions.CosineDistance). At
+  * 100 TB the corpus side stays partition-parallel; only the query set is
+  * broadcast.
+  *
+  * The LSH path (random-hyperplane signatures) is the scale route: bucket
+  * both sides by signature and search within buckets only — candidate
+  * generation is a hash join, never all-pairs.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query row.
+    * Ties are broken deterministically on (rounded sim desc, neighbor id). */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("nemb"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val sim = (lit(1.0) - cosine_distance(col("qemb"), col("nemb"))).as("sim")
+    val w = Window.partitionBy(col("qid")).orderBy(r6(col("sim")).desc, col("nid"))
+    c.join(broadcast(q), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), sim)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes (seeded), as literal arrays —
+    * broadcast to every task, no shuffle. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)((rnd.nextGaussian()).toFloat))
+  }
+
+  /** Random-hyperplane LSH signature: one sign bit per plane. */
+  def lshSignature(emb: org.apache.spark.sql.Column, planes: Seq[Array[Float]]): org.apache.spark.sql.Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(inner_product(emb, typedlit(p.toSeq)) >= 0, 1L << i).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Approximate top-k with OR-amplification: `nTables` independent
+    * hyperplane signatures; candidates = union of same-bucket matches across
+    * tables (a hash join per table, exploded into one join), then exact
+    * cosine ranking within the candidate set. More tables → higher recall,
+    * linearly more candidate-generation work — never all-pairs. */
+  def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int, dim: Int,
+      nTables: Int = 4): DataFrame = {
+    val tables = (0 until nTables).map(t => hyperplanes(nPlanes, dim, seed = 42L + 1000 * t))
+    def sigs(emb: org.apache.spark.sql.Column) =
+      array(tables.map(p => lshSignature(emb, p)): _*)
+    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("nemb"),
+      posexplode(sigs(col("embedding"))).as(Seq("tbl", "sig")))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+      posexplode(sigs(col("embedding"))).as(Seq("tbl", "sig")))
+    val candidates = c.join(broadcast(q), Seq("tbl", "sig"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("qemb"), col("nid"), col("nemb"))
+      .dropDuplicates("qid", "nid")
+    val sim = (lit(1.0) - cosine_distance(col("qemb"), col("nemb"))).as("sim")
+    val w = Window.partitionBy(col("qid")).orderBy(r6(col("sim")).desc, col("nid"))
+    candidates
+      .select(col("qid"), col("nid"), sim)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}

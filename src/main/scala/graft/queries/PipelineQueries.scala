@@ -1,0 +1,254 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
+import graft.functions.VectorFunctions._
+import graft.operators.{Dedup, Similarity}
+import Q._
+
+/** Training-data pipeline operators over `documents` and `embeddings`:
+  * text analysis, dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard),
+  * vector math and similarity search. These extend the reference's surface
+  * (its nearest analogue is functions-nested vector math) with the
+  * operations a 100 TB corpus pipeline needs.
+  *
+  * Engine-specific sketches (SimHash via xxhash64, LSH hyperplanes) have no
+  * SQL oracle → rows-only driver check; everything else is differentially
+  * checked against DuckDB (MinHash is built on md5 + lexicographic min
+  * specifically so the oracle can reproduce it bit-for-bit).
+  */
+object PipelineQueries {
+
+  private val EnList = "['the','and','of','is','a','to','in']"
+  private val WordsCte =
+    "SELECT doc_id, lang, source, text, list_filter(string_split(text, ' '), w -> w != '') AS ws FROM documents"
+
+  val queries: Map[String, QueryFn] = Map(
+    // Token counting + quality scoring.
+    "text_stats" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TF.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars"),
+          r6(TF.qualityScore(col("text"))).as("quality"))
+    },
+
+    // Language-ID heuristic vs the labeled lang column (confusion counts).
+    "text_langid" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), TF.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // Document fingerprinting: canonical-form hash groups per source.
+    "text_fingerprint" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"), TF.fingerprint(col("text")).as("fp"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_fp"),
+          (count(lit(1)) - countDistinct(col("fp"))).as("n_fp_dups"))
+    },
+
+    // Exact dedup stats per source (hash-groupBy — one aggregation).
+    "dedup_exact" -> { (s, dir) =>
+      Dedup.exactStats(t(s, dir, "documents"), "text", "source")
+    },
+
+    // MinHash+LSH bucket statistics (k=8 signatures, 2 bands × 4 rows).
+    "dedup_minhash_stats" -> { (s, dir) =>
+      val sigs = Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text", 8)
+      val bands = Dedup.lshBands(sigs, 4)
+      bands.groupBy("band", "bkey").agg(count(lit(1)).as("c"))
+        .groupBy("band")
+        .agg(
+          sum(col("c")).cast("long").as("n_docs"),
+          count(lit(1)).as("n_buckets"),
+          max(col("c")).cast("long").as("max_bucket"),
+          sum(col("c") * (col("c") - 1) / 2).cast("long").as("n_cand_pairs"))
+    },
+
+    // MinHash candidate pairs with estimated jaccard (matching signatures / k).
+    "dedup_minhash_pairs" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 8)
+      val pairs = Dedup.lshCandidatePairs(Dedup.lshBands(sigs, 4))
+      val sa = sigs.select(col("doc_id").as("ida"), col("seed"), col("m").as("ma"))
+      val sb = sigs.select(col("doc_id").as("idb"), col("seed"), col("m").as("mb"))
+      pairs.join(sa, "ida").join(sb, Seq("idb", "seed"))
+        .groupBy("ida", "idb")
+        .agg((sum(when(col("ma") === col("mb"), 1).otherwise(0)) / lit(8.0)).as("est_jaccard"))
+    },
+
+    // n-gram Jaccard near-dup ranking, banded by source (quadratic only
+    // within a band bucket).
+    "dedup_ngram_topk" -> { (s, dir) =>
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", col("source"))
+      pairs
+        .select(col("ida"), col("idb"), r4(col("jaccard")).as("jaccard"))
+        .orderBy(r6(col("jaccard")).desc, col("ida"), col("idb"))
+        .limit(20)
+    },
+
+    // SimHash near-dups — xxhash64-based sketch, engine-specific → rows-only.
+    "dedup_simhash" -> { (s, dir) =>
+      val sims = Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+      Dedup.simhashPairs(sims, 16)
+        .orderBy(col("hamming"), col("ida"), col("idb"))
+        .limit(50)
+    },
+
+    // Vector math kernels (custom codegen expressions) on adjacent pairs.
+    "vector_math" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+      val b = e.select((col("vec_id") - 1).as("ida"), col("vec_id").as("idb"), col("embedding").as("eb"))
+      a.join(b, "ida")
+        .select(
+          col("ida"), col("idb"),
+          r6(inner_product(col("ea"), col("eb"))).as("dot"),
+          r6(l2_distance(col("ea"), col("eb"))).as("l2"),
+          r6(cosine_distance(col("ea"), col("eb"))).as("cosd"))
+    },
+
+    // Brute-force exact KNN (top-5 cosine for 10 query vectors).
+    "embed_knn" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceKnn(e, e.filter(col("vec_id") < 10), 5)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+          r4(col("sim")).as("sim"))
+    },
+
+    // LSH-bucketed approximate KNN — hyperplane signatures are
+    // JVM-seeded → rows-only check; accuracy asserted in SimilaritySpec.
+    "embed_ann_lsh" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.lshKnn(e, e.filter(col("vec_id") < 10), 5, 4, 64, nTables = 6)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+          r4(col("sim")).as("sim"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "text_stats" ->
+      s"""WITH base AS ($WordsCte),
+         |calc AS (SELECT doc_id, text,
+         |  CAST(len(ws) AS DOUBLE) AS n,
+         |  CAST(len(list_filter(ws, w -> list_contains($EnList, w))) AS DOUBLE) AS stops,
+         |  CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS DOUBLE) AS alnum
+         | FROM base)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         | CAST(length(text) AS BIGINT) AS n_chars,
+         | floor((least(n / 100.0, 1.0) * 0.3
+         |   + least(stops / greatest(n, 1.0) * 3.0, 1.0) * 0.2
+         |   + alnum / greatest(CAST(length(text) AS DOUBLE), 1.0) * 0.3
+         |   + (CASE WHEN alnum / greatest(n, 1.0) >= 3 AND alnum / greatest(n, 1.0) <= 10
+         |      THEN 1.0 ELSE 0.5 END) * 0.2 + 1.37e-8) * 1000000 + 0.5) / 1000000 AS quality
+         |FROM calc""".stripMargin,
+
+    "text_langid" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |   list_filter(string_split(lower(text), ' '), w -> w != '') AS ws FROM documents),
+        |c AS (SELECT doc_id, lang,
+        |  len(list_filter(ws, w -> list_contains(['the','and','of','is','a','to','in'], w))) AS en,
+        |  len(list_filter(ws, w -> list_contains(['der','die','und','das','ist','ein'], w))) AS de,
+        |  len(list_filter(ws, w -> list_contains(['le','la','et','les','des','un'], w))) AS fr,
+        |  len(list_filter(ws, w -> list_contains(['el','los','y','una','que','en'], w))) AS es
+        | FROM b),
+        |p AS (SELECT lang, CASE
+        |    WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+        |    WHEN en = greatest(en, de, fr, es) THEN 'en'
+        |    WHEN de = greatest(en, de, fr, es) THEN 'de'
+        |    WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+        |    ELSE 'es' END AS lang_pred
+        |  FROM c)
+        |SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY lang, lang_pred""".stripMargin,
+
+    "text_fingerprint" ->
+      """WITH fp AS (SELECT source,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+        |      w -> w != ''))), ' ')) AS fp
+        | FROM documents)
+        |SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_fp,
+        | count(*) - count(DISTINCT fp) AS n_fp_dups
+        |FROM fp GROUP BY source""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT source, count(*) AS n_docs,
+        | count(DISTINCT md5(text)) AS n_unique,
+        | count(*) - count(DISTINCT md5(text)) AS n_dups
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "dedup_minhash_stats" ->
+      s"""WITH words AS ($WordsCte),
+         |sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         |    ELSE list_transform(range(1, len(ws) - 1),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS shingles FROM words),
+         |ex AS (SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM sh),
+         |mh AS (SELECT doc_id, seed, min(md5(seed || '|' || sh)) AS m
+         |       FROM ex CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) GROUP BY doc_id, seed),
+         |bands AS (SELECT doc_id, seed // 4 AS band, md5(string_agg(m, '' ORDER BY seed)) AS bkey
+         |          FROM mh GROUP BY doc_id, seed // 4),
+         |buckets AS (SELECT band, bkey, count(*) AS c FROM bands GROUP BY band, bkey)
+         |SELECT CAST(band AS BIGINT) AS band, CAST(sum(c) AS BIGINT) AS n_docs,
+         | count(*) AS n_buckets, CAST(max(c) AS BIGINT) AS max_bucket,
+         | CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_cand_pairs
+         |FROM buckets GROUP BY band""".stripMargin,
+
+    "dedup_minhash_pairs" ->
+      s"""WITH words AS ($WordsCte),
+         |sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         |    ELSE list_transform(range(1, len(ws) - 1),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS shingles FROM words),
+         |ex AS (SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM sh),
+         |mh AS (SELECT doc_id, seed, min(md5(seed || '|' || sh)) AS m
+         |       FROM ex CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) GROUP BY doc_id, seed),
+         |bands AS (SELECT doc_id, seed // 4 AS band, md5(string_agg(m, '' ORDER BY seed)) AS bkey
+         |          FROM mh GROUP BY doc_id, seed // 4),
+         |pairs AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         |          FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+         |          WHERE a.doc_id < b.doc_id)
+         |SELECT ida, idb,
+         | sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 8.0 AS est_jaccard
+         |FROM pairs JOIN mh sa ON sa.doc_id = ida JOIN mh sb
+         |  ON sb.doc_id = idb AND sb.seed = sa.seed
+         |GROUP BY ida, idb""".stripMargin,
+
+    "dedup_ngram_topk" ->
+      s"""WITH words AS ($WordsCte),
+         |p AS (SELECT doc_id, source, list_distinct(
+         |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         |    ELSE list_transform(range(1, len(ws) - 1),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS sh FROM words),
+         |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |   CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS j
+         |  FROM p a JOIN p b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |SELECT ida, idb, floor((j + 1.37e-6) * 10000 + 0.5) / 10000 AS jaccard
+         |FROM pairs
+         |ORDER BY floor((j + 1.37e-8) * 1000000 + 0.5) / 1000000 DESC, ida, idb
+         |LIMIT 20""".stripMargin,
+
+    "vector_math" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+        |SELECT a.vec_id AS ida, b.vec_id AS idb,
+        | floor((list_inner_product(a.emb, b.emb) + 1.37e-8) * 1000000 + 0.5) / 1000000 AS dot,
+        | floor((list_distance(a.emb, b.emb) + 1.37e-8) * 1000000 + 0.5) / 1000000 AS l2,
+        | floor((1.0 - list_cosine_similarity(a.emb, b.emb) + 1.37e-8) * 1000000 + 0.5) / 1000000 AS cosd
+        |FROM e a JOIN e b ON b.vec_id = a.vec_id + 1""".stripMargin,
+
+    "embed_knn" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS ne FROM embeddings),
+        |sims AS (SELECT qid, nid, list_cosine_similarity(qe, ne) AS sim
+        |         FROM q CROSS JOIN c WHERE qid != nid),
+        |ranked AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
+        |    ORDER BY floor((sim + 1.37e-8) * 1000000 + 0.5) / 1000000 DESC, nid) AS rank
+        |  FROM sims)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, nid,
+        | floor((sim + 1.37e-6) * 10000 + 0.5) / 10000 AS sim
+        |FROM ranked WHERE rank <= 5""".stripMargin)
+}

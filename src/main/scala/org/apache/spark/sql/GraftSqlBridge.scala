@@ -1,0 +1,16 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge into `private[sql]` surface: Column ↔ Expression.
+  *
+  * Spark 4 hides the classic Column(expr) constructor behind
+  * `org.apache.spark.sql.classic.ExpressionUtils`, which is private[sql];
+  * extension libraries conventionally expose it via a small shim in the
+  * org.apache.spark.sql package. Nothing else from the private surface is
+  * used.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

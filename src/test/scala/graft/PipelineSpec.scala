@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity}
+import graft.functions.VectorFunctions._
+
+/** Behavior tests for the sketch-based operators that have no SQL oracle
+  * (SimHash, LSH ANN) plus invariants of the vector kernels. */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  lazy val emb = Tables.load(spark, sfDir, "embeddings").cache()
+
+  test("vector kernels: self-similarity invariants") {
+    val row = emb.limit(1)
+      .select(
+        inner_product(col("embedding"), col("embedding")).as("dot"),
+        l2_distance(col("embedding"), col("embedding")).as("l2"),
+        cosine_distance(col("embedding"), col("embedding")).as("cosd"))
+      .collect().head
+    assert(row.getDouble(0) > 0)
+    assert(row.getDouble(1) == 0.0)
+    assert(math.abs(row.getDouble(2)) < 1e-12)
+  }
+
+  test("vector kernels registered as SQL functions") {
+    graft.functions.VectorFunctions.register(spark)
+    emb.createOrReplaceTempView("emb_t")
+    val v = spark.sql(
+      "SELECT inner_product(embedding, embedding) FROM emb_t LIMIT 1")
+      .collect().head.getDouble(0)
+    assert(v > 0)
+  }
+
+  test("LSH ANN recall vs brute force is reasonable") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceKnn(emb, queries, 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshKnn(emb, queries, 5, 4, 64, nTables = 6)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // 4 hyperplanes → 16 buckets over 50 vectors at sf0.001; same-bucket
+    // probability for near neighbors is high but not 1 — loose bound.
+    assert(recall > 0.4, s"recall=$recall")
+    assert(approx.nonEmpty)
+  }
+
+  test("simhash: identical docs collide, different docs mostly differ") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark table scan join filter aggregate window sort"),
+      (2L, "spark table scan join filter aggregate window sort"),
+      (3L, "completely different words about bananas and weather patterns"))
+      .toDF("doc_id", "text")
+    val sims = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) == sims(2L))
+    assert(sims(1L) != sims(3L))
+  }
+
+  test("simhash pairs find the exact-dup pair") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark table scan join filter aggregate window sort"),
+      (2L, "spark table scan join filter aggregate window sort"),
+      (3L, "completely different words about bananas and weather patterns"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(Dedup.simhash(docs, "doc_id", "text"), 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("exact dedup counts a synthetic duplicate") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa bb", "s1"), (2L, "aa bb", "s1"), (3L, "cc", "s1"))
+      .toDF("doc_id", "text", "source")
+    val row = Dedup.exactStats(docs, "text", "source").collect().head
+    assert(row.getAs[Long]("n_docs") == 3 && row.getAs[Long]("n_unique") == 2
+      && row.getAs[Long]("n_dups") == 1)
+  }
+
+  test("minhash: identical docs share all bands") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(
+      Dedup.lshBands(Dedup.minhashSignatures(docs, "doc_id", "text", 8), 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
