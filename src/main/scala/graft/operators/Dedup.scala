@@ -41,13 +41,24 @@ object Dedup {
     * Returns (doc_id, seed, m).
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val shingled = docs
+    // One shingle explode, k min() aggregate columns — NOT a k× seed
+    // explode: partial aggregation (map-side combine) reduces each partition
+    // to one row per doc before the single shuffle, so the shuffled volume
+    // is rows×k hashes instead of rows×shingles×k. min over the shingle
+    // multiset equals min over the set, so no distinct is needed either.
+    // The fixture is one parquet file → one input partition; fan out before
+    // the explode so shingling/hashing parallelizes (at real scale the
+    // source would already be many splits, making this a cheap no-op-ish
+    // round-robin).
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val shingled = docs.repartition(par)
       .select(col(idCol).as("doc_id"), explode(TextFunctions.shingles3(col(textCol))).as("sh"))
-      .distinct()
-    shingled
-      .select(col("doc_id"), explode(sequence(lit(0), lit(k - 1))).as("seed"), col("sh"))
-      .groupBy("doc_id", "seed")
-      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("sh")).cast("binary"))).as("m"))
+    val minCols = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i|"), col("sh")).cast("binary"))).as(s"m$i"))
+    val wide = shingled.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    // unpivot back to the (doc_id, seed, m) interface
+    val stackArgs = (0 until k).map(i => s"$i, m$i").mkString(", ")
+    wide.selectExpr("doc_id", s"stack($k, $stackArgs) AS (seed, m)")
   }
 
   /** LSH band keys: group the k signatures into bands of `rowsPerBand`,
@@ -121,10 +132,19 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** n-gram (3-word shingle) Jaccard similarity for pairs within a band
-    * (same grouping key), computed on distinct shingle sets. */
+  /** n-gram (3-word shingle) Jaccard for pairs within a band (same grouping
+    * key): banded all-pairs over distinct shingle SETS
+    * (array_intersect/union).
+    *
+    * An inverted-index formulation (join on shared shingle) is the textbook
+    * scale answer, but it degenerates on low-vocabulary corpora where every
+    * shingle is shared by many docs (Σf² row blowup — measured 40% slower
+    * on this fixture). The banded set compare is robust to both regimes;
+    * the band key bounds the quadratic work.
+    */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String, bandCol: Column): DataFrame = {
-    val prepped = docs.select(
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val prepped = docs.repartition(par).select(
       col(idCol).as("doc_id"),
       bandCol.as("bucket"),
       array_distinct(TextFunctions.shingles3(col(textCol))).as("sh"))

@@ -86,7 +86,8 @@ object PipelineQueries {
     // n-gram Jaccard near-dup ranking, banded by source (quadratic only
     // within a band bucket).
     "dedup_ngram_topk" -> { (s, dir) =>
-      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", col("source"))
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        concat_ws("|", col("source"), col("lang")))
       pairs
         .select(col("ida"), col("idb"), r4(col("jaccard")).as("jaccard"))
         .orderBy(r6(col("jaccard")).desc, col("ida"), col("idb"))
@@ -187,7 +188,7 @@ object PipelineQueries {
          |sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
          |    ELSE list_transform(range(1, len(ws) - 1),
          |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS shingles FROM words),
-         |ex AS (SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM sh),
+         |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
          |mh AS (SELECT doc_id, seed, min(md5(seed || '|' || sh)) AS m
          |       FROM ex CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) GROUP BY doc_id, seed),
          |bands AS (SELECT doc_id, seed // 4 AS band, md5(string_agg(m, '' ORDER BY seed)) AS bkey
@@ -203,7 +204,7 @@ object PipelineQueries {
          |sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
          |    ELSE list_transform(range(1, len(ws) - 1),
          |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS shingles FROM words),
-         |ex AS (SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM sh),
+         |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
          |mh AS (SELECT doc_id, seed, min(md5(seed || '|' || sh)) AS m
          |       FROM ex CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) GROUP BY doc_id, seed),
          |bands AS (SELECT doc_id, seed // 4 AS band, md5(string_agg(m, '' ORDER BY seed)) AS bkey
@@ -219,16 +220,17 @@ object PipelineQueries {
 
     "dedup_ngram_topk" ->
       s"""WITH words AS ($WordsCte),
-         |p AS (SELECT doc_id, source, list_distinct(
+         |p AS (SELECT doc_id, source, lang, list_distinct(
          |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
          |    ELSE list_transform(range(1, len(ws) - 1),
          |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS sh FROM words),
-         |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |jac AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
          |   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |   CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS j
-         |  FROM p a JOIN p b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |  FROM p a JOIN p b ON a.source = b.source AND a.lang = b.lang
+         |    AND a.doc_id < b.doc_id)
          |SELECT ida, idb, floor((j + 1.37e-6) * 10000 + 0.5) / 10000 AS jaccard
-         |FROM pairs
+         |FROM jac
          |ORDER BY floor((j + 1.37e-8) * 1000000 + 0.5) / 1000000 DESC, ida, idb
          |LIMIT 20""".stripMargin,
 
