@@ -20,12 +20,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TpchQueries.queries ++ RelationalQueries.queries ++
       AggQueries.queries ++ WindowQueries.queries ++ FunctionQueries.queries ++
-      PipelineQueries.queries
+      PipelineQueries.queries ++ DmlQueries.queries ++ StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     TpchQueries.oracleSql ++ RelationalQueries.oracleSql ++
       AggQueries.oracleSql ++ WindowQueries.oracleSql ++ FunctionQueries.oracleSql ++
-      PipelineQueries.oracleSql
+      PipelineQueries.oracleSql ++ DmlQueries.oracleSql ++ StreamQueries.oracleSql
 }

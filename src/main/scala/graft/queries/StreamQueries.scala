@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.streaming.Streaming
+import Q._
+
+/** Oracle-checked streaming queries: the bounded events table driven through
+  * the Structured Streaming engine (micro-batches, memory sink) must equal
+  * the batch SQL the DuckDB oracle runs. */
+object StreamQueries {
+
+  val queries: Map[String, QueryFn] = Map(
+    "stream_tumbling_agg" -> { (s, dir) =>
+      Streaming.runTumblingAgg(s, dir, "graft_stream_tumbling")
+        .select(col("bucket"), col("event_type"), col("n"),
+          r2(col("val_sum")).as("val_sum"))
+    },
+
+    // Stream-stream join cardinality per user (append mode, watermarked) —
+    // compared against the equivalent batch join in DuckDB.
+    "stream_join_counts" -> { (s, dir) =>
+      Streaming.runStreamStreamJoin(s, dir, "graft_stream_join")
+        .groupBy(col("v_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"), r2(sum(col("p_value"))).as("purchase_value"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "stream_tumbling_agg" ->
+      """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS bucket,
+        | event_type, count(*) AS n,
+        | floor((sum(value) + 1.37e-4) * 100 + 0.5) / 100 AS val_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "stream_join_counts" ->
+      """WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS v_ts FROM events
+        |           WHERE event_type = 'view'),
+        |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts, value FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT v.user_id AS user_id, count(*) AS n_pairs,
+        | floor((sum(p.value) + 1.37e-4) * 100 + 0.5) / 100 AS purchase_value
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 30 MINUTE
+        |GROUP BY v.user_id""".stripMargin)
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming slice (SURVEY.md §2.9 / M5).
+  *
+  * The reference's unbounded execution model (StreamingTableExec —
+  * physical-plan/src/streaming.rs:63; StreamTable catalog/src/stream.rs:302)
+  * maps to `spark.readStream`; its SymmetricHashJoinExec with interval-based
+  * state pruning (joins/symmetric_hash_join.rs:174, doc 100-160) maps to a
+  * stream-stream join with an event-time range condition + watermarks —
+  * Spark prunes join state exactly the way the reference's cp_solver-driven
+  * interval analysis does.
+  *
+  * Local runs drive a bounded parquet directory through the streaming
+  * engine with `processAllAvailable` (micro-batches over the same files a
+  * batch query would read), so results are comparable against a batch/SQL
+  * oracle.
+  */
+object Streaming {
+
+  /** Unbounded view of the events table (nanos ts → µs, like Tables.load).
+    * The file stream source requires a directory, so the single fixture file
+    * is staged into a scratch dir once. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stream_src", dir.replaceAll("[^A-Za-z0-9]", "_"))
+    Files.createDirectories(stage)
+    Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema).parquet(stage.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling-window aggregation, run to completion over the bounded input;
+    * returns the materialized result (memory sink, complete mode). */
+  def runTumblingAgg(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("val_sum"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"), col("val_sum"))
+    spark.streams.active.filter(_.name == queryName).foreach(_.stop())
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
+  /** Stream-stream inner join with event-time range condition + watermarks:
+    * views joined to purchases by the same user within [0, 30 min] after
+    * the view. State on both sides is pruned by the watermark + range. */
+  def runStreamStreamJoin(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val views = eventsStream(spark, dir)
+      .where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("v_id"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = eventsStream(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("value").as("p_value"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+    spark.streams.active.filter(_.name == queryName).foreach(_.stop())
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}
