@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class DFContextSpec extends AnyFunSuite {
+  import TestSpark._
+
+  lazy val ctx: DFContext = { val c = DFContext(spark); c.registerAll(sfDir); c }
+
+  test("register + sql end to end") {
+    ctx.register("nation2", s"$sfDir/nation.parquet")
+    assert(ctx.sql("SELECT count(*) AS n FROM nation2").collect().head.getLong(0) == 25)
+  }
+
+  test("QUALIFY rewrite") {
+    val rows = ctx.sql("""
+      SELECT s_nationkey, s_suppkey,
+             row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS rn
+      FROM supplier
+      QUALIFY rn = 1""").collect()
+    val perNation = ctx.sql(
+      "SELECT count(DISTINCT s_nationkey) AS n FROM supplier").collect().head.getLong(0)
+    assert(rows.length == perNation)
+    assert(rows.forall(_.getInt(2) == 1))
+  }
+
+  test("DISTINCT ON rewrite picks first row per key by order") {
+    val rows = ctx.sql("""SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey, c_acctbal
+      FROM customer ORDER BY c_nationkey, c_acctbal DESC""").collect()
+    val nations = ctx.sql(
+      "SELECT count(DISTINCT c_nationkey) AS n FROM customer").collect().head.getLong(0)
+    assert(rows.length == nations)
+    // each returned row carries its nation's max acctbal
+    val maxes = ctx.sql(
+      "SELECT c_nationkey, max(c_acctbal) AS m FROM customer GROUP BY c_nationkey")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    rows.foreach(r => assert(r.getDouble(2) == maxes(r.getInt(0))))
+  }
+
+  test("sqlWithParams binds named placeholders") {
+    val n = ctx.sqlWithParams(
+      "SELECT count(*) AS n FROM customer WHERE c_acctbal > :minBal AND c_mktsegment = :seg",
+      Map("minBal" -> 5000.0, "seg" -> "BUILDING")).collect().head.getLong(0)
+    val direct = ctx.sql(
+      "SELECT count(*) AS n FROM customer WHERE c_acctbal > 5000.0 AND c_mktsegment = 'BUILDING'")
+      .collect().head.getLong(0)
+    assert(n == direct && n > 0)
+  }
+
+  test("information_schema surfaces") {
+    val tables = ctx.informationSchemaTables().collect().map(_.getString(0))
+    assert(tables.contains("customer") && tables.contains("lineitem"))
+    val cols = ctx.informationSchemaColumns("nation").collect().map(_.getString(0))
+    assert(cols.sameElements(Array("n_nationkey", "n_name", "n_regionkey")))
+  }
+
+  test("explain returns a physical plan") {
+    val plan = ctx.explain("SELECT sum(l_quantity) FROM lineitem WHERE l_quantity < 10")
+    assert(plan.contains("Physical Plan"))
+    assert(plan.contains("PushedFilters"))
+  }
+}
