@@ -25,6 +25,13 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // Local-bench split sizing: the fixtures are one ~1-30 MB file per
+      // table, so the 128 MB default would make every scan a single task.
+      // 4 MB splits spread a sf0.1 lineitem scan over ~8 tasks; on a real
+      // cluster with many files the default is the right choice and this
+      // only lowers the per-file split threshold.
+      .config("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (512 * 1024).toString)
       .config("spark.ui.enabled", "false")
 
   /** Local session with sane defaults; idempotent via getOrCreate. */

@@ -189,7 +189,8 @@ object PipelineQueries {
          |    ELSE list_transform(range(1, len(ws) - 1),
          |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS shingles FROM words),
          |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
-         |mh AS (SELECT doc_id, seed, min(md5(seed || '|' || sh)) AS m
+         |mh AS (SELECT doc_id, seed,
+         |        min(substr(md5((seed // 4) || '|' || sh), 1 + 8 * (seed % 4), 8)) AS m
          |       FROM ex CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) GROUP BY doc_id, seed),
          |bands AS (SELECT doc_id, seed // 4 AS band, md5(string_agg(m, '' ORDER BY seed)) AS bkey
          |          FROM mh GROUP BY doc_id, seed // 4),
@@ -205,7 +206,8 @@ object PipelineQueries {
          |    ELSE list_transform(range(1, len(ws) - 1),
          |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS shingles FROM words),
          |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
-         |mh AS (SELECT doc_id, seed, min(md5(seed || '|' || sh)) AS m
+         |mh AS (SELECT doc_id, seed,
+         |        min(substr(md5((seed // 4) || '|' || sh), 1 + 8 * (seed % 4), 8)) AS m
          |       FROM ex CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) GROUP BY doc_id, seed),
          |bands AS (SELECT doc_id, seed // 4 AS band, md5(string_agg(m, '' ORDER BY seed)) AS bkey
          |          FROM mh GROUP BY doc_id, seed // 4),
