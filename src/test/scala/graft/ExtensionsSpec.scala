@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.AsyncBatch
+import graft.plans.GraftExtensions
+
+class ExtensionsSpec extends AnyFunSuite {
+
+  lazy val extSpark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("UnionsToFilter collapses same-source union branches into one scan") {
+    val li = Tables.load(extSpark, TestSpark.sfDir, "lineitem")
+    val a = li.filter(col("l_quantity") < 5)
+    val b = li.filter(col("l_quantity") > 45)
+    val unioned = a.unionAll(b)
+    val optimized = unioned.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("Union"), s"union not collapsed:\n$optimized")
+    // correctness: equals the OR-filter formulation
+    val expect = li.filter(col("l_quantity") < 5 || col("l_quantity") > 45).count()
+    assert(unioned.count() == expect)
+  }
+
+  test("rule leaves different-source unions alone") {
+    val li = Tables.load(extSpark, TestSpark.sfDir, "lineitem")
+    val o = Tables.load(extSpark, TestSpark.sfDir, "orders")
+    val u = li.select(col("l_orderkey").as("k")).filter(col("k") < 100)
+      .unionAll(o.select(col("o_orderkey").as("k")).filter(col("k") > 200))
+    assert(u.queryExecution.optimizedPlan.toString.contains("Union"))
+    assert(u.count() > 0)
+  }
+
+  test("AsyncBatch.mapAsync preserves order and values") {
+    val s = extSpark
+    import s.implicits._
+    val ds = s.range(0, 1000).as[Long]
+    val out = AsyncBatch.mapAsync(ds, concurrency = 8) { x =>
+      // simulate a slow external call
+      if (x % 100 == 0) Thread.sleep(1)
+      x * 2
+    }.collect()
+    assert(out.sorted.sameElements((0L until 1000L).map(_ * 2)))
+  }
+}
