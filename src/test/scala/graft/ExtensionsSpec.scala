@@ -4,20 +4,17 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.AsyncBatch
-import graft.plans.GraftExtensions
+import graft.plans.UnionsToFilter
 
 class ExtensionsSpec extends AnyFunSuite {
 
+  // `withExtensions` only applies to a freshly built session; the suites
+  // share one, so install the rule at runtime — the equivalent public API.
   lazy val extSpark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-ext-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
+    val s = TestSpark.spark
+    if (!s.experimental.extraOptimizations.contains(UnionsToFilter))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ UnionsToFilter
     s
   }
 
