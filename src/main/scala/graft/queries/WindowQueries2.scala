@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Q._
+
+/** Window/relational batch 2: GROUPS frames (emulated — closes the gap
+  * SURVEY.md flags as hard part #2), TPC-H Q2 shape, PIVOT.
+  *
+  * GROUPS BETWEEN n PRECEDING AND CURRENT ROW aggregates over peer groups
+  * (distinct ORDER BY values). Spark has no GROUPS frames
+  * (reference: expr/src/window_frame.rs:460-474 supports them), but a RANGE
+  * frame over `dense_rank` is semantically identical: peers share a
+  * dense_rank, and a rank distance of n spans exactly n+1 peer groups.
+  * (DuckDB 1.0 doesn't implement GROUPS frames either, so the oracle uses
+  * the same dense_rank+RANGE identity — an independent engine computing the
+  * identical semantics.)
+  */
+object WindowQueries2 {
+
+  val queries: Map[String, QueryFn] = Map(
+    "win_groups_frame" -> { (s, dir) =>
+      val byPrio = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("odate"))
+      val groupsFrame = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("dr"))
+        .rangeBetween(-2, 0) // GROUPS BETWEEN 2 PRECEDING AND CURRENT ROW
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 120)
+        .withColumn("odate", col("o_orderdate").cast("date"))
+        .withColumn("dr", dense_rank().over(byPrio))
+        .select(
+          col("o_orderkey"), col("o_orderpriority"),
+          count(lit(1)).over(groupsFrame).as("n_in_3_groups"),
+          r2(sum(col("o_totalprice")).over(groupsFrame)).as("sum_in_3_groups"))
+    },
+
+    // TPC-H Q2 shape: min-cost supplier per region via correlated subquery
+    // (acctbal substitutes for ps_supplycost).
+    "q2_mincost" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT s_suppkey, s_name, n_name,
+               floor((s_acctbal + 1.37e-4) * 100 + 0.5) / 100 AS s_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND s_acctbal = (SELECT min(s2.s_acctbal)
+                           FROM supplier s2 JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                           WHERE n2.n_regionkey = r_regionkey)
+        ORDER BY s_suppkey
+      """)
+    },
+
+    // PIVOT (conditional-aggregation expansion; Spark-native API breadth).
+    "pivot_status" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("o_orderpriority"), col("F").as("n_f"),
+          col("O").as("n_o"), col("P").as("n_p"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "win_groups_frame" ->
+      """SELECT o_orderkey, o_orderpriority,
+        | count(*) OVER w AS n_in_3_groups,
+        | floor((sum(o_totalprice) OVER w + 1.37e-4) * 100 + 0.5) / 100 AS sum_in_3_groups
+        |FROM (SELECT *, dense_rank() OVER (PARTITION BY o_orderpriority
+        |        ORDER BY CAST(o_orderdate AS DATE)) AS dr
+        |      FROM orders WHERE o_custkey < 120)
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY dr
+        |  RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q2_mincost" ->
+      """SELECT s_suppkey, s_name, n_name,
+        | floor((s_acctbal + 1.37e-4) * 100 + 0.5) / 100 AS s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND s_acctbal = (SELECT min(s2.s_acctbal)
+        |                   FROM supplier s2 JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |                   WHERE n2.n_regionkey = r_regionkey)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "pivot_status" ->
+      """SELECT o_orderpriority,
+        | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        | CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        | CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin)
+}
