@@ -26,8 +26,12 @@ abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
-  /** Java source computing `double result` from float arrays a, b of len n. */
-  protected def loopBody(a: String, b: String, n: String, result: String): String
+  /** Java source computing `double result` from float arrays a, b of len n.
+    * Every local it declares must come from `fresh` — two vector expressions
+    * in one codegen stage otherwise redeclare the same Java locals, janino
+    * rejects the stage, and Spark silently falls back to interpreted eval. */
+  protected def loopBody(a: String, b: String, n: String, result: String,
+      fresh: String => String): String
 
   protected def evalLoop(a: ArrayData, b: ArrayData): Double
 
@@ -41,7 +45,7 @@ abstract class VectorBinaryExpression extends BinaryExpression {
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $result;
-         |${loopBody(a, b, n, result)}
+         |${loopBody(a, b, n, result, ctx.freshName)}
          |${ev.value} = $result;
        """.stripMargin
     })
@@ -51,14 +55,17 @@ abstract class VectorBinaryExpression extends BinaryExpression {
 case class InnerProduct(left: Expression, right: Expression) extends VectorBinaryExpression {
   override def prettyName: String = "inner_product"
 
-  override protected def loopBody(a: String, b: String, n: String, result: String): String =
+  override protected def loopBody(a: String, b: String, n: String, result: String,
+      fresh: String => String): String = {
+    val acc = fresh("acc"); val i = fresh("i")
     s"""
-       |double acc = 0.0;
-       |for (int i = 0; i < $n; i++) {
-       |  acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+       |double $acc = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
        |}
-       |$result = acc;
+       |$result = $acc;
      """.stripMargin
+  }
 
   override protected def evalLoop(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -76,16 +83,20 @@ case class InnerProduct(left: Expression, right: Expression) extends VectorBinar
 case class CosineDistance(left: Expression, right: Expression) extends VectorBinaryExpression {
   override def prettyName: String = "cosine_distance"
 
-  override protected def loopBody(a: String, b: String, n: String, result: String): String =
+  override protected def loopBody(a: String, b: String, n: String, result: String,
+      fresh: String => String): String = {
+    val dot = fresh("dot"); val na = fresh("na"); val nb = fresh("nb")
+    val i = fresh("i"); val x = fresh("x"); val y = fresh("y")
     s"""
-       |double dot = 0.0, na = 0.0, nb = 0.0;
-       |for (int i = 0; i < $n; i++) {
-       |  double x = (double) $a.getFloat(i);
-       |  double y = (double) $b.getFloat(i);
-       |  dot += x * y; na += x * x; nb += y * y;
+       |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double $x = (double) $a.getFloat($i);
+       |  double $y = (double) $b.getFloat($i);
+       |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
        |}
-       |$result = 1.0 - dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+       |$result = 1.0 - $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
      """.stripMargin
+  }
 
   override protected def evalLoop(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -108,15 +119,18 @@ case class CosineDistance(left: Expression, right: Expression) extends VectorBin
 case class L2Distance(left: Expression, right: Expression) extends VectorBinaryExpression {
   override def prettyName: String = "l2_distance"
 
-  override protected def loopBody(a: String, b: String, n: String, result: String): String =
+  override protected def loopBody(a: String, b: String, n: String, result: String,
+      fresh: String => String): String = {
+    val acc = fresh("acc"); val i = fresh("i"); val d = fresh("d")
     s"""
-       |double acc = 0.0;
-       |for (int i = 0; i < $n; i++) {
-       |  double d = (double) $a.getFloat(i) - (double) $b.getFloat(i);
-       |  acc += d * d;
+       |double $acc = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+       |  $acc += $d * $d;
        |}
-       |$result = java.lang.Math.sqrt(acc);
+       |$result = java.lang.Math.sqrt($acc);
      """.stripMargin
+  }
 
   override protected def evalLoop(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())

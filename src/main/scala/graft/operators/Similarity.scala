@@ -46,6 +46,37 @@ object Similarity {
       when(inner_product(emb, typedlit(p.toSeq)) >= 0, 1L << i).otherwise(0L)
     }.reduce(_ + _)
 
+  /** IVF-style approximate top-k: the first `nCentroids` corpus vectors act
+    * as deterministic coarse centroids (at scale these would come from a
+    * k-means job); every corpus vector is assigned to its nearest centroid
+    * (one broadcast join — the corpus is never shuffled), queries probe the
+    * `nProbe` nearest centroid buckets, and exact cosine ranks within the
+    * probed buckets. Fully deterministic, so the DuckDB oracle reproduces
+    * it end-to-end. */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int, nProbe: Int): DataFrame = {
+    val cents = corpus.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    def assign(df: DataFrame, idCol: String, embCol: String, keep: Int) = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(r6(lit(1.0) - cosine_distance(col(embCol), col("cemb"))).desc, col("cid"))
+      df.join(broadcast(cents), col(idCol).isNotNull)
+        .withColumn("crank", row_number().over(w))
+        .where(col("crank") <= keep)
+        .select(col(idCol), col(embCol), col("cid"))
+    }
+    val corpusB = assign(corpus.select(col("vec_id").as("nid"), col("embedding").as("nemb")),
+      "nid", "nemb", 1)
+    val queryB = assign(queries.select(col("vec_id").as("qid"), col("embedding").as("qemb")),
+      "qid", "qemb", nProbe)
+    val sim = (lit(1.0) - cosine_distance(col("qemb"), col("nemb"))).as("sim")
+    val w = Window.partitionBy(col("qid")).orderBy(r6(col("sim")).desc, col("nid"))
+    corpusB.join(broadcast(queryB), Seq("cid")).where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), sim).dropDuplicates("qid", "nid")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Approximate top-k with OR-amplification: `nTables` independent
     * hyperplane signatures; candidates = union of same-bucket matches across
     * tables (a hash join per table, exploded into one join), then exact

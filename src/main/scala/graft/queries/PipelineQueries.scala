@@ -116,9 +116,19 @@ object PipelineQueries {
     },
 
     // Brute-force exact KNN (top-5 cosine for 10 query vectors).
+
     "embed_knn" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
       Similarity.bruteForceKnn(e, e.filter(col("vec_id") < 10), 5)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+          r4(col("sim")).as("sim"))
+    },
+
+    // IVF-style ANN: deterministic coarse centroids, nearest-centroid
+    // buckets, nProbe=2 — fully reproducible, so oracle-checked end-to-end.
+    "embed_ann_ivf" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfKnn(e, e.filter(col("vec_id") < 10), 5, 16, 2)
         .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
           r4(col("sim")).as("sim"))
     },
@@ -243,6 +253,33 @@ object PipelineQueries {
         | floor((list_distance(a.emb, b.emb) + 1.37e-8) * 1000000 + 0.5) / 1000000 AS l2,
         | floor((1.0 - list_cosine_similarity(a.emb, b.emb) + 1.37e-8) * 1000000 + 0.5) / 1000000 AS cosd
         |FROM e a JOIN e b ON b.vec_id = a.vec_id + 1""".stripMargin,
+
+    "embed_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16),
+        |ca AS (SELECT nid, cid FROM (
+        |   SELECT a.vec_id AS nid, c.cid,
+        |     row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |       floor((list_cosine_similarity(a.emb, c.cemb) + 1.37e-8) * 1000000 + 0.5) / 1000000 DESC,
+        |       c.cid) AS rn
+        |   FROM e a CROSS JOIN cents c) WHERE rn = 1),
+        |qa AS (SELECT qid, cid FROM (
+        |   SELECT q.vec_id AS qid, c.cid,
+        |     row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |       floor((list_cosine_similarity(q.emb, c.cemb) + 1.37e-8) * 1000000 + 0.5) / 1000000 DESC,
+        |       c.cid) AS rn
+        |   FROM e q CROSS JOIN cents c WHERE q.vec_id < 10) WHERE rn <= 2),
+        |cand AS (SELECT DISTINCT qa.qid, ca.nid FROM qa JOIN ca USING (cid)
+        |         WHERE qa.qid != ca.nid),
+        |sims AS (SELECT cand.qid, cand.nid, list_cosine_similarity(eq.emb, en.emb) AS sim
+        |         FROM cand JOIN e eq ON eq.vec_id = cand.qid
+        |           JOIN e en ON en.vec_id = cand.nid),
+        |ranked AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
+        |    ORDER BY floor((sim + 1.37e-8) * 1000000 + 0.5) / 1000000 DESC, nid) AS rank
+        |  FROM sims)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, nid,
+        | floor((sim + 1.37e-6) * 10000 + 0.5) / 10000 AS sim
+        |FROM ranked WHERE rank <= 5""".stripMargin,
 
     "embed_knn" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
