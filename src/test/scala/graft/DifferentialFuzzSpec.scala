@@ -76,6 +76,28 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     assert(viaWindow == viaJoin)
   }
 
+  test("intersect equals semi-join formulation") {
+    val a = orders.filter(col("o_totalprice") < 100000).select("o_orderpriority", "o_orderstatus")
+    val b = orders.filter(col("o_orderstatus") === "F").select("o_orderpriority", "o_orderstatus")
+    val viaIntersect = normalized(a.intersect(b))
+    val viaSemi = normalized(a.distinct().join(b, Seq("o_orderpriority", "o_orderstatus"), "left_semi"))
+    assert(viaIntersect == viaSemi)
+  }
+
+  test("rollup equals union of group-bys") {
+    val viaRollup = normalized(
+      li.rollup("l_returnflag", "l_linestatus").agg(count(lit(1)).as("n")))
+    val g2 = li.groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("n"))
+    val g1 = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .withColumn("l_linestatus", lit(null: String))
+      .select("l_returnflag", "l_linestatus", "n")
+    val g0 = li.agg(count(lit(1)).as("n"))
+      .withColumn("l_returnflag", lit(null: String))
+      .withColumn("l_linestatus", lit(null: String))
+      .select("l_returnflag", "l_linestatus", "n")
+    assert(viaRollup == normalized(g2.unionByName(g1).unionByName(g0)))
+  }
+
   test("distinct count equals exact groupBy count across partitionings") {
     for (parts <- Seq(1, 5, 12)) {
       val d = li.repartition(parts).select(countDistinct(col("l_suppkey"))).collect().head.getLong(0)

@@ -22,6 +22,12 @@ class QueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("inventory size never silently shrinks") {
+    // bump when adding queries; catches entries dropped by bad merges/edits
+    assert(SparkEntry.queries.size >= 117, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size >= 114, s"got ${SparkEntry.oracleSql.size}")
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
