@@ -17,6 +17,9 @@ import org.apache.spark.sql.functions.lit
   */
 class DFContext(val spark: SparkSession) {
 
+  // engine function-gap layer available from SQL immediately
+  graft.functions.VectorFunctions.register(spark)
+
   /** Register a file-backed table; format inferred from the extension
     * (parquet/csv/json), mirroring CREATE EXTERNAL TABLE
     * (reference: sql/src/parser.rs:245). */
