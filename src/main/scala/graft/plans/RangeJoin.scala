@@ -1,0 +1,135 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Broadcast range join — the full custom-operator stack (logical node →
+  * strategy → physical operator), SURVEY §2.10 path (c).
+  *
+  * Mirrors the reference's PiecewiseMergeJoinExec
+  * (datafusion/physical-plan/src/joins/piecewise_merge_join/exec.rs:254):
+  * for a single-inequality condition `left.a <op> right.b`, sort the build
+  * side once and binary-search each probe key — every probe row matches a
+  * contiguous prefix/suffix of the sorted build side, so candidate
+  * enumeration is O(log m) per row instead of BroadcastNestedLoopJoin's
+  * O(m) predicate evaluations.
+  *
+  * The build (right) side is collected + broadcast like Spark's own
+  * broadcast joins; the probe side streams partition-parallel. Registered
+  * explicitly (opt-in API `RangeJoin.join`) rather than hijacking Catalyst's
+  * join planning, so standard queries are unaffected.
+  */
+case class RangeJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression, op: String) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): LogicalPlan =
+    copy(left = l, right = r)
+}
+
+object RangeJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case RangeJoinPlan(l, r, lk, rk, op) =>
+      RangeJoinExec(planLater(l), planLater(r), lk, rk, op) :: Nil
+    case _ => Nil
+  }
+}
+
+case class RangeJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression, op: String) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val rightOut = right.output
+    val boundRight = BindReferences.bindReference(rightKey, rightOut)
+    // build side: collect, key, sort ascending (nulls dropped — an
+    // inequality never matches null)
+    val buildRows: Array[(Double, InternalRow)] = right.executeCollect()
+      .flatMap { row =>
+        boundRight.eval(row) match {
+          case null => None
+          case v: Number => Some((v.doubleValue(), row))
+          case other => Some((other.toString.toDouble, row))
+        }
+      }
+      .sortBy(_._1)
+    val keys = buildRows.map(_._1)
+    val rows = buildRows.map(_._2)
+    val bc = sparkContext.broadcast((keys, rows))
+
+    val leftOut = left.output
+    val boundLeft = BindReferences.bindReference(leftKey, leftOut)
+    val opLocal = op
+    val outputLocal = output
+
+    left.execute().mapPartitions { iter =>
+      val (ks, rs) = bc.value
+      val proj = UnsafeProjection.create(outputLocal, outputLocal)
+      val joined = new JoinedRow
+
+      // first index i with ks(i) > key (upperBound) / ks(i) >= key (lowerBound)
+      def upperBound(key: Double): Int = {
+        var lo = 0; var hi = ks.length
+        while (lo < hi) { val mid = (lo + hi) >>> 1; if (ks(mid) <= key) lo = mid + 1 else hi = mid }
+        lo
+      }
+      def lowerBound(key: Double): Int = {
+        var lo = 0; var hi = ks.length
+        while (lo < hi) { val mid = (lo + hi) >>> 1; if (ks(mid) < key) lo = mid + 1 else hi = mid }
+        lo
+      }
+
+      iter.flatMap { lrow =>
+        val k = boundLeft.eval(lrow)
+        if (k == null) Iterator.empty
+        else {
+          val key = k.asInstanceOf[Number].doubleValue()
+          // match range in the ascending build side
+          val (from, until) = opLocal match {
+            case "<"  => (upperBound(key), ks.length) // right keys strictly greater
+            case "<=" => (lowerBound(key), ks.length)
+            case ">"  => (0, lowerBound(key))         // right keys strictly smaller
+            case ">=" => (0, upperBound(key))
+            case o => throw new IllegalArgumentException(s"range op $o")
+          }
+          val lcopy = lrow.copy()
+          Iterator.range(from, until).map { i => proj(joined(lcopy, rs(i))) }
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan): SparkPlan =
+    copy(left = l, right = r)
+}
+
+object RangeJoin {
+
+  /** Install the strategy once per session (idempotent). */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(RangeJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ RangeJoinStrategy
+
+  /** `left JOIN right ON leftCol <op> rightCol` via the range-join operator.
+    * The right side is the build side and must fit in the driver/broadcast
+    * (same contract as Spark's broadcast joins). */
+  def join(left: DataFrame, leftCol: String, op: String,
+      right: DataFrame, rightCol: String): DataFrame = {
+    val spark = left.sparkSession
+    install(spark)
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    val lk = lp.output.find(_.name == leftCol)
+      .getOrElse(throw new IllegalArgumentException(s"no column $leftCol"))
+    val rk = rp.output.find(_.name == rightCol)
+      .getOrElse(throw new IllegalArgumentException(s"no column $rightCol"))
+    GraftSqlBridge.ofRows(spark, RangeJoinPlan(lp, rp, lk, rk, op))
+  }
+}

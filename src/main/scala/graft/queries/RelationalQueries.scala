@@ -115,6 +115,17 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_above"))
     },
 
+    // Same range join through the custom physical operator
+    // (graft.plans.RangeJoinExec — logical node + strategy + exec;
+    // reference: joins/piecewise_merge_join/exec.rs:254).
+    "join_range_custom" -> { (s, dir) =>
+      val sup = t(s, dir, "supplier").filter(col("s_acctbal") > 9000)
+      val c = t(s, dir, "customer")
+      graft.plans.RangeJoin.join(c, "c_acctbal", ">", sup, "s_acctbal")
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_above"))
+    },
+
     // UNION ALL (bag union).
     "set_union_all" -> { (s, dir) =>
       val a = t(s, dir, "part").filter(col("p_size") <= 5).select("p_brand")
@@ -309,6 +320,12 @@ object RelationalQueries {
         |GROUP BY s_suppkey""".stripMargin,
 
     "join_range" ->
+      """SELECT s_suppkey, count(*) AS n_above
+        |FROM (SELECT * FROM supplier WHERE s_acctbal > 9000) s
+        | JOIN customer ON c_acctbal > s_acctbal
+        |GROUP BY s_suppkey""".stripMargin,
+
+    "join_range_custom" ->
       """SELECT s_suppkey, count(*) AS n_above
         |FROM (SELECT * FROM supplier WHERE s_acctbal > 9000) s
         | JOIN customer ON c_acctbal > s_acctbal
