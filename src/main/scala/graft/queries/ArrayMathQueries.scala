@@ -26,8 +26,8 @@ object ArrayMathQueries {
           r6(l1).as("l1_norm"),
           r6(norm2).as("l2_norm"),
           r6(element_at(transform(e, x => x * 2.5), 1)).as("scaled_head"),
-          r6(element_at(zip_with(e, reverse(e), (x, y) => x + y), 1)).as("add_head"),
-          r6(element_at(zip_with(e, reverse(e), (x, y) => x - y), 2)).as("sub_head2"),
+          r6(element_at(zip_with(e, reverse(e), (x, y) => x.cast("double") + y.cast("double")), 1)).as("add_head"),
+          r6(element_at(zip_with(e, reverse(e), (x, y) => x.cast("double") - y.cast("double")), 2)).as("sub_head2"),
           r6(element_at(e, 1) / norm2).as("normalized_head"))
     })
 
