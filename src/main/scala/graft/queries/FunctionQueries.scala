@@ -223,6 +223,18 @@ object FunctionQueries {
           r2(sum(col("value"))).as("total_value"))
     },
 
+    // Day-over-day retention: distinct active users joined to the next day.
+    "events_retention" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      val next = daily.select(date_sub(col("d"), 1).as("d"), col("user_id"))
+      daily.join(next, Seq("d", "user_id"), "left_semi")
+        .groupBy("d").agg(countDistinct(col("user_id")).as("retained"))
+        .join(daily.groupBy("d").agg(countDistinct(col("user_id")).as("active")), "d")
+        .select(col("d"), col("active"), col("retained"),
+          r4(col("retained") / col("active")).as("retention_rate"))
+    },
+
     // JSON extraction from the events props column.
     "events_json" -> { (s, dir) =>
       t(s, dir, "events")
@@ -391,6 +403,17 @@ object FunctionQueries {
         | count(*) AS n_events,
         | floor((sum(value) + 1.37e-4) * 100 + 0.5) / 100 AS total_value
         |FROM sess GROUP BY user_id""".stripMargin,
+
+    "events_retention" ->
+      """WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |ret AS (SELECT a.d, count(DISTINCT a.user_id) AS retained
+        |        FROM daily a WHERE EXISTS (SELECT 1 FROM daily b
+        |          WHERE b.user_id = a.user_id AND b.d = a.d + 1)
+        |        GROUP BY a.d),
+        |act AS (SELECT d, count(DISTINCT user_id) AS active FROM daily GROUP BY d)
+        |SELECT act.d, active, retained,
+        | floor((retained * 1.0 / active + 1.37e-6) * 10000 + 0.5) / 10000 AS retention_rate
+        |FROM ret JOIN act ON ret.d = act.d""".stripMargin,
 
     "events_json" ->
       """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k,
