@@ -20,6 +20,9 @@ import org.apache.spark.sql.functions._
   */
 object Streaming {
 
+  case class Ev(user_id: Long, value: Double)
+  case class UserStats(user_id: Long, n_events: Long, total_value: Double)
+
   /** Unbounded view of the events table (nanos ts → µs, like Tables.load).
     * The file stream source requires a directory, so the single fixture file
     * is staged into a scratch dir once. */
@@ -50,6 +53,38 @@ object Streaming {
     q.processAllAvailable()
     q.stop()
     spark.table(queryName)
+  }
+
+  /** Arbitrary stateful processing with flatMapGroupsWithState — the custom
+    * per-key state surface (Spark's answer to hand-rolled streaming
+    * operators): count events and accumulate value per user, emitting one
+    * update per user per micro-batch run. */
+  def runStatefulUserStats(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val events = eventsStream(spark, dir)
+      .select(col("user_id"), col("value")).as[Ev]
+    def update(user: Long, evs: Iterator[Ev],
+        state: GroupState[UserStats]): Iterator[UserStats] = {
+      val prev = state.getOption.getOrElse(UserStats(user, 0L, 0.0))
+      val batch = evs.toSeq
+      val next = UserStats(user, prev.n_events + batch.size,
+        prev.total_value + batch.map(_.value).sum)
+      state.update(next)
+      Iterator.single(next)
+    }
+    val stats = events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+    spark.streams.active.filter(_.name == queryName).foreach(_.stop())
+    val q = stats.toDF().writeStream.outputMode("update")
+      .format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    // keep the final state per user (several micro-batches may have emitted)
+    val t = spark.table(queryName)
+    t.groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max(col("n_events")).as("n_events"),
+        org.apache.spark.sql.functions.max(col("total_value")).as("total_value"))
   }
 
   /** Stream-stream inner join with event-time range condition + watermarks:

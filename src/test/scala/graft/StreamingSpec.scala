@@ -37,4 +37,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() == batchCount)
     assert(batchCount > 0)
   }
+
+  test("flatMapGroupsWithState stats equal batch aggregation") {
+    val streamed = Streaming.runStatefulUserStats(spark, sfDir, "t_state_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = Tables.load(spark, sfDir, "events")
+      .groupBy("user_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
 }
