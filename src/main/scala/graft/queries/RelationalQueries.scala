@@ -254,6 +254,25 @@ object RelationalQueries {
           max("id").cast("long").as("series_max"))
     },
 
+    // Date-series generation: sequence + explode (calendar dimension).
+    "generate_dates" -> { (s, dir) =>
+      s.range(1)
+        .select(explode(expr(
+          "sequence(DATE'1995-01-01', DATE'1995-03-01', INTERVAL 1 DAY)")).as("d"))
+        .agg(count(lit(1)).as("n_days"),
+          min(col("d")).as("first_d"), max(col("d")).as("last_d"),
+          sum(dayofmonth(col("d")).cast("long")).as("dom_sum"))
+    },
+
+    // Map entries exploded to rows (map → relation).
+    "explode_map" -> { (s, dir) =>
+      t(s, dir, "region")
+        .withColumn("m", map(lit("rk"), col("r_regionkey").cast("string"),
+          lit("name"), col("r_name")))
+        .select(col("r_regionkey").cast("long").as("r_regionkey"),
+          explode(col("m")).as(Seq("k", "v")))
+    },
+
     // DISTINCT ON (first row per key by explicit order).
     // Reference: dataframe distinct_on (dataframe/mod.rs:963).
     "distinct_on" -> { (s, dir) =>
@@ -410,6 +429,18 @@ object RelationalQueries {
       """SELECT CAST(sum(g) AS BIGINT) AS series_sum, count(*) AS series_count,
         |       CAST(max(g) AS BIGINT) AS series_max
         |FROM generate_series(1, 1000) t(g)""".stripMargin,
+
+    "generate_dates" ->
+      """SELECT count(*) AS n_days, min(d) AS first_d, max(d) AS last_d,
+        | CAST(sum(day(d)) AS BIGINT) AS dom_sum
+        |FROM (SELECT CAST(unnest(generate_series(DATE '1995-01-01',
+        |        DATE '1995-03-01', INTERVAL 1 DAY)) AS DATE) AS d)""".stripMargin,
+
+    "explode_map" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, k, v FROM (
+        | SELECT r_regionkey, 'rk' AS k, CAST(r_regionkey AS VARCHAR) AS v FROM region
+        | UNION ALL
+        | SELECT r_regionkey, 'name' AS k, r_name AS v FROM region)""".stripMargin,
 
     "distinct_on" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_custkey,
