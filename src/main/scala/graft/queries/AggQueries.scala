@@ -158,6 +158,14 @@ object AggQueries {
         .filter(col("n") > 550)
     },
 
+    // Histogram via width_bucket over a fixed range.
+    "agg_histogram" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .withColumn("bucket", width_bucket(col("c_acctbal"), lit(-1000.0), lit(10000.0), lit(11)))
+        .groupBy(col("bucket").cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), r2(avg(col("c_acctbal"))).as("avg_bal"))
+    },
+
     // Approximate distinct (HLL) — engine-specific sketch, so no SQL oracle;
     // driver records a rows-only check. Reference: approx_distinct.rs (HLL).
     "agg_approx_distinct" -> { (s, dir) =>
@@ -260,6 +268,14 @@ object AggQueries {
         | count(*) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
+
+    "agg_histogram" ->
+      """SELECT CAST(CASE WHEN c_acctbal < -1000.0 THEN 0
+        |       WHEN c_acctbal >= 10000.0 THEN 12
+        |       ELSE floor((c_acctbal - (-1000.0)) / (10000.0 - (-1000.0)) * 11) + 1 END AS BIGINT) AS bucket,
+        | count(*) AS n,
+        | floor((avg(c_acctbal) + 1.37e-4) * 100 + 0.5) / 100 AS avg_bal
+        |FROM customer GROUP BY 1""".stripMargin,
 
     "agg_having" ->
       """SELECT l_suppkey, count(*) AS n, floor((sum(l_extendedprice) + 1.37e-4) * 100 + 0.5) / 100 AS total
