@@ -19,7 +19,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TpchQueries.queries ++ TpchQueries2.queries ++ RelationalQueries.queries ++
-      AggQueries.queries ++ WindowQueries.queries ++ WindowQueries2.queries ++ FunctionQueries.queries ++ FunctionQueries2.queries ++ FunctionQueries3.queries ++ ArrayMathQueries.queries ++
+      AggQueries.queries ++ WindowQueries.queries ++ WindowQueries2.queries ++ FunctionQueries.queries ++ FunctionQueries2.queries ++ FunctionQueries3.queries ++ ArrayMathQueries.queries ++ ArrayMathQueries.queries2 ++
       PipelineQueries.queries ++ DmlQueries.queries ++ StreamQueries.queries ++ MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
