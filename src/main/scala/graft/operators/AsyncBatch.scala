@@ -17,7 +17,11 @@ import scala.concurrent.duration.Duration
   */
 object AsyncBatch {
 
-  def mapAsync[T, U: Encoder](ds: Dataset[T], concurrency: Int)(fn: T => U): Dataset[U] =
+  /** `timeout` bounds each in-flight call: a hung external service fails the
+    * task with a descriptive error (letting Spark's task retry kick in)
+    * instead of wedging the executor thread forever. */
+  def mapAsync[T, U: Encoder](ds: Dataset[T], concurrency: Int,
+      timeout: Duration = Duration(10, "min"))(fn: T => U): Dataset[U] =
     ds.mapPartitions { rows =>
       implicit val ec: ExecutionContext = ExecutionContext.global
       // sliding window of in-flight futures, emitted in order
@@ -31,7 +35,15 @@ object AsyncBatch {
             buf.enqueue(Future(fn(x)))
           }
         override def hasNext: Boolean = { fill(); buf.nonEmpty }
-        override def next(): U = { fill(); Await.result(buf.dequeue(), Duration.Inf) }
+        override def next(): U = {
+          fill()
+          try Await.result(buf.dequeue(), timeout)
+          catch {
+            case _: java.util.concurrent.TimeoutException =>
+              throw new java.util.concurrent.TimeoutException(
+                s"AsyncBatch.mapAsync: external call exceeded $timeout")
+          }
+        }
       }
     }
 }

@@ -42,18 +42,27 @@ object SessionTables {
     *
     * Implemented as a full outer join on the key: matched rows take the
     * updated values, target-only rows pass through, source-only rows insert.
-    * Requires `source` to expose the same columns as `target` (post-rename).
+    * Which side a joined row came from is tracked with explicit presence
+    * markers, not key null-ness — a NULL merge key never joins (both sides'
+    * `===` is false), so a null-key target row surfaces as target-only and
+    * passes through unchanged, matching SQL MERGE.
+    *
+    * Preconditions (same as SQL MERGE): `source` exposes the same columns as
+    * `target`, and source keys are unique — SQL raises on a target row
+    * matched by several source rows; here duplicates would multiply it.
     */
   def merge(target: DataFrame, source: DataFrame, key: String,
       assignments: Map[String, Column]): DataFrame = {
     val t = target.columns.foldLeft(target)((d, c) => d.withColumnRenamed(c, s"t_$c"))
+      .withColumn("__t_present", lit(true))
     val sr = source.columns.foldLeft(source)((d, c) => d.withColumnRenamed(c, s"s_$c"))
+      .withColumn("__s_present", lit(true))
     val joined = t.join(sr, col(s"t_$key") === col(s"s_$key"), "full")
-    val matched = col(s"t_$key").isNotNull && col(s"s_$key").isNotNull
+    val matched = col("__t_present").isNotNull && col("__s_present").isNotNull
     val cols = target.columns.map { c =>
       val updated = assignments.getOrElse(c, col(s"t_$c"))
       when(matched, updated)
-        .when(col(s"t_$key").isNotNull, col(s"t_$c"))
+        .when(col("__t_present").isNotNull, col(s"t_$c"))
         .otherwise(col(s"s_$c")).as(c)
     }
     joined.select(cols.toSeq: _*)

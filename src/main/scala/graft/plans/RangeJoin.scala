@@ -48,18 +48,23 @@ case class RangeJoinExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val rightOut = right.output
     val boundRight = BindReferences.bindReference(rightKey, rightOut)
+    // Keys are compared in their native internal representation via the
+    // type's interpreted ordering — the same comparator SortExec uses — so
+    // long keys beyond 2^53, decimals, dates/timestamps and strings all
+    // order exactly (no double coercion).
+    val keyOrdering: Ordering[Any] =
+      org.apache.spark.sql.GraftSqlBridge.interpretedOrdering(rightKey.dataType)
     // build side: collect, key, sort ascending (nulls dropped — an
     // inequality never matches null)
-    val buildRows: Array[(Double, InternalRow)] = right.executeCollect()
+    val buildRows: Array[(Any, InternalRow)] = right.executeCollect()
       .flatMap { row =>
         boundRight.eval(row) match {
           case null => None
-          case v: Number => Some((v.doubleValue(), row))
-          case other => Some((other.toString.toDouble, row))
+          case v    => Some((v, row))
         }
       }
-      .sortBy(_._1)
-    val keys = buildRows.map(_._1)
+      .sortBy(_._1)(keyOrdering)
+    val keys: Array[Any] = buildRows.map(_._1)
     val rows = buildRows.map(_._2)
     val bc = sparkContext.broadcast((keys, rows))
 
@@ -67,6 +72,7 @@ case class RangeJoinExec(
     val boundLeft = BindReferences.bindReference(leftKey, leftOut)
     val opLocal = op
     val outputLocal = output
+    val ordLocal = keyOrdering
 
     left.execute().mapPartitions { iter =>
       val (ks, rs) = bc.value
@@ -74,22 +80,21 @@ case class RangeJoinExec(
       val joined = new JoinedRow
 
       // first index i with ks(i) > key (upperBound) / ks(i) >= key (lowerBound)
-      def upperBound(key: Double): Int = {
+      def upperBound(key: Any): Int = {
         var lo = 0; var hi = ks.length
-        while (lo < hi) { val mid = (lo + hi) >>> 1; if (ks(mid) <= key) lo = mid + 1 else hi = mid }
+        while (lo < hi) { val mid = (lo + hi) >>> 1; if (ordLocal.compare(ks(mid), key) <= 0) lo = mid + 1 else hi = mid }
         lo
       }
-      def lowerBound(key: Double): Int = {
+      def lowerBound(key: Any): Int = {
         var lo = 0; var hi = ks.length
-        while (lo < hi) { val mid = (lo + hi) >>> 1; if (ks(mid) < key) lo = mid + 1 else hi = mid }
+        while (lo < hi) { val mid = (lo + hi) >>> 1; if (ordLocal.compare(ks(mid), key) < 0) lo = mid + 1 else hi = mid }
         lo
       }
 
       iter.flatMap { lrow =>
-        val k = boundLeft.eval(lrow)
-        if (k == null) Iterator.empty
+        val key = boundLeft.eval(lrow)
+        if (key == null) Iterator.empty
         else {
-          val key = k.asInstanceOf[Number].doubleValue()
           // match range in the ascending build side
           val (from, until) = opLocal match {
             case "<"  => (upperBound(key), ks.length) // right keys strictly greater
@@ -130,6 +135,12 @@ object RangeJoin {
       .getOrElse(throw new IllegalArgumentException(s"no column $leftCol"))
     val rk = rp.output.find(_.name == rightCol)
       .getOrElse(throw new IllegalArgumentException(s"no column $rightCol"))
+    // Keys are compared with the type's native ordering — both sides must
+    // share an orderable type (cast beforehand for mixed-width numerics).
+    require(lk.dataType == rk.dataType,
+      s"range-join key types differ: ${lk.dataType} vs ${rk.dataType}; cast one side first")
+    require(GraftSqlBridge.isOrderable(lk.dataType),
+      s"range-join key type ${lk.dataType} has no total order")
     GraftSqlBridge.ofRows(spark, RangeJoinPlan(lp, rp, lk, rk, op))
   }
 }

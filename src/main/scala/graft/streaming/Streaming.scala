@@ -80,11 +80,14 @@ object Streaming {
       .format("memory").queryName(queryName).start()
     q.processAllAvailable()
     q.stop()
-    // keep the final state per user (several micro-batches may have emitted)
+    // keep the final state per user (several micro-batches may have emitted):
+    // n_events is strictly increasing across emissions, so the row with the
+    // max count IS the last state — max_by keeps total_value correct even
+    // when event values are negative (plain max(total_value) would not).
     val t = spark.table(queryName)
     t.groupBy("user_id")
       .agg(org.apache.spark.sql.functions.max(col("n_events")).as("n_events"),
-        org.apache.spark.sql.functions.max(col("total_value")).as("total_value"))
+        expr("max_by(total_value, n_events)").as("total_value"))
   }
 
   /** Stream-stream inner join with event-time range condition + watermarks:

@@ -18,4 +18,14 @@ object GraftSqlBridge {
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Natural ordering over a type's internal representation (int/long/
+    * Decimal/UTF8String/…) — what SortExec itself uses for interpreted
+    * comparisons. Needed by custom physical operators that order keys. */
+  def interpretedOrdering(dt: types.DataType): Ordering[Any] =
+    catalyst.util.TypeUtils.getInterpretedOrdering(dt)
+
+  /** Whether a type has a total order usable for sorting/range comparison. */
+  def isOrderable(dt: types.DataType): Boolean =
+    catalyst.expressions.RowOrdering.isOrderable(dt)
 }

@@ -18,16 +18,37 @@ class ExtensionsSpec extends AnyFunSuite {
     s
   }
 
-  test("UnionsToFilter collapses same-source union branches into one scan") {
+  test("UnionsToFilter collapses same-source DISTINCT union branches into one scan") {
     val li = Tables.load(extSpark, TestSpark.sfDir, "lineitem")
     val a = li.filter(col("l_quantity") < 5)
     val b = li.filter(col("l_quantity") > 45)
-    val unioned = a.unionAll(b)
+    val unioned = a.unionAll(b).distinct()
     val optimized = unioned.queryExecution.optimizedPlan.toString
-    assert(!optimized.contains("Union"), s"union not collapsed:\n$optimized")
+    assert(!optimized.contains("Union"), s"distinct union not collapsed:\n$optimized")
     // correctness: equals the OR-filter formulation
-    val expect = li.filter(col("l_quantity") < 5 || col("l_quantity") > 45).count()
+    val expect = li.filter(col("l_quantity") < 5 || col("l_quantity") > 45).distinct().count()
     assert(unioned.count() == expect)
+  }
+
+  test("UnionsToFilter preserves UNION ALL duplicates (overlapping predicates)") {
+    val li = Tables.load(extSpark, TestSpark.sfDir, "lineitem")
+    // overlap: rows with 5 < l_quantity < 10 satisfy BOTH branches and must
+    // be emitted twice by UNION ALL — the rule must not fire on a bare union
+    val a = li.filter(col("l_quantity") < 10)
+    val b = li.filter(col("l_quantity") > 5)
+    val unioned = a.unionAll(b)
+    assert(unioned.queryExecution.optimizedPlan.toString.contains("Union"),
+      "bare UNION ALL must not be collapsed")
+    assert(unioned.count() == a.count() + b.count())
+  }
+
+  test("UnionsToFilter skips non-deterministic predicates") {
+    val li = Tables.load(extSpark, TestSpark.sfDir, "lineitem")
+    val a = li.filter(rand(1) < 0.5)
+    val b = li.filter(rand(2) < 0.5)
+    val unioned = a.unionAll(b).distinct()
+    assert(unioned.queryExecution.optimizedPlan.toString.contains("Union"),
+      "non-deterministic branch predicates must not be OR-merged")
   }
 
   test("rule leaves different-source unions alone") {

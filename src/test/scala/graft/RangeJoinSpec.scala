@@ -44,4 +44,42 @@ class RangeJoinSpec extends AnyFunSuite {
     val rj = RangeJoin.join(cust, "c_acctbal", "<", sup, "s_acctbal")
     assert(rj.queryExecution.executedPlan.toString.contains("RangeJoin"))
   }
+
+  test("long keys beyond 2^53 compare exactly (no double coercion)") {
+    val s = spark; import s.implicits._
+    val big = 1L << 53
+    // (big) < (big+1) is true on longs but false after double rounding,
+    // since (big+1).toDouble == big.toDouble
+    val l = Seq(big, big + 2).toDF("lk")
+    val r = Seq(big + 1, big + 3).toDF("rk")
+    val rj = RangeJoin.join(l, "lk", "<", r, "rk")
+    val expect = l.join(r, col("lk") < col("rk")).count()
+    assert(expect == 3L)
+    assert(rj.count() == expect)
+  }
+
+  test("string keys order lexicographically") {
+    val s = spark; import s.implicits._
+    val l = Seq("b", "d").toDF("lk")
+    val r = Seq("a", "c", "e").toDF("rk")
+    val rj = RangeJoin.join(l, "lk", "<", r, "rk")
+    assert(rj.count() == l.join(r, col("lk") < col("rk")).count())
+  }
+
+  test("date keys are supported") {
+    val s = spark; import s.implicits._
+    val l = Seq("2024-01-10", "2024-03-01").toDF("d").select(to_date(col("d")).as("lk"))
+    val r = Seq("2024-01-01", "2024-02-01", "2024-04-01").toDF("d").select(to_date(col("d")).as("rk"))
+    val rj = RangeJoin.join(l, "lk", "<=", r, "rk")
+    assert(rj.count() == l.join(r, col("lk") <= col("rk")).count())
+  }
+
+  test("mismatched key types are rejected up front") {
+    val s = spark; import s.implicits._
+    val l = Seq(1L).toDF("lk")
+    val r = Seq("a").toDF("rk")
+    intercept[IllegalArgumentException] {
+      RangeJoin.join(l, "lk", "<", r, "rk")
+    }
+  }
 }
