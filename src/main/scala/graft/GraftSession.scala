@@ -24,7 +24,16 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS); read as long at the source
+      // (Tables.doLoad converts to µs). Set here once, not per-read.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // Prefer shuffled-hash over sort-merge when no side broadcasts: a
+      // hash join needs one build pass over the smaller side instead of
+      // sorting both (the reference's partitioned hash join makes the same
+      // choice — prefer_hash_join=true in its bench config). Spark's
+      // shuffled-hash build spills, so it is cluster-safe.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       // Local-bench split sizing: the fixtures are one ~1-30 MB file per
       // table, so the 128 MB default would make every scan a single task.
       // 4 MB splits spread a sf0.1 lineitem scan over ~8 tasks; on a real

@@ -16,14 +16,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Memoized per (session, dir, table): `spark.read.parquet` runs a footer/
+  // schema-inference job every call, which showed up as ~30 ms × n_tables of
+  // serial driver latency at the head of EVERY query. One footer read per
+  // session is the catalog behavior a real engine has anyway.
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.getOrElseUpdate((System.identityHashCode(spark), dir, name),
+      doLoad(spark, dir, name))
+
+  private def doLoad(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet reader
       // rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos and
       // truncate to Spark's native µs timestamps. Integer division (`div`)
       // keeps full precision — a double roundtrip would lose sub-ms bits at
       // 2024-era epoch-nanos magnitudes (~1.7e18 > 2^53).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // (GraftSession sets nanosAsLong at build time; this guard covers
+      // sessions built elsewhere, e.g. bare test harnesses.)
+      if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     } else {

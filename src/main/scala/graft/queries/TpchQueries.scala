@@ -45,14 +45,21 @@ object TpchQueries {
     },
 
     // TPC-H Q3: 3-way join → agg → top-k (TakeOrderedAndProject).
+    // Eager aggregation: revenue is summed per orderkey BELOW the join, so
+    // the shuffle carries one narrow row per order instead of every raw
+    // lineitem (map-side combine is near-total — lineitem is clustered by
+    // orderkey), and because orderkey stays unique through the orders /
+    // customer joins no re-aggregation is needed above them.
     "q3_join_topk" -> { (s, dir) =>
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-03-15"))
       val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-03-15"))
+      val lagg = l.groupBy("l_orderkey")
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
       c.join(o, col("c_custkey") === col("o_custkey"))
-        .join(l, col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
-        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .join(lagg, col("o_orderkey") === col("l_orderkey"))
+        .select(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_orderpriority"), r2(col("rev")).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     },
@@ -77,17 +84,25 @@ object TpchQueries {
     },
 
     // TPC-H Q10-style: customer revenue ranking, join + agg + topk.
+    // Eager aggregation (same rationale as q3): sum revenue per orderkey
+    // before any join, roll up to per-customer totals, and only then join
+    // the customer/nation dimensions — the wide rows never shuffle.
+    // c_name/c_acctbal/n_name are functionally dependent on c_custkey, so
+    // grouping by custkey alone is equivalent to the 4-key grouping.
     "q10_returns" -> { (s, dir) =>
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1996-10-01") && col("o_orderdate") < lit("1997-01-01"))
       val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
       val n = t(s, dir, "nation")
-      c.join(o, col("c_custkey") === col("o_custkey"))
-        .join(l, col("l_orderkey") === col("o_orderkey"))
+      val lagg = l.groupBy("l_orderkey")
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      val perCust = o.join(lagg, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_custkey").agg(sum(col("rev")).as("rev_c"))
+      c.join(perCust, col("c_custkey") === col("o_custkey"))
         .join(n, col("c_nationkey") === col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"),
+          r2(col("rev_c")).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     },

@@ -72,7 +72,7 @@ object TpchQueries2 {
     // deterministic column formula (no partsupp in the fixture).
     "q9_profit" -> { (s, dir) =>
       t(s, dir, "lineitem")
-        .join(t(s, dir, "part").filter(col("p_name").contains("row")),
+        .join(t(s, dir, "part").filter(col("p_name").contains("a")),
           col("l_partkey") === col("p_partkey"))
         .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
@@ -239,7 +239,7 @@ object TpchQueries2 {
         | JOIN supplier ON l_suppkey = s_suppkey
         | JOIN orders ON l_orderkey = o_orderkey
         | JOIN nation ON s_nationkey = n_nationkey
-        |WHERE contains(p_name, 'row')
+        |WHERE contains(p_name, 'a')
         |GROUP BY 1, 2""".stripMargin,
 
     "q13_custdist" ->

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Generate an SF1-equivalent TPC-H-ish dataset from the sf0.1 fixtures.
+
+Replicates each sf0.1 table N times (default 10) with per-copy key offsets so
+pk/fk relationships stay consistent: copy i shifts every orderkey by
+i*OK, custkey by i*CK, partkey by i*PK, suppkey by i*SK. Dates, prices and
+dimension text are unchanged, so per-row selectivities match the originals and
+aggregates scale ~N x.  nation/region are fixed-size and copied as-is.
+
+Output layout mirrors /root/testdata/sf*/: <out>/<table>.parquet, written as a
+DIRECTORY of ~16 files per big table so a Spark scan parallelizes.
+
+Usage: python3 tools/gen_sf1.py [outdir] [N]
+"""
+import os
+import shutil
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+
+
+def main():
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    con = duckdb.connect()
+    con.execute("SET threads TO 16")
+    os.makedirs(out, exist_ok=True)
+
+    def mx(table, col):
+        return con.execute(f"SELECT max({col}) + 1 FROM '{SRC}/{table}.parquet'").fetchone()[0]
+
+    ok, ck = mx("orders", "o_orderkey"), mx("customer", "c_custkey")
+    pk, sk = mx("part", "p_partkey"), mx("supplier", "s_suppkey")
+
+    def write(table, sql, threads=True):
+        dst = f"{out}/{table}.parquet"
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        elif os.path.exists(dst):
+            os.remove(dst)
+        opts = "FORMAT PARQUET, ROW_GROUP_SIZE 1000000"
+        if threads:
+            opts += ", PER_THREAD_OUTPUT"
+        con.execute(f"COPY ({sql}) TO '{dst}' ({opts})")
+        rows = con.execute(f"SELECT count(*) FROM '{dst}/*.parquet'" if threads
+                           else f"SELECT count(*) FROM '{dst}'").fetchone()[0]
+        print(f"{table}: {rows} rows -> {dst}")
+
+    rep = f"(SELECT unnest(range({n})) AS i) copies"
+    write("lineitem", f"""
+        SELECT l_orderkey + i*{ok} AS l_orderkey, l_partkey + i*{pk} AS l_partkey,
+               l_suppkey + i*{sk} AS l_suppkey, l_linenumber, l_quantity,
+               l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+               l_shipdate
+        FROM '{SRC}/lineitem.parquet', {rep}""")
+    write("orders", f"""
+        SELECT o_orderkey + i*{ok} AS o_orderkey, o_custkey + i*{ck} AS o_custkey,
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM '{SRC}/orders.parquet', {rep}""")
+    write("customer", f"""
+        SELECT c_custkey + i*{ck} AS c_custkey, c_name, c_nationkey, c_acctbal,
+               c_mktsegment
+        FROM '{SRC}/customer.parquet', {rep}""")
+    write("supplier", f"""
+        SELECT s_suppkey + i*{sk} AS s_suppkey, s_name, s_nationkey, s_acctbal
+        FROM '{SRC}/supplier.parquet', {rep}""")
+    write("part", f"""
+        SELECT p_partkey + i*{pk} AS p_partkey, p_name, p_brand, p_type, p_size,
+               p_retailprice
+        FROM '{SRC}/part.parquet', {rep}""")
+    for small in ("nation", "region"):
+        dst = f"{out}/{small}.parquet"
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        shutil.copyfile(f"{SRC}/{small}.parquet", dst)
+        print(f"{small}: copied")
+
+
+if __name__ == "__main__":
+    main()
