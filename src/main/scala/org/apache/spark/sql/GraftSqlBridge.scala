@@ -28,4 +28,17 @@ object GraftSqlBridge {
   /** Whether a type has a total order usable for sorting/range comparison. */
   def isOrderable(dt: types.DataType): Boolean =
     catalyst.expressions.RowOrdering.isOrderable(dt)
+
+  /** Wrap a raw window-function expression in a WindowExpression — the
+    * programmatic path for custom window functions, since Column.over routes
+    * through the ColumnNode layer which only recognizes built-ins. */
+  def over(fn: Column, partitionBy: Seq[Column], orderBy: Seq[Column]): Column = {
+    import catalyst.expressions._
+    val ord = orderBy.map(c => expression(c) match {
+      case so: SortOrder => so
+      case e             => SortOrder(e, Ascending)
+    })
+    column(WindowExpression(expression(fn),
+      WindowSpecDefinition(partitionBy.map(expression), ord, UnspecifiedFrame)))
+  }
 }
