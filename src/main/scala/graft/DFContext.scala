@@ -76,27 +76,105 @@ object DFContext {
 
   private val QualifyRe =
     """(?is)^(.*?)\s+QUALIFY\s+(.+?)\s*$""".r
-  private val DistinctOnRe =
-    """(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(([^)]*)\)\s*(.*?)\s+FROM\s+(.*?)(?:\s+ORDER\s+BY\s+(.*?))?\s*$""".r
+  private val DistinctOnHeadRe =
+    """(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(""".r
+  private val FromSplitRe =
+    """(?is)^\s*(.*?)\s+FROM\s+(.*)$""".r
+
+  /** True iff `kw` occurs at position `i` of (uppercased) `u` as a whole
+    * word. */
+  private def wordAt(u: String, i: Int, kw: String): Boolean =
+    u.startsWith(kw, i) &&
+      (i == 0 || { val c = u(i - 1); !c.isLetterOrDigit && c != '_' }) &&
+      (i + kw.length >= u.length || { val c = u(i + kw.length); !c.isLetterOrDigit && c != '_' })
+
+  /** Split a trailing top-level `ORDER BY … [LIMIT n] [OFFSET n]` off a
+    * clause. Paren depth is tracked so an `ORDER BY` inside a window spec
+    * (`row_number() OVER (ORDER BY x)`) is never mistaken for the tail —
+    * the exact case a naive regex gets wrong in `QUALIFY p ORDER BY x`. */
+  private def splitTopLevelTail(s: String): (String, String) = {
+    val u = s.toUpperCase
+    var depth = 0
+    var i = 0
+    var cut = -1
+    while (i < s.length && cut < 0) {
+      s(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 =>
+          val isOrderBy = wordAt(u, i, "ORDER") &&
+            u.drop(i + 5).dropWhile(_.isWhitespace).startsWith("BY")
+          if (isOrderBy || wordAt(u, i, "LIMIT") || wordAt(u, i, "OFFSET")) cut = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (cut < 0) (s.trim, "") else (s.substring(0, cut).trim, s.substring(cut).trim)
+  }
+
+  /** Parse `SELECT DISTINCT ON ( <keys> ) <rest>` with balanced parens in
+    * the key list (e.g. `DISTINCT ON (abs(x), y)`). */
+  private def parseDistinctOn(q: String): Option[(String, String)] =
+    DistinctOnHeadRe.findFirstMatchIn(q).flatMap { m =>
+      var depth = 1
+      var i = m.end
+      while (i < q.length && depth > 0) {
+        q(i) match { case '(' => depth += 1; case ')' => depth -= 1; case _ => }
+        i += 1
+      }
+      if (depth != 0) None
+      else Some((q.substring(m.end, i - 1).trim, q.substring(i)))
+    }
 
   /** Light SQL pre-rewrite for QUALIFY and DISTINCT ON.
     *
-    * - `... QUALIFY <pred>` → `SELECT * FROM (...) __q WHERE <pred>`
-    *   (the predicate must reference select-list aliases, the common form).
-    * - `SELECT DISTINCT ON (k) cols FROM rel ORDER BY k, o...` →
-    *   row_number() OVER (PARTITION BY k ORDER BY o...) = 1, preserving the
+    * - `... QUALIFY <pred> [ORDER BY …] [LIMIT …]` → the predicate is
+    *   projected as a boolean column over the base subquery (window
+    *   functions are legal there, unlike WHERE) and filtered on; trailing
+    *   clauses stay OUTSIDE the predicate — QUALIFY precedes ORDER BY/LIMIT
+    *   in the reference dialect (qualify.slt). Limitation of the textual
+    *   rewrite: the predicate sees the base's select-list columns, not
+    *   unselected table columns.
+    * - `SELECT DISTINCT ON (k…) cols FROM rel [ORDER BY o…] [LIMIT …]` →
+    *   row_number() OVER (PARTITION BY k ORDER BY o…) = 1, preserving the
     *   reference's first-row-per-key semantics (deterministic only with an
-    *   ORDER BY, as in the reference).
+    *   ORDER BY, as in the reference); key expressions may contain parens.
     */
-  def rewrite(query: String): String = query match {
-    case DistinctOnRe(keys, selectList, rel, orderBy) =>
-      val order = Option(orderBy).map(_.trim).filter(_.nonEmpty).getOrElse(keys)
-      s"""SELECT $selectList FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY $keys ORDER BY $order) AS __rn
-         |  FROM $rel) __don
-         |WHERE __rn = 1""".stripMargin
-    case QualifyRe(base, pred) if !base.toUpperCase.contains("QUALIFY") =>
-      s"SELECT * FROM (\n$base\n) __q WHERE $pred"
-    case _ => query
+  def rewrite(query: String): String = parseDistinctOn(query) match {
+    case Some((keys, rest)) =>
+      rest match {
+        case FromSplitRe(selectList, relAndTail) =>
+          val (rel, tail) = splitTopLevelTail(relAndTail)
+          val orderBy = {
+            val t = tail.toUpperCase
+            if (t.startsWith("ORDER")) {
+              // window order = the ORDER BY clause, minus LIMIT/OFFSET
+              val afterBy = tail.drop(5).dropWhile(_.isWhitespace).drop(2)
+              val (o, _) = splitTopLevelTail(afterBy)
+              o
+            } else ""
+          }
+          val order = if (orderBy.nonEmpty) orderBy else keys
+          val outerTail = if (tail.isEmpty) "" else s"\n$tail"
+          s"""SELECT $selectList FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY $keys ORDER BY $order) AS __rn
+             |  FROM $rel) __don
+             |WHERE __rn = 1$outerTail""".stripMargin
+        case _ => query
+      }
+    case None => query match {
+      case QualifyRe(base, predAndTail) if !base.toUpperCase.contains("QUALIFY") =>
+        val (pred, tail) = splitTopLevelTail(predAndTail)
+        val outerTail = if (tail.isEmpty) "" else s"\n$tail"
+        // the predicate is projected as a column, not put in WHERE: QUALIFY
+        // allows window functions directly in the predicate, which Spark
+        // rejects inside WHERE but accepts in a select list
+        s"""SELECT * EXCEPT (__qual) FROM (
+           |  SELECT *, ($pred) AS __qual FROM (
+           |$base
+           |) __qi) __q
+           |WHERE __qual$outerTail""".stripMargin
+      case _ => query
+    }
   }
 }

@@ -20,15 +20,52 @@ import graft.queries.Q.r6
   */
 object Similarity {
 
+  /** Per-partition top-k pre-reduction: local sort (no shuffle), then a
+    * streaming pass keeping the first k rows per key — so the global rank's
+    * shuffle carries ≤ k×partitions rows per key instead of every scored
+    * candidate. Any global top-k under the same total order is a subset of
+    * the union of per-partition top-k's, so results are unchanged.
+    * Consecutive rows equal on (key, dedupCols) are skipped so duplicated
+    * candidates (IVF/LSH multi-probe) cannot crowd distinct ones out of the
+    * local k. */
+  private[graft] def localTopKPerKey(df: DataFrame, key: String,
+      orderBy: Seq[org.apache.spark.sql.Column], k: Int,
+      dedupCols: Seq[String] = Nil): DataFrame = {
+    val sortCols = col(key) +: (orderBy ++ dedupCols.map(col))
+    val sorted = df.sortWithinPartitions(sortCols: _*)
+    val schema = sorted.schema
+    val keyIdx = schema.fieldIndex(key)
+    val dedupIdx = dedupCols.map(schema.fieldIndex)
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    sorted.mapPartitions { it =>
+      var curKey: Any = null
+      var prevDedup: Seq[Any] = null
+      var started = false
+      var n = 0
+      it.filter { r =>
+        val kv = r.get(keyIdx)
+        if (!started || kv != curKey) { started = true; curKey = kv; n = 0; prevDedup = null }
+        val dd = if (dedupIdx.isEmpty) null else dedupIdx.map(r.get)
+        val isDup = dd != null && dd == prevDedup
+        prevDedup = dd
+        if (isDup) false
+        else { n += 1; n <= k }
+      }
+    }
+  }
+
   /** Exact top-k cosine neighbors for each query row.
     * Ties are broken deterministically on (rounded sim desc, neighbor id). */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("nemb"))
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qemb"))
     val sim = (lit(1.0) - cosine_distance(col("qemb"), col("nemb"))).as("sim")
-    val w = Window.partitionBy(col("qid")).orderBy(r6(col("sim")).desc, col("nid"))
-    c.join(broadcast(q), col("qid") =!= col("nid"))
+    val ord = Seq(r6(col("sim")).desc, col("nid").asc)
+    val w = Window.partitionBy(col("qid")).orderBy(ord: _*)
+    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), sim)
+    localTopKPerKey(scored, "qid", ord, k)
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
@@ -57,12 +94,14 @@ object Similarity {
       nCentroids: Int, nProbe: Int): DataFrame = {
     val cents = corpus.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    // The broadcast join expands each (unique-id) row against all centroids
+    // IN PLACE, so every id's candidate rows live in one partition and the
+    // per-partition top-k is already exact — no shuffle, where a window
+    // rank would shuffle |corpus|×|centroids| rows.
     def assign(df: DataFrame, idCol: String, embCol: String, keep: Int) = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(r6(lit(1.0) - cosine_distance(col(embCol), col("cemb"))).desc, col("cid"))
-      df.join(broadcast(cents), col(idCol).isNotNull)
-        .withColumn("crank", row_number().over(w))
-        .where(col("crank") <= keep)
+      val ord = Seq(
+        r6(lit(1.0) - cosine_distance(col(embCol), col("cemb"))).desc, col("cid").asc)
+      localTopKPerKey(df.join(broadcast(cents), col(idCol).isNotNull), idCol, ord, keep)
         .select(col(idCol), col(embCol), col("cid"))
     }
     val corpusB = assign(corpus.select(col("vec_id").as("nid"), col("embedding").as("nemb")),
@@ -70,9 +109,12 @@ object Similarity {
     val queryB = assign(queries.select(col("vec_id").as("qid"), col("embedding").as("qemb")),
       "qid", "qemb", nProbe)
     val sim = (lit(1.0) - cosine_distance(col("qemb"), col("nemb"))).as("sim")
-    val w = Window.partitionBy(col("qid")).orderBy(r6(col("sim")).desc, col("nid"))
-    corpusB.join(broadcast(queryB), Seq("cid")).where(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), sim).dropDuplicates("qid", "nid")
+    val ord = Seq(r6(col("sim")).desc, col("nid").asc)
+    val w = Window.partitionBy(col("qid")).orderBy(ord: _*)
+    val scored = corpusB.join(broadcast(queryB), Seq("cid")).where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), sim)
+    localTopKPerKey(scored, "qid", ord, k, dedupCols = Seq("nid"))
+      .dropDuplicates("qid", "nid")
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
@@ -91,14 +133,14 @@ object Similarity {
       posexplode(sigs(col("embedding"))).as(Seq("tbl", "sig")))
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qemb"),
       posexplode(sigs(col("embedding"))).as(Seq("tbl", "sig")))
-    val candidates = c.join(broadcast(q), Seq("tbl", "sig"))
-      .where(col("qid") =!= col("nid"))
-      .select(col("qid"), col("qemb"), col("nid"), col("nemb"))
-      .dropDuplicates("qid", "nid")
     val sim = (lit(1.0) - cosine_distance(col("qemb"), col("nemb"))).as("sim")
-    val w = Window.partitionBy(col("qid")).orderBy(r6(col("sim")).desc, col("nid"))
-    candidates
+    val ord = Seq(r6(col("sim")).desc, col("nid").asc)
+    val w = Window.partitionBy(col("qid")).orderBy(ord: _*)
+    val scored = c.join(broadcast(q), Seq("tbl", "sig"))
+      .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), sim)
+    localTopKPerKey(scored, "qid", ord, k, dedupCols = Seq("nid"))
+      .dropDuplicates("qid", "nid")
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }

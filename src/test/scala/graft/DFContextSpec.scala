@@ -37,6 +37,49 @@ class DFContextSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(2) == maxes(r.getInt(0))))
   }
 
+  test("QUALIFY followed by ORDER BY and LIMIT keeps the tail outside the predicate") {
+    val rows = ctx.sql("""
+      SELECT s_nationkey, s_suppkey,
+             row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS rn
+      FROM supplier
+      QUALIFY rn = 1
+      ORDER BY s_nationkey
+      LIMIT 5""").collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getInt(2) == 1))
+    // ordered output: nation keys ascending
+    assert(rows.map(_.getInt(0)).toSeq == rows.map(_.getInt(0)).toSeq.sorted)
+  }
+
+  test("QUALIFY predicate containing an inline window spec is not split") {
+    // the predicate's window sees the select-list columns (documented
+    // limitation of the textual rewrite: reference QUALIFY may also see
+    // non-selected base columns)
+    val rows = ctx.sql("""
+      SELECT s_nationkey, s_suppkey, s_acctbal FROM supplier
+      QUALIFY row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) = 1
+      LIMIT 3""").collect()
+    assert(rows.length == 3)
+  }
+
+  test("DISTINCT ON with parenthesized key expressions") {
+    val rows = ctx.sql("""SELECT DISTINCT ON (abs(c_nationkey), c_mktsegment)
+        c_nationkey, c_mktsegment, c_acctbal
+      FROM customer ORDER BY abs(c_nationkey), c_mktsegment, c_acctbal DESC""").collect()
+    val groups = ctx.sql(
+      """SELECT count(*) AS n FROM (
+        |  SELECT DISTINCT abs(c_nationkey), c_mktsegment FROM customer)""".stripMargin)
+      .collect().head.getLong(0)
+    assert(rows.length == groups)
+  }
+
+  test("DISTINCT ON with trailing LIMIT") {
+    val rows = ctx.sql("""SELECT DISTINCT ON (c_nationkey) c_nationkey, c_acctbal
+      FROM customer ORDER BY c_nationkey, c_acctbal DESC LIMIT 4""").collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getInt(0)).toSeq == rows.map(_.getInt(0)).toSeq.sorted)
+  }
+
   test("sqlWithParams binds named placeholders") {
     val n = ctx.sqlWithParams(
       "SELECT count(*) AS n FROM customer WHERE c_acctbal > :minBal AND c_mktsegment = :seg",
