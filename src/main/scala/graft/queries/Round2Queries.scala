@@ -128,6 +128,19 @@ object Round2Queries {
           col("i").cast("long").as("i"), explode(col("inner")).as("x"))
     },
 
+    // Arrow IPC roundtrip through the from-scratch DSv2 source: write a
+    // fixture table to an .arrow file, read it back via the custom
+    // TableProvider, aggregate — values must match the parquet original.
+    "source_arrow_roundtrip" -> { (s, dir) =>
+      val stage = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_arrow", dir.replaceAll("[^A-Za-z0-9]", "_"), "customer.arrow")
+      graft.sources.ArrowIpcWriter.write(t(s, dir, "customer"), stage.toString)
+      s.read.format("graft.sources.ArrowIpcTableProvider").load(stage.toString)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), r2(sum(col("c_acctbal"))).as("bal"))
+        .orderBy("c_mktsegment")
+    },
+
     // Custom window function (AggregateWindowFunction), SQL-registered and
     // used with standard OVER syntax: position-weighted running average.
     "win_custom_pwavg" -> { (s, dir) =>
@@ -219,6 +232,11 @@ object Round2Queries {
         |        [[l_quantity, l_discount], [l_tax]] AS aa
         |      FROM lineitem WHERE l_orderkey <= 200),
         |     (SELECT unnest([0, 1]) AS i)""".stripMargin,
+
+    "source_arrow_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  floor((sum(c_acctbal) + 1.37e-4) * 100 + 0.5) / 100 AS bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "win_custom_pwavg" ->
       """WITH b AS (

@@ -1,0 +1,68 @@
+package graft.sources
+
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.ipc.ArrowFileWriter
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, Row}
+import org.apache.spark.sql.types._
+
+/** Arrow IPC file writer for fixture/export use: collects the DataFrame to
+  * the driver (size-guarded) and writes one IPC file in record batches.
+  * The scale path would run this per partition from `foreachPartition`
+  * (one file per partition, same vector-filling code); the READ side
+  * (ArrowIpcSource) is the operator under test.
+  */
+object ArrowIpcWriter {
+
+  def write(df: DataFrame, path: String, batchSize: Int = 4096,
+      maxRows: Int = 1 << 22): Unit = {
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows, s"ArrowIpcWriter.write is driver-side; >$maxRows rows")
+    val schema = df.schema
+    Option(Paths.get(path).getParent).foreach(Files.createDirectories(_))
+    val alloc = new RootAllocator()
+    val root = VectorSchemaRoot.create(GraftSqlBridge.schemaToArrow(schema), alloc)
+    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.WRITE,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    val writer = new ArrowFileWriter(root, null, ch)
+    try {
+      writer.start()
+      rows.grouped(batchSize).foreach { batch =>
+        root.allocateNew()
+        batch.zipWithIndex.foreach { case (row, i) =>
+          schema.fields.zipWithIndex.foreach { case (f, c) =>
+            fill(root.getVector(c), f.dataType, row, c, i)
+          }
+        }
+        root.setRowCount(batch.length)
+        writer.writeBatch()
+      }
+      writer.end()
+    } finally { writer.close(); ch.close(); root.close(); alloc.close() }
+  }
+
+  private def fill(v: FieldVector, dt: DataType, row: Row, c: Int, i: Int): Unit =
+    if (row.isNullAt(c)) v.asInstanceOf[BaseValueVector] match {
+      case x: BaseFixedWidthVector    => x.setNull(i)
+      case x: BaseVariableWidthVector => x.setNull(i)
+      case other => throw new UnsupportedOperationException(s"null into ${other.getClass}")
+    } else (v, dt) match {
+      case (x: BigIntVector, LongType)     => x.setSafe(i, row.getLong(c))
+      case (x: IntVector, IntegerType)     => x.setSafe(i, row.getInt(c))
+      case (x: Float8Vector, DoubleType)   => x.setSafe(i, row.getDouble(c))
+      case (x: Float4Vector, FloatType)    => x.setSafe(i, row.getFloat(c))
+      case (x: BitVector, BooleanType)     => x.setSafe(i, if (row.getBoolean(c)) 1 else 0)
+      case (x: VarCharVector, StringType)  =>
+        x.setSafe(i, row.getString(c).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case (x: TimeStampMicroTZVector, TimestampType) =>
+        val ts = row.getAs[java.sql.Timestamp](c)
+        x.setSafe(i, ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L)
+      case (x: DateDayVector, DateType) =>
+        x.setSafe(i, row.getAs[java.sql.Date](c).toLocalDate.toEpochDay.toInt)
+      case (other, t) =>
+        throw new UnsupportedOperationException(s"ArrowIpcWriter: $t into ${other.getClass}")
+    }
+}

@@ -29,6 +29,14 @@ object GraftSqlBridge {
   def isOrderable(dt: types.DataType): Boolean =
     catalyst.expressions.RowOrdering.isOrderable(dt)
 
+  /** Arrow ↔ Spark schema conversion (private[sql] ArrowUtils) — used by
+    * the Arrow IPC DSv2 source. */
+  def schemaFromArrow(schema: org.apache.arrow.vector.types.pojo.Schema): types.StructType =
+    util.ArrowUtils.fromArrowSchema(schema)
+
+  def schemaToArrow(schema: types.StructType, timeZoneId: String = "UTC"): org.apache.arrow.vector.types.pojo.Schema =
+    util.ArrowUtils.toArrowSchema(schema, timeZoneId, errorOnDuplicatedFieldNames = true, largeVarTypes = false)
+
   /** Wrap a raw window-function expression in a WindowExpression — the
     * programmatic path for custom window functions, since Column.over routes
     * through the ColumnNode layer which only recognizes built-ins. */
