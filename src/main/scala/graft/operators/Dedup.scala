@@ -24,13 +24,25 @@ object Dedup {
         countDistinct(md5(col(textCol).cast("binary"))).as("n_unique"),
         (count(lit(1)) - countDistinct(md5(col(textCol).cast("binary")))).as("n_dups"))
 
-  /** Canonical assignment: every doc mapped to min doc_id of its exact-hash
-    * group; `is_dup` marks non-canonical members. */
+  /** Per-exact-hash-group summary: one row per distinct text with the min
+    * doc_id as the group's canonical representative and the group size.
+    * (Group-level view; see [[exactCanonicalMap]] for the per-doc mapping.) */
   def exactCanonical(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val h = md5(col(textCol).cast("binary")).as("h")
     docs.select(col(idCol), h)
       .groupBy(col("h"))
       .agg(min(col(idCol)).as("canonical"), count(lit(1)).as("group_size"))
+  }
+
+  /** Per-doc canonical mapping: every doc joined back to its group's
+    * canonical id, with `is_dup` marking non-canonical members — the form a
+    * dedup pipeline consumes (keep `!is_dup`, or rewrite references to the
+    * canonical). One aggregation + one hash join on the text hash. */
+  def exactCanonicalMap(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withH = docs.select(col(idCol), md5(col(textCol).cast("binary")).as("h"))
+    withH.join(exactCanonical(docs, idCol, textCol), "h")
+      .select(col(idCol), col("canonical"),
+        (col(idCol) =!= col("canonical")).as("is_dup"))
   }
 
   /** MinHash signatures: k seeded min-hashes over 3-word shingles.

@@ -128,6 +128,26 @@ object Round2Queries {
           col("i").cast("long").as("i"), explode(col("inner")).as("x"))
     },
 
+    // Schema evolution: two parquet files whose schemas differ by an added
+    // column, read as one table with mergeSchema — rows from the old-schema
+    // file surface NULL for the new column (reference
+    // datasource-parquet/src/schema_coercion.rs + schema_evolution.slt).
+    "source_merge_schema" -> { (s, dir) =>
+      val stage = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_evolve", dir.replaceAll("[^A-Za-z0-9]", "_"))
+      val o = t(s, dir, "orders")
+      val v1 = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val v2 = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      v1.write.mode("overwrite").parquet(s"$stage/v1")
+      v2.write.mode("overwrite").parquet(s"$stage/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$stage/v1", s"$stage/v2")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("total"))
+        .orderBy(col("o_orderpriority").asc_nulls_first)
+    },
+
     // Arrow IPC roundtrip through the from-scratch DSv2 source: write a
     // fixture table to an .arrow file, read it back via the custom
     // TableProvider, aggregate — values must match the parquet original.
@@ -232,6 +252,12 @@ object Round2Queries {
         |        [[l_quantity, l_discount], [l_tax]] AS aa
         |      FROM lineitem WHERE l_orderkey <= 200),
         |     (SELECT unnest([0, 1]) AS i)""".stripMargin,
+
+    "source_merge_schema" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderpriority END AS o_orderpriority,
+        |  count(*) AS n,
+        |  floor((sum(o_totalprice) + 1.37e-4) * 100 + 0.5) / 100 AS total
+        |FROM orders GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
 
     "source_arrow_roundtrip" ->
       """SELECT c_mktsegment, count(*) AS n,
