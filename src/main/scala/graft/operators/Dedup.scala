@@ -80,6 +80,32 @@ object Dedup {
     wide.selectExpr("doc_id", s"stack($k, $stackArgs) AS (seed, m)")
   }
 
+  /** Fused-signature variant: (doc_id, sig: array<string> of the k minima)
+    * via the one-pass `MinHashSig` kernel — same bits as
+    * [[minhashSignatures]] with NO explode and NO shuffle (see
+    * graft.functions.MinHashSig; DifferentialFuzzSpec asserts equality). */
+  def minhashSignatureArray(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(par).select(col(idCol).as("doc_id"),
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.MinHashSig(
+          org.apache.spark.sql.GraftSqlBridge.expression(col(textCol)), k)).as("sig"))
+  }
+
+  /** Band keys straight from the signature array — a pure projection
+    * (band b = md5 of the concatenated minima in band-b positions), so the
+    * whole signatures→bands pipeline is shuffle-free. */
+  def lshBandsFromArray(sigArr: DataFrame, rowsPerBand: Int): DataFrame = {
+    val k = rowsPerBand // rows per band; number of bands derives from size
+    sigArr.select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, size(sig) div $k - 1), " +
+          s"b -> md5(cast(concat_ws('', slice(sig, b * $k + 1, $k)) as binary)))"))
+          .as(Seq("band", "bkey")))
+      .select(col("doc_id"), col("band").cast("long").as("band"), col("bkey"))
+  }
+
   /** LSH band keys: group the k signatures into bands of `rowsPerBand`,
     * key = md5 of the seed-ordered concatenation. Returns (doc_id, band, bkey). */
   def lshBands(sigs: DataFrame, rowsPerBand: Int): DataFrame =

@@ -58,10 +58,13 @@ object PipelineQueries {
       Dedup.exactStats(t(s, dir, "documents"), "text", "source")
     },
 
-    // MinHash+LSH bucket statistics (k=8 signatures, 2 bands × 4 rows).
+    // MinHash+LSH bucket statistics (k=8 signatures, 2 bands × 4 rows) via
+    // the fused one-pass kernel: signatures AND band keys are pure
+    // projections — the bucket aggregation below is the pipeline's only
+    // shuffle.
     "dedup_minhash_stats" -> { (s, dir) =>
-      val sigs = Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text", 8)
-      val bands = Dedup.lshBands(sigs, 4)
+      val sigArr = Dedup.minhashSignatureArray(t(s, dir, "documents"), "doc_id", "text", 8)
+      val bands = Dedup.lshBandsFromArray(sigArr, 4)
       bands.groupBy("band", "bkey").agg(count(lit(1)).as("c"))
         .groupBy("band")
         .agg(
@@ -74,8 +77,9 @@ object PipelineQueries {
     // MinHash candidate pairs with estimated jaccard (matching signatures / k).
     "dedup_minhash_pairs" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 8)
-      val pairs = Dedup.lshCandidatePairs(Dedup.lshBands(sigs, 4))
+      val sigArr = Dedup.minhashSignatureArray(docs, "doc_id", "text", 8)
+      val sigs = sigArr.select(col("doc_id"), posexplode(col("sig")).as(Seq("seed", "m")))
+      val pairs = Dedup.lshCandidatePairs(Dedup.lshBandsFromArray(sigArr, 4))
       val sa = sigs.select(col("doc_id").as("ida"), col("seed"), col("m").as("ma"))
       val sb = sigs.select(col("doc_id").as("idb"), col("seed"), col("m").as("mb"))
       pairs.join(sa, "ida").join(sb, Seq("idb", "seed"))

@@ -92,4 +92,26 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("fused MinHashSig kernel is bit-identical to the composed form") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(200)
+    val composed = Dedup.minhashSignatures(docs, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val fused = Dedup.minhashSignatureArray(docs, "doc_id", "text", 8)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.posexplode(
+          org.apache.spark.sql.functions.col("sig")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(fused == composed)
+  }
+
+  test("fused band keys are bit-identical to the aggregated form") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(200)
+    val old = Dedup.lshBands(Dedup.minhashSignatures(docs, "doc_id", "text", 8), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val fused = Dedup.lshBandsFromArray(
+        Dedup.minhashSignatureArray(docs, "doc_id", "text", 8), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(fused == old)
+  }
 }
