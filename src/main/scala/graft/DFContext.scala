@@ -68,6 +68,34 @@ class DFContext(val spark: SparkSession) {
   def explain(query: String, mode: String = "formatted"): String =
     sql(query).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+
+  /** EXPLAIN ANALYZE: execute the query and render the FINAL physical plan
+    * (post-AQE) with each operator's runtime SQL metrics — rows produced,
+    * spill/shuffle bytes, timings — the reference's AnalyzeExec surface
+    * (physical-plan/src/analyze.rs:46). Execution runs distributed
+    * (`toRdd.foreach`); only metric values come back to the driver. */
+  def explainAnalyze(query: String): String = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = sql(query)
+    val qe = df.queryExecution
+    qe.toRdd.foreach(_ => ())
+    val sb = new StringBuilder
+    def walk(p: SparkPlan, depth: Int): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan, depth)
+      case q: QueryStageExec =>
+        walk(q.plan, depth)
+      case _ =>
+        val ms = p.metrics.toSeq.sortBy(_._1)
+          .map { case (k, m) => s"$k=${m.value}" }.mkString(", ")
+        sb.append("  " * depth).append(p.nodeName)
+        if (ms.nonEmpty) sb.append(s" [$ms]")
+        sb.append('\n')
+        p.children.foreach(walk(_, depth + 1))
+    }
+    walk(qe.executedPlan, 0)
+    sb.toString
+  }
 }
 
 object DFContext {

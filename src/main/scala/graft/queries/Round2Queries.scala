@@ -128,6 +128,19 @@ object Round2Queries {
           col("i").cast("long").as("i"), explode(col("inner")).as("x"))
     },
 
+    // Custom table function (UDTF): ngrams_explode as a native Generator,
+    // used with select-list generator syntax like explode. Top bigrams.
+    "text_ngrams_udtf" -> { (s, dir) =>
+      graft.functions.NGramsExplode.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("r2_docs")
+      s.sql("""
+        SELECT ngram, CAST(count(*) AS BIGINT) AS n
+        FROM r2_docs LATERAL VIEW ngrams_explode(text, 2) g AS ngram
+        GROUP BY ngram HAVING count(*) >= 5
+        ORDER BY n DESC, ngram LIMIT 50
+      """)
+    },
+
     // Schema evolution: two parquet files whose schemas differ by an added
     // column, read as one table with mergeSchema — rows from the old-schema
     // file surface NULL for the new column (reference
@@ -252,6 +265,18 @@ object Round2Queries {
         |        [[l_quantity, l_discount], [l_tax]] AS aa
         |      FROM lineitem WHERE l_orderkey <= 200),
         |     (SELECT unnest([0, 1]) AS i)""".stripMargin,
+
+    "text_ngrams_udtf" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS ngram
+        |  FROM words WHERE len(ws) >= 2
+        |)
+        |SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM b
+        |GROUP BY ngram HAVING count(*) >= 5
+        |ORDER BY n DESC, ngram LIMIT 50""".stripMargin,
 
     "source_merge_schema" ->
       """SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderpriority END AS o_orderpriority,

@@ -97,6 +97,17 @@ class DFContextSpec extends AnyFunSuite {
     assert(cols.sameElements(Array("n_nationkey", "n_name", "n_regionkey")))
   }
 
+  test("explainAnalyze reports per-operator runtime metrics") {
+    ctx.register("li_ea", s"$sfDir/lineitem.parquet")
+    val out = ctx.explainAnalyze(
+      "SELECT l_returnflag, count(*) AS n FROM li_ea WHERE l_quantity < 10 GROUP BY 1")
+    assert(out.contains("HashAggregate"))
+    assert(out.contains("numOutputRows="))
+    // the scan's row counter must reflect actual execution, not zero
+    val rowCounts = "numOutputRows=(\\d+)".r.findAllMatchIn(out).map(_.group(1).toLong).toSeq
+    assert(rowCounts.exists(_ > 0), s"all-zero metrics:\n$out")
+  }
+
   test("explain returns a physical plan") {
     ctx.register("nation_explain", s"$sfDir/nation.parquet")
     val plan = ctx.explain("SELECT count(*) FROM nation_explain WHERE n_regionkey = 1")
