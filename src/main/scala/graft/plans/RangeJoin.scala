@@ -55,8 +55,16 @@ case class RangeJoinExec(
     val keyOrdering: Ordering[Any] =
       org.apache.spark.sql.GraftSqlBridge.interpretedOrdering(rightKey.dataType)
     // build side: collect, key, sort ascending (nulls dropped — an
-    // inequality never matches null)
-    val buildRows: Array[(Any, InternalRow)] = right.executeCollect()
+    // inequality never matches null). Same broadcast contract as Spark's
+    // own broadcast joins, with an explicit fail-fast guard instead of a
+    // silent driver OOM when the build side is too big.
+    val collected = right.executeCollect()
+    val maxRows = conf.getConfString("spark.graft.rangeJoin.maxBuildRows", "10000000").toLong
+    if (collected.length > maxRows)
+      throw new IllegalStateException(
+        s"RangeJoinExec build side has ${collected.length} rows (> $maxRows); " +
+          "swap the sides or raise spark.graft.rangeJoin.maxBuildRows")
+    val buildRows: Array[(Any, InternalRow)] = collected
       .flatMap { row =>
         boundRight.eval(row) match {
           case null => None
