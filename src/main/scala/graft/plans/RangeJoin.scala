@@ -130,6 +130,42 @@ object RangeJoin {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ RangeJoinStrategy
 
+  /** Partitioned range join — the scale path when NEITHER side fits in a
+    * broadcast: bucket the right side by its key-quantile boundaries
+    * (balanced by construction), explode each left row to the bucket range
+    * its inequality can match, equi-join on the bucket id and filter
+    * exactly. Composes existing operators (SURVEY §2.10 preference (a)):
+    * both sides shuffle once by bucket, work per task is bounded by bucket
+    * width, skew is handled by the quantile split. Numeric keys only
+    * (approxQuantile contract). The left-row fan-out averages numBuckets/2
+    * — inherent to partitioned inequality joins, whose output is that much
+    * bigger anyway.
+    */
+  def joinPartitioned(left: DataFrame, leftCol: String, op: String,
+      right: DataFrame, rightCol: String, numBuckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode, filter, lit, sequence, size, typedlit}
+    require(Seq("<", "<=", ">", ">=").contains(op), s"range op $op")
+    val probes = (1 until numBuckets).map(_.toDouble / numBuckets).toArray
+    val bounds = right.na.drop(Seq(rightCol))
+      .stat.approxQuantile(rightCol, probes, 0.001).distinct.sorted
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      size(filter(typedlit(bounds.toSeq), b => b <= c))
+    val n = bounds.length + 1
+    val r = right.na.drop(Seq(rightCol)).withColumn("__rjb", bucketOf(col(rightCol)))
+    val range = op match {
+      case "<" | "<=" => sequence(bucketOf(col(leftCol)), lit(n - 1))
+      case ">" | ">=" => sequence(lit(0), bucketOf(col(leftCol)))
+    }
+    val l = left.na.drop(Seq(leftCol)).withColumn("__rjb", explode(range))
+    val cond = op match {
+      case "<"  => col(leftCol) <  col(rightCol)
+      case "<=" => col(leftCol) <= col(rightCol)
+      case ">"  => col(leftCol) >  col(rightCol)
+      case ">=" => col(leftCol) >= col(rightCol)
+    }
+    l.join(r, "__rjb").where(cond).drop("__rjb")
+  }
+
   /** `left JOIN right ON leftCol <op> rightCol` via the range-join operator.
     * The right side is the build side and must fit in the driver/broadcast
     * (same contract as Spark's broadcast joins). */

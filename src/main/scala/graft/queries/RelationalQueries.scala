@@ -126,6 +126,18 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_above"))
     },
 
+    // Same semantics through the PARTITIONED range join (quantile-bucketed
+    // equi-join — the path when neither side broadcasts; RangeJoinSpec has
+    // the full operator-vs-BNLJ differential).
+    "join_range_partitioned" -> { (s, dir) =>
+      val sup = t(s, dir, "supplier").filter(col("s_acctbal") > 9000)
+      val c = t(s, dir, "customer")
+      graft.plans.RangeJoin.joinPartitioned(c, "c_acctbal", ">", sup, "s_acctbal",
+          numBuckets = 8)
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_above"))
+    },
+
     // UNION ALL (bag union).
     "set_union_all" -> { (s, dir) =>
       val a = t(s, dir, "part").filter(col("p_size") <= 5).select("p_brand")
@@ -345,6 +357,12 @@ object RelationalQueries {
         |GROUP BY s_suppkey""".stripMargin,
 
     "join_range_custom" ->
+      """SELECT s_suppkey, count(*) AS n_above
+        |FROM (SELECT * FROM supplier WHERE s_acctbal > 9000) s
+        | JOIN customer ON c_acctbal > s_acctbal
+        |GROUP BY s_suppkey""".stripMargin,
+
+    "join_range_partitioned" ->
       """SELECT s_suppkey, count(*) AS n_above
         |FROM (SELECT * FROM supplier WHERE s_acctbal > 9000) s
         | JOIN customer ON c_acctbal > s_acctbal

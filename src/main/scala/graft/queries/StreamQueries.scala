@@ -16,6 +16,15 @@ object StreamQueries {
           r2(col("val_sum")).as("val_sum"))
     },
 
+    // Streaming dedup (dropDuplicates + watermark) must equal batch
+    // DISTINCT over the same bounded input.
+    "stream_dedup" -> { (s, dir) =>
+      Streaming.runStreamDedup(s, dir, "graft_stream_dedup")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
     // Stream-stream join cardinality per user (append mode, watermarked) —
     // compared against the equivalent batch join in DuckDB.
     "stream_join_counts" -> { (s, dir) =>
@@ -30,6 +39,10 @@ object StreamQueries {
         | event_type, count(*) AS n,
         | floor((sum(value) + 1.37e-4) * 100 + 0.5) / 100 AS val_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "stream_dedup" ->
+      """SELECT event_type, count(DISTINCT event_id) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "stream_join_counts" ->
       """WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS v_ts FROM events

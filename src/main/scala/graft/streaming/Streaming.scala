@@ -90,6 +90,23 @@ object Streaming {
         expr("max_by(total_value, n_events)").as("total_value"))
   }
 
+  /** Streaming deduplication: dropDuplicates on the event key with a
+    * watermark bounding state (the LLM-pipeline "dedup at ingest" shape —
+    * on an unbounded stream the watermark evicts key state; here the
+    * bounded fixture runs to completion and must equal batch DISTINCT). */
+  def runStreamDedup(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val deduped = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .select(col("event_id"), col("event_type"))
+    spark.streams.active.filter(_.name == queryName).foreach(_.stop())
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Stream-stream inner join with event-time range condition + watermarks:
     * views joined to purchases by the same user within [0, 30 min] after
     * the view. State on both sides is pruned by the watermark + range. */

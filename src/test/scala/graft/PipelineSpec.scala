@@ -93,6 +93,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("localTopKPerKey + global rank equals plain window rank (random data, dups)") {
+    val s = spark
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- Seq(7L, 21L, 99L)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = Seq.tabulate(4000) { _ =>
+        val qid = rnd.nextInt(20).toLong
+        val nid = rnd.nextInt(50).toLong
+        // sim is a function of the pair, like a real distance — duplicates
+        // of a (qid, nid) candidate always carry the same score
+        (qid, nid, ((qid * 31 + nid * 7) % 40) / 10.0)
+      }
+      val df = s.createDataFrame(rows.map(r => (r._1, r._2, r._3)))
+        .toDF("qid", "nid", "sim").repartition(16)
+      val ord = Seq(col("sim").desc, col("nid").asc)
+      val w = Window.partitionBy("qid").orderBy(ord: _*)
+      val plain = df.dropDuplicates("qid", "nid")
+        .withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+        .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val reduced = Similarity.localTopKPerKey(df, "qid", ord, 5, dedupCols = Seq("nid"))
+        .dropDuplicates("qid", "nid")
+        .withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+        .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(reduced == plain, s"seed $seed")
+    }
+  }
+
   test("fused MinHashSig kernel is bit-identical to the composed form") {
     val docs = Tables.load(spark, sfDir, "documents").limit(200)
     val composed = Dedup.minhashSignatures(docs, "doc_id", "text", 8)

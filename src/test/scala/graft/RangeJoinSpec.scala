@@ -74,6 +74,22 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(rj.count() == l.join(r, col("lk") <= col("rk")).count())
   }
 
+  for (op <- Seq("<", "<=", ">", ">=")) {
+    test(s"partitioned range join '$op' matches BroadcastNestedLoopJoin") {
+      val rj = RangeJoin.joinPartitioned(cust, "c_acctbal", op, sup, "s_acctbal",
+        numBuckets = 8)
+      assert(rj.count() == viaBnlj(op))
+    }
+  }
+
+  test("partitioned range join survives a constant-key build side") {
+    val s = spark; import s.implicits._
+    val l = Seq(0.5, 1.5).toDF("lk")
+    val r = Seq(1.0, 1.0, 1.0).toDF("rk")
+    val rj = RangeJoin.joinPartitioned(l, "lk", "<", r, "rk", numBuckets = 4)
+    assert(rj.count() == 3) // only 0.5 < 1.0, three times
+  }
+
   test("mismatched key types are rejected up front") {
     val s = spark; import s.implicits._
     val l = Seq(1L).toDF("lk")
