@@ -203,4 +203,14 @@ object Dedup {
         (size(array_intersect(col("sha"), col("shb"))).cast("double") /
           size(array_union(col("sha"), col("shb"))).cast("double")).as("jaccard"))
   }
+
+  /** Secondary length band for the Jaccard bucket key: floor(log2(#words)).
+    * A hot (source, lang) bucket is re-split by document size, capping its
+    * quadratic within-bucket work; near-duplicates have near-equal token
+    * counts, so for any Jaccard threshold t ≥ 1/3 a qualifying pair cannot
+    * straddle a power-of-two length band unless it sits exactly on the
+    * boundary — i.e. recall loss is confined to boundary-adjacent pairs
+    * (compare also against the ±1 band if exact-boundary recall matters). */
+  def lengthBand(textCol: Column): Column =
+    floor(log2(greatest(size(TextFunctions.words(textCol)), lit(1)))).cast("long")
 }

@@ -128,6 +128,19 @@ object Round2Queries {
           col("i").cast("long").as("i"), explode(col("inner")).as("x"))
     },
 
+    // Skew-salted join must be result-identical to the plain equi-join:
+    // lineitem (large, skewed side) salted, orders replicated per salt.
+    "join_salted" -> { (s, dir) =>
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      graft.operators.Scale.saltedJoin(l, o, "l_orderkey", "o_orderkey", 8)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), r2(sum(col("l_extendedprice"))).as("total"))
+        .orderBy(col("n").desc, col("o_custkey")).limit(20)
+    },
+
     // Custom table function (UDTF): ngrams_explode as a native Generator,
     // used with select-list generator syntax like explode. Top bigrams.
     "text_ngrams_udtf" -> { (s, dir) =>
@@ -265,6 +278,13 @@ object Round2Queries {
         |        [[l_quantity, l_discount], [l_tax]] AS aa
         |      FROM lineitem WHERE l_orderkey <= 200),
         |     (SELECT unnest([0, 1]) AS i)""".stripMargin,
+
+    "join_salted" ->
+      """SELECT o_custkey, count(*) AS n,
+        |  floor((sum(l_extendedprice) + 1.37e-4) * 100 + 0.5) / 100 AS total
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_custkey ORDER BY n DESC, o_custkey LIMIT 20""".stripMargin,
 
     "text_ngrams_udtf" ->
       """WITH words AS (

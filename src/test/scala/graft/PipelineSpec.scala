@@ -120,6 +120,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("length band caps hot ngram buckets without losing same-size near-dups") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h", "web"),           // 8 words  -> band 3
+      (2L, "a b c d e f g x", "web"),           // near-dup of 1, band 3
+      (3L, "a b c", "web"),                     // 3 words  -> band 1
+      (4L, ("w " * 40).trim, "web"))            // 40 words -> band 5
+      .toDF("doc_id", "text", "source")
+    val banded = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      concat_ws("|", col("source"), Dedup.lengthBand(col("text"))))
+      .where(col("jaccard") > 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == Set((1L, 2L)))
+    // and the hot bucket got split: docs 3 and 4 are no longer compared
+    val allPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      concat_ws("|", col("source"), Dedup.lengthBand(col("text"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!allPairs.contains((3L, 4L)))
+  }
+
   test("fused MinHashSig kernel is bit-identical to the composed form") {
     val docs = Tables.load(spark, sfDir, "documents").limit(200)
     val composed = Dedup.minhashSignatures(docs, "doc_id", "text", 8)
