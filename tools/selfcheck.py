@@ -90,9 +90,15 @@ def main():
         if compare(name, spark_df, oracle_df):
             if len(oracle_df) == 0 and name not in EMPTY_OK:
                 # a hash match on the empty set verifies nothing about the
-                # query tree — treat vacuous oracles as failures
-                print(f"FAIL {name}: oracle returned 0 rows (vacuous check)")
-                nfail += 1
+                # query tree — vacuous at the driver's gate SF (sf0.01) is a
+                # failure; at other scales (sf0.001 smoke) selective
+                # predicates legitimately empty out, so warn only
+                if sfdir.rstrip("/").endswith("sf0.01"):
+                    print(f"FAIL {name}: oracle returned 0 rows (vacuous check)")
+                    nfail += 1
+                else:
+                    print(f"WARN {name}: oracle returned 0 rows at this SF")
+                    npass += 1
             else:
                 print(f"PASS {name} ({len(spark_df)} rows)")
                 npass += 1
