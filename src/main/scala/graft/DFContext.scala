@@ -119,7 +119,9 @@ object DFContext {
   /** Split a trailing top-level `ORDER BY … [LIMIT n] [OFFSET n]` off a
     * clause. Paren depth is tracked so an `ORDER BY` inside a window spec
     * (`row_number() OVER (ORDER BY x)`) is never mistaken for the tail —
-    * the exact case a naive regex gets wrong in `QUALIFY p ORDER BY x`. */
+    * the exact case a naive regex gets wrong in `QUALIFY p ORDER BY x`.
+    * Single-quoted string literals ('' escapes) are skipped entirely, so
+    * neither keywords nor parens inside them shift the cut point. */
   private def splitTopLevelTail(s: String): (String, String) = {
     val u = s.toUpperCase
     var depth = 0
@@ -127,6 +129,12 @@ object DFContext {
     var cut = -1
     while (i < s.length && cut < 0) {
       s(i) match {
+        case '\'' =>
+          i += 1
+          while (i < s.length && !(s(i) == '\'' && (i + 1 >= s.length || s(i + 1) != '\''))) {
+            if (s(i) == '\'' && i + 1 < s.length && s(i + 1) == '\'') i += 1
+            i += 1
+          }
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ if depth == 0 =>
@@ -141,13 +149,24 @@ object DFContext {
   }
 
   /** Parse `SELECT DISTINCT ON ( <keys> ) <rest>` with balanced parens in
-    * the key list (e.g. `DISTINCT ON (abs(x), y)`). */
+    * the key list (e.g. `DISTINCT ON (abs(x), y)`); quoted literals in the
+    * key list are skipped like in splitTopLevelTail. */
   private def parseDistinctOn(q: String): Option[(String, String)] =
     DistinctOnHeadRe.findFirstMatchIn(q).flatMap { m =>
       var depth = 1
       var i = m.end
       while (i < q.length && depth > 0) {
-        q(i) match { case '(' => depth += 1; case ')' => depth -= 1; case _ => }
+        q(i) match {
+          case '\'' =>
+            i += 1
+            while (i < q.length && !(q(i) == '\'' && (i + 1 >= q.length || q(i + 1) != '\''))) {
+              if (q(i) == '\'' && i + 1 < q.length && q(i + 1) == '\'') i += 1
+              i += 1
+            }
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+        }
         i += 1
       }
       if (depth != 0) None

@@ -19,13 +19,26 @@ object Tables {
   // Memoized per (session, dir, table): `spark.read.parquet` runs a footer/
   // schema-inference job every call, which showed up as ~30 ms × n_tables of
   // serial driver latency at the head of EVERY query. One footer read per
-  // session is the catalog behavior a real engine has anyway.
+  // session is the catalog behavior a real engine has anyway. Keyed WEAKLY
+  // by the session object (reference identity — SparkSession doesn't
+  // override equals) so stopped sessions and their plans get collected and
+  // distinct sessions can never collide.
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.getOrElseUpdate((System.identityHashCode(spark), dir, name),
-      doLoad(spark, dir, name))
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = cache.synchronized {
+      val existing = cache.get(spark)
+      if (existing != null) existing
+      else {
+        val m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+        cache.put(spark, m)
+        m
+      }
+    }
+    perSession.getOrElseUpdate((dir, name), doLoad(spark, dir, name))
+  }
 
   private def doLoad(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {

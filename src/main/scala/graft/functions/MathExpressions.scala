@@ -22,12 +22,8 @@ case class Gcd(left: Expression, right: Expression) extends BinaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val x = ctx.freshName("x"); val y = ctx.freshName("y"); val t = ctx.freshName("t")
       s"""
-         |long $x = java.lang.Math.abs($a);
-         |long $y = java.lang.Math.abs($b);
-         |while ($y != 0L) { long $t = $y; $y = $x % $y; $x = $t; }
-         |${ev.value} = $x;
+         |${ev.value} = graft.functions.Gcd.gcd($a, $b);
        """.stripMargin
     })
 
@@ -36,8 +32,12 @@ case class Gcd(left: Expression, right: Expression) extends BinaryExpression {
 }
 
 object Gcd {
+  /** Overflow-exact like the reference (gcd.rs raises): |Long.MinValue|
+    * is unrepresentable, so absExact throws instead of returning a
+    * negative "gcd". */
   def gcd(a: Long, b: Long): Long = {
-    var x = math.abs(a); var y = math.abs(b)
+    var x = if (a == Long.MinValue && b != 0) math.abs(a % b) else Math.absExact(a)
+    var y = if (b == Long.MinValue && a != 0) math.abs(b % a) else Math.absExact(b)
     while (y != 0L) { val t = y; y = x % y; x = t }
     x
   }
@@ -52,22 +52,18 @@ case class Lcm(left: Expression, right: Expression) extends BinaryExpression {
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[Long]; val y = b.asInstanceOf[Long]
     if (x == 0L || y == 0L) 0L
-    else math.abs(x / Gcd.gcd(x, y) * y)
+    // multiplyExact: the reference's lcm raises on overflow rather than
+    // silently wrapping (functions/src/math/lcm.rs)
+    else Math.absExact(Math.multiplyExact(x / Gcd.gcd(x, y), y))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val x = ctx.freshName("x"); val y = ctx.freshName("y"); val t = ctx.freshName("t")
-      val g = ctx.freshName("g")
       s"""
-         |long $x = java.lang.Math.abs($a);
-         |long $y = java.lang.Math.abs($b);
-         |if ($x == 0L || $y == 0L) { ${ev.value} = 0L; }
+         |if ($a == 0L || $b == 0L) { ${ev.value} = 0L; }
          |else {
-         |  long $g; { long ${t}a = $x; long ${t}b = $y;
-         |    while (${t}b != 0L) { long $t = ${t}b; ${t}b = ${t}a % ${t}b; ${t}a = $t; }
-         |    $g = ${t}a; }
-         |  ${ev.value} = java.lang.Math.abs($x / $g * $y);
+         |  ${ev.value} = java.lang.Math.absExact(
+         |    java.lang.Math.multiplyExact($a / graft.functions.Gcd.gcd($a, $b), $b));
          |}
        """.stripMargin
     })

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.dsl.expressions._
 import org.apache.spark.sql.catalyst.expressions.{
-  AggregateWindowFunction, AttributeReference, Cast, Expression, Literal}
+  AggregateWindowFunction, AttributeReference, Cast, Expression, If, Literal}
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Custom window function — the Spark counterpart of the reference's
@@ -25,20 +25,28 @@ case class PositionWeightedAvg(child: Expression) extends AggregateWindowFunctio
   override def nullable: Boolean = true
 
   private lazy val n = AttributeReference("pw_n", LongType, nullable = false)()
+  private lazy val nSeen = AttributeReference("pw_seen", LongType, nullable = false)()
   private lazy val sumIx = AttributeReference("pw_sum_ix", DoubleType, nullable = false)()
-  override def aggBufferAttributes: Seq[AttributeReference] = Seq(n, sumIx)
+  override def aggBufferAttributes: Seq[AttributeReference] = Seq(n, nSeen, sumIx)
 
-  override val initialValues: Seq[Expression] = Seq(Literal(0L), Literal(0.0))
+  override val initialValues: Seq[Expression] = Seq(Literal(0L), Literal(0L), Literal(0.0))
 
-  // updates see the pre-update buffer: the new row's position is n+1
-  override val updateExpressions: Seq[Expression] = Seq(
-    n + Literal(1L),
-    sumIx + Cast(n + Literal(1L), DoubleType) * Cast(child, DoubleType))
+  // updates see the pre-update buffer: the new row's position is n+1.
+  // Null inputs keep their position but contribute nothing — SQL-sum
+  // semantics, matching the sum(x*rn)/... oracle formulation.
+  override val updateExpressions: Seq[Expression] = {
+    val isNull = org.apache.spark.sql.catalyst.expressions.IsNull(child)
+    Seq(
+      n + Literal(1L),
+      If(isNull, nSeen, nSeen + Literal(1L)),
+      If(isNull, sumIx, sumIx + Cast(n + Literal(1L), DoubleType) * Cast(child, DoubleType)))
+  }
 
-  // Σ_{i=1..n} i = n(n+1)/2
+  // Σ_{i=1..n} i = n(n+1)/2; all-null prefix → NULL, like SQL sum
   override val evaluateExpression: Expression = {
     val cnt = Cast(n, DoubleType)
-    sumIx / (cnt * (cnt + Literal(1.0)) / Literal(2.0))
+    If(nSeen === Literal(0L), Literal(null, DoubleType),
+      sumIx / (cnt * (cnt + Literal(1.0)) / Literal(2.0)))
   }
 
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =

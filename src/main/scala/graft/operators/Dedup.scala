@@ -86,8 +86,11 @@ object Dedup {
     * graft.functions.MinHashSig; DifferentialFuzzSpec asserts equality). */
   def minhashSignatureArray(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
+    // fan out ONLY when the input is under-partitioned (the single-file
+    // fixture case); an already-split 100 TB source must not be reshuffled
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    docs.repartition(par).select(col(idCol).as("doc_id"),
+    val spread = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    spread.select(col(idCol).as("doc_id"),
       org.apache.spark.sql.GraftSqlBridge.column(
         graft.functions.MinHashSig(
           org.apache.spark.sql.GraftSqlBridge.expression(col(textCol)), k)).as("sig"))
@@ -95,12 +98,15 @@ object Dedup {
 
   /** Band keys straight from the signature array — a pure projection
     * (band b = md5 of the concatenated minima in band-b positions), so the
-    * whole signatures→bands pipeline is shuffle-free. */
+    * whole signatures→bands pipeline is shuffle-free. Band count is
+    * ceil(k / rowsPerBand): a non-divisor leaves a shorter final band
+    * (slice truncates), exactly like [[lshBands]]'s seed-div grouping. */
   def lshBandsFromArray(sigArr: DataFrame, rowsPerBand: Int): DataFrame = {
-    val k = rowsPerBand // rows per band; number of bands derives from size
+    require(rowsPerBand >= 1, "rowsPerBand >= 1")
+    val k = rowsPerBand
     sigArr.select(col("doc_id"),
         posexplode(expr(
-          s"transform(sequence(0, size(sig) div $k - 1), " +
+          s"transform(sequence(0, (size(sig) + $k - 1) div $k - 1), " +
           s"b -> md5(cast(concat_ws('', slice(sig, b * $k + 1, $k)) as binary)))"))
           .as(Seq("band", "bkey")))
       .select(col("doc_id"), col("band").cast("long").as("band"), col("bkey"))

@@ -157,11 +157,13 @@ object RangeJoin {
       case ">" | ">=" => sequence(lit(0), bucketOf(col(leftCol)))
     }
     val l = left.na.drop(Seq(leftCol)).withColumn("__rjb", explode(range))
+    // side-qualified references: leftCol/rightCol may share a name
+    // (self range-joins), where bare col() would be ambiguous post-join
     val cond = op match {
-      case "<"  => col(leftCol) <  col(rightCol)
-      case "<=" => col(leftCol) <= col(rightCol)
-      case ">"  => col(leftCol) >  col(rightCol)
-      case ">=" => col(leftCol) >= col(rightCol)
+      case "<"  => l(leftCol) <  r(rightCol)
+      case "<=" => l(leftCol) <= r(rightCol)
+      case ">"  => l(leftCol) >  r(rightCol)
+      case ">=" => l(leftCol) >= r(rightCol)
     }
     l.join(r, "__rjb").where(cond).drop("__rjb")
   }

@@ -90,14 +90,15 @@ object Streaming {
         expr("max_by(total_value, n_events)").as("total_value"))
   }
 
-  /** Streaming deduplication: dropDuplicates on the event key with a
-    * watermark bounding state (the LLM-pipeline "dedup at ingest" shape —
-    * on an unbounded stream the watermark evicts key state; here the
-    * bounded fixture runs to completion and must equal batch DISTINCT). */
+  /** Streaming deduplication: dropDuplicatesWithinWatermark on the event
+    * key — the bounded-state "dedup at ingest" shape: key state is evicted
+    * once the watermark passes it (plain dropDuplicates would hold every
+    * key forever). On the bounded fixture (one micro-batch) the result
+    * equals batch DISTINCT. */
   def runStreamDedup(spark: SparkSession, dir: String, queryName: String): DataFrame = {
     val deduped = eventsStream(spark, dir)
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("event_type"))
     spark.streams.active.filter(_.name == queryName).foreach(_.stop())
     val q = deduped.writeStream.outputMode("append")

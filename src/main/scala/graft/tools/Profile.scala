@@ -40,6 +40,9 @@ object Profile {
       SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"== $tag: $sec%.3f s")
+      // listener events are delivered async; give the bus a moment so the
+      // final stages' completions are included
+      Thread.sleep(500)
       stages.reverse.foreach(println)
     }
 

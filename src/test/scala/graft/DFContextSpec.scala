@@ -73,6 +73,25 @@ class DFContextSpec extends AnyFunSuite {
     assert(rows.length == groups)
   }
 
+  test("QUALIFY predicate with keywords inside string literals is not split") {
+    val rows = ctx.sql("""
+      SELECT s_nationkey, s_name,
+             row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS rn
+      FROM supplier
+      QUALIFY rn = 1 AND s_name <> 'ORDER BY (LIMIT'
+      LIMIT 4""").collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_.getInt(2) == 1))
+  }
+
+  test("DISTINCT ON key list containing a quoted paren parses") {
+    val rows = ctx.sql("""SELECT DISTINCT ON (concat(c_mktsegment, '(x')) c_mktsegment, c_acctbal
+      FROM customer ORDER BY concat(c_mktsegment, '(x'), c_acctbal DESC""").collect()
+    val segs = ctx.sql("SELECT count(DISTINCT c_mktsegment) AS n FROM customer")
+      .collect().head.getLong(0)
+    assert(rows.length == segs)
+  }
+
   test("DISTINCT ON with trailing LIMIT") {
     val rows = ctx.sql("""SELECT DISTINCT ON (c_nationkey) c_nationkey, c_acctbal
       FROM customer ORDER BY c_nationkey, c_acctbal DESC LIMIT 4""").collect()
