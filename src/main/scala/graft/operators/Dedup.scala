@@ -198,16 +198,22 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String, bandCol: Column): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
+    // Shingles are pre-hashed to 64-bit once per document: the pairwise
+    // set-intersection then probes fixed-width longs instead of re-hashing
+    // every shingle string for every partner the doc meets in its bucket.
+    // Jaccard over hashed shingles equals Jaccard over the strings absent a
+    // 64-bit collision inside one document pair's union (~|U|²/2⁶⁴).
     val prepped = docs.repartition(par).select(
       col(idCol).as("doc_id"),
       bandCol.as("bucket"),
-      array_distinct(TextFunctions.shingles3(col(textCol))).as("sh"))
+      array_distinct(transform(TextFunctions.shingles3(col(textCol)), xxhash64(_))).as("sh"))
     val a = prepped.select(col("bucket"), col("doc_id").as("ida"), col("sh").as("sha"))
     val b = prepped.select(col("bucket"), col("doc_id").as("idb"), col("sh").as("shb"))
+    // |A∪B| = |A|+|B|−|A∩B|: one set-probe pass per pair, no union array.
+    val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
     a.join(b, Seq("bucket")).where(col("ida") < col("idb"))
       .select(col("ida"), col("idb"),
-        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb"))).cast("double")).as("jaccard"))
+        (inter / (size(col("sha")) + size(col("shb")) - inter)).as("jaccard"))
   }
 
   /** Secondary length band for the Jaccard bucket key: floor(log2(#words)).
