@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Round-3 coverage batch.
+  *
+  * q11_partsupp: the one TPC-H shape previously missing — the fixture set has
+  * no partsupp table, so partsupp is DERIVED deterministically from
+  * part × {0..3} with modular-arithmetic supplier assignment and integer-cent
+  * supply costs. The identical derivation runs on the oracle side, so the
+  * full q11 semantics (group-by, scalar-subquery HAVING over the group total,
+  * value ranking) are hash-verified. All money arithmetic is exact BIGINT
+  * cents: the HAVING comparison (value·10000 > total) cannot drift with
+  * summation order. Reference: sqllogictest/test_files/tpch/q11.slt.part.
+  *
+  * source_avro_roundtrip: Avro scan + sink. spark-avro is compiled into this
+  * distribution's spark-sql jar (AvroFileFormat), so format("avro") works
+  * offline — closing the SURVEY §2.1 Avro row that round 1 marked
+  * unavailable. Reference: datasource-avro/src/avro_to_df.rs.
+  */
+object Round3Queries {
+
+  val queries: Map[String, QueryFn] = Map(
+
+    "q11_partsupp" -> { (s, dir) =>
+      val supp = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val nat  = t(s, dir, "nation").filter(col("n_name") === "NATION_3")
+        .select(col("n_nationkey"))
+      val scnt = t(s, dir, "supplier").agg(count(lit(1)).as("scnt"))
+      // Derived partsupp: 4 suppliers per part, round-robin over the supplier
+      // space; availqty/supplycost are pure functions of (partkey, i).
+      val ps = t(s, dir, "part").select(col("p_partkey"))
+        .crossJoin(broadcast(scnt))
+        .select(col("p_partkey"), col("scnt"),
+          explode(array((0 to 3).map(i => lit(i)): _*)).as("i"))
+        .select(
+          col("p_partkey").as("ps_partkey"),
+          ((col("p_partkey") * 7 + col("i") * 13) % col("scnt") + 1).as("ps_suppkey"),
+          ((col("p_partkey") * 31 + col("i") * 17) % 9999 + 1).as("ps_availqty"),
+          ((col("p_partkey") * 53 + col("i") * 29) % 100000 + 100).as("ps_cost_cents"))
+      val g = ps
+        .join(broadcast(supp), col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("ps_partkey")
+        .agg(sum(col("ps_cost_cents") * col("ps_availqty")).as("value_cents"))
+      val tot = g.agg(sum(col("value_cents")).as("tot"))
+      g.crossJoin(broadcast(tot))
+        .filter(col("value_cents") * 10000 > col("tot"))
+        .select(col("ps_partkey"), col("value_cents"),
+          r2(col("value_cents") / 100.0).as("value"))
+        .orderBy(col("value_cents").desc, col("ps_partkey"))
+    },
+
+    "source_avro_roundtrip" -> { (s, dir) =>
+      val stage = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_avro", dir.replaceAll("[^A-Za-z0-9]", "_"), "customer")
+      // The short name "avro" is not service-registered in this distribution
+      // (AvroFileFormat is compiled into spark-sql but absent from
+      // META-INF/services/DataSourceRegister) — address it by class name.
+      val avro = "org.apache.spark.sql.avro.AvroFileFormat"
+      t(s, dir, "customer").write.mode("overwrite").format(avro).save(stage.toString)
+      s.read.format(avro).load(stage.toString)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), r2(sum(col("c_acctbal"))).as("bal"))
+        .orderBy("c_mktsegment")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q11_partsupp" ->
+      """WITH ps AS (
+        |  SELECT p_partkey AS ps_partkey,
+        |    (p_partkey*7 + i*13) % (SELECT count(*) FROM supplier) + 1 AS ps_suppkey,
+        |    (p_partkey*31 + i*17) % 9999 + 1 AS ps_availqty,
+        |    (p_partkey*53 + i*29) % 100000 + 100 AS ps_cost_cents
+        |  FROM part CROSS JOIN (SELECT unnest([0,1,2,3]) AS i)
+        |), g AS (
+        |  SELECT ps_partkey, CAST(sum(ps_cost_cents * ps_availqty) AS BIGINT) AS value_cents
+        |  FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+        |          JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3'
+        |  GROUP BY ps_partkey
+        |)
+        |SELECT ps_partkey, value_cents,
+        |  floor((value_cents / 100.0 + 1.37e-4) * 100 + 0.5) / 100 AS value
+        |FROM g
+        |WHERE value_cents * 10000 > (SELECT sum(value_cents) FROM g)
+        |ORDER BY value_cents DESC, ps_partkey""".stripMargin,
+
+    "source_avro_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  floor((sum(c_acctbal) + 1.37e-4) * 100 + 0.5) / 100 AS bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  )
+}
