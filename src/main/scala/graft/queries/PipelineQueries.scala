@@ -98,6 +98,28 @@ object PipelineQueries {
         .limit(20)
     },
 
+    // Embedding-cosine near-dup: SRP sign-bucket LSH (signs of the first 4
+    // components = 16 buckets), cosine ranked only within a bucket — never
+    // all-pairs. Fixture embeddings have no true dups, so the operator
+    // surfaces the top-ranked near-dup candidates instead of thresholding
+    // (a fixed cutoff would be a vacuous empty oracle on this corpus).
+    "dedup_embed_cosine" -> { (s, dir) =>
+      // embedding stays float32 (the kernel accumulates in double; the
+      // oracle casts to DOUBLE[] — same values under r6)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("emb"))
+      def bit(i: Int) =
+        when(element_at(col("emb"), i + 1) > 0, lit(1 << i)).otherwise(lit(0))
+      val bucketed = e.withColumn("bucket", bit(0) + bit(1) + bit(2) + bit(3))
+      val a = bucketed.select(col("bucket"), col("vec_id").as("ida"), col("emb").as("ea"))
+      val b = bucketed.select(col("bucket"), col("vec_id").as("idb"), col("emb").as("eb"))
+      a.join(b, Seq("bucket")).where(col("ida") < col("idb"))
+        .select(col("ida"), col("idb"),
+          r6(lit(1.0) - cosine_distance(col("ea"), col("eb"))).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("ida"), col("idb"))
+        .limit(25)
+    },
+
     // SimHash near-dups — xxhash64-based sketch, engine-specific → rows-only.
     "dedup_simhash" -> { (s, dir) =>
       val sims = Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
@@ -249,6 +271,17 @@ object PipelineQueries {
          |FROM jac
          |ORDER BY floor((j + 1.37e-8) * 1000000 + 0.5) / 1000000 DESC, ida, idb
          |LIMIT 20""".stripMargin,
+
+    "dedup_embed_cosine" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |s AS (SELECT vec_id, emb,
+        |  (CASE WHEN emb[1] > 0 THEN 1 ELSE 0 END) + 2*(CASE WHEN emb[2] > 0 THEN 1 ELSE 0 END)
+        |  + 4*(CASE WHEN emb[3] > 0 THEN 1 ELSE 0 END) + 8*(CASE WHEN emb[4] > 0 THEN 1 ELSE 0 END) AS bucket
+        | FROM e)
+        |SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |  floor((list_cosine_similarity(a.emb, b.emb) + 1.37e-8) * 1000000 + 0.5) / 1000000 AS cos_sim
+        |FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |ORDER BY cos_sim DESC, ida, idb LIMIT 25""".stripMargin,
 
     "vector_math" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
