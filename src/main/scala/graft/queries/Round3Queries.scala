@@ -52,6 +52,26 @@ object Round3Queries {
         .orderBy(col("value_cents").desc, col("ps_partkey"))
     },
 
+    // array_agg ORDER BY <other column> / DISTINCT, and nth_value-as-
+    // aggregate — the §2.4 nuances Spark's bare collect_list doesn't pin
+    // down (collection order is partition-dependent). Ordering is imposed
+    // explicitly: collect (key, value) structs, sort_array on the unique
+    // key, project the values — deterministic under any partitioning.
+    // Reference: functions-aggregate/src/{array_agg,nth_value}.rs.
+    "agg_arrayagg_ordered" -> { (s, dir) =>
+      val vals = expr("transform(pairs, p -> p.o_orderpriority)")
+      t(s, dir, "orders").filter(col("o_custkey") <= 300)
+        .groupBy(col("o_custkey"))
+        .agg(
+          sort_array(collect_list(struct(col("o_orderkey"), col("o_orderpriority")))).as("pairs"),
+          count(lit(1)).as("n"))
+        .select(col("o_custkey"),
+          concat_ws(",", vals).as("prios_ordered"),
+          concat_ws(",", sort_array(array_distinct(vals))).as("prios_distinct"),
+          expr("try_element_at(transform(pairs, p -> p.o_orderpriority), 2)").as("second_prio"),
+          col("n"))
+    },
+
     "source_avro_roundtrip" -> { (s, dir) =>
       val stage = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         "graft_avro", dir.replaceAll("[^A-Za-z0-9]", "_"), "customer")
@@ -88,6 +108,14 @@ object Round3Queries {
         |FROM g
         |WHERE value_cents * 10000 > (SELECT sum(value_cents) FROM g)
         |ORDER BY value_cents DESC, ps_partkey""".stripMargin,
+
+    "agg_arrayagg_ordered" ->
+      """SELECT o_custkey,
+        |  array_to_string(list(o_orderpriority ORDER BY o_orderkey), ',') AS prios_ordered,
+        |  array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS prios_distinct,
+        |  (list(o_orderpriority ORDER BY o_orderkey))[2] AS second_prio,
+        |  count(*) AS n
+        |FROM orders WHERE o_custkey <= 300 GROUP BY o_custkey""".stripMargin,
 
     "source_avro_roundtrip" ->
       """SELECT c_mktsegment, count(*) AS n,
