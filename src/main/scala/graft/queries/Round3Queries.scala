@@ -52,6 +52,21 @@ object Round3Queries {
         .orderBy(col("value_cents").desc, col("ps_partkey"))
     },
 
+    // Multi-column unnest: two arrays of different lengths unnested in one
+    // step zip positionally with NULL padding to the longest (reference
+    // unnest.rs multi-column; DuckDB multi-unnest has identical semantics).
+    // Spark-first form: arrays_zip + posexplode.
+    "unnest_multi" -> { (s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_orderkey") <= 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          array(col("l_quantity"), col("l_discount"), col("l_tax")).as("a"),
+          array(col("l_extendedprice"), col("l_discount")).as("b"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          posexplode(arrays_zip(col("a"), col("b"))).as(Seq("i", "z")))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("i").cast("long").as("i"), col("z.a").as("x"), col("z.b").as("y"))
+    },
+
     // array_agg ORDER BY <other column> / DISTINCT, and nth_value-as-
     // aggregate — the §2.4 nuances Spark's bare collect_list doesn't pin
     // down (collection order is partition-dependent). Ordering is imposed
@@ -108,6 +123,15 @@ object Round3Queries {
         |FROM g
         |WHERE value_cents * 10000 > (SELECT sum(value_cents) FROM g)
         |ORDER BY value_cents DESC, ps_partkey""".stripMargin,
+
+    "unnest_multi" ->
+      """SELECT l_orderkey, l_linenumber, CAST(i AS BIGINT) AS i,
+        |  a[i+1] AS x, b[i+1] AS y
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |        [l_quantity, l_discount, l_tax] AS a,
+        |        [l_extendedprice, l_discount] AS b
+        |      FROM lineitem WHERE l_orderkey <= 200),
+        |     (SELECT unnest([0, 1, 2]) AS i)""".stripMargin,
 
     "agg_arrayagg_ordered" ->
       """SELECT o_custkey,
