@@ -25,6 +25,16 @@ object StreamQueries {
         .orderBy("event_type")
     },
 
+    // Streaming session windows (30-min gap) — per-user session count and
+    // totals must equal the batch gaps-and-islands computation in DuckDB.
+    "stream_session_window" -> { (s, dir) =>
+      Streaming.runSessionWindow(s, dir, "graft_stream_session")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n")).cast("long").as("n_events"),
+          r2(sum(col("v"))).as("val_sum"))
+    },
+
     // Stream-stream join cardinality per user (append mode, watermarked) —
     // compared against the equivalent batch join in DuckDB.
     "stream_join_counts" -> { (s, dir) =>
@@ -43,6 +53,20 @@ object StreamQueries {
     "stream_dedup" ->
       """SELECT event_type, count(DISTINCT event_id) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "stream_session_window" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |x AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS brk FROM e),
+        |g AS (SELECT user_id, value,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                 ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+        |SELECT user_id, count(DISTINCT sid) AS n_sessions,
+        |  count(*) AS n_events,
+        |  floor((sum(value) + 1.37e-4) * 100 + 0.5) / 100 AS val_sum
+        |FROM g GROUP BY user_id""".stripMargin,
 
     "stream_join_counts" ->
       """WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS v_ts FROM events

@@ -108,6 +108,24 @@ object Streaming {
     spark.table(queryName)
   }
 
+  /** Session-window aggregation: dynamic gap-merged windows — events of one
+    * user within a 30-minute gap merge into one session (an event exactly at
+    * the previous session's end starts a new one: merge iff gap < 30 min).
+    * The reference's streaming model only has date_bin tumbling; session
+    * windows are the shape a clickstream/training-data ingest actually
+    * needs, so this exceeds the reference deliberately. */
+  def runSessionWindow(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+    spark.streams.active.filter(_.name == queryName).foreach(_.stop())
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Stream-stream inner join with event-time range condition + watermarks:
     * views joined to purchases by the same user within [0, 30 min] after
     * the view. State on both sides is pruned by the watermark + range. */
