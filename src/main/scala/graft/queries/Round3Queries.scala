@@ -52,6 +52,28 @@ object Round3Queries {
         .orderBy(col("value_cents").desc, col("ps_partkey"))
     },
 
+    // As-of join: each purchase picks up the most recent prior-or-equal view
+    // of the same user — one shuffle + window carry-forward, no join
+    // explosion (operators/AsOfJoin.scala). The right side is pre-aggregated
+    // to one row per (user, ts) so ASOF is unambiguous; DuckDB's native
+    // ASOF LEFT JOIN is the oracle.
+    "join_asof" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"), col("value"))
+        .groupBy("user_id", "v_ts")
+        .agg(max(col("value")).as("v_value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts").as("p_ts"))
+      graft.operators.AsOfJoin.asOf(purchases, views,
+          key = "user_id", leftTs = "p_ts", rightTs = "v_ts",
+          payload = Seq("v_ts", "v_value"))
+        .select(col("user_id"), col("event_id"),
+          date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts"),
+          date_format(col("v_ts"), "yyyy-MM-dd HH:mm:ss").as("v_ts"),
+          col("v_value"))
+    },
+
     // Multi-column unnest: two arrays of different lengths unnested in one
     // step zip positionally with NULL padding to the longest (reference
     // unnest.rs multi-column; DuckDB multi-unnest has identical semantics).
@@ -123,6 +145,18 @@ object Round3Queries {
         |FROM g
         |WHERE value_cents * 10000 > (SELECT sum(value_cents) FROM g)
         |ORDER BY value_cents DESC, ps_partkey""".stripMargin,
+
+    "join_asof" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |v AS (SELECT user_id, ts, max(value) AS v_value FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id, ts),
+        |p AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.event_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+        |  strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS v_ts,
+        |  v.v_value
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
 
     "unnest_multi" ->
       """SELECT l_orderkey, l_linenumber, CAST(i AS BIGINT) AS i,
