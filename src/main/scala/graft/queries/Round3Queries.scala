@@ -52,6 +52,23 @@ object Round3Queries {
         .orderBy(col("value_cents").desc, col("ps_partkey"))
     },
 
+    // Spark-compat-crate function batch (reference spark/src/function/):
+    // hypot, cot, factorial, width_bucket, next_day, add_months — Spark
+    // builtins, oracle-rebuilt from DuckDB primitives. width_bucket's oracle
+    // replicates Spark's exact association ((v-lo)/((hi-lo)/n)) so bucket
+    // boundaries agree bit-for-bit.
+    "fn_compat" -> { (s, dir) =>
+      val d = to_date(col("o_orderdate"))
+      t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"),
+          r6(hypot(col("o_totalprice") / 1000, lit(3.0))).as("hyp"),
+          r6(cot(col("o_orderkey").cast("double") / 100 + 1.5)).as("cotv"),
+          factorial((col("o_orderkey") % 10).cast("int")).cast("long").as("fact"),
+          width_bucket(col("o_totalprice"), lit(800.0), lit(500000.0), lit(7)).as("wb"),
+          next_day(d, "Monday").as("nd"),
+          add_months(d, 3).as("am"))
+    },
+
     // As-of join: each purchase picks up the most recent prior-or-equal view
     // of the same user — one shuffle + window carry-forward, no join
     // explosion (operators/AsOfJoin.scala). The right side is pre-aggregated
@@ -145,6 +162,21 @@ object Round3Queries {
         |FROM g
         |WHERE value_cents * 10000 > (SELECT sum(value_cents) FROM g)
         |ORDER BY value_cents DESC, ps_partkey""".stripMargin,
+
+    "fn_compat" ->
+      """SELECT o_orderkey,
+        |  floor((sqrt((o_totalprice/1000)*(o_totalprice/1000) + 3.0*3.0) + 1.37e-8) * 1000000 + 0.5) / 1000000 AS hyp,
+        |  floor((cot(CAST(o_orderkey AS DOUBLE) / 100 + 1.5) + 1.37e-8) * 1000000 + 0.5) / 1000000 AS cotv,
+        |  CAST(factorial(CAST(o_orderkey % 10 AS INT)) AS BIGINT) AS fact,
+        |  CAST(CASE WHEN o_totalprice < 800.0 THEN 0
+        |            WHEN o_totalprice >= 500000.0 THEN 8
+        |            ELSE floor((o_totalprice - 800.0) / ((500000.0 - 800.0) / 7)) + 1
+        |       END AS BIGINT) AS wb,
+        |  CAST(CAST(o_orderdate AS DATE)
+        |    + CAST(CASE WHEN (8 - isodow(CAST(o_orderdate AS DATE))) % 7 = 0 THEN 7
+        |                ELSE (8 - isodow(CAST(o_orderdate AS DATE))) % 7 END AS INT) AS DATE) AS nd,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS am
+        |FROM orders WHERE o_orderkey <= 2000""".stripMargin,
 
     "join_asof" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
