@@ -34,13 +34,20 @@ object GraftSession {
       // choice — prefer_hash_join=true in its bench config). Spark's
       // shuffled-hash build spills, so it is cluster-safe.
       .config("spark.sql.join.preferSortMergeJoin", "false")
-      // Local-bench split sizing: the fixtures are one ~1-30 MB file per
-      // table, so the 128 MB default would make every scan a single task.
-      // 4 MB splits spread a sf0.1 lineitem scan over ~8 tasks; on a real
-      // cluster with many files the default is the right choice and this
-      // only lowers the per-file split threshold.
-      .config("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
+      // Split sizing: leave maxPartitionBytes at the 128 MB default and let
+      // Spark's formula (min(maxPartitionBytes, max(openCost,
+      // totalBytes/defaultParallelism))) right-size splits per input. On the
+      // ~1-30 MB fixtures that formula already yields ~1-4 MB splits (full
+      // parallelism); a 4 MB hardcode here was redundant there and actively
+      // harmful at SF10, where it forced ~400 tiny scan tasks per query
+      // instead of ~30 right-sized ones. Lower openCost so small fixture
+      // files aren't rounded up to one task each.
       .config("spark.sql.files.openCostInBytes", (512 * 1024).toString)
+      // Aim for ~2 task waves per scan rather than the default 1: a single
+      // wave makes the whole scan wait on its slowest task (GC pauses,
+      // uneven row-group sizes); 2 waves restore work-stealing slack at
+      // ~no extra scheduling cost. (measured: SF10 q1 2.6s -> 1.6s)
+      .config("spark.sql.files.minPartitionNum", (cpus * 2).toString)
       .config("spark.ui.enabled", "false")
 
   /** Local session with sane defaults; idempotent via getOrCreate. */

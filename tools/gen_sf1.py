@@ -34,21 +34,36 @@ def main():
     ok, ck = mx("orders", "o_orderkey"), mx("customer", "c_custkey")
     pk, sk = mx("part", "p_partkey"), mx("supplier", "s_suppkey")
 
+    # Write each table as a DIRECTORY of one file per copy-chunk. Row groups,
+    # not byte-split ranges, bound Spark's parquet read parallelism — the old
+    # single-file layout (PER_THREAD_OUTPUT collapses to one file because the
+    # unnest(range) cross join runs single-threaded) capped SF1 scans at 6
+    # tasks. But groups that are too SMALL tax the read path: 250k-row groups
+    # (256 groups at SF10) measured 2x slower than 1M-row groups (96 groups)
+    # on the same 6-query bench. Target ~64 groups/table, clamped to
+    # [250k, 1M] rows/group — hits the measured optimum at both SF1 and SF10.
     def write(table, sql, threads=True):
         dst = f"{out}/{table}.parquet"
         if os.path.isdir(dst):
             shutil.rmtree(dst)
         elif os.path.exists(dst):
             os.remove(dst)
-        opts = "FORMAT PARQUET, ROW_GROUP_SIZE 1000000"
-        if threads:
-            opts += ", PER_THREAD_OUTPUT"
-        con.execute(f"COPY ({sql}) TO '{dst}' ({opts})")
-        rows = con.execute(f"SELECT count(*) FROM '{dst}/*.parquet'" if threads
-                           else f"SELECT count(*) FROM '{dst}'").fetchone()[0]
-        print(f"{table}: {rows} rows -> {dst}")
+        os.makedirs(dst)
+        chunks = min(n, 32)
+        src_rows = con.execute(
+            f"SELECT count(*) FROM '{SRC}/{table}.parquet'").fetchone()[0]
+        rg = min(1_000_000, max(250_000, src_rows * n // 64))
+        opts = f"FORMAT PARQUET, ROW_GROUP_SIZE {rg}"
+        for c in range(chunks):
+            lo, hi = c * n // chunks, (c + 1) * n // chunks
+            chunk_rep = (f"(SELECT unnest(range({lo}, {hi})) AS i) copies")
+            con.execute(f"COPY ({sql.replace(REP, chunk_rep)}) "
+                        f"TO '{dst}/chunk_{c:02d}.parquet' ({opts})")
+        rows = con.execute(f"SELECT count(*) FROM '{dst}/*.parquet'").fetchone()[0]
+        print(f"{table}: {rows} rows -> {dst} ({chunks} files)")
 
-    rep = f"(SELECT unnest(range({n})) AS i) copies"
+    REP = "__REP__"
+    rep = REP
     write("lineitem", f"""
         SELECT l_orderkey + i*{ok} AS l_orderkey, l_partkey + i*{pk} AS l_partkey,
                l_suppkey + i*{sk} AS l_suppkey, l_linenumber, l_quantity,
