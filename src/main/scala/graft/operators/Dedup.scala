@@ -216,6 +216,54 @@ object Dedup {
         (inter / (size(col("sha")) + size(col("shb")) - inter)).as("jaccard"))
   }
 
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation — the final step of near-dup pipelines: LSH
+    * candidate pairs are edges, each component is one duplicate cluster,
+    * and the component's minimum doc id is the canonical document.
+    *
+    * Each round is one shuffle (edges ⋈ labels → groupBy-min); labels only
+    * ever decrease, so the fixpoint test is "did sum(label) change",
+    * costing no extra join. Every frontier is localCheckpoint'ed: without
+    * it the plan tree doubles per iteration and the optimizer, not the
+    * data, becomes the bottleneck. Rounds needed = graph diameter; dup
+    * clusters are near-cliques (diameter ≤ 2-3), so this converges in a
+    * handful of rounds at any corpus size. For adversarially chainy graphs
+    * the alternating large-star/small-star variant (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") bounds rounds at
+    * O(log n); the per-round plumbing here is identical.
+    *
+    * Returns (node, component) for every node that appears in an edge.
+    * Reference analogue: none — DataFusion has no graph step; this is part
+    * of the training-pipeline surface built on top of the engine.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxRounds: Int = 50): DataFrame = {
+    val fwd = edges.select(col(srcCol).cast("long").as("src"),
+                           col(dstCol).cast("long").as("dst"))
+    val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("component"))
+      .localCheckpoint(true)
+    var prevSum = BigDecimal(-1)
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val msgs = sym.join(labels, sym("src") === labels("node"))
+        .select(sym("dst").as("node"), col("component"))
+      val next = labels.union(msgs).groupBy("node")
+        .agg(min("component").as("component"))
+        .localCheckpoint(true)
+      val s = Option(next.agg(sum(col("component").cast("decimal(30,0)")))
+        .first().getDecimal(0)).map(BigDecimal(_)).getOrElse(BigDecimal(-2))
+      done = s == prevSum
+      prevSum = s
+      labels = next
+      round += 1
+    }
+    labels
+  }
+
   /** Secondary length band for the Jaccard bucket key: floor(log2(#words)).
     * A hot (source, lang) bucket is re-split by document size, capping its
     * quadratic within-bucket work; near-duplicates have near-equal token

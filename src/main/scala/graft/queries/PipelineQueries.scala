@@ -120,6 +120,57 @@ object PipelineQueries {
         .limit(25)
     },
 
+    // Duplicate-cluster resolution: LSH candidate pairs are edges, connected
+    // components (iterative min-label propagation, one shuffle per round)
+    // collapse them into clusters, min doc_id is the canonical document.
+    // The oracle walks the same edges with a recursive CTE.
+    "dedup_cluster" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val sigArr = Dedup.minhashSignatureArray(docs, "doc_id", "text", 8)
+      val pairs = Dedup.lshCandidatePairs(Dedup.lshBandsFromArray(sigArr, 4))
+      val comp = Dedup.connectedComponents(pairs, "ida", "idb")
+      val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, "component")
+        .select(col("node").as("doc_id"), col("component").as("canonical"),
+          col("cluster_size"))
+        .orderBy("canonical", "doc_id")
+    },
+
+    // Deterministic stratified split: md5-range assignment (~80/10/10) is a
+    // pure per-row map — no shuffle at any scale, reproducible across
+    // engines and runs (the property a training pipeline actually needs;
+    // rand()-based sampling is neither). Output is the per-(source, split)
+    // manifest: doc/token counts and id bounds.
+    "sample_split" -> { (s, dir) =>
+      val h = substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 2)
+      val split = when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), split.as("split"),
+          TF.tokenCount(col("text")).as("toks"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("docs"), sum("toks").as("tokens"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("source", "split")
+    },
+
+    // Sequence packing for training: per-source running token count in
+    // doc_id order, documents binned into contiguous 4096-token windows
+    // (bin = starting offset / 4096). One window pass per source partition;
+    // at 100 TB the partition key is (source, shard) so no partition is
+    // unbounded. Output: per-bin manifest.
+    "pipeline_pack" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), TF.tokenCount(col("text")).as("toks"))
+        .withColumn("cum", sum("toks").over(w))
+        .withColumn("bin", floor((col("cum") - col("toks")) / lit(4096.0)).cast("long"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("docs"), sum("toks").as("tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("source", "bin")
+    },
+
     // SimHash near-dups — xxhash64-based sketch, engine-specific → rows-only.
     "dedup_simhash" -> { (s, dir) =>
       val sims = Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
@@ -169,6 +220,56 @@ object PipelineQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE words AS ($WordsCte),
+         |sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         |    ELSE list_transform(range(1, len(ws) - 1),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS shingles FROM words),
+         |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+         |mh AS (SELECT doc_id, seed,
+         |        min(substr(md5((seed // 4) || '|' || sh), 1 + 8 * (seed % 4), 8)) AS m
+         |       FROM ex CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) GROUP BY doc_id, seed),
+         |bands AS (SELECT doc_id, seed // 4 AS band, md5(string_agg(m, '' ORDER BY seed)) AS bkey
+         |          FROM mh GROUP BY doc_id, seed // 4),
+         |pairs AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         |          FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+         |          WHERE a.doc_id < b.doc_id),
+         |edges AS (SELECT ida AS src, idb AS dst FROM pairs
+         |          UNION ALL SELECT idb, ida FROM pairs),
+         |walk(node, lbl) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+         |lab AS (SELECT node AS doc_id, min(lbl) AS canonical FROM walk GROUP BY node),
+         |sz AS (SELECT canonical, count(*) AS cluster_size FROM lab GROUP BY canonical)
+         |SELECT l.doc_id, l.canonical, sz.cluster_size
+         |FROM lab l JOIN sz USING (canonical)
+         |ORDER BY canonical, doc_id""".stripMargin,
+
+    "sample_split" ->
+      s"""WITH w AS (SELECT doc_id, source,
+         |  len(list_filter(string_split(text, ' '), x -> x != '')) AS toks,
+         |  substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) AS h FROM documents),
+         |s AS (SELECT doc_id, source, toks,
+         |  CASE WHEN h < 'cc' THEN 'train' WHEN h < 'e6' THEN 'val' ELSE 'test' END AS split
+         | FROM w)
+         |SELECT source, split, CAST(count(*) AS BIGINT) AS docs,
+         | CAST(sum(toks) AS BIGINT) AS tokens,
+         | min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin,
+
+    "pipeline_pack" ->
+      s"""WITH w AS (SELECT doc_id, source,
+         |  len(list_filter(string_split(text, ' '), x -> x != '')) AS toks FROM documents),
+         |c AS (SELECT doc_id, source, toks,
+         |  sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+         |                  ROWS UNBOUNDED PRECEDING) AS cum FROM w),
+         |b AS (SELECT *, CAST(floor((cum - toks) / 4096.0) AS BIGINT) AS bin FROM c)
+         |SELECT source, bin, CAST(count(*) AS BIGINT) AS docs,
+         | CAST(sum(toks) AS BIGINT) AS tokens,
+         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
     "text_stats" ->
       s"""WITH base AS ($WordsCte),
          |calc AS (SELECT doc_id, text,

@@ -161,4 +161,23 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(fused == old)
   }
+
+  test("connected components: chain forces multi-round propagation") {
+    import spark.implicits._
+    // 0-1-2-3-4-5 chain (diameter 5) plus a separate pair and a self-loop.
+    val edges = Seq((1L, 0L), (1L, 2L), (3L, 2L), (3L, 4L), (5L, 4L),
+      (10L, 11L), (20L, 20L)).toDF("ida", "idb")
+    val got = Dedup.connectedComponents(edges, "ida", "idb")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L to 5L).forall(got(_) == 0L))
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert(got(20L) == 20L)
+    assert(got.size == 9)
+  }
+
+  test("connected components: empty edge list yields empty result") {
+    import spark.implicits._
+    val edges = Seq.empty[(Long, Long)].toDF("ida", "idb")
+    assert(Dedup.connectedComponents(edges, "ida", "idb").count() == 0)
+  }
 }
