@@ -85,6 +85,18 @@ def main():
         SELECT p_partkey + i*{pk} AS p_partkey, p_name, p_brand, p_type, p_size,
                p_retailprice
         FROM '{SRC}/part.parquet', {rep}""")
+    dk = mx("documents", "doc_id")
+    vk = mx("embeddings", "vec_id")
+    # Perturb each copy's text with a copy-tag word so copies are NEAR-dups
+    # (one extra shingle), not byte-dups — the realistic shape for dedup ops.
+    write("documents", f"""
+        SELECT doc_id + i*{dk} AS doc_id,
+               'c' || i || ' ' || text AS text, lang, source,
+               n_chars + 3 + len(CAST(i AS VARCHAR)) AS n_chars
+        FROM '{SRC}/documents.parquet', {rep}""")
+    write("embeddings", f"""
+        SELECT vec_id + i*{vk} AS vec_id, embedding, label
+        FROM '{SRC}/embeddings.parquet', {rep}""")
     for small in ("nation", "region"):
         dst = f"{out}/{small}.parquet"
         if os.path.isdir(dst):
