@@ -272,5 +272,8 @@ object Dedup {
     * boundary — i.e. recall loss is confined to boundary-adjacent pairs
     * (compare also against the ±1 band if exact-boundary recall matters). */
   def lengthBand(textCol: Column): Column =
-    floor(log2(greatest(size(TextFunctions.words(textCol)), lit(1)))).cast("long")
+    // floor(log2(n)) as exact integer math (binary digit count - 1): libm
+    // log2 sits within 1 ulp of integers at powers of two, where floor()
+    // would band-split identical lengths differently across engines.
+    (length(bin(greatest(size(TextFunctions.words(textCol)), lit(1)))) - 1).cast("long")
 }

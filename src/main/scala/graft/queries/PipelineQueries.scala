@@ -90,8 +90,11 @@ object PipelineQueries {
     // n-gram Jaccard near-dup ranking, banded by source (quadratic only
     // within a band bucket).
     "dedup_ngram_topk" -> { (s, dir) =>
+      // Bucket = (source, lang, ⌊log2 #tokens⌋): the length band caps a hot
+      // (source, lang) bucket's quadratic work; near-dups have near-equal
+      // token counts, so only boundary-straddling pairs are sacrificed.
       val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        concat_ws("|", col("source"), col("lang")))
+        concat_ws("|", col("source"), col("lang"), Dedup.lengthBand(col("text"))))
       pairs
         .select(col("ida"), col("idb"), r4(col("jaccard")).as("jaccard"))
         .orderBy(r6(col("jaccard")).desc, col("ida"), col("idb"))
@@ -359,7 +362,9 @@ object PipelineQueries {
 
     "dedup_ngram_topk" ->
       s"""WITH words AS ($WordsCte),
-         |p AS (SELECT doc_id, source, lang, list_distinct(
+         |p AS (SELECT doc_id, source, lang,
+         |    length(bin(CAST(greatest(len(ws), 1) AS BIGINT))) - 1 AS lb,
+         |    list_distinct(
          |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
          |    ELSE list_transform(range(1, len(ws) - 1),
          |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS sh FROM words),
@@ -367,7 +372,7 @@ object PipelineQueries {
          |   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |   CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS j
          |  FROM p a JOIN p b ON a.source = b.source AND a.lang = b.lang
-         |    AND a.doc_id < b.doc_id)
+         |    AND a.lb = b.lb AND a.doc_id < b.doc_id)
          |SELECT ida, idb, floor((j + 1.37e-6) * 10000 + 0.5) / 10000 AS jaccard
          |FROM jac
          |ORDER BY floor((j + 1.37e-8) * 1000000 + 0.5) / 1000000 DESC, ida, idb
