@@ -13,14 +13,17 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Representative slice of the inventory: scan-heavy agg, joins, top-k,
-    * window, grouping sets, dedup (MinHash + n-gram), vector KNN, text
-    * analysis, unnest, sessionization. */
+    * window, grouping sets, dedup (MinHash + n-gram + cluster resolution),
+    * vector KNN, text analysis, unnest, sessionization, split/packing.
+    * (Round 3 appended dedup_cluster, sample_split, pipeline_pack — compare
+    * totals across rounds on the shared prefix.) */
   val headline: Seq[String] = Seq(
     "q1_agg", "q6_filter", "q3_join_topk", "q5_multijoin", "q10_returns",
     "q18_bigorders", "agg_rollup", "agg_stats", "win_topk_per_group",
     "win_running", "unnest_words", "events_sessionize",
     "text_stats", "dedup_exact", "dedup_minhash_stats", "dedup_ngram_topk",
-    "embed_knn", "vector_math")
+    "embed_knn", "vector_math", "dedup_cluster", "sample_split",
+    "pipeline_pack")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -32,6 +35,9 @@ object Bench {
       Runtime.getRuntime.availableProcessors().toString)
     val spark = GraftSession.builder(cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // experiment knob: SPARK_GRAFT_AQE=false to measure AQE's latency tax
+    sys.env.get("SPARK_GRAFT_AQE").foreach(v =>
+      spark.conf.set("spark.sql.adaptive.enabled", v))
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()

@@ -105,4 +105,20 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       assert(d == g)
     }
   }
+
+  test("pipeline ops are invariant under input partitioning") {
+    // The property a 1000-executor run depends on: hash-split assignment,
+    // sequence packing, and duplicate-cluster labels must not depend on how
+    // the input happened to be partitioned.
+    val names = Seq("sample_split", "pipeline_pack", "dedup_cluster")
+    for (name <- names) {
+      val base = normalized(SparkEntry.queries(name)(spark, sfDir))
+      val conf = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        val alt = normalized(SparkEntry.queries(name)(spark, sfDir))
+        assert(alt == base, s"$name changed under different partitioning")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", conf)
+    }
+  }
 }
