@@ -221,16 +221,17 @@ object Dedup {
     * candidate pairs are edges, each component is one duplicate cluster,
     * and the component's minimum doc id is the canonical document.
     *
-    * Each round is one shuffle (edges ⋈ labels → groupBy-min); labels only
-    * ever decrease, so the fixpoint test is "did sum(label) change",
-    * costing no extra join. Every frontier is localCheckpoint'ed: without
-    * it the plan tree doubles per iteration and the optimizer, not the
-    * data, becomes the bottleneck. Rounds needed = graph diameter; dup
-    * clusters are near-cliques (diameter ≤ 2-3), so this converges in a
-    * handful of rounds at any corpus size. For adversarially chainy graphs
-    * the alternating large-star/small-star variant (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond") bounds rounds at
-    * O(log n); the per-round plumbing here is identical.
+    * Each round is one propagation shuffle (edges ⋈ labels → groupBy-min)
+    * followed by a path-halving relabel (component ← label(component), one
+    * more join) — the pointer-jumping step that collapses chains
+    * geometrically, bounding rounds at O(log diameter) instead of
+    * O(diameter) (cf. Kiveris et al., "Connected Components in MapReduce
+    * and Beyond"). Labels only ever decrease, so the fixpoint test is "did
+    * sum(label) change", costing no extra join. Every frontier is
+    * localCheckpoint'ed: without it the plan tree doubles per iteration
+    * and the optimizer, not the data, becomes the bottleneck. Dup clusters
+    * are near-cliques (diameter ≤ 2-3) and converge in ~2 rounds at any
+    * corpus size; `maxRounds` is a safety net, not a tuning knob.
     *
     * Returns (node, component) for every node that appears in an edge.
     * Reference analogue: none — DataFusion has no graph step; this is part
@@ -251,9 +252,20 @@ object Dedup {
     while (!done && round < maxRounds) {
       val msgs = sym.join(labels, sym("src") === labels("node"))
         .select(sym("dst").as("node"), col("component"))
-      val next = labels.union(msgs).groupBy("node")
+      val prop = labels.union(msgs).groupBy("node")
         .agg(min("component").as("component"))
-        .localCheckpoint(true)
+      // Path halving: jump each pointer to its target's own label. Every
+      // component value is itself a labeled node, so the lookup join hits
+      // (coalesce guards the root, whose label is itself). Skipped in
+      // round 0: near-clique dup graphs reach fixpoint there, and halving
+      // only pays once labels are stale (chains).
+      val next = (if (round == 0) prop
+        else {
+          val lk = prop.select(col("node").as("l_node"), col("component").as("l_comp"))
+          prop.join(lk, prop("component") === lk("l_node"), "left")
+            .select(prop("node"),
+              coalesce(col("l_comp"), prop("component")).as("component"))
+        }).localCheckpoint(true)
       val s = Option(next.agg(sum(col("component").cast("decimal(30,0)")))
         .first().getDecimal(0)).map(BigDecimal(_)).getOrElse(BigDecimal(-2))
       done = s == prevSum

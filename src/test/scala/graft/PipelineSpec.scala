@@ -175,6 +175,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.size == 9)
   }
 
+  test("connected components: 200-node chain converges via path halving") {
+    import spark.implicits._
+    // O(diameter) propagation alone would need 199 rounds — far past
+    // maxRounds; path halving must close it in O(log n).
+    val edges = (0L until 199L).map(i => (i, i + 1)).toDF("ida", "idb")
+    val got = Dedup.connectedComponents(edges, "ida", "idb")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 200 && got.forall(_._2 == 0L))
+  }
+
   test("connected components: empty edge list yields empty result") {
     import spark.implicits._
     val edges = Seq.empty[(Long, Long)].toDF("ida", "idb")
