@@ -69,6 +69,29 @@ object Round3Queries {
           add_months(d, 3).as("am"))
     },
 
+    // Spark-compat batch 2 (reference spark/src/function/{url,string,math,
+    // bitwise}/): parse_url, find_in_set, overlay, luhn_check, bit_count,
+    // getbit — DuckDB has none of these, so the oracle rebuilds each from
+    // regexp/list/bit primitives.
+    "fn_compat2" -> { (s, dir) =>
+      val url = concat(lit("https://ex"), col("o_orderkey") % 5,
+        lit(".com:8080/p/"), col("o_orderkey"), lit("?q="), col("o_custkey"),
+        lit("&r=2#frag"))
+      t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"),
+          parse_url(url, lit("PROTOCOL")).as("proto"),
+          parse_url(url, lit("HOST")).as("host"),
+          parse_url(url, lit("PATH")).as("path"),
+          parse_url(url, lit("QUERY")).as("query"),
+          parse_url(url, lit("REF")).as("ref"),
+          find_in_set((col("o_orderkey") % 7).cast("string"),
+            lit("0,1,2,3")).cast("long").as("fis"),
+          overlay(col("o_orderpriority"), lit("XX"), lit(2)).as("ovl"),
+          call_function("luhn_check", col("o_orderkey").cast("string")).as("luhn"),
+          bit_count(col("o_orderkey")).cast("long").as("bc"),
+          getbit(col("o_orderkey"), lit(3)).cast("long").as("gb"))
+    },
+
     // As-of join: each purchase picks up the most recent prior-or-equal view
     // of the same user — one shuffle + window carry-forward, no join
     // explosion (operators/AsOfJoin.scala). The right side is pre-aggregated
@@ -162,6 +185,29 @@ object Round3Queries {
         |FROM g
         |WHERE value_cents * 10000 > (SELECT sum(value_cents) FROM g)
         |ORDER BY value_cents DESC, ps_partkey""".stripMargin,
+
+    "fn_compat2" ->
+      """WITH u AS (SELECT o_orderkey, o_custkey, o_orderpriority,
+        |  'https://ex' || (o_orderkey % 5) || '.com:8080/p/' || o_orderkey
+        |    || '?q=' || o_custkey || '&r=2#frag' AS url
+        | FROM orders WHERE o_orderkey <= 2000)
+        |SELECT o_orderkey,
+        |  regexp_extract(url, '^(https?)://', 1) AS proto,
+        |  regexp_extract(url, '^https?://([^/:?#]+)', 1) AS host,
+        |  regexp_extract(url, '^https?://[^/?#]*(/[^?#]*)', 1) AS path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS query,
+        |  regexp_extract(url, '#(.*)$', 1) AS ref,
+        |  CAST(coalesce(list_position(string_split('0,1,2,3', ','),
+        |    CAST(o_orderkey % 7 AS VARCHAR)), 0) AS BIGINT) AS fis,
+        |  substr(o_orderpriority, 1, 1) || 'XX' || substr(o_orderpriority, 4) AS ovl,
+        |  (list_sum(list_transform(range(0, len(d)),
+        |     i -> CASE WHEN i % 2 = 0 THEN CAST(d[len(d)-i] AS INT)
+        |          ELSE CASE WHEN CAST(d[len(d)-i] AS INT) * 2 > 9
+        |               THEN CAST(d[len(d)-i] AS INT) * 2 - 9
+        |               ELSE CAST(d[len(d)-i] AS INT) * 2 END END)) % 10 = 0) AS luhn,
+        |  CAST(bit_count(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS bc,
+        |  CAST((o_orderkey >> 3) & 1 AS BIGINT) AS gb
+        |FROM (SELECT *, string_split(CAST(o_orderkey AS VARCHAR), '') AS d FROM u)""".stripMargin,
 
     "fn_compat" ->
       """SELECT o_orderkey,
