@@ -92,6 +92,23 @@ object Round3Queries {
           getbit(col("o_orderkey"), lit(3)).cast("long").as("gb"))
     },
 
+    // String/bitwise long-tail batch 3 (reference functions/src/string/,
+    // unicode/, spark-compat bitwise): elt, octet_length, initcap,
+    // shiftleft/shiftright, unhex (via hex roundtrip). DuckDB rebuilds:
+    // list_extract, encode-BLOB length, word-split recapitalization, << >>.
+    "fn_string3" -> { (s, dir) =>
+      val c = t(s, dir, "customer").filter(col("c_custkey") <= 500)
+      c.select(col("c_custkey"),
+        elt((col("c_custkey") % 3 + 1).cast("int"), lit("aa"), lit("bb"),
+          col("c_mktsegment")).as("eltv"),
+        octet_length(col("c_name")).cast("long").as("ol"),
+        initcap(concat(lower(col("c_mktsegment")), lit(" "),
+          lower(col("c_name")))).as("ic"),
+        shiftleft(col("c_custkey"), 3).cast("long").as("shl"),
+        shiftright(col("c_custkey"), 2).cast("long").as("shr"),
+        hex(unhex(upper(substring(md5(col("c_name")), 1, 8)))).as("uh"))
+    },
+
     // As-of join: each purchase picks up the most recent prior-or-equal view
     // of the same user — one shuffle + window carry-forward, no join
     // explosion (operators/AsOfJoin.scala). The right side is pre-aggregated
@@ -185,6 +202,19 @@ object Round3Queries {
         |FROM g
         |WHERE value_cents * 10000 > (SELECT sum(value_cents) FROM g)
         |ORDER BY value_cents DESC, ps_partkey""".stripMargin,
+
+    "fn_string3" ->
+      """SELECT c_custkey,
+        |  list_extract(['aa', 'bb', c_mktsegment],
+        |    CAST(c_custkey % 3 + 1 AS INT)) AS eltv,
+        |  octet_length(encode(c_name)) AS ol,
+        |  list_aggregate(list_transform(
+        |    string_split(lower(c_mktsegment) || ' ' || lower(c_name), ' '),
+        |    w -> upper(w[1]) || w[2:]), 'string_agg', ' ') AS ic,
+        |  (CAST(c_custkey AS BIGINT) << 3) AS shl,
+        |  (CAST(c_custkey AS BIGINT) >> 2) AS shr,
+        |  hex(unhex(upper(substr(md5(c_name), 1, 8)))) AS uh
+        |FROM customer WHERE c_custkey <= 500""".stripMargin,
 
     "fn_compat2" ->
       """WITH u AS (SELECT o_orderkey, o_custkey, o_orderpriority,
