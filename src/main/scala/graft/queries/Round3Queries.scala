@@ -109,6 +109,30 @@ object Round3Queries {
         hex(unhex(upper(substring(md5(col("c_name")), 1, 8)))).as("uh"))
     },
 
+    // Datetime long-tail batch 2 (reference functions/src/datetime/):
+    // weekofyear, dayofyear, dayname/monthname, trunc-to-month,
+    // months_between (Spark's 31-day fraction + same-day integer rule,
+    // rebuilt literally in the oracle), make_timestamp, timestampadd,
+    // to_unix_timestamp, last_day.
+    "fn_datetime2" -> { (s, dir) =>
+      val d = to_date(col("o_orderdate"))
+      t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"),
+          weekofyear(d).cast("long").as("woy"),
+          dayofyear(d).cast("long").as("doy"),
+          call_function("dayname", d).as("dn"),
+          call_function("monthname", d).as("mn"),
+          trunc(d, "MM").as("tr"),
+          r6(months_between(lit("1997-06-15").cast("date"), d)).as("mb"),
+          date_format(make_timestamp(year(d), month(d), dayofmonth(d),
+            lit(13), lit(45), lit(30)), "yyyy-MM-dd HH:mm:ss").as("mts"),
+          date_format(d.cast("timestamp") +
+            make_dt_interval(lit(0), (col("o_orderkey") % 24).cast("int")),
+            "yyyy-MM-dd HH:mm:ss").as("tsadd"),
+          to_unix_timestamp(d).cast("long").as("ep"),
+          last_day(d).as("ld"))
+    },
+
     // As-of join: each purchase picks up the most recent prior-or-equal view
     // of the same user — one shuffle + window carry-forward, no join
     // explosion (operators/AsOfJoin.scala). The right side is pre-aggregated
@@ -202,6 +226,27 @@ object Round3Queries {
         |FROM g
         |WHERE value_cents * 10000 > (SELECT sum(value_cents) FROM g)
         |ORDER BY value_cents DESC, ps_partkey""".stripMargin,
+
+    "fn_datetime2" ->
+      """WITH b AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+        | FROM orders WHERE o_orderkey <= 2000),
+        |m AS (SELECT *, (1997 - year(d))*12 + (6 - month(d)) AS mons FROM b)
+        |SELECT o_orderkey,
+        |  weekofyear(d) AS woy,
+        |  dayofyear(d) AS doy,
+        |  strftime(d, '%a') AS dn,
+        |  strftime(d, '%b') AS mn,
+        |  date_trunc('month', d) AS tr,
+        |  CASE WHEN day(d) = 15 THEN CAST(mons AS DOUBLE)
+        |       ELSE floor((mons + (15 - day(d))/31.0 + 1.37e-8) * 1000000 + 0.5) / 1000000
+        |  END AS mb,
+        |  strftime(make_timestamp(year(d), month(d), day(d), 13, 45, 30),
+        |    '%Y-%m-%d %H:%M:%S') AS mts,
+        |  strftime(CAST(d AS TIMESTAMP) + (o_orderkey % 24) * INTERVAL 1 HOUR,
+        |    '%Y-%m-%d %H:%M:%S') AS tsadd,
+        |  CAST(epoch(CAST(d AS TIMESTAMP)) AS BIGINT) AS ep,
+        |  last_day(d) AS ld
+        |FROM m""".stripMargin,
 
     "fn_string3" ->
       """SELECT c_custkey,
