@@ -41,6 +41,15 @@ object StreamQueries {
       Streaming.runStreamStreamJoin(s, dir, "graft_stream_join")
         .groupBy(col("v_user").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"), r2(sum(col("p_value"))).as("purchase_value"))
+    },
+
+    // Stream-static enrichment: unbounded events broadcast-joined per
+    // micro-batch to the bounded customer dim (no state store), must equal
+    // the batch join over the same bounded input.
+    "stream_static_join" -> { (s, dir) =>
+      Streaming.runStreamStaticJoin(s, dir, "graft_stream_static")
+        .select(col("c_mktsegment"), col("event_type"), col("n"),
+          r2(col("val_sum")).as("val_sum"))
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -67,6 +76,12 @@ object StreamQueries {
         |  count(*) AS n_events,
         |  floor((sum(value) + 1.37e-4) * 100 + 0.5) / 100 AS val_sum
         |FROM g GROUP BY user_id""".stripMargin,
+
+    "stream_static_join" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+        | floor((sum(value) + 1.37e-4) * 100 + 0.5) / 100 AS val_sum
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type""".stripMargin,
 
     "stream_join_counts" ->
       """WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS v_ts FROM events

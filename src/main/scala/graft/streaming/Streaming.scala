@@ -55,6 +55,28 @@ object Streaming {
     spark.table(queryName)
   }
 
+  /** Stream-static enrichment join: the unbounded event stream joined to a
+    * bounded dimension table (customer) — the standard "enrich events
+    * against a slowly-changing dim" pipeline stage. The static side is
+    * planned per micro-batch as an ordinary broadcast-able batch relation;
+    * no state store is involved (unlike stream-stream joins), so at scale
+    * this costs exactly one broadcast per micro-batch. */
+  def runStreamStaticJoin(spark: SparkSession, dir: String,
+                          queryName: String): DataFrame = {
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = eventsStream(spark, dir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("val_sum"))
+    spark.streams.active.filter(_.name == queryName).foreach(_.stop())
+    val q = joined.writeStream.outputMode("complete")
+      .format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Arbitrary stateful processing with flatMapGroupsWithState — the custom
     * per-key state surface (Spark's answer to hand-rolled streaming
     * operators): count events and accumulate value per user, emitting one
