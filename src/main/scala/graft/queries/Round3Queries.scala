@@ -133,6 +133,36 @@ object Round3Queries {
           last_day(d).as("ld"))
     },
 
+    // Map lambda family (reference functions-nested map*.rs + lambda):
+    // map_filter, transform_keys/values, map_concat, map_from_entries,
+    // arrays_overlap, array_insert. Map columns hash-compare unordered, so
+    // every map output is serialized to a sorted "k=v" entry string on both
+    // sides. Values are exact longs (floor(x*100+0.5)) — no double
+    // formatting drift.
+    "fn_map2" -> { (s, dir) =>
+      import org.apache.spark.sql.Column
+      val cents = (c: Column) => floor(c * 100 + lit(0.5)).cast("long")
+      val m = map(lit("qty"), col("l_quantity").cast("long"),
+        lit("disc"), cents(col("l_discount")),
+        lit("tax"), cents(col("l_tax")))
+      def ser(mc: Column) = array_join(array_sort(transform(map_entries(mc),
+        e => concat(e.getField("key"), lit("="),
+          e.getField("value").cast("string")))), ",")
+      t(s, dir, "lineitem").filter(col("l_orderkey") <= 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          ser(map_filter(m, (_, v) => v >= 5)).as("mfilter"),
+          ser(transform_values(m, (_, v) => v * 2)).as("mvals"),
+          ser(transform_keys(m, (k, _) => upper(k))).as("mkeys"),
+          ser(map_concat(m, map(lit("extra"), lit(7L)))).as("mcat"),
+          ser(map_from_entries(array(
+            struct(lit("a").as("k"), col("l_quantity").cast("long").as("v")),
+            struct(lit("b").as("k"), col("l_linenumber").cast("long").as("v"))))).as("mfe"),
+          arrays_overlap(array(col("l_quantity").cast("long"), lit(999L)),
+            array(lit(1L), lit(2L), lit(3L))).as("ovl"),
+          array_join(array_insert(array(lit(10L), lit(20L), lit(30L)), lit(2),
+            col("l_linenumber").cast("long")).cast("array<string>"), ",").as("ins"))
+    },
+
     // As-of join: each purchase picks up the most recent prior-or-equal view
     // of the same user — one shuffle + window carry-forward, no join
     // explosion (operators/AsOfJoin.scala). The right side is pre-aggregated
@@ -226,6 +256,36 @@ object Round3Queries {
         |FROM g
         |WHERE value_cents * 10000 > (SELECT sum(value_cents) FROM g)
         |ORDER BY value_cents DESC, ps_partkey""".stripMargin,
+
+    "fn_map2" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |  MAP {'qty': CAST(l_quantity AS BIGINT),
+        |       'disc': CAST(floor(l_discount*100 + 0.5) AS BIGINT),
+        |       'tax': CAST(floor(l_tax*100 + 0.5) AS BIGINT)} AS m
+        | FROM lineitem WHERE l_orderkey <= 300)
+        |SELECT l_orderkey, l_linenumber,
+        |  coalesce(list_aggregate(list_sort(list_transform(
+        |    list_filter(map_entries(m), e -> e.value >= 5),
+        |    e -> e.key || '=' || e.value)), 'string_agg', ','), '') AS mfilter,
+        |  list_aggregate(list_sort(list_transform(map_entries(m),
+        |    e -> e.key || '=' || (e.value * 2))), 'string_agg', ',') AS mvals,
+        |  list_aggregate(list_sort(list_transform(map_entries(m),
+        |    e -> upper(e.key) || '=' || e.value)), 'string_agg', ',') AS mkeys,
+        |  list_aggregate(list_sort(list_transform(
+        |    map_entries(map_concat(m, MAP {'extra': CAST(7 AS BIGINT)})),
+        |    e -> e.key || '=' || e.value)), 'string_agg', ',') AS mcat,
+        |  list_aggregate(list_sort(list_transform(map_entries(map_from_entries(
+        |    [{'k': 'a', 'v': CAST(l_quantity AS BIGINT)},
+        |     {'k': 'b', 'v': CAST(l_linenumber AS BIGINT)}])),
+        |    e -> e.key || '=' || e.value)), 'string_agg', ',') AS mfe,
+        |  len(list_intersect([CAST(l_quantity AS BIGINT), 999],
+        |    [CAST(1 AS BIGINT), 2, 3])) > 0 AS ovl,
+        |  list_aggregate(list_transform(
+        |    ([CAST(10 AS BIGINT), 20, 30])[1:1]
+        |      || [CAST(l_linenumber AS BIGINT)]
+        |      || ([CAST(10 AS BIGINT), 20, 30])[2:],
+        |    x -> CAST(x AS VARCHAR)), 'string_agg', ',') AS ins
+        |FROM b""".stripMargin,
 
     "fn_datetime2" ->
       """WITH b AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
