@@ -29,4 +29,12 @@ object GraftFunctions {
     val x = unix_micros(ts)
     timestamp_micros(x - pmod(x - o, lit(strideMicros)))
   }
+
+  /** `array_resize(arr, n, fill)` — truncate to n, or pad with `fill` up to n
+    * (reference: datafusion/functions-nested/src/resize.rs; DuckDB
+    * list_resize). No Spark builtin; composed from slice/concat/repeat so it
+    * stays codegen'd. */
+  def arrayResize(arr: Column, n: Int, fill: Column): Column =
+    when(size(arr) >= n, slice(arr, 1, n))
+      .otherwise(concat(arr, array_repeat(fill, lit(n) - size(arr))))
 }

@@ -66,6 +66,22 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(normWords(text)))).cast("binary"))
 
+  /** PII patterns for corpus scrubbing. Written to the common subset of
+    * Java regex and RE2 (no lookaround, no backrefs) so the DuckDB oracle
+    * runs the identical pattern. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,6}"
+
+  /** Redact emails, IPv4 addresses and phone numbers. Order matters: emails
+    * first (an address can embed digit runs), then IPs (dotted digits would
+    * otherwise half-match the phone rule), then phones. */
+  def scrubPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Re, "<IP>")
+    regexp_replace(noIp, PhoneRe, "<PHONE>")
+  }
+
   /** 3-word shingles; whole text when shorter than the shingle width. */
   def shingles3(text: Column): Column = {
     val ws = words(text)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftSqlBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Vector math over `array<float>` embedding columns as native Catalyst
   * expressions with whole-stage codegen — the Spark-first replacement for the
@@ -25,6 +25,28 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+
+  /** Element width of one side: float embeddings and double centroids both
+    * appear in practice (k-means emits rounded double arrays). Reads widen
+    * to double either way, so mixed float/double pairs are fine. */
+  private def isDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case ArrayType(FloatType, _)  => false
+    case other => throw new IllegalArgumentException(
+      s"vector function over ${other.catalogString}; need array<float> or array<double>")
+  }
+
+  /** Generated-Java read of element i as double. */
+  protected final def getLeft(arr: String, i: String): String =
+    if (isDouble(left)) s"$arr.getDouble($i)" else s"(double) $arr.getFloat($i)"
+  protected final def getRight(arr: String, i: String): String =
+    if (isDouble(right)) s"$arr.getDouble($i)" else s"(double) $arr.getFloat($i)"
+
+  /** Interpreted read of element i as double. */
+  protected final def readLeft(a: ArrayData, i: Int): Double =
+    if (isDouble(left)) a.getDouble(i) else a.getFloat(i).toDouble
+  protected final def readRight(b: ArrayData, i: Int): Double =
+    if (isDouble(right)) b.getDouble(i) else b.getFloat(i).toDouble
 
   /** Java source computing `double result` from float arrays a, b of len n.
     * Every local it declares must come from `fresh` — two vector expressions
@@ -61,7 +83,7 @@ case class InnerProduct(left: Expression, right: Expression) extends VectorBinar
     s"""
        |double $acc = 0.0;
        |for (int $i = 0; $i < $n; $i++) {
-       |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+       |  $acc += ${getLeft(a, i)} * ${getRight(b, i)};
        |}
        |$result = $acc;
      """.stripMargin
@@ -71,7 +93,7 @@ case class InnerProduct(left: Expression, right: Expression) extends VectorBinar
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    while (i < n) { acc += readLeft(a, i) * readRight(b, i); i += 1 }
     acc
   }
 
@@ -90,8 +112,8 @@ case class CosineDistance(left: Expression, right: Expression) extends VectorBin
     s"""
        |double $dot = 0.0, $na = 0.0, $nb = 0.0;
        |for (int $i = 0; $i < $n; $i++) {
-       |  double $x = (double) $a.getFloat($i);
-       |  double $y = (double) $b.getFloat($i);
+       |  double $x = ${getLeft(a, i)};
+       |  double $y = ${getRight(b, i)};
        |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
        |}
        |$result = 1.0 - $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
@@ -103,7 +125,7 @@ case class CosineDistance(left: Expression, right: Expression) extends VectorBin
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      val x = readLeft(a, i); val y = readRight(b, i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -125,7 +147,7 @@ case class L2Distance(left: Expression, right: Expression) extends VectorBinaryE
     s"""
        |double $acc = 0.0;
        |for (int $i = 0; $i < $n; $i++) {
-       |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+       |  double $d = ${getLeft(a, i)} - ${getRight(b, i)};
        |  $acc += $d * $d;
        |}
        |$result = java.lang.Math.sqrt($acc);
@@ -137,7 +159,7 @@ case class L2Distance(left: Expression, right: Expression) extends VectorBinaryE
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      val d = readLeft(a, i) - readRight(b, i)
       acc += d * d; i += 1
     }
     math.sqrt(acc)

@@ -91,9 +91,15 @@ object Similarity {
     * probed buckets. Fully deterministic, so the DuckDB oracle reproduces
     * it end-to-end. */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCentroids: Int, nProbe: Int): DataFrame = {
-    val cents = corpus.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      nCentroids: Int, nProbe: Int): DataFrame =
+    ivfKnnWith(corpus, queries, k, nProbe,
+      corpus.filter(col("vec_id") < nCentroids)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+
+  /** IVF search against an externally supplied centroid table
+    * (cid, cemb: array<float|double>) — e.g. from [[kmeansCentroids]]. */
+  def ivfKnnWith(corpus: DataFrame, queries: DataFrame, k: Int,
+      nProbe: Int, cents: DataFrame): DataFrame = {
     // The broadcast join expands each (unique-id) row against all centroids
     // IN PLACE, so every id's candidate rows live in one partition and the
     // per-partition top-k is already exact — no shuffle, where a window
@@ -117,6 +123,41 @@ object Similarity {
       .dropDuplicates("qid", "nid")
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
+  }
+
+  /** Distributed Lloyd k-means for IVF coarse centroids, cosine-assigned
+    * ("spherical": cosine is scale-invariant, so the unnormalized cluster
+    * mean serves as the direction estimate).
+    *
+    * Each round is two bounded shuffles: (1) assignment — centroids broadcast
+    * against the corpus, nearest-by-cosine picked per-partition with no
+    * shuffle of the corpus; (2) update — posexplode to (cluster, dim) cells
+    * and a map-side-combined avg, so the shuffle carries ≤ k×dim×partitions
+    * rows regardless of corpus size. At 100 TB this is the canonical
+    * broadcast-model/aggregate-update iteration loop.
+    *
+    * Every updated component is rounded with the ε-shifted r6 (Q.rnd), which
+    * makes the whole refinement reproducible bit-for-bit in the DuckDB
+    * oracle: rounding absorbs the engines' summation-order drift, and all
+    * downstream distances are pure IEEE arithmetic on equal inputs.
+    * Deterministic seeding: the first k corpus vectors (a k-means++ sweep is
+    * a sampling detail, not a structural one). Empty clusters drop out, same
+    * on both engines. */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val e = corpus.select(col("vec_id").as("nid"),
+      col("embedding").cast("array<double>").as("nemb"))
+    var cents = e.filter(col("nid") < k).select(col("nid").as("cid"), col("nemb").as("cemb"))
+    for (_ <- 0 until iters) {
+      val ord = Seq(r6(lit(1.0) - cosine_distance(col("nemb"), col("cemb"))).desc, col("cid").asc)
+      val assigned = localTopKPerKey(e.join(broadcast(cents), col("nid").isNotNull), "nid", ord, 1)
+      cents = assigned
+        .select(col("cid"), posexplode(col("nemb")).as(Seq("i", "v")))
+        .groupBy("cid", "i").agg(r6(avg(col("v"))).as("m"))
+        .groupBy("cid")
+        .agg(sort_array(collect_list(struct(col("i"), col("m")))).as("pairs"))
+        .select(col("cid"), expr("transform(pairs, p -> p.m)").as("cemb"))
+    }
+    cents
   }
 
   /** Approximate top-k with OR-amplification: `nTables` independent
