@@ -33,7 +33,7 @@ object Bench {
       .getOrElse(headline)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = GraftSession.builder(cpus.toInt).getOrCreate()
+    val spark = GraftSession.local(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     // experiment knob: SPARK_GRAFT_AQE=false to measure AQE's latency tax
     sys.env.get("SPARK_GRAFT_AQE").foreach(v =>
