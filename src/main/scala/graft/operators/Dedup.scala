@@ -34,6 +34,32 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical"), count(lit(1)).as("group_size"))
   }
 
+  /** Benchmark decontamination: for each training doc, the fraction of its
+    * DISTINCT 3-word shingles that appear anywhere in the eval/benchmark
+    * set — the standard test-set-leakage check run before LLM training
+    * (e.g. GPT-3 appendix C / PaLM-style n-gram overlap).
+    *
+    * Scale shape: shingles are exploded and deduped per doc (one map-side-
+    * combined aggregation); the eval side collapses to a DISTINCT shingle
+    * set, which is small by construction (benchmarks are MBs, corpora are
+    * TBs) and therefore broadcast — the corpus is never shuffled by the
+    * probe, and nothing is ever all-pairs. */
+  def contaminationScores(train: DataFrame, evalSet: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def sh(df: DataFrame) = df
+      .select(col(idCol), explode(TextFunctions.shingles3(col(textCol))).as("sh"))
+      .distinct()
+    val trainSh = sh(train)
+    val evalSh = sh(evalSet).select(col("sh")).distinct()
+    val tot = trainSh.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
+    val hits = trainSh.join(broadcast(evalSh), "sh")
+      .groupBy(idCol).agg(count(lit(1)).as("n_hit"))
+    tot.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) / col("n_shingles")).as("score"))
+  }
+
   /** Per-doc canonical mapping: every doc joined back to its group's
     * canonical id, with `is_dup` marking non-canonical members — the form a
     * dedup pipeline consumes (keep `!is_dup`, or rewrite references to the

@@ -55,6 +55,24 @@ object Streaming {
     spark.table(queryName)
   }
 
+  /** Sliding (overlapping) windows: 1-hour windows every 30 minutes — each
+    * event contributes to exactly window/slide = 2 buckets. Spark expands
+    * the assignment at the source (no self-join); state per key is bounded
+    * by (#open windows × groups). */
+  def runSlidingAgg(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("val_sum"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"), col("val_sum"))
+    spark.streams.active.filter(_.name == queryName).foreach(_.stop())
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Stream-static enrichment join: the unbounded event stream joined to a
     * bounded dimension table (customer) — the standard "enrich events
     * against a slowly-changing dim" pipeline stage. The static side is
