@@ -48,12 +48,22 @@ class DFContext(val spark: SparkSession) {
     spark.sql(DFContext.rewrite(query), params.view.mapValues(lit).toMap)
 
   /** information_schema.tables equivalent
-    * (reference: catalog/src/information_schema.rs:77). */
-  def informationSchemaTables(): DataFrame = {
+    * (reference: catalog/src/information_schema.rs:77). Pass a database
+    * name to list that schema's persistent tables/views. */
+  def informationSchemaTables(db: String = null): DataFrame = {
     import spark.implicits._
-    spark.catalog.listTables()
-      .select($"name".as("table_name"), $"tableType".as("table_type"),
-        $"isTemporary".as("is_temporary"))
+    val listed = if (db == null) spark.catalog.listTables()
+    else spark.catalog.listTables(db)
+    listed.select($"name".as("table_name"), $"tableType".as("table_type"),
+      $"isTemporary".as("is_temporary"))
+  }
+
+  /** information_schema.schemata equivalent — the catalog→schema level of
+    * the reference's catalog hierarchy (catalog/src/catalog.rs,
+    * catalog/src/memory/). */
+  def informationSchemaSchemata(): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listDatabases().select($"name".as("schema_name"))
   }
 
   /** information_schema.columns for one table. */
@@ -173,6 +183,128 @@ object DFContext {
       else Some((q.substring(m.end, i - 1).trim, q.substring(i)))
     }
 
+  /** Split `s` on every top-level occurrence of the token `sep` (outside
+    * parens and single-quoted literals). */
+  private def splitTopLevel(s: String, sep: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0
+    var i = 0
+    var start = 0
+    while (i < s.length) {
+      s(i) match {
+        case '\'' =>
+          i += 1
+          while (i < s.length && !(s(i) == '\'' && (i + 1 >= s.length || s(i + 1) != '\''))) {
+            if (s(i) == '\'' && i + 1 < s.length && s(i + 1) == '\'') i += 1
+            i += 1
+          }
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 && s.startsWith(sep, i) =>
+          out += s.substring(start, i)
+          start = i + sep.length
+          i += sep.length - 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
+
+  /** Index of the first top-level `GROUP BY` in `s`, or -1. */
+  private def findTopLevelGroupBy(s: String): Int = {
+    val u = s.toUpperCase
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case '\'' =>
+          i += 1
+          while (i < s.length && !(s(i) == '\'' && (i + 1 >= s.length || s(i + 1) != '\''))) {
+            if (s(i) == '\'' && i + 1 < s.length && s(i + 1) == '\'') i += 1
+            i += 1
+          }
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 && wordAt(u, i, "GROUP") &&
+          u.drop(i + 5).dropWhile(_.isWhitespace).startsWith("BY") => return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Pipe-operator SQL (reference: sqllogictest/test_files/pipe_operator.slt,
+    * the ZetaSQL-style `|>` dialect DataFusion adopted). A pipeline
+    * `base |> op1 |> op2 …` is folded left into nested standard SQL:
+    *
+    *   - `WHERE p`            → `SELECT * FROM (cur) __p WHERE p`
+    *   - `ORDER BY o`         → `SELECT * FROM (cur) __p ORDER BY o`
+    *   - `LIMIT n` (after ORDER BY: appended so the sort survives)
+    *   - `SELECT list`        → `SELECT list FROM (cur) __p`
+    *   - `EXTEND e AS a`      → `SELECT *, e AS a FROM (cur) __p`
+    *   - `AS name`            → names the current relation for later ops
+    *   - `AGGREGATE aggs [GROUP BY keys]` → keyed/global aggregation
+    *   - `<kind> JOIN rel ON cond` → kept as a FROM fragment so the next
+    *     `SELECT` can still use both sides' qualifiers
+    *   - `UNION/INTERSECT/EXCEPT …` → `(cur) <setop> …`
+    */
+  private[graft] def rewritePipes(query: String): String = {
+    val parts = splitTopLevel(query, "|>")
+    if (parts.length < 2) return query
+    var cur = parts.head.trim
+    var alias: Option[String] = None
+    var pendingFrom: Option[String] = None
+    var lastWasOrder = false
+    for (seg0 <- parts.tail) {
+      val seg = seg0.trim
+      val u = seg.toUpperCase
+      // the current pipeline value as a FROM-able relation
+      val rel = pendingFrom.getOrElse(s"($cur) ${alias.getOrElse("__p")}")
+      def consume(): Unit = { pendingFrom = None; alias = None; lastWasOrder = false }
+      if (u.startsWith("WHERE")) {
+        cur = s"SELECT * FROM $rel WHERE ${seg.drop(5).trim}"; consume()
+      } else if (u.startsWith("ORDER")) {
+        val by = seg.drop(5).trim.drop(2).trim // past ORDER, past BY
+        cur = s"SELECT * FROM $rel ORDER BY $by"; consume(); lastWasOrder = true
+      } else if (u.startsWith("LIMIT") || u.startsWith("OFFSET")) {
+        if (lastWasOrder) { cur = s"$cur $seg"; lastWasOrder = true }
+        else { cur = s"SELECT * FROM $rel $seg"; consume() }
+        pendingFrom = None; alias = None
+      } else if (u.startsWith("SELECT")) {
+        cur = s"SELECT ${seg.drop(6).trim} FROM $rel"; consume()
+      } else if (u.startsWith("EXTEND")) {
+        cur = s"SELECT *, ${seg.drop(6).trim} FROM $rel"; consume()
+      } else if (u.startsWith("AS")) {
+        alias = Some(seg.drop(2).trim)
+      } else if (u.startsWith("AGGREGATE")) {
+        val body = seg.drop(9).trim
+        val g = findTopLevelGroupBy(body)
+        cur =
+          if (g < 0) s"SELECT $body FROM $rel"
+          else {
+            val aggs = body.substring(0, g).trim
+            val keys = body.substring(g).trim.drop(5).trim.drop(2).trim
+            s"SELECT $keys, $aggs FROM $rel GROUP BY $keys"
+          }
+        consume()
+      } else if (u.startsWith("UNION") || u.startsWith("INTERSECT") || u.startsWith("EXCEPT")) {
+        cur = s"($cur) $seg"; consume()
+      } else if (u.startsWith("JOIN") || u.startsWith("LEFT") || u.startsWith("RIGHT") ||
+        u.startsWith("FULL") || u.startsWith("INNER") || u.startsWith("CROSS")) {
+        pendingFrom = Some(s"$rel $seg")
+        cur = s"SELECT * FROM $rel $seg"
+        lastWasOrder = false
+      } else {
+        // unknown operator: pass through untouched and let the parser report
+        cur = s"$cur |> $seg"
+      }
+    }
+    cur
+  }
+
   /** Light SQL pre-rewrite for QUALIFY and DISTINCT ON.
     *
     * - `... QUALIFY <pred> [ORDER BY …] [LIMIT …]` → the predicate is
@@ -187,7 +319,9 @@ object DFContext {
     *   reference's first-row-per-key semantics (deterministic only with an
     *   ORDER BY, as in the reference); key expressions may contain parens.
     */
-  def rewrite(query: String): String = parseDistinctOn(query) match {
+  def rewrite(query: String): String = rewriteStd(rewritePipes(query))
+
+  private def rewriteStd(query: String): String = parseDistinctOn(query) match {
     case Some((keys, rest)) =>
       rest match {
         case FromSplitRe(selectList, relAndTail) =>

@@ -168,14 +168,28 @@ object AggQueries {
 
     // Approximate distinct (HLL) — engine-specific sketch, so no SQL oracle;
     // driver records a rows-only check. Reference: approx_distinct.rs (HLL).
+    // HLL sketch values are engine-specific, but the HLL++ error bound is
+    // not: default rsd 0.05 → |approx-exact|/exact ≤ 0.15 (3σ) always holds.
+    // Emitting the bound as a boolean makes the sketch hash-checkable
+    // against an oracle that asserts `true` (reference publishes the same
+    // bound: functions-aggregate/src/hyperloglog.rs).
     "agg_approx_distinct" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx"),
           countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("approx") - col("exact_orders")).cast("double") /
+            col("exact_orders") <= 0.15).as("err_ok"))
     })
 
   val oracleSql: Map[String, String] = Map(
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_orderkey) AS exact_orders,
+        | true AS err_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
     "agg_stats" ->
       """SELECT l_returnflag,
         | floor((stddev_samp(l_extendedprice) + 1.37e-4) * 100 + 0.5) / 100 AS sd_price,

@@ -174,12 +174,39 @@ object PipelineQueries {
         .orderBy("source", "bin")
     },
 
-    // SimHash near-dups — xxhash64-based sketch, engine-specific → rows-only.
+    // SimHash near-dups. The xxhash64-based signatures are engine-specific,
+    // so the pair list itself can't be oracle-replayed — but the sketch's
+    // CONTRACT can: (a) identical texts hash to identical signatures, so
+    // every exact-dup pair MUST surface (recall on the deterministic subset);
+    // (b) candidate pairs must be enriched in true near-dups vs random
+    // pairs (precision vs exact token Jaccard, computed exactly in-query).
+    // Emitting the contract as booleans makes the sketch hash-checkable
+    // against an oracle that asserts them.
     "dedup_simhash" -> { (s, dir) =>
-      val sims = Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
-      Dedup.simhashPairs(sims, 16)
-        .orderBy(col("hamming"), col("ida"), col("idb"))
-        .limit(50)
+      val docs = t(s, dir, "documents")
+      val sims = Dedup.simhash(docs, "doc_id", "text")
+      val pairs = Dedup.simhashPairs(sims, 16)
+      val toks = docs.select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("ws"))
+      val scored = pairs
+        .join(toks.select(col("doc_id").as("ida"), col("ws").as("wa")), "ida")
+        .join(toks.select(col("doc_id").as("idb"), col("ws").as("wb")), "idb")
+        .withColumn("jacc",
+          size(array_intersect(col("wa"), col("wb"))).cast("double") /
+            size(array_union(col("wa"), col("wb"))))
+      val exactPairs = docs.select(col("doc_id").as("ida"), col("text"))
+        .join(docs.select(col("doc_id").as("idb"), col("text")), "text")
+        .where(col("ida") < col("idb")).select("ida", "idb")
+      val missed = exactPairs
+        .join(pairs.select("ida", "idb"), Seq("ida", "idb"), "left_anti")
+        .agg(count(lit(1)).as("n_missed"))
+      val quality = scored.agg(
+        (count(lit(1)) > 0).as("found_pairs"),
+        (min(when(col("hamming") <= 4, col("jacc"))) >= 0.3).as("close_pairs_are_near_dups"),
+        (avg((col("jacc") >= 0.2).cast("double")) >= 0.5).as("precision_ok"))
+      quality.crossJoin(missed)
+        .select(col("found_pairs"), (col("n_missed") === 0).as("exact_recall_ok"),
+          col("close_pairs_are_near_dups"), col("precision_ok"))
     },
 
     // Vector math kernels (custom codegen expressions) on adjacent pairs.
@@ -213,16 +240,37 @@ object PipelineQueries {
           r4(col("sim")).as("sim"))
     },
 
-    // LSH-bucketed approximate KNN — hyperplane signatures are
-    // JVM-seeded → rows-only check; accuracy asserted in SimilaritySpec.
+    // LSH-bucketed approximate KNN. The hyperplane signatures are seeded
+    // JVM-side, so the neighbor list can't be oracle-replayed — but the
+    // approximation CONTRACT can: recall@5 against the exact brute-force
+    // companion (embed_knn) over the same 10 queries must clear the bound
+    // that the OR-amplification parameters (4 planes × 6 tables) guarantee
+    // on this corpus. Emitted as a boolean + the deterministic exact-pair
+    // count, both hash-checkable.
     "embed_ann_lsh" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      Similarity.lshKnn(e, e.filter(col("vec_id") < 10), 5, 4, 64, nTables = 6)
-        .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
-          r4(col("sim")).as("sim"))
+      val q = e.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceKnn(e, q, 5).select(col("qid"), col("nid"))
+      val approx = Similarity.lshKnn(e, q, 5, 4, 64, nTables = 6)
+        .select(col("qid").as("aqid"), col("nid").as("anid"))
+      val hits = exact.join(approx,
+        col("qid") === col("aqid") && col("nid") === col("anid"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      exact.agg(count(lit(1)).as("n_exact")).crossJoin(hits)
+        .select(col("n_exact"),
+          (col("n_hit").cast("double") / col("n_exact") >= 0.4).as("recall_ok"))
     })
 
   val oracleSql: Map[String, String] = Map(
+    // The sketch contract (see the query comment): the oracle asserts the
+    // recall/precision booleans the implementation must satisfy.
+    "dedup_simhash" ->
+      """SELECT true AS found_pairs, true AS exact_recall_ok,
+        | true AS close_pairs_are_near_dups, true AS precision_ok""".stripMargin,
+
+    "embed_ann_lsh" ->
+      """SELECT CAST(50 AS BIGINT) AS n_exact, true AS recall_ok""".stripMargin,
+
     "dedup_cluster" ->
       s"""WITH RECURSIVE words AS ($WordsCte),
          |sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]

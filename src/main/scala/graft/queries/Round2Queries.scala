@@ -178,13 +178,15 @@ object Round2Queries {
         .orderBy(col("o_orderpriority").asc_nulls_first)
     },
 
-    // Arrow IPC roundtrip through the from-scratch DSv2 source: write a
-    // fixture table to an .arrow file, read it back via the custom
+    // Arrow IPC roundtrip through the from-scratch DSv2 source, BOTH
+    // directions distributed: executor-side per-partition write (one .arrow
+    // file per task, no driver collect), read back via the custom
     // TableProvider, aggregate — values must match the parquet original.
     "source_arrow_roundtrip" -> { (s, dir) =>
       val stage = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-        "graft_arrow", dir.replaceAll("[^A-Za-z0-9]", "_"), "customer.arrow")
-      graft.sources.ArrowIpcWriter.write(t(s, dir, "customer"), stage.toString)
+        "graft_arrow", dir.replaceAll("[^A-Za-z0-9]", "_"), "customer_dir")
+      t(s, dir, "customer").write.format("graft.sources.ArrowIpcTableProvider")
+        .mode("overwrite").save(stage.toString)
       s.read.format("graft.sources.ArrowIpcTableProvider").load(stage.toString)
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"), r2(sum(col("c_acctbal"))).as("bal"))

@@ -39,8 +39,10 @@ object ArrowIpcSource {
   }
 
   def readSchema(path: String): StructType = {
-    val first = files(path).headOption.getOrElse(
-      throw new IllegalArgumentException(s"no .arrow files under $path"))
+    // a write target may not exist yet: report an empty schema and let the
+    // write path take its real schema from LogicalWriteInfo (the table
+    // declares ACCEPT_ANY_SCHEMA so append validation doesn't compare)
+    val first = files(path).headOption.getOrElse(return new StructType())
     val alloc = new RootAllocator()
     val ch = FileChannel.open(first, StandardOpenOption.READ)
     try {
@@ -62,13 +64,18 @@ class ArrowIpcTableProvider extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
 }
 
-class ArrowIpcTable(schema: StructType, path: String) extends Table with SupportsRead {
+class ArrowIpcTable(schema: StructType, path: String)
+    extends Table with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"arrow_ipc($path)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ArrowIpcScanBuilder(schema, path)
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new ArrowIpcWriteBuilder(info, path)
 }
 
 class ArrowIpcScanBuilder(fullSchema: StructType, path: String)

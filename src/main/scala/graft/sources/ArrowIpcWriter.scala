@@ -9,11 +9,11 @@ import org.apache.arrow.vector.ipc.ArrowFileWriter
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge, Row}
 import org.apache.spark.sql.types._
 
-/** Arrow IPC file writer for fixture/export use: collects the DataFrame to
-  * the driver (size-guarded) and writes one IPC file in record batches.
-  * The scale path would run this per partition from `foreachPartition`
-  * (one file per partition, same vector-filling code); the READ side
-  * (ArrowIpcSource) is the operator under test.
+/** Single-FILE Arrow IPC writer, TEST-FIXTURE-ONLY by contract: collects
+  * the DataFrame to the driver (size-guarded) so a spec can author one
+  * exact .arrow file. The production write path is the DSv2
+  * `SupportsWrite` in ArrowIpcWrite.scala (`df.write.format(...)
+  * .save(dir)`) — executor-side, one file per partition, no collect.
   */
 object ArrowIpcWriter {
 

@@ -35,6 +35,44 @@ class ArrowIpcSpec extends AnyFunSuite {
     assert(back.distinct().count() > 0)
   }
 
+  test("distributed DSv2 write: one file per partition, roundtrip, overwrite truncates") {
+    val src = Tables.load(spark, sfDir, "orders").repartition(3)
+    val d = dir.resolve("dsv2_write").toString
+    src.write.format("graft.sources.ArrowIpcTableProvider").mode("overwrite").save(d)
+    val files = graft.sources.ArrowIpcSource.files(d)
+    assert(files.size == 3, s"expected 3 part files, got $files")
+    assert(files.forall(_.getFileName.toString.endsWith(".arrow")))
+    val back = spark.read.format("graft.sources.ArrowIpcTableProvider").load(d)
+    assert(back.count() == src.count())
+    val (sa, sb) = (back.agg(sum("o_totalprice")).collect().head.getDouble(0),
+      src.agg(sum("o_totalprice")).collect().head.getDouble(0))
+    // FP sum order differs across partitionings; values must agree to 1e-12 rel
+    assert(math.abs(sa - sb) / math.abs(sb) < 1e-12, s"$sa vs $sb")
+    // overwrite with fewer partitions must truncate the old part files
+    src.limit(10).repartition(1).write
+      .format("graft.sources.ArrowIpcTableProvider").mode("overwrite").save(d)
+    assert(graft.sources.ArrowIpcSource.files(d).size == 1)
+    val back2 = spark.read.format("graft.sources.ArrowIpcTableProvider").load(d)
+    assert(back2.count() == 10)
+  }
+
+  test("distributed DSv2 write: append adds files, nulls and timestamps survive") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, Some("a"), Some(1.5)), (2L, None, None), (3L, Some("c"), Some(-2.0)))
+      .toDF("id", "name", "x")
+      .withColumn("ts", to_timestamp(lit("2024-03-01 12:00:00.000001")))
+      .withColumn("d", to_date(lit("2024-03-01")))
+      .repartition(1)
+    val d = dir.resolve("dsv2_append").toString
+    df.write.format("graft.sources.ArrowIpcTableProvider").mode("overwrite").save(d)
+    df.write.format("graft.sources.ArrowIpcTableProvider").mode("append").save(d)
+    val back = spark.read.format("graft.sources.ArrowIpcTableProvider").load(d)
+    assert(back.count() == 6)
+    assert(back.where(col("name").isNull).count() == 2)
+    assert(back.select("ts").distinct().collect().head.getTimestamp(0).getNanos == 1000)
+    assert(back.select("d").distinct().count() == 1)
+  }
+
   test("nulls and a directory of files") {
     val s = spark; import s.implicits._
     val df = Seq((1L, Some("a"), Some(1.5)), (2L, None, None), (3L, Some("c"), Some(-2.0)))

@@ -127,6 +127,73 @@ class DFContextSpec extends AnyFunSuite {
     assert(rowCounts.exists(_ > 0), s"all-zero metrics:\n$out")
   }
 
+  test("pipe operator: WHERE / ORDER BY / LIMIT / SELECT") {
+    // mirrors sqllogictest/test_files/pipe_operator.slt shapes
+    val rows = ctx.sql(
+      "SELECT n_nationkey, n_name FROM nation |> WHERE n_nationkey > 20 |> ORDER BY n_nationkey DESC |> LIMIT 2 |> SELECT n_nationkey")
+      .collect().map(_.getInt(0))
+    assert(rows.toSeq == Seq(24, 23))
+  }
+
+  test("pipe operator: EXTEND adds a computed column") {
+    val r = ctx.sql(
+      "SELECT n_nationkey FROM nation |> WHERE n_nationkey < 3 |> EXTEND n_nationkey * 10 AS k10 |> ORDER BY n_nationkey |> LIMIT 1")
+      .collect().head
+    assert(r.getInt(r.fieldIndex("k10")) == 0)
+  }
+
+  test("pipe operator: AGGREGATE with and without GROUP BY") {
+    val g = ctx.sql(
+      "SELECT n_regionkey, n_nationkey FROM nation |> AGGREGATE count(*) AS n GROUP BY n_regionkey |> ORDER BY n_regionkey")
+      .collect()
+    assert(g.length == 5 && g.forall(_.getLong(1) == 5L))
+    val tot = ctx.sql("SELECT n_nationkey FROM nation |> AGGREGATE count(*) AS n")
+      .collect().head.getLong(0)
+    assert(tot == 25L)
+  }
+
+  test("pipe operator: AS alias + JOIN keeps both sides' qualifiers") {
+    val rows = ctx.sql(
+      "SELECT n_nationkey, n_regionkey, n_name FROM nation " +
+        "|> AS n |> LEFT JOIN region AS r ON n.n_regionkey = r.r_regionkey " +
+        "|> SELECT n.n_name, r.r_name |> ORDER BY n_name |> LIMIT 3")
+      .collect()
+    assert(rows.length == 3 && rows.forall(r => !r.isNullAt(1)))
+  }
+
+  test("pipe operator: set operations") {
+    val u = ctx.sql(
+      "SELECT n_nationkey FROM nation |> WHERE n_nationkey < 2 |> UNION ALL (SELECT n_nationkey FROM nation WHERE n_nationkey < 2)")
+      .collect()
+    assert(u.length == 4)
+    val e = ctx.sql(
+      "SELECT n_nationkey FROM nation |> WHERE n_nationkey < 5 |> EXCEPT DISTINCT (SELECT n_nationkey FROM nation WHERE n_nationkey < 3)")
+      .collect().map(_.getInt(0)).sorted
+    assert(e.toSeq == Seq(3, 4))
+  }
+
+  test("pipe operator: post-aggregation WHERE filters on the aggregate") {
+    val rows = ctx.sql(
+      "SELECT n_regionkey FROM nation |> AGGREGATE count(*) AS n GROUP BY n_regionkey |> WHERE n > 4")
+      .collect()
+    assert(rows.length == 5) // every region has exactly 5 nations
+  }
+
+  test("persistent views in a named schema (CREATE DATABASE / CREATE VIEW)") {
+    ctx.sql("CREATE DATABASE IF NOT EXISTS ctxspec")
+    ctx.sql(s"CREATE OR REPLACE VIEW ctxspec.small_nation AS SELECT * FROM parquet.`$sfDir/nation.parquet` WHERE n_regionkey = 1")
+    ctx.sql("CREATE OR REPLACE VIEW ctxspec.small_count AS SELECT count(*) AS n FROM ctxspec.small_nation")
+    // query through the stacked views by qualified name
+    assert(ctx.sql("SELECT n FROM ctxspec.small_count").collect().head.getLong(0) == 5L)
+    // catalog surfaces list the schema and its views
+    val schemas = ctx.informationSchemaSchemata().collect().map(_.getString(0))
+    assert(schemas.contains("ctxspec"))
+    val views = ctx.informationSchemaTables("ctxspec").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(views.get("small_nation").contains("VIEW"))
+    assert(views.get("small_count").contains("VIEW"))
+  }
+
   test("explain returns a physical plan") {
     ctx.register("nation_explain", s"$sfDir/nation.parquet")
     val plan = ctx.explain("SELECT count(*) FROM nation_explain WHERE n_regionkey = 1")
