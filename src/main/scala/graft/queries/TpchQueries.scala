@@ -52,12 +52,15 @@ object TpchQueries {
     // customer joins no re-aggregation is needed above them.
     "q3_join_topk" -> { (s, dir) =>
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
       val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-03-15"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
       val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-03-15"))
-      val lagg = l.groupBy("l_orderkey")
+      val complex = c.join(o, col("c_custkey") === col("o_custkey"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      l.join(broadcast(complex), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
-      c.join(o, col("c_custkey") === col("o_custkey"))
-        .join(lagg, col("o_orderkey") === col("l_orderkey"))
         .select(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"),
           col("o_orderpriority"), r2(col("rev")).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -65,6 +68,16 @@ object TpchQueries {
     },
 
     // TPC-H Q5-style: 5-way join through region/nation dims + group agg.
+    // Shape: every side but lineitem is reduced to a slim broadcastable
+    // complex BEFORE touching the fact table, so lineitem streams through
+    // two broadcast hash joins straight into partial aggregation — the
+    // fact table is never exchanged (the pre-reshape plan shuffled 107 MB
+    // of lineitem at SF1 only for AQE to convert the join to broadcast
+    // after the write was already paid). The region→nation→customer→orders
+    // reduction chain is selective (ASIA ∧ 2-year window), so the broadcast
+    // side scales with the filtered order window, not |orders|; the same
+    // reduction is what a stats-aware CBO picks here (the reference's
+    // planner does the equivalent CollectLeft chain from its estimates).
     "q5_multijoin" -> { (s, dir) =>
       val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
       val n = t(s, dir, "nation")
@@ -72,12 +85,15 @@ object TpchQueries {
       val o = t(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
       val l = t(s, dir, "lineitem")
-      val sup = t(s, dir, "supplier")
-      r.join(n, col("r_regionkey") === col("n_regionkey"))
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val asiaCust = r.join(n, col("r_regionkey") === col("n_regionkey"))
         .join(c, col("c_nationkey") === col("n_nationkey"))
-        .join(o, col("o_custkey") === col("c_custkey"))
-        .join(l, col("l_orderkey") === col("o_orderkey"))
-        .join(sup, col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+      val asiaOrders = o.join(asiaCust, col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_nationkey", "n_name")
+      l.join(broadcast(asiaOrders), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
         .groupBy("n_name")
         .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
@@ -93,13 +109,18 @@ object TpchQueries {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1996-10-01") && col("o_orderdate") < lit("1997-01-01"))
+        .select("o_orderkey", "o_custkey")
       val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
       val n = t(s, dir, "nation")
-      val lagg = l.groupBy("l_orderkey")
-        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
-      val perCust = o.join(lagg, col("o_orderkey") === col("l_orderkey"))
-        .groupBy("o_custkey").agg(sum(col("rev")).as("rev_c"))
-      c.join(perCust, col("c_custkey") === col("o_custkey"))
+      // The 3-month order window is the selective side: broadcast it into
+      // the lineitem scan so returned lines reduce to per-customer revenue
+      // in one streamed pass (no fact shuffle), then broadcast the small
+      // per-customer totals back over the customer/nation dims — the wide
+      // c_name/c_acctbal rows never shuffle either.
+      val perCust = l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_c"))
+      c.join(broadcast(perCust), col("c_custkey") === col("o_custkey"))
         .join(n, col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"),
           r2(col("rev_c")).as("revenue"))
