@@ -56,16 +56,24 @@ object Similarity {
   }
 
   /** Exact top-k cosine neighbors for each query row.
-    * Ties are broken deterministically on (rounded sim desc, neighbor id). */
+    * Ties are broken deterministically on (rounded sim desc, neighbor id).
+    *
+    * The rank-filter form is written so Spark's own WindowGroupLimit
+    * pushdown plans it: a PARTIAL WindowGroupLimit(k) runs on each scan
+    * partition BEFORE the exchange, so the shuffle carries at most
+    * k×partitions rows per query — the same pre-reduction the custom
+    * `localTopKPerKey` does, but as a native physical operator in the
+    * codegen pipeline. `localTopKPerKey` remains for the multi-probe
+    * callers that additionally need consecutive-duplicate suppression
+    * (IVF/LSH), which WindowGroupLimit has no hook for. */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("nemb"))
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qemb"))
     val sim = (lit(1.0) - cosine_distance(col("qemb"), col("nemb"))).as("sim")
     val ord = Seq(r6(col("sim")).desc, col("nid").asc)
     val w = Window.partitionBy(col("qid")).orderBy(ord: _*)
-    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
+    c.join(broadcast(q), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), sim)
-    localTopKPerKey(scored, "qid", ord, k)
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
