@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// forward stdin to forked runMain processes (graft.tools.Repl reads SQL
+// from stdin, interactive or piped)
+run / connectInput := true
