@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, Md5, Sha1, Sha2}
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `digest(expr, 'algorithm')` — the reference's algorithm-dispatch crypto
+  * entry point (functions/src/crypto/digest.rs), registered as a SQL
+  * function that resolves at plan time to the corresponding native
+  * (codegen'd) Spark expression: md5 / sha1 / sha2(bits). The algorithm
+  * must be a string literal, exactly as in the reference (its DigestFunc
+  * errors on non-literal algorithms too). */
+object CryptoFunctions {
+
+  private def build(es: Seq[Expression]): Expression = {
+    require(es.length == 2, "digest(expr, 'algorithm') takes two arguments")
+    val algo = es(1) match {
+      case Literal(s: UTF8String, StringType) => s.toString.toLowerCase
+      case _ => throw new IllegalArgumentException(
+        "digest: algorithm must be a string literal (md5|sha1|sha224|sha256|sha384|sha512)")
+    }
+    algo match {
+      case "md5"            => Md5(es.head)
+      case "sha1" | "sha"   => Sha1(es.head)
+      case "sha224"         => Sha2(es.head, Literal(224))
+      case "sha256"         => Sha2(es.head, Literal(256))
+      case "sha384"         => Sha2(es.head, Literal(384))
+      case "sha512"         => Sha2(es.head, Literal(512))
+      case other => throw new IllegalArgumentException(s"digest: unknown algorithm '$other'")
+    }
+  }
+
+  /** Register on a session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("digest", build, "built-in")
+}

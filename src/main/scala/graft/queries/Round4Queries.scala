@@ -36,12 +36,15 @@ object Round4Queries {
     // literals (DuckDB has no sha224/384/512 to compute them with).
     "fn_crypto2" -> { (s, _) =>
       import s.implicits._
+      graft.functions.CryptoFunctions.register(s)
       Seq("abc", "", "The quick brown fox jumps over the lazy dog").toDF("s")
         .select(col("s"),
           sha2(col("s").cast("binary"), 224).as("sha224_hex"),
           sha2(col("s").cast("binary"), 384).as("sha384_hex"),
           sha2(col("s").cast("binary"), 512).as("sha512_hex"),
-          sha1(col("s").cast("binary")).as("sha1_hex"))
+          sha1(col("s").cast("binary")).as("sha1_hex"),
+          expr("digest(cast(s AS binary), 'md5')").as("digest_md5"),
+          expr("digest(cast(s AS binary), 'sha384')").as("digest_sha384"))
     },
 
     // Unsigned-int parquet widening convention (SURVEY §1.2): UINT8→smallint,
@@ -83,6 +86,28 @@ object Round4Queries {
         .select(col("o_orderstatus"), col("n"), r2(col("total")).as("total"))
     },
 
+    // Managed tables via CTAS in the same schema (reference: MemTable +
+    // CREATE TABLE AS, catalog/src/memory/table.rs): materialize an
+    // aggregate into the catalog, then query it back by qualified name.
+    "catalog_ctas" -> { (s, dir) =>
+      s.sql("CREATE DATABASE IF NOT EXISTS analytics")
+      s.sql("DROP TABLE IF EXISTS analytics.brand_counts")
+      // a previous SESSION may have left the managed location behind (the
+      // fresh in-memory catalog doesn't know the table, so DROP alone
+      // can't reclaim it) — purge the location before re-creating
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val loc = java.nio.file.Paths.get(wh, "analytics.db", "brand_counts")
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      s.sql(s"""CREATE TABLE analytics.brand_counts USING PARQUET AS
+                SELECT p_brand, count(*) AS n
+                FROM parquet.`$dir/part.parquet` GROUP BY p_brand""")
+      s.sql("SELECT p_brand, n FROM analytics.brand_counts")
+    },
+
     // Pipe-operator SQL (reference: sqllogictest/test_files/pipe_operator.slt)
     // through DFContext's |> rewriter: WHERE, AGGREGATE..GROUP BY, EXTEND,
     // post-aggregation WHERE, ORDER BY + LIMIT in one pipeline.
@@ -103,9 +128,12 @@ object Round4Queries {
 
   val oracleSql: Map[String, String] = Map(
 
-    // NIST FIPS 180-2 test vectors as literals.
+    // NIST FIPS 180-2 test vectors as literals (DuckDB has no
+    // sha224/384/512 to compute them with; digest_md5 it can compute,
+    // digest_sha384 re-asserts the literal through the dispatch function).
     "fn_crypto2" ->
-      """SELECT * FROM (VALUES
+      """SELECT t.*, md5(s) AS digest_md5, sha384_hex AS digest_sha384
+        |FROM (VALUES
         | ('abc',
         |  '23097d223405d8228642a477bda255b32aadbce4bda0b3f7e36c9da7',
         |  'cb00753f45a35e8bb5a03d699ac65007272c32ab0eded1631a8b605a43ff5bed8086072ba1e7cc2358baeca134c825a7',
@@ -141,6 +169,9 @@ object Round4Queries {
         | floor((sum(o_totalprice) + 1.37e-4) * 100 + 0.5) / 100 AS total
         |FROM orders WHERE o_totalprice > 150000
         |GROUP BY o_orderstatus""".stripMargin,
+
+    "catalog_ctas" ->
+      """SELECT p_brand, count(*) AS n FROM part GROUP BY p_brand""",
 
     "pipe_sql" ->
       """SELECT l_returnflag, count(*) AS n,
