@@ -194,6 +194,25 @@ class DFContextSpec extends AnyFunSuite {
     assert(views.get("small_count").contains("VIEW"))
   }
 
+  test("pipe operator: differential vs plain SQL on composed pipelines") {
+    // every composition of these segments must equal its hand-written
+    // standard-SQL counterpart (order-insensitive compare)
+    val cases = Seq(
+      ("SELECT c_nationkey, c_acctbal FROM customer |> WHERE c_acctbal > 0 |> AGGREGATE count(*) AS n, sum(c_acctbal) AS s GROUP BY c_nationkey |> WHERE n > 2",
+        "SELECT c_nationkey, count(*) AS n, sum(c_acctbal) AS s FROM customer WHERE c_acctbal > 0 GROUP BY c_nationkey HAVING count(*) > 2"),
+      ("SELECT s_suppkey, s_acctbal FROM supplier |> EXTEND s_acctbal * 2 AS dbl |> WHERE dbl > 5000 |> SELECT s_suppkey",
+        "SELECT s_suppkey FROM supplier WHERE s_acctbal * 2 > 5000"),
+      ("SELECT n_nationkey FROM nation |> INTERSECT DISTINCT (SELECT n_regionkey FROM nation)",
+        "SELECT n_nationkey FROM nation INTERSECT SELECT n_regionkey FROM nation"),
+      ("SELECT o_orderpriority, o_totalprice FROM orders |> AGGREGATE max(o_totalprice) AS m GROUP BY o_orderpriority |> ORDER BY m DESC, o_orderpriority |> LIMIT 3",
+        "SELECT o_orderpriority, max(o_totalprice) AS m FROM orders GROUP BY o_orderpriority ORDER BY m DESC, o_orderpriority LIMIT 3"))
+    for ((pipe, plain) <- cases) {
+      val a = ctx.sql(pipe).collect().map(_.toString).sorted
+      val b = ctx.sql(plain).collect().map(_.toString).sorted
+      assert(a.sameElements(b), s"pipe != plain for: $pipe")
+    }
+  }
+
   test("explain returns a physical plan") {
     ctx.register("nation_explain", s"$sfDir/nation.parquet")
     val plan = ctx.explain("SELECT count(*) FROM nation_explain WHERE n_regionkey = 1")
