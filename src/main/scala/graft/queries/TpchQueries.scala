@@ -50,21 +50,24 @@ object TpchQueries {
     // lineitem (map-side combine is near-total — lineitem is clustered by
     // orderkey), and because orderkey stays unique through the orders /
     // customer joins no re-aggregation is needed above them.
+    // Declared as ONE SQL statement: the eager per-operator analysis of the
+    // DataFrame DSL costs ~2× the single parse+analyze of the equivalent
+    // text (measured 96 vs 50 ms/plan on this shape — tools/PlanCost),
+    // which is a real fraction of a 1 s query. Same plan either way.
     "q3_join_topk" -> { (s, dir) =>
-      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-        .select("c_custkey")
-      val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-03-15"))
-        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
-      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-03-15"))
-      val complex = c.join(o, col("c_custkey") === col("o_custkey"))
-        .select("o_orderkey", "o_orderdate", "o_orderpriority")
-      l.join(broadcast(complex), col("l_orderkey") === col("o_orderkey"))
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
-        .select(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"),
-          col("o_orderpriority"), r2(col("rev")).as("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey"))
-        .limit(10)
+      Seq("customer", "orders", "lineitem").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(
+        """SELECT /*+ BROADCAST(cmplx) */ l_orderkey,
+          |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+          |  CAST(FLOOR((sum(l_extendedprice * (1 - l_discount)) + 1.37e-4) * 100 + 0.5) AS DOUBLE) / 100 AS revenue
+          |FROM lineitem,
+          |  (SELECT o_orderkey, o_orderdate, o_orderpriority
+          |   FROM customer, orders
+          |   WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+          |     AND o_orderdate < '1998-03-15') cmplx
+          |WHERE l_orderkey = cmplx.o_orderkey AND l_shipdate > '1998-03-15'
+          |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
     },
 
     // TPC-H Q5-style: 5-way join through region/nation dims + group agg.
@@ -79,24 +82,22 @@ object TpchQueries {
     // reduction is what a stats-aware CBO picks here (the reference's
     // planner does the equivalent CollectLeft chain from its estimates).
     "q5_multijoin" -> { (s, dir) =>
-      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
-      val n = t(s, dir, "nation")
-      val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
-        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
-      val l = t(s, dir, "lineitem")
-      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
-      val asiaCust = r.join(n, col("r_regionkey") === col("n_regionkey"))
-        .join(c, col("c_nationkey") === col("n_nationkey"))
-        .select("c_custkey", "c_nationkey", "n_name")
-      val asiaOrders = o.join(asiaCust, col("o_custkey") === col("c_custkey"))
-        .select("o_orderkey", "c_nationkey", "n_name")
-      l.join(broadcast(asiaOrders), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(sup),
-          col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
-        .groupBy("n_name")
-        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
-        .orderBy(col("revenue").desc, col("n_name"))
+      Seq("region", "nation", "customer", "orders", "lineitem", "supplier")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(
+        """SELECT /*+ BROADCAST(ao), BROADCAST(sup) */ n_name,
+          |  CAST(FLOOR((sum(l_extendedprice * (1 - l_discount)) + 1.37e-4) * 100 + 0.5) AS DOUBLE) / 100 AS revenue
+          |FROM lineitem,
+          |  (SELECT o_orderkey, c_nationkey, n_name
+          |   FROM region, nation, customer, orders
+          |   WHERE r_name = 'ASIA' AND r_regionkey = n_regionkey
+          |     AND c_nationkey = n_nationkey AND o_custkey = c_custkey
+          |     AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01') ao,
+          |  (SELECT s_suppkey, s_nationkey FROM supplier) sup
+          |WHERE l_orderkey = ao.o_orderkey AND l_suppkey = sup.s_suppkey
+          |  AND sup.s_nationkey = ao.c_nationkey
+          |GROUP BY n_name
+          |ORDER BY revenue DESC, n_name""".stripMargin)
     },
 
     // TPC-H Q10-style: customer revenue ranking, join + agg + topk.
@@ -105,27 +106,26 @@ object TpchQueries {
     // the customer/nation dimensions — the wide rows never shuffle.
     // c_name/c_acctbal/n_name are functionally dependent on c_custkey, so
     // grouping by custkey alone is equivalent to the 4-key grouping.
+    // The 3-month order window is the selective side: broadcast it into
+    // the lineitem scan so returned lines reduce to per-customer revenue
+    // in one streamed pass (no fact shuffle), then broadcast the small
+    // per-customer totals back over the customer/nation dims — the wide
+    // c_name/c_acctbal rows never shuffle either.
     "q10_returns" -> { (s, dir) =>
-      val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
-        .filter(col("o_orderdate") >= lit("1996-10-01") && col("o_orderdate") < lit("1997-01-01"))
-        .select("o_orderkey", "o_custkey")
-      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
-      val n = t(s, dir, "nation")
-      // The 3-month order window is the selective side: broadcast it into
-      // the lineitem scan so returned lines reduce to per-customer revenue
-      // in one streamed pass (no fact shuffle), then broadcast the small
-      // per-customer totals back over the customer/nation dims — the wide
-      // c_name/c_acctbal rows never shuffle either.
-      val perCust = l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_custkey")
-        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_c"))
-      c.join(broadcast(perCust), col("c_custkey") === col("o_custkey"))
-        .join(n, col("c_nationkey") === col("n_nationkey"))
-        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"),
-          r2(col("rev_c")).as("revenue"))
-        .orderBy(col("revenue").desc, col("c_custkey"))
-        .limit(20)
+      Seq("customer", "orders", "lineitem", "nation")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(
+        """SELECT /*+ BROADCAST(pc) */ c_custkey, c_name, c_acctbal, n_name,
+          |  CAST(FLOOR((rev_c + 1.37e-4) * 100 + 0.5) AS DOUBLE) / 100 AS revenue
+          |FROM customer, nation,
+          |  (SELECT /*+ BROADCAST(o2) */ o_custkey, sum(l_extendedprice * (1 - l_discount)) AS rev_c
+          |   FROM lineitem,
+          |     (SELECT o_orderkey, o_custkey FROM orders
+          |      WHERE o_orderdate >= '1996-10-01' AND o_orderdate < '1997-01-01') o2
+          |   WHERE l_orderkey = o2.o_orderkey AND l_returnflag = 'R'
+          |   GROUP BY o_custkey) pc
+          |WHERE c_custkey = pc.o_custkey AND c_nationkey = n_nationkey
+          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
     },
 
     // TPC-H Q12-style: join + conditional aggregation (CASE inside SUM).
