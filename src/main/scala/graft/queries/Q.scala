@@ -24,6 +24,31 @@ object Q {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.Tables.load(s, dir, name)
 
+  /** Fast-path session for short static-plan queries: AQE disabled.
+    *
+    * AQE's per-stage materialize→replan handoffs cost a measured ~70-80 ms
+    * on a 3-4 stage query (SF1 q3/q5/q10 bench, AQE on vs off), which is
+    * pure tax when the plan is already fully decided at planning time —
+    * explicit broadcast hints, no data-dependent join choices, only
+    * KB-scale exchanges left to coalesce. Adaptivity stays ON (the session
+    * default) for everything with real shuffles, where runtime coalescing
+    * and skew handling are the 100-TB-correct behavior.
+    *
+    * One child session per parent (weak — collected with the parent); it
+    * shares the SparkContext, so executors/caches are common and only the
+    * session conf differs. */
+  private val fastSessions = new java.util.WeakHashMap[SparkSession, SparkSession]()
+  def staticPlanSession(s: SparkSession): SparkSession = fastSessions.synchronized {
+    val existing = fastSessions.get(s)
+    if (existing != null) existing
+    else {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.adaptive.enabled", "false")
+      fastSessions.put(s, ss)
+      ss
+    }
+  }
+
   /** Cross-engine-stable rounding.
     *
     * Two failure modes make naive `round` un-comparable across engines:

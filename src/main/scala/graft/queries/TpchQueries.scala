@@ -54,7 +54,8 @@ object TpchQueries {
     // DataFrame DSL costs ~2× the single parse+analyze of the equivalent
     // text (measured 96 vs 50 ms/plan on this shape — tools/PlanCost),
     // which is a real fraction of a 1 s query. Same plan either way.
-    "q3_join_topk" -> { (s, dir) =>
+    "q3_join_topk" -> { (s0, dir) =>
+      val s = staticPlanSession(s0)
       Seq("customer", "orders", "lineitem").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
       s.sql(
         """SELECT /*+ BROADCAST(cmplx) */ l_orderkey,
@@ -81,7 +82,8 @@ object TpchQueries {
     // side scales with the filtered order window, not |orders|; the same
     // reduction is what a stats-aware CBO picks here (the reference's
     // planner does the equivalent CollectLeft chain from its estimates).
-    "q5_multijoin" -> { (s, dir) =>
+    "q5_multijoin" -> { (s0, dir) =>
+      val s = staticPlanSession(s0)
       Seq("region", "nation", "customer", "orders", "lineitem", "supplier")
         .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
       s.sql(
@@ -111,7 +113,8 @@ object TpchQueries {
     // in one streamed pass (no fact shuffle), then broadcast the small
     // per-customer totals back over the customer/nation dims — the wide
     // c_name/c_acctbal rows never shuffle either.
-    "q10_returns" -> { (s, dir) =>
+    "q10_returns" -> { (s0, dir) =>
+      val s = staticPlanSession(s0)
       Seq("customer", "orders", "lineitem", "nation")
         .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
       s.sql(
