@@ -42,6 +42,27 @@ object Round4bQueries {
           lit(1).as("ndims"))
     },
 
+    // Vector-arithmetic long tail (reference array_add/subtract/scale/
+    // normalize/avg/product — SURVEY §7 M2's list): elementwise ops as
+    // zip_with/transform lambdas, L2 normalization with in-lambda rounding
+    // (fixed 4-element arrays keep FP evaluation order identical across
+    // engines), exact product on the integral values.
+    "fn_vector2" -> { (s, dir) =>
+      t(s, dir, "part").filter(col("p_partkey") <= 300)
+        .withColumn("a", expr(
+          "array(CAST(p_partkey % 7 + 1 AS DOUBLE), CAST(p_partkey % 5 + 1 AS DOUBLE), " +
+            "CAST(p_partkey % 3 + 1 AS DOUBLE), CAST(p_partkey % 2 + 1 AS DOUBLE))"))
+        .withColumn("rb", reverse(col("a")))
+        .select(col("p_partkey"),
+          expr("zip_with(a, rb, (x, y) -> x + y)").as("vadd"),
+          expr("zip_with(a, rb, (x, y) -> x - y)").as("vsub"),
+          expr("transform(a, x -> x * 2.5)").as("vscale"),
+          expr("transform(a, x -> CAST(FLOOR((x / sqrt(aggregate(a, CAST(0 AS DOUBLE), (acc, v) -> acc + v * v)) + 1.37e-8) * 1000000 + 0.5) AS DOUBLE) / 1000000)")
+            .as("vnorm"),
+          r6(expr("aggregate(a, CAST(0 AS DOUBLE), (acc, x) -> acc + x) / size(a)")).as("vavg"),
+          expr("a[0] * a[1] * a[2] * a[3]").as("vprod"))
+    },
+
     // Datetime long tail (reference datetime crate: to_unixtime /
     // from_unixtime, to_timestamp_seconds/micros, to_char, plus isnan and
     // typeof from math/core). o_orderdate is midnight-aligned, so epoch
@@ -80,6 +101,21 @@ object Round4bQueries {
         |     a[list_position(a, p_partkey % 7) + 1:len(a)]) AS replace_first,
         | [len(a)] AS dims,
         | 1 AS ndims
+        |FROM b""".stripMargin,
+
+    "fn_vector2" ->
+      """WITH b0 AS (SELECT p_partkey,
+        |  [CAST(p_partkey % 7 + 1 AS DOUBLE), CAST(p_partkey % 5 + 1 AS DOUBLE),
+        |   CAST(p_partkey % 3 + 1 AS DOUBLE), CAST(p_partkey % 2 + 1 AS DOUBLE)] AS a
+        |  FROM part WHERE p_partkey <= 300),
+        |b AS (SELECT p_partkey, a, list_reverse(a) AS rb FROM b0)
+        |SELECT p_partkey,
+        | list_transform(range(1, len(a) + 1), i -> a[i] + rb[i]) AS vadd,
+        | list_transform(range(1, len(a) + 1), i -> a[i] - rb[i]) AS vsub,
+        | list_transform(a, x -> x * 2.5) AS vscale,
+        | list_transform(a, x -> floor((x / sqrt(list_aggregate(list_transform(a, v -> v * v), 'sum')) + 1.37e-8) * 1000000 + 0.5) / 1000000) AS vnorm,
+        | floor((list_aggregate(a, 'sum') / len(a) + 1.37e-8) * 1000000 + 0.5) / 1000000 AS vavg,
+        | a[1] * a[2] * a[3] * a[4] AS vprod
         |FROM b""".stripMargin,
 
     "fn_datetime3" ->
