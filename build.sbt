@@ -31,3 +31,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // forward stdin to forked runMain processes (graft.tools.Repl reads SQL
 // from stdin, interactive or piped)
 run / connectInput := true
+// Emit forked-process stdout directly (no "[info] " logger prefix) so the
+// driver can machine-parse Bench's single JSON line from the sbt output.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
