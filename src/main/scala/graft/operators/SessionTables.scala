@@ -21,6 +21,11 @@ object SessionTables {
   def insertInto(table: DataFrame, rows: DataFrame): DataFrame =
     table.unionByName(rows)
 
+  /** TRUNCATE TABLE t — the empty table with the schema preserved
+    * (reference: sqllogictest/test_files/truncate.slt). */
+  def truncate(table: DataFrame): DataFrame =
+    table.where(lit(false))
+
   /** DELETE FROM t WHERE cond — keep the complement. */
   def delete(table: DataFrame, cond: Column): DataFrame =
     table.where(!coalesce(cond, lit(false)))
