@@ -39,7 +39,19 @@ class DFContext(val spark: SparkSession) {
 
   def table(name: String): DataFrame = spark.table(name)
 
-  def sql(query: String): DataFrame = spark.sql(DFContext.rewrite(query))
+  def sql(query: String): DataFrame =
+    if (DFContext.usesExclude(query)) {
+      // Analysis happens eagerly inside spark.sql, so scoping the parser
+      // flag around the call is race-free for this session.
+      val key = "spark.sql.parser.quotedRegexColumnNames"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try spark.sql(DFContext.rewrite(query))
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    } else spark.sql(DFContext.rewrite(query))
 
   /** Prepared-statement surface (reference: Expr::Placeholder,
     * dataframe with_param_values — dataframe/mod.rs:2384): named `:name`
@@ -319,7 +331,29 @@ object DFContext {
     *   reference's first-row-per-key semantics (deterministic only with an
     *   ORDER BY, as in the reference); key expressions may contain parens.
     */
-  def rewrite(query: String): String = rewriteStd(rewritePipes(query))
+  def rewrite(query: String): String = rewriteStd(rewriteExclude(rewritePipes(query)))
+
+  /** Wildcard modifiers (reference: `wildcard.slt`, sqlparser's
+    * `SELECT * EXCLUDE/EXCEPT (cols)`): rewritten onto Spark's
+    * regex-quoted-column feature — `* EXCLUDE (a, b)` becomes the quoted
+    * regex `` `^(?!(?:a|b)$).+` ``, which the parser expands to every
+    * column NOT in the list. Works at any query depth (subqueries too);
+    * requires `spark.sql.parser.quotedRegexColumnNames=true`, which
+    * [[DFContext.sql]] enables for the duration of the statement iff this
+    * rewrite fired. */
+  private val ExcludeRe =
+    """(?is)\*\s+(?:EXCLUDE|EXCEPT)\s*\(([^()]*)\)""".r
+
+  private[graft] def usesExclude(query: String): Boolean =
+    ExcludeRe.findFirstIn(query).isDefined
+
+  private[graft] def rewriteExclude(query: String): String =
+    ExcludeRe.replaceAllIn(query, m => {
+      val cols = m.group(1).split(",").iterator.map(_.trim.stripPrefix("`").stripSuffix("`"))
+        .filter(_.nonEmpty).map(java.util.regex.Pattern.quote).toSeq
+      scala.util.matching.Regex.quoteReplacement(
+        "`^(?!(?:" + cols.mkString("|") + ")$).+`")
+    })
 
   private def rewriteStd(query: String): String = parseDistinctOn(query) match {
     case Some((keys, rest)) =>

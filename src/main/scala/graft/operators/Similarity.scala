@@ -193,4 +193,37 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
+
+  /** Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space coarsely, then within
+    * each cluster drop every vector whose cosine similarity to a
+    * LOWER-vec_id cluster member reaches `tau` (min-id member of each
+    * near-dup group is the canonical survivor — same convention as
+    * [[graft.operators.Dedup]]).
+    *
+    * Scale shape: centroid assignment is a broadcast against the corpus
+    * (the corpus is never shuffled for it — same kernel as [[ivfKnnWith]]);
+    * the pairwise cosine step is an equi-join on cluster id, quadratic only
+    * WITHIN a cluster. That quadratic is the SemDeDup design point: k is
+    * chosen so clusters stay small (the paper uses k≈11k for 100M docs —
+    * cluster size tracks N/k, so cost is N²/k and k scales with N).
+    *
+    * Deterministic end-to-end (first-n centroids, ε-rounded tie-broken
+    * assignment, ε-rounded similarities), so a SQL oracle replays it. */
+  def semanticDedup(corpus: DataFrame, nCentroids: Int, tau: Double): DataFrame = {
+    val cents = corpus.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val e = corpus.select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val ord = Seq(r6(lit(1.0) - cosine_distance(col("emb"), col("cemb"))).desc, col("cid").asc)
+    val assigned = localTopKPerKey(e.join(broadcast(cents), col("id").isNotNull), "id", ord, 1)
+      .select(col("cid"), col("id"), col("emb"))
+    val lower = assigned.select(col("cid"), col("id").as("lid"), col("emb").as("lemb"))
+    val maxSim = assigned.join(lower, Seq("cid")).where(col("lid") < col("id"))
+      .groupBy(col("cid"), col("id"))
+      .agg(max(r6(lit(1.0) - cosine_distance(col("emb"), col("lemb")))).as("max_sim_lower"))
+    assigned.join(maxSim, Seq("cid", "id"), "left")
+      .select(col("cid"), col("id"),
+        coalesce(col("max_sim_lower"), lit(-1.0)).as("max_sim_lower"),
+        (coalesce(col("max_sim_lower"), lit(-1.0)) >= tau).as("dropped"))
+  }
 }
