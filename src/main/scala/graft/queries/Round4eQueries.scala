@@ -49,6 +49,27 @@ object Round4eQueries {
           (when(col("id") === 0, lit(0.0)).otherwise(lit(-0.0))).as("z"))
           .agg(countDistinct(col("z")).as("n_distinct_zero"),
             (min(col("z")) === max(col("z"))).as("zeros_equal")))
+    },
+
+    // Array-valued join keys (reference: join_lists.slt — NLJ joining on
+    // LISTS): topic classification by word-overlap between a document's
+    // token array and each topic's word list. arrays_overlap is a theta
+    // condition, so Spark plans a nested-loop join with the 3-row topics
+    // side broadcast — at 100 TB the corpus still streams partition-
+    // parallel past the tiny broadcast list. A topic with no matching
+    // words checks empty-group semantics.
+    "join_array_overlap" -> { (s, dir) =>
+      val topics = s.sql(
+        """SELECT * FROM VALUES
+          | ('engine',  array('spark', 'vector')),
+          | ('storage', array('scan', 'merge')),
+          | ('missing', array('zebra', 'qwerty'))
+          | AS t(topic, words)""".stripMargin)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("dw"))
+      docs.join(topics, arrays_overlap(col("dw"), col("words")), "inner")
+        .groupBy(col("topic"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -75,5 +96,15 @@ object Round4eQueries {
         |       ('Infinity'::DOUBLE > 1e308::DOUBLE) AS inf_ok,
         |       ('-Infinity'::DOUBLE < -1e308::DOUBLE) AS neginf_ok,
         |       (SELECT count(DISTINCT z) FROM z) AS n_distinct_zero,
-        |       (SELECT min(z) = max(z) FROM z) AS zeros_equal""".stripMargin)
+        |       (SELECT min(z) = max(z) FROM z) AS zeros_equal""".stripMargin,
+
+    "join_array_overlap" ->
+      """WITH topics(topic, words) AS (VALUES
+        |   ('engine',  ['spark', 'vector']),
+        |   ('storage', ['scan', 'merge']),
+        |   ('missing', ['zebra', 'qwerty'])),
+        |d AS (SELECT doc_id, string_split(lower(text), ' ') AS dw FROM documents)
+        |SELECT topic, count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM d JOIN topics ON list_has_any(dw, words)
+        |GROUP BY topic""".stripMargin)
 }
