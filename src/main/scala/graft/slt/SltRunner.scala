@@ -181,6 +181,177 @@ object SltRunner {
   private val WhenNullRe = """(?i)\bWHEN\s+NULL\s+THEN\b""".r
   private val WhereNullRe = """(?i)\bWHERE\s+NULL\s*$""".r
 
+  /** Find the index of the ')' matching the '(' at `open` (quote-aware);
+    * -1 when unbalanced. */
+  private def matchParen(s: String, open: Int): Int = {
+    var depth = 0; var i = open; var inStr = false
+    while (i < s.length) {
+      val c = s(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** `IN (( select … ))` — the reference (#5529) treats the doubled parens
+    * as a table subquery; Spark parses the inner pair as a scalar
+    * subquery. Strip the redundant layer. */
+  private[slt] def translateInDoubleParen(sql: String): String = {
+    val re = """(?i)\bIN\s*\(""".r
+    var s = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      for (m <- re.findAllMatchIn(s).toSeq.reverse if !changed) {
+        val open = m.end - 1
+        val close = matchParen(s, open)
+        if (close > 0) {
+          val inner = s.substring(open + 1, close).trim
+          if (inner.startsWith("(")) {
+            val innerClose = matchParen(inner, 0)
+            if (innerClose == inner.length - 1) {
+              s = s.substring(0, open + 1) +
+                inner.substring(1, innerClose) + s.substring(close)
+              changed = true
+            }
+          }
+        }
+      }
+    }
+    s
+  }
+
+  /** Anonymous `( VALUES … )` derived tables: the reference names columns
+    * column1..N; Spark says col1..N. Append/extend an alias so the
+    * reference names resolve. */
+  private[slt] def translateValuesAlias(sql: String): String = {
+    val re = """(?i)\(\s*VALUES\b""".r
+    var s = sql
+    var searchFrom = 0
+    var m = re.findFirstMatchIn(s)
+    while (m.isDefined) {
+      val open = m.get.start
+      if (open < searchFrom) { m = None }
+      else {
+        val close = matchParen(s, open)
+        if (close < 0) return s
+        val body = s.substring(open + 1, close)
+        val n = firstRowArity(body)
+        val rest = s.substring(close + 1)
+        val aliasRe = """(?is)^\s*(?:AS\s+)?([A-Za-z_]\w*)\s*(\()?""".r
+        val keywords = Set("WHERE", "ORDER", "GROUP", "LIMIT", "ON", "JOIN", "UNION",
+          "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "HAVING", "EXCEPT", "INTERSECT",
+          "AS", "SELECT", "OFFSET", "USING", "NATURAL", "QUALIFY", "WINDOW")
+        val cols = (1 to n).map(i => s"column$i").mkString("(", ", ", ")")
+        val replaced = aliasRe.findFirstMatchIn(rest) match {
+          case Some(am) if am.group(2) != null => null // explicit column list — leave
+          case Some(am) if !keywords.contains(am.group(1).toUpperCase) =>
+            // bare/AS alias without columns: extend with the column list
+            s.substring(0, close + 1) + rest.substring(0, am.end(1)) + cols +
+              rest.substring(am.end(1))
+          case _ if n > 0 =>
+            s.substring(0, close + 1) + s" AS _v$cols" + rest
+          case _ => null
+        }
+        if (replaced != null) s = replaced
+        searchFrom = close
+        m = re.findFirstMatchIn(s).filter(_.start > open)
+      }
+    }
+    s
+  }
+
+  /** `struct(a, b)` → `named_struct('c0', a, 'c1', b)` — the reference
+    * names anonymous struct fields c0..cN; Spark says col1..colN. */
+  private[slt] def translateStructFn(sql: String): String = {
+    var s = sql
+    var guard = 0
+    val re = """(?i)(?<![\w_])struct\s*\(""".r
+    var done = false
+    while (!done && guard < 50) {
+      guard += 1
+      re.findFirstMatchIn(s) match {
+        case None => done = true
+        case Some(m) =>
+          val open = m.end - 1
+          val close = matchParen(s, open)
+          if (close < 0) done = true
+          else {
+            val args = splitTopLevel(s.substring(open + 1, close)).map(_.trim)
+            if (args.exists(a => """(?i)\sAS\s""".r.findFirstIn(a).isDefined)) done = true
+            else {
+              val named = args.zipWithIndex
+                .map { case (a, i) => s"'c$i', $a" }.mkString(", ")
+              s = s.substring(0, m.start) + s"named_struct($named)" + s.substring(close + 1)
+            }
+          }
+      }
+    }
+    s
+  }
+
+  /** Align ORDER BY default null ordering with the reference (ASC → NULLS
+    * LAST, DESC → NULLS FIRST — the Postgres convention; Spark defaults
+    * are the opposite). Only the final top-level ORDER BY is rewritten. */
+  private[slt] def translateOrderByNulls(sql: String): String = {
+    val upper = sql.toUpperCase
+    // last top-level ORDER BY (outside parens/strings)
+    var idx = -1; var depth = 0; var inStr = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'O' | 'o' if depth == 0 && upper.startsWith("ORDER", i) &&
+            (i == 0 || !upper(i - 1).isLetterOrDigit) &&
+            """^\s+BY\b""".r.findFirstIn(upper.substring(i + 5)).isDefined =>
+          idx = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (idx < 0) return sql
+    val byIdx = upper.indexOf("BY", idx) + 2
+    // tail ends at top-level LIMIT/OFFSET if present
+    val tailUpper = upper.substring(byIdx)
+    var end = sql.length
+    var d2 = 0; var inS2 = false; var j = 0
+    while (j < tailUpper.length) {
+      val c = tailUpper(j)
+      if (inS2) { if (c == '\'') inS2 = false }
+      else c match {
+        case '\'' => inS2 = true
+        case '(' => d2 += 1
+        case ')' => d2 -= 1
+        case 'L' if d2 == 0 && tailUpper.startsWith("LIMIT", j) &&
+            (j == 0 || !tailUpper(j - 1).isLetterOrDigit) => end = byIdx + j; j = tailUpper.length
+        case 'O' if d2 == 0 && tailUpper.startsWith("OFFSET", j) &&
+            (j == 0 || !tailUpper(j - 1).isLetterOrDigit) => end = byIdx + j; j = tailUpper.length
+        case _ =>
+      }
+      j += 1
+    }
+    val keys = splitTopLevel(sql.substring(byIdx, end)).map(_.trim).filter(_.nonEmpty)
+    if (keys.isEmpty) return sql
+    val rewritten = keys.map { k =>
+      val ku = k.toUpperCase
+      if (ku.contains("NULLS")) k
+      else if (ku.endsWith(" DESC")) s"$k NULLS FIRST"
+      else s"$k NULLS LAST"
+    }.mkString(", ")
+    sql.substring(0, byIdx) + " " + rewritten +
+      (if (end < sql.length) " " + sql.substring(end) else "")
+  }
+
   private val MakeArrayRe = """(?i)\bmake_(?:array|list)\s*\(""".r
 
   private val CreateExternalRe =
@@ -197,9 +368,12 @@ object SltRunner {
   private val DropTableRe =
     """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
 
-  private def sparkType(t: String): String = t.trim.toUpperCase match {
-    case "TEXT" | "VARCHAR" | "CHAR" => "STRING"
-    case other => other
+  private def sparkType(t: String): String = {
+    val trimmed = t.trim
+    trimmed.toUpperCase match {
+      case "TEXT" | "VARCHAR" | "CHAR" => "STRING"
+      case _ => trimmed // preserve case: struct<...> field names are case-sensitive
+    }
   }
 
   /** Strip `--` line comments (outside strings) — comment text contains
@@ -220,11 +394,16 @@ object SltRunner {
 
   /** Dialect translation; None = this record has no Spark spelling. */
   private[slt] def translate(sqlRaw: String): Option[String] = {
-    val pre0 = stripComments(sqlRaw).trim.stripSuffix(";")
+    val pre0 = stripComments(sqlRaw).trim.replaceAll(";+\\s*$", "")
     val pre1a = WhenNullRe.replaceAllIn(translateBrackets(pre0),
       "WHEN CAST(NULL AS BOOLEAN) THEN")
     val pre1 = WhereNullRe.replaceAllIn(pre1a, "WHERE CAST(NULL AS BOOLEAN)")
-    val pre2 = translateStructs(pre1) match {
+    val pre1b = translateOrderByNulls(
+      translateValuesAlias(translateInDoubleParen(translateStructFn(pre1))))
+      .replaceAll("(?i)\\bapprox_distinct\\s*\\(", "approx_count_distinct(")
+      .replaceAll("(?i)\\b(FROM|JOIN)\\s+generate_series\\s*\\(\\s*([^,()]+)\\s*,\\s*([^,()]+)\\s*\\)",
+        "$1 range($2, ($3) + 1)")
+    val pre2 = translateStructs(pre1b) match {
       case Some(s) => s
       case None    => return None
     }
@@ -322,28 +501,41 @@ object SltRunner {
   /** Value rendering mirrors the reference runner's Rust Display
     * conventions (sqllogictest/src/engines/output.rs): NULL, true/false,
     * integral floats without the trailing .0, empty string as (empty). */
-  private[slt] def render(v: Any): String = v match {
+  private[slt] def render(v: Any): String = render(v, nested = false)
+
+  /** Top-level floats use Rust Display (400.0 → "400"); floats nested in
+    * structs/lists go through Arrow's array formatter, which keeps the
+    * decimal point ("1.0") — mirror both. */
+  private def render(v: Any, nested: Boolean): String = v match {
     case null => "NULL"
     case b: Boolean => b.toString
-    case d: Double => renderFloat(d)
-    case f: Float => renderFloat(f.toDouble)
-    case bd: java.math.BigDecimal => bd.stripTrailingZeros.toPlainString
-    case s: String => if (s.isEmpty) "(empty)" else s
-    case a: scala.collection.Seq[_] => a.map(render).mkString("[", ", ", "]")
+    case d: Double => renderFloat(d, nested)
+    case f: Float => renderFloat(f.toDouble, nested)
+    case bd: java.math.BigDecimal =>
+      // the reference has no decimal in these literals — Spark's 1.0 is
+      // DECIMAL(2,1) where the reference's is Float64; match its float
+      // rendering (top-level strips, nested keeps the point)
+      if (nested) bd.toPlainString else bd.stripTrailingZeros.toPlainString
+    case s: String => if (s.isEmpty && !nested) "(empty)" else s
+    case a: scala.collection.Seq[_] =>
+      a.map(render(_, nested = true)).mkString("[", ", ", "]")
     case r: Row =>
       r.schema.fieldNames.zipWithIndex
-        .map { case (n, i) => s"$n: ${render(r.get(i))}" }
+        .map { case (n, i) => s"$n: ${render(r.get(i), nested = true)}" }
         .mkString("{", ", ", "}")
     case m: scala.collection.Map[_, _] =>
-      m.map { case (k, v2) => s"${render(k)}: ${render(v2)}" }.mkString("{", ", ", "}")
+      m.map { case (k, v2) =>
+        s"${render(k, nested = true)}: ${render(v2, nested = true)}"
+      }.mkString("{", ", ", "}")
     case other => other.toString
   }
 
-  private def renderFloat(d: Double): String =
+  private def renderFloat(d: Double, nested: Boolean): String =
     if (d.isNaN) "NaN"
     else if (d.isPosInfinity) "inf"
     else if (d.isNegInfinity) "-inf"
-    else if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+    else if (d == math.rint(d) && math.abs(d) < 1e15)
+      if (nested) s"${d.toLong}.0" else d.toLong.toString
     else d.toString
 
   private def renderRow(r: Row): String =

@@ -47,4 +47,16 @@ class SltRunnerSpec extends AnyFunSuite {
         483 -> nan, 497 -> nan, 511 -> nan, 516 -> nan))
   }
   test("union.slt")    { check("union.slt", 20) }
+  test("joins.slt") {
+    check("joins.slt", 280, knownDivergent = Map(
+      833 -> "nanosecond timestamps (Spark timestamps are microsecond)",
+      855 -> "nanosecond timestamps (Spark timestamps are microsecond)",
+      6193 -> "DISTINCT ON inside a subquery (rewriter handles top level only)"))
+  }
+  test("subquery.slt") {
+    check("subquery.slt", 140, knownDivergent = Map(
+      1519 -> "doubly-nested correlated EXISTS in a disjunction (Spark internal limitation)",
+      2123 -> "correlated scalar subquery inside a join key (Spark limitation)",
+      2216 -> "(SELECT random()) caching semantics differ by design"))
+  }
 }
