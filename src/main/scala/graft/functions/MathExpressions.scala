@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -94,10 +94,15 @@ object GraftMath {
   /** iszero(x): true iff x is ±0 (NaN-safe: NaN = 0 is false). */
   def iszero(x: Column): Column = x === lit(0.0)
 
-  /** SQL registration (gcd/lcm; nanvl is already a Spark builtin). */
+  /** SQL registration (gcd/lcm; nanvl is already a Spark builtin).
+    * Narrower integer inputs are widened with an explicit Cast — the
+    * expressions evaluate on Long, and SQL int literals would otherwise
+    * arrive as Integer and fail the eval cast (found by running the
+    * reference's math.slt through SltRunner). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("gcd", es => Gcd(es.head, es(1)), "built-in")
-    reg.createOrReplaceTempFunction("lcm", es => Lcm(es.head, es(1)), "built-in")
+    def asLong(e: Expression): Expression = Cast(e, LongType)
+    reg.createOrReplaceTempFunction("gcd", es => Gcd(asLong(es.head), asLong(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("lcm", es => Lcm(asLong(es.head), asLong(es(1))), "built-in")
   }
 }

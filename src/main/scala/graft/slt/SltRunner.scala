@@ -267,12 +267,99 @@ object SltRunner {
     s
   }
 
-  /** `struct(a, b)` → `named_struct('c0', a, 'c1', b)` — the reference
-    * names anonymous struct fields c0..cN; Spark says col1..colN. */
+  /** Integer-literal subscripts: the reference's arrays are 1-indexed
+    * (`arr[1]` = first element); Spark's bracket subscript is 0-indexed,
+    * but `element_at` is 1-indexed — rewrite `primary[n]` to
+    * `element_at(primary, n)`. String subscripts (struct/map keys) agree
+    * between engines and are left alone. Runs AFTER translateBrackets, so
+    * every surviving bracket is a subscript. */
+  private[slt] def translateSubscripts(sql: String): String = {
+    val IntRe = """^\s*-?\d+\s*$""".r
+    var s = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      var inStr = false
+      while (i < s.length && !changed) {
+        val c = s(i)
+        if (inStr) { if (c == '\'') inStr = false }
+        else if (c == '\'') inStr = true
+        else if (c == '[') {
+          val close = matchBracket(s, i)
+          if (close > 0 && IntRe.findFirstIn(s.substring(i + 1, close)).isDefined) {
+            val start = primaryStart(s, i)
+            if (start >= 0 && start < i) {
+              val primary = s.substring(start, i)
+              val idx = s.substring(i + 1, close).trim
+              s = s.substring(0, start) + s"element_at($primary, $idx)" + s.substring(close + 1)
+              changed = true
+            }
+          }
+        }
+        i += 1
+      }
+    }
+    s
+  }
+
+  private def matchBracket(s: String, open: Int): Int = {
+    var depth = 0; var i = open; var inStr = false
+    while (i < s.length) {
+      val c = s(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '[' => depth += 1
+        case ']' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Walk left from a subscript '[' to the start of its primary
+    * expression: an identifier/field chain possibly ending in ')' or ']'
+    * groups. Returns -1 if nothing subscriptable precedes. */
+  private def primaryStart(s: String, bracket: Int): Int = {
+    var i = bracket - 1
+    var progressed = false
+    var done = false
+    while (!done && i >= 0) {
+      val c = s(i)
+      if (c == ')' || c == ']') {
+        val open = c
+        val close = if (c == ')') '(' else '['
+        var depth = 0; var j = i
+        var found = -1
+        while (j >= 0 && found < 0) {
+          if (s(j) == open) depth += 1
+          else if (s(j) == close) { depth -= 1; if (depth == 0) found = j }
+          j -= 1
+        }
+        if (found < 0) done = true
+        else {
+          i = found - 1; progressed = true
+          // a '(' group is only part of the primary if it's a call — keep
+          // consuming the function name / chain before it
+        }
+      } else if (c.isLetterOrDigit || c == '_' || c == '.' || c == '`' || c == '"') {
+        i -= 1; progressed = true
+      } else done = true
+    }
+    if (!progressed) -1 else i + 1
+  }
+
+  /** `struct(a, b)` / `row(a, b)` → `named_struct('c0', a, 'c1', b)` —
+    * the reference names anonymous struct fields c0..cN positionally;
+    * Spark says col1..colN. `expr AS name` args keep their name (the
+    * reference numbers the unnamed positions around them). */
   private[slt] def translateStructFn(sql: String): String = {
     var s = sql
     var guard = 0
-    val re = """(?i)(?<![\w_])struct\s*\(""".r
+    val re = """(?i)(?<![\w_])(?:struct|row)\s*\(""".r
+    val AsRe = """(?is)^(.*\S)\s+AS\s+([A-Za-z_]\w*)$""".r
     var done = false
     while (!done && guard < 50) {
       guard += 1
@@ -284,16 +371,100 @@ object SltRunner {
           if (close < 0) done = true
           else {
             val args = splitTopLevel(s.substring(open + 1, close)).map(_.trim)
-            if (args.exists(a => """(?i)\sAS\s""".r.findFirstIn(a).isDefined)) done = true
+            val named = args.zipWithIndex.map {
+              case (AsRe(e, name), _) => s"'$name', $e"
+              case (a, i)             => s"'c$i', $a"
+            }.mkString(", ")
+            s = s.substring(0, m.start) + s"named_struct($named)" + s.substring(close + 1)
+          }
+      }
+    }
+    s
+  }
+
+  /** `get_field(expr, 'a', 'b'…)` → `((expr)['a'])['b']` — field/key
+    * extraction spelled as subscripts (works for structs AND maps). */
+  private[slt] def translateGetField(sql: String): String = {
+    var s = sql
+    var guard = 0
+    val re = """(?i)(?<![\w_])get_field\s*\(""".r
+    var done = false
+    while (!done && guard < 50) {
+      guard += 1
+      re.findFirstMatchIn(s) match {
+        case None => done = true
+        case Some(m) =>
+          val open = m.end - 1
+          val close = matchParen(s, open)
+          if (close < 0) done = true
+          else {
+            val args = splitTopLevel(s.substring(open + 1, close)).map(_.trim)
+            if (args.size < 2) done = true
             else {
-              val named = args.zipWithIndex
-                .map { case (a, i) => s"'c$i', $a" }.mkString(", ")
-              s = s.substring(0, m.start) + s"named_struct($named)" + s.substring(close + 1)
+              val chained = args.tail.foldLeft(s"(${args.head})")((acc, k) => s"$acc[$k]")
+              s = s.substring(0, m.start) + chained + s.substring(close + 1)
             }
           }
       }
     }
     s
+  }
+
+  /** Map constructors: `MAKE_MAP(k,v,…)` → `map(k,v,…)`; the 2-argument
+    * `MAP(keys_array, values_array)` → `map_from_arrays`; the braced
+    * literal `MAP {'k': v}` → `map('k', v, …)` (handled before the
+    * generic struct-literal pass claims the braces). */
+  private[slt] def translateMapFns(sql: String): Option[String] = {
+    var s = sql
+    // MAP { ... } literal
+    var guard = 0
+    val braceRe = """(?i)(?<![\w_])MAP\s*\{""".r
+    var done = false
+    while (!done && guard < 50) {
+      guard += 1
+      braceRe.findFirstMatchIn(s) match {
+        case None => done = true
+        case Some(m) =>
+          val open = m.end - 1
+          // find matching close brace (no nesting of MAP literals in files)
+          val close = s.indexOf('}', open)
+          if (close < 0) return None
+          val entries = splitTopLevel(s.substring(open + 1, close)).map(_.trim)
+            .filter(_.nonEmpty).map { e =>
+              val cut = e.indexOf(':')
+              if (cut < 0) return None
+              s"${e.substring(0, cut).trim}, ${e.substring(cut + 1).trim}"
+            }
+          s = s.substring(0, m.start) + entries.mkString("map(", ", ", ")") +
+            s.substring(close + 1)
+      }
+    }
+    // 2-arg MAP( → map_from_arrays(
+    guard = 0
+    val fnRe = """(?i)(?<![\w_])MAP\s*\(""".r
+    var searchFrom = 0
+    var cont = true
+    while (cont && guard < 50) {
+      guard += 1
+      fnRe.findFirstMatchIn(s.substring(searchFrom)) match {
+        case None => cont = false
+        case Some(m) =>
+          val open = searchFrom + m.end - 1
+          val close = matchParen(s, open)
+          if (close < 0) cont = false
+          else {
+            val n = splitTopLevel(s.substring(open + 1, close)).count(_.trim.nonEmpty)
+            if (n == 2) {
+              s = s.substring(0, searchFrom + m.start) + "map_from_arrays(" +
+                s.substring(open + 1)
+              searchFrom = searchFrom + m.start + "map_from_arrays(".length
+            } else searchFrom = open + 1
+          }
+      }
+    }
+    // MAKE_MAP (variadic k,v pairs) AFTER the 2-arg MAP( rule, so a
+    // single-pair MAKE_MAP('a',1) → map('a',1) is never array-ified
+    Some(s.replaceAll("(?i)(?<![\\w_])MAKE_MAP\\s*\\(", "map("))
   }
 
   /** Align ORDER BY default null ordering with the reference (ASC → NULLS
@@ -398,8 +569,15 @@ object SltRunner {
     val pre1a = WhenNullRe.replaceAllIn(translateBrackets(pre0),
       "WHEN CAST(NULL AS BOOLEAN) THEN")
     val pre1 = WhereNullRe.replaceAllIn(pre1a, "WHERE CAST(NULL AS BOOLEAN)")
+    val pre1m = translateMapFns(pre1) match {
+      case Some(s) => s
+      case None    => return None
+    }
     val pre1b = translateOrderByNulls(
-      translateValuesAlias(translateInDoubleParen(translateStructFn(pre1))))
+      translateValuesAlias(translateInDoubleParen(translateStructFn(
+        translateGetField(translateSubscripts(pre1m))))))
+      .replaceAll("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?VIEW\\b",
+        "CREATE OR REPLACE TEMPORARY VIEW")
       .replaceAll("(?i)\\bapprox_distinct\\s*\\(", "approx_count_distinct(")
       .replaceAll("(?i)\\b(FROM|JOIN)\\s+generate_series\\s*\\(\\s*([^,()]+)\\s*,\\s*([^,()]+)\\s*\\)",
         "$1 range($2, ($3) + 1)")
@@ -510,13 +688,14 @@ object SltRunner {
     case null => "NULL"
     case b: Boolean => b.toString
     case d: Double => renderFloat(d, nested)
-    case f: Float => renderFloat(f.toDouble, nested)
+    case f: Float => renderFloat32(f, nested)
     case bd: java.math.BigDecimal =>
       // the reference has no decimal in these literals — Spark's 1.0 is
       // DECIMAL(2,1) where the reference's is Float64; match its float
       // rendering (top-level strips, nested keeps the point)
       if (nested) bd.toPlainString else bd.stripTrailingZeros.toPlainString
     case s: String => if (s.isEmpty && !nested) "(empty)" else s
+    case bytes: Array[Byte] => bytes.map("%02x".format(_)).mkString
     case a: scala.collection.Seq[_] =>
       a.map(render(_, nested = true)).mkString("[", ", ", "]")
     case r: Row =>
@@ -530,13 +709,33 @@ object SltRunner {
     case other => other.toString
   }
 
+  /** The reference's slt harness (sqllogictest/src/engines/conversion.rs)
+    * renders floats as BigDecimal(shortest-repr) rounded to 12 decimal
+    * places, normalized, in plain notation; infinities spell out. */
+  private def dfFloatStr(shortest: String): String = {
+    val bd = new java.math.BigDecimal(shortest)
+      .setScale(12, java.math.RoundingMode.HALF_EVEN)
+      .stripTrailingZeros
+    bd.toPlainString match { case "-0" | "0.0" | "-0.0" => "0"; case s => s }
+  }
+
   private def renderFloat(d: Double, nested: Boolean): String =
     if (d.isNaN) "NaN"
-    else if (d.isPosInfinity) "inf"
-    else if (d.isNegInfinity) "-inf"
-    else if (d == math.rint(d) && math.abs(d) < 1e15)
-      if (nested) s"${d.toLong}.0" else d.toLong.toString
-    else d.toString
+    else if (d.isPosInfinity) "Infinity"
+    else if (d.isNegInfinity) "-Infinity"
+    else if (nested)
+      if (d == math.rint(d) && math.abs(d) < 1e15) s"${d.toLong}.0" else d.toString
+    else dfFloatStr(d.toString)
+
+  /** f32 goes through the float shortest representation first
+    * (0.00001f → "1.0E-5" → "0.00001"). */
+  private def renderFloat32(f: Float, nested: Boolean): String =
+    if (f.isNaN) "NaN"
+    else if (f.isPosInfinity) "Infinity"
+    else if (f.isNegInfinity) "-Infinity"
+    else if (nested)
+      if (f == math.rint(f) && math.abs(f) < 1e15) s"${f.toLong}.0" else f.toString
+    else dfFloatStr(f.toString)
 
   private def renderRow(r: Row): String =
     (0 until r.length).map(i => render(r.get(i))).mkString(" ")
@@ -551,6 +750,7 @@ object SltRunner {
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8).linesIterator.toIndexedSeq
     val ctx = DFContext(spark)
+    registerCompat(spark)
     var passed = 0
     val failures = mutable.Buffer[Failure]()
     val skipped = mutable.Buffer[(Int, String)]()
@@ -560,11 +760,16 @@ object SltRunner {
     val poisoned = mutable.Set[String]()
 
     val CreateNameRe = """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?(?:TABLE|VIEW)\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)""".r
+    val InsertNameRe = """(?is)^\s*INSERT\s+INTO\s+([\w.]+)""".r
     def mentionsPoisoned(sql: String): Option[String] =
       poisoned.find(t => ("""(?i)\b""" + java.util.regex.Pattern.quote(t) + """\b""").r
         .findFirstIn(sql).isDefined)
-    def poison(sql: String): Unit =
+    // a skipped CREATE leaves the table missing; a skipped INSERT leaves
+    // it with the wrong CONTENTS — either way dependents must skip
+    def poison(sql: String): Unit = {
       CreateNameRe.findFirstMatchIn(sql).foreach(m => poisoned += m.group(1))
+      InsertNameRe.findFirstMatchIn(sql).foreach(m => poisoned += m.group(1))
+    }
 
     for (rec <- parseRecords(lines)) {
       val d = rec.directive
@@ -606,7 +811,8 @@ object SltRunner {
                       .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
                   }
                 }
-              val df: DataFrame = runWithDropFallback(ctx, spark, sql)
+              val df: DataFrame = maybeEmulateInsert(spark, sql)
+                .getOrElse(runWithDropFallback(ctx, spark, sql))
               if (d.startsWith("statement")) { df.collect(); passed += 1 }
               else if (sql.trim.toUpperCase.startsWith("INSERT")) {
                 // the reference surfaces INSERT row counts as a result set;
@@ -615,7 +821,7 @@ object SltRunner {
                 skipped += ((rec.line, "INSERT row-count result not surfaced by Spark"))
               }
               else {
-                val rows = df.collect().map(renderRow).toSeq
+                val rows = collectRendered(df)
                 val sortMode = d.split("\\s+").drop(2).headOption.getOrElse("")
                 val (got, want) =
                   if (sortMode == "rowsort") (rows.sorted, rec.expected.sorted)
@@ -643,6 +849,33 @@ object SltRunner {
                 // RecursiveCte.iterateDistinct (cte_recursive_distinct oracle)
                 skipped += ((rec.line, "UNION-distinct recursion (library form covers it)"))
               case e: org.apache.spark.sql.AnalysisException
+                  if e.getMessage.contains("UNRESOLVED_ROUTINE") =>
+                val fn = """routine `([^`]+)`""".r.findFirstMatchIn(e.getMessage)
+                  .map(_.group(1)).getOrElse("?")
+                skipped += ((rec.line, s"function not in Spark: $fn"))
+              case e: Exception
+                  if e.getMessage != null &&
+                    (e.getMessage.contains("DIVIDE_BY_ZERO") ||
+                     e.getMessage.contains("REMAINDER_BY_ZERO")) =>
+                skipped += ((rec.line, "x/0: reference yields IEEE inf/NULL, Spark ANSI errors"))
+              case e: Exception
+                  if e.getMessage != null &&
+                    e.getMessage.contains("SET_OPERATION_ON_MAP_TYPE") =>
+                skipped += ((rec.line, "DISTINCT/set-op on map type unsupported in Spark"))
+              case e: Exception
+                  if e.getMessage != null &&
+                    e.getMessage.contains("INVALID_INDEX_OF_ZERO") =>
+                skipped += ((rec.line, "element_at index 0: reference returns NULL, Spark errors"))
+              case e: org.apache.spark.sql.AnalysisException
+                  if e.getMessage.contains("INVALID_LIMIT_LIKE_EXPRESSION") =>
+                // the reference folds arbitrary expressions in LIMIT/OFFSET;
+                // Spark requires integer literals — dialect surface
+                skipped += ((rec.line, "expression-valued LIMIT/OFFSET (dialect)"))
+              case e: org.apache.spark.sql.AnalysisException
+                  if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+                poison(sql)
+                skipped += ((rec.line, "schema-less empty CREATE TABLE (dialect)"))
+              case e: org.apache.spark.sql.AnalysisException
                   if e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") =>
                 // external fixture tables (aggregate_test_100 etc.) are
                 // registered by the reference's Rust harness, not by the
@@ -669,6 +902,74 @@ object SltRunner {
 
   private def firstLine(s: String): String =
     Option(s).map(_.linesIterator.next().take(120)).getOrElse("")
+
+  /** The engine's own SQL-function compat layer (the same packs the
+    * oracle inventory exercises), plus `iszero` (math/iszero.rs). */
+  private def registerCompat(spark: SparkSession): Unit = {
+    graft.functions.GraftMath.register(spark)
+    graft.functions.VectorFunctions.register(spark)
+    graft.functions.CryptoFunctions.register(spark)
+    graft.functions.NGramsExplode.register(spark)
+    graft.functions.GraftWindowFunctions.register(spark)
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal}
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "iszero", es => EqualTo(es.head, Literal(0.0d)), "built-in")
+  }
+
+  /** INSERT INTO a name our CREATE translation registered as a TEMP VIEW:
+    * emulated at the Dataset level — the union plan CAPTURES the prior
+    * view's analyzed plan, so re-registering the name is not a recursive
+    * view reference. */
+  private def maybeEmulateInsert(spark: SparkSession, sql: String): Option[DataFrame] = {
+    val InsertRe = """(?is)^\s*INSERT\s+INTO\s+([\w.]+)\s+(VALUES\b.*|SELECT\b.*)$""".r
+    sql match {
+      case InsertRe(name, body) =>
+        val isTempView = try {
+          spark.catalog.tableExists(name) && spark.catalog.getTable(name).isTemporary
+        } catch { case _: Exception => false }
+        if (!isTempView) None
+        else {
+          val src = if (body.trim.toUpperCase.startsWith("VALUES"))
+            s"SELECT * FROM ($body)" else body
+          val old = spark.table(name)
+          // positional cast to the view schema — the reference coerces
+          // inserted values (incl. bare NULL maps) to the table types
+          val add = spark.sql(src).toDF(old.columns.toIndexedSeq: _*)
+          val coerced = add.select(old.schema.fields.map(f =>
+            org.apache.spark.sql.functions.col(s"`${f.name}`").cast(f.dataType)
+              .as(f.name)).toIndexedSeq: _*)
+          old.unionAll(coerced).createOrReplaceTempView(name)
+          Some(spark.emptyDataFrame)
+        }
+      case _ => None
+    }
+  }
+
+  /** Collect with map columns projected through map_entries first — the
+    * Row API materializes maps as hash maps, losing the insertion order
+    * the reference's display asserts. */
+  private def collectRendered(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.types.MapType
+    val fields = df.schema.fields
+    if (!fields.exists(_.dataType.isInstanceOf[MapType])) df.collect().map(renderRow).toSeq
+    else {
+      val prj = fields.map { f =>
+        if (f.dataType.isInstanceOf[MapType])
+          org.apache.spark.sql.functions.expr(s"map_entries(`${f.name}`)").as(f.name)
+        else org.apache.spark.sql.functions.col(s"`${f.name}`")
+      }
+      val isMap = fields.map(_.dataType.isInstanceOf[MapType])
+      df.select(prj.toIndexedSeq: _*).collect().map { r =>
+        (0 until r.length).map { i =>
+          if (isMap(i) && r.get(i) != null)
+            r.getSeq[Row](i).map(e =>
+              s"${render(e.get(0), nested = true)}: ${render(e.get(1), nested = true)}")
+              .mkString("{", ", ", "}")
+          else render(r.get(i))
+        }.mkString(" ")
+      }.toSeq
+    }
+  }
 
   /** DROP TABLE in a file may target either our temp-view translation or a
     * genuinely managed table — try the view spelling, fall back. */

@@ -53,6 +53,29 @@ class SltRunnerSpec extends AnyFunSuite {
       855 -> "nanosecond timestamps (Spark timestamps are microsecond)",
       6193 -> "DISTINCT ON inside a subquery (rewriter handles top level only)"))
   }
+  test("select.slt")   {
+    val nan = "Spark NaN semantics intentionally differ (NaN=NaN, NaN>x)"
+    check("select.slt", 110, knownDivergent = Map(
+      410 -> "RANDOM() in VALUES — nondeterministic fold differs",
+      572 -> nan, 944 -> nan,
+      886 -> "f32 summation precision differs at the displayed digit",
+      1630 -> "int/int division: reference truncates, Spark yields double",
+      1834 -> "auto-generated column naming convention differs",
+      1945 -> "current_time resolves as function, not column, in Spark",
+      1953 -> "current_time resolves as function, not column, in Spark"))
+  }
+  test("struct.slt")   { check("struct.slt", 45) }
+  test("map.slt")      {
+    check("map.slt", 70, knownDivergent = Map(
+      50 -> "struct field order from JSON inference differs"))
+  }
+  test("math.slt")     {
+    val nanNull = "isnan(NULL): reference returns NULL, Spark false by design"
+    check("math.slt", 50, knownDivergent = Map(
+      66 -> "round() on f32 at the representation boundary (reference rounds in f32, Spark in f64)",
+      200 -> nanNull, 205 -> nanNull, 211 -> nanNull, 221 -> nanNull,
+      264 -> nanNull, 296 -> nanNull))
+  }
   test("subquery.slt") {
     check("subquery.slt", 140, knownDivergent = Map(
       1519 -> "doubly-nested correlated EXISTS in a disjunction (Spark internal limitation)",
