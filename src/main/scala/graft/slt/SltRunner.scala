@@ -59,9 +59,14 @@ object SltRunner {
         val expected = mutable.Buffer[String]()
         if (i < lines.length && lines(i).trim == "----") {
           i += 1
-          while (i < lines.length && !isBlank(lines(i))) { expected += lines(i); i += 1 }
+          // whitespace-only lines are VALUES (an empty binary renders as
+          // spaces); the block ends at a strictly empty line
+          while (i < lines.length && lines(i).nonEmpty) { expected += lines(i); i += 1 }
         }
-        out += Record(start + 1, directive, sqlLines.mkString("\n"), expected.toSeq)
+        // a stray duplicated "----" right after the separator (present in
+        // a couple of reference files) is not a value
+        out += Record(start + 1, directive, sqlLines.mkString("\n"),
+          expected.toSeq.dropWhile(_.trim == "----"))
       } else i += 1 // control lines (skipif/onlyif/halt) — ignore record-less
     }
     out.toSeq
@@ -467,6 +472,60 @@ object SltRunner {
     Some(s.replaceAll("(?i)(?<![\\w_])MAKE_MAP\\s*\\(", "map("))
   }
 
+  /** Two-arg trim family: the reference spells `ltrim(str, chars)`;
+    * Spark's two-arg forms are `ltrim(chars, str)` — swap. `btrim` is
+    * Spark's `trim`. Also `encode/decode(x, 'base64'|'hex')`: the
+    * reference means binary-to-text codecs, Spark means charsets. */
+  private[slt] def translateStringFns(sql: String): String = {
+    var s = sql
+    // rewrite one call of `fn` at a time via the paren matcher
+    def rewriteCalls(fn: String)(build: Seq[String] => Option[String]): Unit = {
+      val re = ("""(?i)(?<![\w_])""" + fn + """\s*\(""").r
+      var searchFrom = 0
+      var cont = true
+      while (cont) {
+        re.findFirstMatchIn(s.substring(searchFrom)) match {
+          case None => cont = false
+          case Some(m) =>
+            val open = searchFrom + m.end - 1
+            val close = matchParen(s, open)
+            if (close < 0) cont = false
+            else {
+              val args = splitTopLevel(s.substring(open + 1, close)).map(_.trim)
+              build(args) match {
+                case Some(repl) =>
+                  s = s.substring(0, searchFrom + m.start) + repl + s.substring(close + 1)
+                  searchFrom = searchFrom + m.start + 1
+                case None => searchFrom = open + 1
+              }
+            }
+        }
+      }
+    }
+    // Spark quirk: ALL two-arg trim forms — trim/ltrim/rtrim — take
+    // (trimStr, str), reversed from the reference's (str, chars); verified
+    // empirically (trim('xyz','xyxtrimyyx') = 'trim' in Spark).
+    for (fn <- Seq("ltrim", "rtrim", "trim"))
+      rewriteCalls(fn)(args =>
+        if (args.size == 2) Some(s"$fn(${args(1)}, ${args(0)})") else None)
+    rewriteCalls("btrim")(args =>
+      if (args.size == 2) Some(s"trim(${args(1)}, ${args(0)})")
+      else if (args.size == 1) Some(s"trim(${args(0)})")
+      else None)
+    rewriteCalls("encode")(args =>
+      if (args.size == 2 && args(1).equalsIgnoreCase("'base64'")) Some(s"base64(${args(0)})")
+      else if (args.size == 2 && args(1).equalsIgnoreCase("'hex'")) Some(s"lower(hex(${args(0)}))")
+      else None)
+    rewriteCalls("decode")(args =>
+      if (args.size == 2 && args(1).equalsIgnoreCase("'base64'")) Some(s"unbase64(${args(0)})")
+      else if (args.size == 2 && args(1).equalsIgnoreCase("'hex'")) Some(s"unhex(${args(0)})")
+      else None)
+    // numeric literals with underscores (1_000) — strip the separators;
+    // strpos(str, sub) is Spark's instr (same argument order)
+    s.replaceAll("(?<=\\d)_(?=\\d)", "")
+      .replaceAll("(?i)(?<![\\w_])strpos\\s*\\(", "instr(")
+  }
+
   /** Align ORDER BY default null ordering with the reference (ASC → NULLS
     * LAST, DESC → NULLS FIRST — the Postgres convention; Spark defaults
     * are the opposite). Only the final top-level ORDER BY is rewritten. */
@@ -575,7 +634,7 @@ object SltRunner {
     }
     val pre1b = translateOrderByNulls(
       translateValuesAlias(translateInDoubleParen(translateStructFn(
-        translateGetField(translateSubscripts(pre1m))))))
+        translateGetField(translateSubscripts(translateStringFns(pre1m)))))))
       .replaceAll("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?VIEW\\b",
         "CREATE OR REPLACE TEMPORARY VIEW")
       .replaceAll("(?i)\\bapprox_distinct\\s*\\(", "approx_count_distinct(")
@@ -623,10 +682,11 @@ object SltRunner {
           val sp = cd.split("\\s+", 2)
           (sp(0), sparkType(if (sp.length > 1) sp(1) else "STRING"))
         }
-        val casts = colDefs.zipWithIndex.map { case ((n, t), k) =>
-          s"CAST(col${k + 1} AS $t) AS $n"
-        }.mkString(", ")
-        s"CREATE OR REPLACE TEMPORARY VIEW $name AS SELECT $casts FROM ($body)"
+        // positional column alias on the derived table, so the body's own
+        // naming (col1 vs column1 vs select aliases) never matters
+        val alias = colDefs.map(_._1).mkString("_t(", ", ", ")")
+        val casts = colDefs.map { case (n, t) => s"CAST($n AS $t) AS $n" }.mkString(", ")
+        s"CREATE OR REPLACE TEMPORARY VIEW $name AS SELECT $casts FROM ($body) AS $alias"
       case CreateAsRe(name, body) =>
         // DataFusion names anonymous VALUES columns column1..N; Spark says
         // col1..N — alias them to the reference convention.
@@ -694,8 +754,28 @@ object SltRunner {
       // DECIMAL(2,1) where the reference's is Float64; match its float
       // rendering (top-level strips, nested keeps the point)
       if (nested) bd.toPlainString else bd.stripTrailingZeros.toPlainString
-    case s: String => if (s.isEmpty && !nested) "(empty)" else s
+    case s: String =>
+      if (s.isEmpty && !nested) "(empty)" else s.replace("\u0000", "\\0")
     case bytes: Array[Byte] => bytes.map("%02x".format(_)).mkString
+    // DataFusion interval display: "5 days 4 hours 3 mins 2.100000000 secs"
+    case dur: java.time.Duration =>
+      val totalNanos = dur.toNanos
+      val sign = if (totalNanos < 0) "-" else ""
+      val n = math.abs(totalNanos)
+      val days = n / 86400000000000L
+      val hours = n / 3600000000000L % 24
+      val mins = n / 60000000000L % 60
+      val secs = n % 60000000000L
+      val parts = Seq(
+        if (days != 0) Some(s"$sign$days days") else None,
+        if (hours != 0) Some(s"$sign$hours hours") else None,
+        if (mins != 0) Some(s"$sign$mins mins") else None,
+        if (secs != 0 || (days == 0 && hours == 0 && mins == 0))
+          Some(f"$sign${secs / 1000000000L}%d.${secs % 1000000000L}%09d secs")
+        else None).flatten
+      parts.mkString(" ")
+    case p: java.time.Period =>
+      s"${p.toTotalMonths} mons"
     case a: scala.collection.Seq[_] =>
       a.map(render(_, nested = true)).mkString("[", ", ", "]")
     case r: Row =>
@@ -823,9 +903,13 @@ object SltRunner {
               else {
                 val rows = collectRendered(df)
                 val sortMode = d.split("\\s+").drop(2).headOption.getOrElse("")
+                // sqllogictest convention: trailing whitespace on a result
+                // line is not significant (editors strip it from the files)
+                val gotT = rows.map(_.replaceAll("\\s+$", ""))
+                val wantT = rec.expected.map(_.replaceAll("\\s+$", ""))
                 val (got, want) =
-                  if (sortMode == "rowsort") (rows.sorted, rec.expected.sorted)
-                  else (rows, rec.expected)
+                  if (sortMode == "rowsort") (gotT.sorted, wantT.sorted)
+                  else (gotT, wantT)
                 if (got == want) passed += 1
                 else failures += Failure(rec.line, sql,
                   s"expected ${want.take(5).mkString("|")}... got ${got.take(5).mkString("|")}")
@@ -853,6 +937,14 @@ object SltRunner {
                 val fn = """routine `([^`]+)`""".r.findFirstMatchIn(e.getMessage)
                   .map(_.group(1)).getOrElse("?")
                 skipped += ((rec.line, s"function not in Spark: $fn"))
+              case e: Exception
+                  if e.getMessage != null &&
+                    e.getMessage.contains("unknown algorithm") =>
+                skipped += ((rec.line, "digest algorithm unavailable on the JVM (blake2/blake3)"))
+              case e: Exception
+                  if e.getMessage != null &&
+                    e.getMessage.contains("INVALID_INTERVAL_FORMAT") =>
+                skipped += ((rec.line, "interval literal form Spark cannot parse (fractional units)"))
               case e: Exception
                   if e.getMessage != null &&
                     (e.getMessage.contains("DIVIDE_BY_ZERO") ||
@@ -911,9 +1003,84 @@ object SltRunner {
     graft.functions.CryptoFunctions.register(spark)
     graft.functions.NGramsExplode.register(spark)
     graft.functions.GraftWindowFunctions.register(spark)
-    import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal}
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{DoubleType, StringType}
+    val reg = spark.sessionState.functionRegistry
+    def dbl(e: Expression): Expression = Cast(e, DoubleType)
+    reg.createOrReplaceTempFunction(
       "iszero", es => EqualTo(es.head, Literal(0.0d)), "built-in")
+    // reference chr() takes any unicode codepoint; Spark's stops at 255
+    reg.createOrReplaceTempFunction(
+      "chr", es => If(IsNull(es.head),
+        Literal.create(null, StringType),
+        FormatString(Literal("%c") +: es: _*)), "built-in")
+    // reference concat() skips NULLs (Postgres-style); Spark's yields NULL
+    reg.createOrReplaceTempFunction(
+      "concat", es => Concat(es.map(e =>
+        Coalesce(Seq(Cast(e, StringType), Literal(""))))), "built-in")
+    // reference log family: log(x) is base-10, and domain edges follow
+    // IEEE (log(0) = -inf, log(<0) = NaN) where Spark returns NULL
+    def edged(x: Expression, compute: Expression): Expression = {
+      val xd = dbl(x)
+      CaseWhen(Seq(
+        (EqualTo(xd, Literal(0.0d)), Literal(Double.NegativeInfinity)),
+        (LessThan(xd, Literal(0.0d)), Literal(Double.NaN))), compute)
+    }
+    reg.createOrReplaceTempFunction(
+      "ln", es => edged(es.head, Log(dbl(es.head))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "log10", es => edged(es.head, Log10(dbl(es.head))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "log2", es => edged(es.head, Log2(dbl(es.head))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "log", es =>
+        if (es.size == 1) edged(es.head, Log10(dbl(es.head)))
+        else {
+          // a negative BASE is NaN too (reference follows IEEE throughout)
+          val base = dbl(es.head)
+          CaseWhen(Seq((LessThan(base, Literal(0.0d)), Literal(Double.NaN))),
+            edged(es(1), Logarithm(base, dbl(es(1)))))
+        }, "built-in")
+    // reference greatest/least accept a single argument
+    reg.createOrReplaceTempFunction(
+      "greatest", es => if (es.size == 1) es.head else Greatest(es), "built-in")
+    reg.createOrReplaceTempFunction(
+      "least", es => if (es.size == 1) es.head else Least(es), "built-in")
+    // reference left/right with negative n drop |n| chars from the other
+    // end (Postgres semantics); Spark returns empty
+    reg.createOrReplaceTempFunction(
+      "left", es => {
+        val (s0, n) = (es.head, es(1))
+        If(IsNull(n), Literal.create(null, StringType),
+          If(GreaterThanOrEqual(n, Literal(0)), Left(s0, n),
+            Substring(s0, Literal(1), Greatest(Seq(Add(Length(s0), n), Literal(0))))))
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "right", es => {
+        val (s0, n) = (es.head, es(1))
+        If(IsNull(n), Literal.create(null, StringType),
+          If(GreaterThanOrEqual(n, Literal(0)), Right(s0, n),
+            Substring(s0, Subtract(Literal(1), n), Literal(Int.MaxValue))))
+      }, "built-in")
+    // reference substr with start < 1 clamps to the string head
+    // (Postgres window semantics); Spark counts from the end
+    reg.createOrReplaceTempFunction(
+      "substr", es =>
+        if (es.size == 2)
+          If(LessThan(es(1), Literal(1)), Substring(es.head, Literal(1), Literal(Int.MaxValue)),
+            Substring(es.head, es(1), Literal(Int.MaxValue)))
+        else Substring(es.head, es(1), es(2)), "built-in")
+    // reference trunc(x) is NUMERIC truncation toward zero; Spark's
+    // 2-arg trunc stays the date builtin
+    reg.createOrReplaceTempFunction(
+      "trunc", es =>
+        if (es.size == 1) {
+          val xd = dbl(es.head)
+          CaseWhen(Seq((GreaterThanOrEqual(xd, Literal(0.0d)), dbl(Floor(xd)))),
+            dbl(Ceil(xd)))
+        } else TruncDate(es.head, es(1)), "built-in")
+    // reference string literals are standard SQL (no backslash escapes)
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
   }
 
   /** INSERT INTO a name our CREATE translation registered as a TEMP VIEW:

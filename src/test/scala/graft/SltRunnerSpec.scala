@@ -53,6 +53,29 @@ class SltRunnerSpec extends AnyFunSuite {
       855 -> "nanosecond timestamps (Spark timestamps are microsecond)",
       6193 -> "DISTINCT ON inside a subquery (rewriter handles top level only)"))
   }
+  test("expr.slt")      {
+    check("expr.slt", 280, knownDivergent = Map(
+      25 -> "isnan(NULL) inside the scalar batch: reference NULL, Spark false"))
+  }
+  test("scalar.slt")    {
+    val nanNull = "isnan(NULL): reference returns NULL, Spark false by design"
+    val decDiv = "decimal-literal division: reference computes in f64, Spark in decimal"
+    check("scalar.slt", 190, knownDivergent = Map(
+      640 -> decDiv, 716 -> decDiv, 752 -> decDiv, 1221 -> decDiv,
+      842 -> nanNull, 848 -> nanNull,
+      1448 -> "'^' is exponentiation in the reference, XOR in Spark",
+      1460 -> "'^' is exponentiation in the reference, XOR in Spark",
+      1864 -> "int/int division: reference truncates, Spark yields double",
+      1980 -> "numeric-suffix literal parsing (1ea) differs",
+      1381 -> "trunc of a 2^53+1 decimal passes through f64 here",
+      692 -> "log on f32 columns computed in f64 here (display digits differ)"))
+  }
+  test("functions.slt") {
+    check("functions.slt", 150, knownDivergent = Map(
+      413 -> "double-quoted function identifiers not supported by Spark's parser",
+      419 -> "sqrt on f32 computed in f64 here (display digits differ)",
+      1071 -> "overlay with negative length (insert mode) unsupported"))
+  }
   test("select.slt")   {
     val nan = "Spark NaN semantics intentionally differ (NaN=NaN, NaN>x)"
     check("select.slt", 110, knownDivergent = Map(
