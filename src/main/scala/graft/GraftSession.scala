@@ -43,11 +43,16 @@ object GraftSession {
       // instead of ~30 right-sized ones. Lower openCost so small fixture
       // files aren't rounded up to one task each.
       .config("spark.sql.files.openCostInBytes", (512 * 1024).toString)
-      // Aim for ~2 task waves per scan rather than the default 1: a single
-      // wave makes the whole scan wait on its slowest task (GC pauses,
-      // uneven row-group sizes); 2 waves restore work-stealing slack at
-      // ~no extra scheduling cost. (measured: SF10 q1 2.6s -> 1.6s)
-      .config("spark.sql.files.minPartitionNum", (cpus * 2).toString)
+      // Cap splits at 24 MB instead of forcing minPartitionNum=2×cores.
+      // Spark's split formula then lands in the right regime at every scale:
+      // small inputs (bytesPerCore < 24 MB) get exactly one task wave —
+      // scheduling latency dominates there, and forcing 2×cores tasks cost
+      // a measured 358→219 ms on the SF1 q3 lineitem scan stage; big inputs
+      // (bytesPerCore > 24 MB, e.g. SF10's 1.5 GB lineitem) split into 24 MB
+      // tasks → ≥2 waves, keeping the work-stealing slack that the round-3
+      // study measured as 2.6→1.4 s on SF10 q1 (one fat wave waits on its
+      // slowest task).
+      .config("spark.sql.files.maxPartitionBytes", (24 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
 
   /** builder + context-creation-time experiment knobs (these cannot be set

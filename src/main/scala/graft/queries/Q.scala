@@ -44,6 +44,12 @@ object Q {
     else {
       val ss = s.newSession()
       ss.conf.set("spark.sql.adaptive.enabled", "false")
+      // These queries' post-scan exchanges carry ≤4 MB; 32 final-agg tasks
+      // are pure launch latency for that (measured 146→106 ms on the SF1 q3
+      // final stage at 8). With AQE on, coalescePartitions reaches the same
+      // shape at runtime — this is the static mirror of it. At cluster
+      // scale these queries run on the default AQE session instead.
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
       fastSessions.put(s, ss)
       ss
     }
