@@ -50,8 +50,32 @@ object Q {
       // shape at runtime — this is the static mirror of it. At cluster
       // scale these queries run on the default AQE session instead.
       ss.conf.set("spark.sql.shuffle.partitions", "8")
+      // Constraint propagation infers IsNotNull/transitive predicates from
+      // join keys — useful inference for machine-generated plans, a pure
+      // planning tax here where every filter is already explicit (measured
+      // 59→41 ms/plan on the q3 shape; the reference has no equivalent
+      // optimizer pass either). Scan pushdown of the explicit predicates is
+      // unaffected.
+      ss.conf.set("spark.sql.constraintPropagation.enabled", "false")
       fastSessions.put(s, ss)
       ss
+    }
+  }
+
+  /** Register the fixture tables as temp views once per (session, dir) —
+    * `createOrReplaceTempView` costs ~20-25 ms per table-triple per call
+    * (measured 139 vs 64 ms/plan on the q3 shape with registration inline),
+    * which a real engine pays once at catalog setup, not per query. A dir
+    * switch (verify at sf0.01 vs bench at SF1 in one JVM) re-registers. */
+  private val registeredDirs = new java.util.WeakHashMap[SparkSession, String]()
+  def fixtureViews(s: SparkSession, dir: String): Unit = registeredDirs.synchronized {
+    if (registeredDirs.get(s) != dir) {
+      // only tables present in the dir — scale fixtures (gen_sf1.py) carry
+      // the TPC-H star only, not events/documents/embeddings
+      graft.Tables.names
+        .filter(n => new java.io.File(s"$dir/$n.parquet").exists())
+        .foreach(n => graft.Tables.load(s, dir, n).createOrReplaceTempView(n))
+      registeredDirs.put(s, dir)
     }
   }
 

@@ -56,7 +56,7 @@ object TpchQueries {
     // which is a real fraction of a 1 s query. Same plan either way.
     "q3_join_topk" -> { (s0, dir) =>
       val s = staticPlanSession(s0)
-      Seq("customer", "orders", "lineitem").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      fixtureViews(s, dir)
       s.sql(
         """SELECT /*+ BROADCAST(cmplx) */ l_orderkey,
           |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
@@ -84,8 +84,7 @@ object TpchQueries {
     // planner does the equivalent CollectLeft chain from its estimates).
     "q5_multijoin" -> { (s0, dir) =>
       val s = staticPlanSession(s0)
-      Seq("region", "nation", "customer", "orders", "lineitem", "supplier")
-        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      fixtureViews(s, dir)
       // Broadcast-dependency shape: the old left-deep region→nation→
       // customer→orders chain was four SEQUENTIAL broadcast-exchange jobs
       // (each level's build waits on the previous) before lineitem could
@@ -132,8 +131,7 @@ object TpchQueries {
     // c_name/c_acctbal rows never shuffle either.
     "q10_returns" -> { (s0, dir) =>
       val s = staticPlanSession(s0)
-      Seq("customer", "orders", "lineitem", "nation")
-        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      fixtureViews(s, dir)
       s.sql(
         """SELECT /*+ BROADCAST(pc) */ c_custkey, c_name, c_acctbal, n_name,
           |  CAST(FLOOR((rev_c + 1.37e-4) * 100 + 0.5) AS DOUBLE) / 100 AS revenue
