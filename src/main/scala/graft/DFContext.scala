@@ -39,7 +39,47 @@ class DFContext(val spark: SparkSession) {
 
   def table(name: String): DataFrame = spark.table(name)
 
-  def sql(query: String): DataFrame =
+  /** SQL-level prepared statements (reference: PREPARE/EXECUTE/DEALLOCATE
+    * in sql/src/planner — `$1`-style positional placeholders; exercised by
+    * sqllogictest/test_files/prepare.slt). The plan text is stored at
+    * PREPARE time and placeholders are bound to literal argument text at
+    * EXECUTE; optional declared types become explicit CASTs. */
+  private val preparedStmts =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Seq[String])]
+
+  private val PrepareRe =
+    """(?is)^\s*PREPARE\s+(\w+)\s*(\(([^)]*)\))?\s*AS\s+(.+)$""".r
+  private val ExecuteRe =
+    """(?is)^\s*EXECUTE\s+(\w+)\s*(\((.*)\))?\s*$""".r
+  private val DeallocRe =
+    """(?is)^\s*DEALLOCATE\s+(?:PREPARE\s+)?(\w+)\s*$""".r
+
+  def sql(query: String): DataFrame = query.replaceAll(";\\s*$", "") match {
+    case PrepareRe(name, _, types, body) =>
+      val declared = Option(types).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      preparedStmts(name.toLowerCase) = (body, declared)
+      spark.emptyDataFrame
+    case ExecuteRe(name, _, argText) =>
+      val (body, declared) = preparedStmts.getOrElse(name.toLowerCase,
+        throw new IllegalArgumentException(s"prepared statement $name not found"))
+      val args = Option(argText).map(DFContext.splitTopLevel(_, ","))
+        .getOrElse(Seq.empty).map(_.trim).filter(_.nonEmpty)
+      // bind $n (descending so $12 binds before $1); declared types cast
+      var bound = body
+      for (i <- args.indices.reverse) {
+        val lit = if (declared.lift(i).isDefined && declared(i).nonEmpty)
+          s"CAST(${args(i)} AS ${declared(i)})" else args(i)
+        bound = bound.replace("$" + (i + 1), lit)
+      }
+      sqlRewritten(bound)
+    case DeallocRe(name) =>
+      preparedStmts.remove(name.toLowerCase)
+      spark.emptyDataFrame
+    case q => sqlRewritten(q)
+  }
+
+  private def sqlRewritten(query: String): DataFrame =
     if (DFContext.usesExclude(query)) {
       // Analysis happens eagerly inside spark.sql, so scoping the parser
       // flag around the call is race-free for this session.
@@ -194,6 +234,170 @@ object DFContext {
       if (depth != 0) None
       else Some((q.substring(m.end, i - 1).trim, q.substring(i)))
     }
+
+  /** Index of the first top-level (paren-depth-0, outside literals)
+    * occurrence of keyword `word`, or -1. */
+  private def findTopLevelWord(s: String, word: String): Int = {
+    val u = s.toUpperCase
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case '\'' =>
+          i += 1
+          while (i < s.length && !(s(i) == '\'' && (i + 1 >= s.length || s(i + 1) != '\''))) {
+            if (s(i) == '\'' && i + 1 < s.length && s(i + 1) == '\'') i += 1
+            i += 1
+          }
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 && wordAt(u, i, word) => return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** QUALIFY support: ORDER BY keys that are simple identifiers of base
+    * columns not present in the select list become hidden passthrough
+    * columns (`x` → `x AS __ob_x` appended to the projection; the tail is
+    * rewritten to use the alias). Returns (base', tail', hiddenAliases). */
+  private def hiddenOrderCols(base: String, tail: String)
+      : (String, String, Seq[String]) = {
+    val ObRe = """(?is)^ORDER\s+BY\s+(.*)$""".r
+    val fromIdx = findTopLevelWord(base, "FROM")
+    tail match {
+      case ObRe(rest) if fromIdx >= 0 =>
+        val (orderList, limitTail) = splitOffLimit(rest)
+        val selectList = base.substring(0, fromIdx)
+          .replaceFirst("(?is)^\\s*SELECT\\s+(DISTINCT\\s+)?", "")
+        val names = splitTopLevel(selectList, ",").map(_.trim).map { item =>
+          """(?is)\s+AS\s+[`"]?(\w+)[`"]?\s*$""".r.findFirstMatchIn(item)
+            .map(_.group(1))
+            .getOrElse(item.substring(item.lastIndexOf('.') + 1).trim)
+        }.map(_.toLowerCase).toSet
+        var newTailItems = Seq.empty[String]
+        var hidden = Seq.empty[String]
+        for (item0 <- splitTopLevel(orderList, ",")) {
+          val item = item0.trim
+          val m = """(?is)^([A-Za-z_]\w*)(\s+(?:ASC|DESC))?(\s+NULLS\s+(?:FIRST|LAST))?$""".r
+            .findFirstMatchIn(item)
+          m match {
+            case Some(g) if !names.contains(g.group(1).toLowerCase) =>
+              val alias = s"__ob_${g.group(1).toLowerCase}"
+              hidden :+= alias
+              newTailItems :+= alias +
+                Option(g.group(2)).getOrElse("") + Option(g.group(3)).getOrElse("")
+            case _ => newTailItems :+= item
+          }
+        }
+        if (hidden.isEmpty) (base, tail, Nil)
+        else {
+          val adds = hidden.map(a => s"${a.stripPrefix("__ob_")} AS $a").mkString(", ", ", ", "")
+          val base2 = base.substring(0, fromIdx).stripTrailing + adds + " " +
+            base.substring(fromIdx)
+          (base2, s"ORDER BY ${newTailItems.mkString(", ")}$limitTail", hidden)
+        }
+      case _ => (base, tail, Nil)
+    }
+  }
+
+  /** Hoist aggregate-function calls out of a QUALIFY predicate into hidden
+    * select items of the grouped base query. An aggregate spelling followed
+    * by OVER is a window function and stays put. Returns
+    * (base', pred', hiddenAliases). */
+  private def hoistAggregates(base: String, pred: String)
+      : (String, String, Seq[String]) = {
+    val AggRe = ("""(?i)\b(sum|count|avg|min|max|stddev|stddev_samp|stddev_pop""" +
+      """|variance|var_samp|var_pop|median|array_agg|string_agg)\s*\(""").r
+    var out = pred
+    var exprs = Seq.empty[String]
+    var search = 0
+    var continue = true
+    while (continue) {
+      AggRe.findFirstMatchIn(out.substring(search)) match {
+        case None => continue = false
+        case Some(m) =>
+          val open = search + m.end - 1
+          val close = matchParenAt(out, open)
+          if (close < 0) continue = false
+          else {
+            val after = out.substring(close + 1).dropWhile(_.isWhitespace)
+            if (after.toUpperCase.startsWith("OVER")) search = open + 1
+            else {
+              val expr = out.substring(search + m.start, close + 1)
+              val alias = s"__agg${exprs.size + 1}"
+              exprs :+= expr
+              out = out.substring(0, search + m.start) + alias + out.substring(close + 1)
+              search = search + m.start + alias.length
+            }
+          }
+      }
+    }
+    if (exprs.isEmpty) (base, pred, Nil)
+    else {
+      val fromIdx = findTopLevelWord(base, "FROM")
+      if (fromIdx < 0) (base, pred, Nil)
+      else {
+        val aliases = exprs.indices.map(i => s"__agg${i + 1}")
+        val adds = exprs.zip(aliases).map { case (e, a) => s"$e AS $a" }
+          .mkString(", ", ", ", "")
+        val base2 = base.substring(0, fromIdx).stripTrailing + adds + " " +
+          base.substring(fromIdx)
+        (base2, out, aliases)
+      }
+    }
+  }
+
+  /** Whitespace/case-insensitive expression text normalization. */
+  private def norm(s: String): String =
+    s.trim.toLowerCase.replaceAll("\\s+", " ")
+
+  /** Matching close-paren index for the open paren at `open`, or -1. */
+  private def matchParenAt(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      s(i) match {
+        case '\'' =>
+          i += 1
+          while (i < s.length && !(s(i) == '\'' && (i + 1 >= s.length || s(i + 1) != '\''))) {
+            if (s(i) == '\'' && i + 1 < s.length && s(i + 1) == '\'') i += 1
+            i += 1
+          }
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Split a trailing top-level LIMIT/OFFSET off an ORDER BY item list. */
+  private def splitOffLimit(s: String): (String, String) = {
+    val u = s.toUpperCase
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case '\'' =>
+          i += 1
+          while (i < s.length && !(s(i) == '\'' && (i + 1 >= s.length || s(i + 1) != '\''))) {
+            if (s(i) == '\'' && i + 1 < s.length && s(i + 1) == '\'') i += 1
+            i += 1
+          }
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 && (wordAt(u, i, "LIMIT") || wordAt(u, i, "OFFSET")) =>
+          return (s.substring(0, i).trim, " " + s.substring(i).trim)
+        case _ =>
+      }
+      i += 1
+    }
+    (s.trim, "")
+  }
 
   /** Split `s` on every top-level occurrence of the token `sep` (outside
     * parens and single-quoted literals). */
@@ -355,37 +559,133 @@ object DFContext {
         "`^(?!(?:" + cols.mkString("|") + ")$).+`")
     })
 
-  private def rewriteStd(query: String): String = parseDistinctOn(query) match {
+  private def rewriteStd(query: String): String = {
+    // WITH-prefixed statements: the CTE bodies are parenthesized, so the
+    // first depth-0 SELECT is the main query — rewrite that part and keep
+    // the CTE prefix (distinct_on.slt's CTE forms).
+    if ("""(?is)^\s*WITH\b""".r.findFirstIn(query).isDefined) {
+      val selIdx = findTopLevelWord(query, "SELECT")
+      if (selIdx > 0) {
+        val main = query.substring(selIdx)
+        val rewritten = rewriteStd0(main)
+        return if (rewritten == main) query else query.substring(0, selIdx) + rewritten
+      }
+    }
+    rewriteStd0(query)
+  }
+
+  private def rewriteStd0(query: String): String = parseDistinctOn(query) match {
     case Some((keys, rest)) =>
       rest match {
         case FromSplitRe(selectList, relAndTail) =>
+          // `rel` keeps everything through GROUP BY/HAVING; the window runs
+          // over the PROJECTED (possibly grouped) result, with key/order
+          // expressions not in the select list carried as hidden columns —
+          // required for grouped queries, where the window scope only sees
+          // grouped/aggregated outputs (reference issue #17256 cases).
           val (rel, tail) = splitTopLevelTail(relAndTail)
-          val orderBy = {
+          val items = splitTopLevel(selectList, ",").map(_.trim)
+          val starSelect = items.exists(_.endsWith("*"))
+          val aliasOf: Map[String, String] = items.flatMap { it =>
+            """(?is)^(.*?)\s+AS\s+[`"]?(\w+)[`"]?\s*$""".r.findFirstMatchIn(it) match {
+              case Some(m) => Seq(norm(m.group(1)) -> m.group(2),
+                                  norm(m.group(2)) -> m.group(2))
+              case None if it.matches("[A-Za-z_][\\w.]*") =>
+                // bare (possibly qualified) column: output name = last part
+                val out = it.substring(it.lastIndexOf('.') + 1)
+                Seq(norm(it) -> out, norm(out) -> out)
+              case None => Seq.empty // expression without alias: auto-named
+            }
+          }.toMap
+          // norm(expr) -> (alias, original text); original text keeps
+          // literal case (norm would lowercase string literals)
+          val hidden = scala.collection.mutable.LinkedHashMap[String, (String, String)]()
+          def resolve(expr0: String): String = {
+            val expr = expr0.trim
+            if (expr.matches("\\d+") && !starSelect) {
+              // positional ref → that select item's output
+              val idx = expr.toInt - 1
+              if (idx >= 0 && idx < items.size) resolve(
+                """(?is)^(.*?)\s+AS\s+[`"]?\w+[`"]?\s*$""".r
+                  .findFirstMatchIn(items(idx)).map(_.group(1)).getOrElse(items(idx)))
+              else expr
+            }
+            else aliasOf.get(norm(expr)) match {
+              case Some(a) => a
+              case None =>
+                if (starSelect && expr.matches("[A-Za-z_][\\w.]*")) expr
+                else hidden.get(norm(expr)) match {
+                  case Some((a, _)) => a
+                  case None =>
+                    val a = s"__x${hidden.size + 1}"
+                    hidden(norm(expr)) = (a, expr)
+                    a
+                }
+            }
+          }
+          // key exprs first, then order exprs (suffixes preserved)
+          val keyRefs = splitTopLevel(keys, ",").map(_.trim).filter(_.nonEmpty)
+            .map(k => k -> resolve(k))
+          val OrdItemRe =
+            """(?is)^(.*?)(\s+(?:ASC|DESC))?(\s+NULLS\s+(?:FIRST|LAST))?$""".r
+          val orderRefs: Seq[(String, String)] = {
             val t = tail.toUpperCase
             if (t.startsWith("ORDER")) {
-              // window order = the ORDER BY clause, minus LIMIT/OFFSET
               val afterBy = tail.drop(5).dropWhile(_.isWhitespace).drop(2)
               val (o, _) = splitTopLevelTail(afterBy)
-              o
-            } else ""
+              splitTopLevel(o, ",").map(_.trim).filter(_.nonEmpty).map { it =>
+                val m = OrdItemRe.findFirstMatchIn(it).get
+                val suffix = Option(m.group(2)).getOrElse("") +
+                  Option(m.group(3)).getOrElse("")
+                (it, resolve(m.group(1)) + suffix)
+              }
+            } else Seq.empty
           }
-          val order = if (orderBy.nonEmpty) orderBy else keys
-          val outerTail = if (tail.isEmpty) "" else s"\n$tail"
-          s"""SELECT $selectList FROM (
-             |  SELECT *, row_number() OVER (PARTITION BY $keys ORDER BY $order) AS __rn
-             |  FROM $rel) __don
+          val hiddenDefs =
+            hidden.values.map { case (a, orig) => s"($orig) AS $a" }.toSeq
+          val innerList = (items ++ hiddenDefs).mkString(", ")
+          val partBy = keyRefs.map(_._2).mkString(", ")
+          val winOrder =
+            if (orderRefs.nonEmpty) orderRefs.map(_._2).mkString(", ") else partBy
+          val outerTail = {
+            val t = tail.toUpperCase
+            if (t.startsWith("ORDER")) {
+              val afterBy = tail.drop(5).dropWhile(_.isWhitespace).drop(2)
+              val (_, lim) = splitTopLevelTail(afterBy)
+              "\nORDER BY " + orderRefs.map(_._2).mkString(", ") +
+                (if (lim.nonEmpty) s"\n$lim" else "")
+            } else if (tail.nonEmpty) s"\n$tail" else ""
+          }
+          val except = ("__rn" +: hidden.values.map(_._1).toSeq).mkString(", ")
+          s"""SELECT * EXCEPT ($except) FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY $partBy ORDER BY $winOrder) AS __rn
+             |  FROM (SELECT $innerList FROM $rel) __di) __don
              |WHERE __rn = 1$outerTail""".stripMargin
         case _ => query
       }
     case None => query match {
-      case QualifyRe(base, predAndTail) if !base.toUpperCase.contains("QUALIFY") =>
-        val (pred, tail) = splitTopLevelTail(predAndTail)
+      case QualifyRe(base0, predAndTail) if !base0.toUpperCase.contains("QUALIFY") =>
+        val (pred, tail0) = splitTopLevelTail(predAndTail)
+        // The reference resolves the post-QUALIFY ORDER BY against the FROM
+        // scope (qualify.slt orders by unprojected base columns); the
+        // wrapper only exposes the projection, so pass simple-identifier
+        // order keys that aren't in the select list through as hidden
+        // columns and strip them from the final output.
+        // Aggregate calls in the predicate (QUALIFY over GROUP BY —
+        // `QUALIFY rank() OVER (ORDER BY sum(salary)) = 1`) must evaluate
+        // inside the grouped query; hoist each into a hidden select item
+        // and reference the alias from the wrapper.
+        val (base1, pred1, aggHidden) =
+          if (findTopLevelWord(base0, "GROUP") >= 0) hoistAggregates(base0, pred)
+          else (base0, pred, Nil)
+        val (base, tail, hidden) = hiddenOrderCols(base1, tail0)
         val outerTail = if (tail.isEmpty) "" else s"\n$tail"
+        val except = ("__qual" +: (aggHidden ++ hidden)).mkString(", ")
         // the predicate is projected as a column, not put in WHERE: QUALIFY
         // allows window functions directly in the predicate, which Spark
         // rejects inside WHERE but accepts in a select list
-        s"""SELECT * EXCEPT (__qual) FROM (
-           |  SELECT *, ($pred) AS __qual FROM (
+        s"""SELECT * EXCEPT ($except) FROM (
+           |  SELECT *, ($pred1) AS __qual FROM (
            |$base
            |) __qi) __q
            |WHERE __qual$outerTail""".stripMargin

@@ -44,18 +44,21 @@ class SltRunnerSpec extends AnyFunSuite {
     val nan = "Spark NaN=NaN is true by design; IN-list membership differs"
     check("predicates.slt", 40,
       knownDivergent = Map(481 -> nan, 495 -> nan, 509 -> nan, 514 -> nan,
-        483 -> nan, 497 -> nan, 511 -> nan, 516 -> nan))
+        483 -> nan, 497 -> nan, 511 -> nan, 516 -> nan,
+        521 -> "int/int division: reference truncates, Spark yields double"))
   }
   test("union.slt")    { check("union.slt", 20) }
   test("joins.slt") {
-    check("joins.slt", 280, knownDivergent = Map(
+    check("joins.slt", 360, knownDivergent = Map(
       833 -> "nanosecond timestamps (Spark timestamps are microsecond)",
       855 -> "nanosecond timestamps (Spark timestamps are microsecond)",
+      4740 -> "LATERAL correlation to a sibling FROM item through extra nesting (Spark scoping)",
       6193 -> "DISTINCT ON inside a subquery (rewriter handles top level only)"))
   }
   test("expr.slt")      {
     check("expr.slt", 280, knownDivergent = Map(
-      25 -> "isnan(NULL) inside the scalar batch: reference NULL, Spark false"))
+      25 -> "isnan(NULL) inside the scalar batch: reference NULL, Spark false",
+      1962 -> "int/int division: reference truncates, Spark yields double"))
   }
   test("scalar.slt")    {
     val nanNull = "isnan(NULL): reference returns NULL, Spark false by design"
@@ -71,9 +74,10 @@ class SltRunnerSpec extends AnyFunSuite {
       692 -> "log on f32 columns computed in f64 here (display digits differ)"))
   }
   test("functions.slt") {
+    val f32 = "sqrt/avg on f32 computed in f64 here (display digits differ)"
     check("functions.slt", 150, knownDivergent = Map(
       413 -> "double-quoted function identifiers not supported by Spark's parser",
-      419 -> "sqrt on f32 computed in f64 here (display digits differ)",
+      419 -> f32, 365 -> f32, 370 -> f32,
       1071 -> "overlay with negative length (insert mode) unsupported"))
   }
   test("select.slt")   {
@@ -105,4 +109,16 @@ class SltRunnerSpec extends AnyFunSuite {
       2123 -> "correlated scalar subquery inside a join key (Spark limitation)",
       2216 -> "(SELECT random()) caching semantics differ by design"))
   }
+  test("alias.slt")       { check("alias.slt", 10) }
+  test("identifiers.slt") { check("identifiers.slt", 13) }
+  test("cast.slt")        { check("cast.slt", 16) }
+  test("in_list.slt")     { check("in_list.slt", 17) }
+  test("group.slt")       { check("group.slt", 24) }
+  test("topk.slt")        { check("topk.slt", 12) }
+  test("wildcard.slt")    { check("wildcard.slt", 10) }
+  test("describe.slt")    { check("describe.slt", 8) }
+  test("prepare.slt")     { check("prepare.slt", 70) }
+  test("projection.slt")  { check("projection.slt", 25) }
+  test("distinct_on.slt") { check("distinct_on.slt", 30) }
+  test("qualify.slt")     { check("qualify.slt", 18) }
 }
