@@ -535,7 +535,47 @@ object DFContext {
     *   reference's first-row-per-key semantics (deterministic only with an
     *   ORDER BY, as in the reference); key expressions may contain parens.
     */
-  def rewrite(query: String): String = rewriteStd(rewriteExclude(rewritePipes(query)))
+  def rewrite(query: String): String =
+    rewriteOrderByWindow(rewriteStd(rewriteExclude(rewritePipes(query))))
+
+  /** Window functions in the top-level ORDER BY (reference:
+    * `ORDER BY row_number() OVER (…)` — window.slt): Spark rejects window
+    * expressions in Sort, so each such item is hoisted into a hidden
+    * select item of the base query and the sort references the alias. */
+  private def rewriteOrderByWindow(query: String): String = {
+    val obIdx = findTopLevelWord(query, "ORDER")
+    if (obIdx < 0) return query
+    val tail = query.substring(obIdx)
+    if (!"""(?is)^ORDER\s+BY""".r.findFirstIn(tail).isDefined) return query
+    val afterBy = tail.replaceFirst("""(?is)^ORDER\s+BY\s*""", "")
+    val (orderList, limitTail) = splitOffLimit(afterBy)
+    if (!"""(?i)\bOVER\b""".r.findFirstIn(orderList).isDefined) return query
+    val base = query.substring(0, obIdx).trim
+    val fromIdx = findTopLevelWord(base, "FROM")
+    if (fromIdx < 0) return query
+    val OrdItemRe =
+      """(?is)^(.*?)(\s+(?:ASC|DESC))?(\s+NULLS\s+(?:FIRST|LAST))?$""".r
+    var hidden = Seq.empty[(String, String)] // (expr, alias)
+    val newItems = splitTopLevel(orderList, ",").map(_.trim).filter(_.nonEmpty).map { it =>
+      val m = OrdItemRe.findFirstMatchIn(it).get
+      val expr = m.group(1)
+      val suffix = Option(m.group(2)).getOrElse("") + Option(m.group(3)).getOrElse("")
+      if ("""(?i)\bOVER\b""".r.findFirstIn(expr).isDefined) {
+        val alias = s"__w${hidden.size + 1}"
+        hidden :+= (expr, alias)
+        alias + suffix
+      } else it
+    }
+    if (hidden.isEmpty) return query
+    val adds = hidden.map { case (e, a) => s"($e) AS $a" }.mkString(", ", ", ", "")
+    val base2 = base.substring(0, fromIdx).stripTrailing + adds + " " +
+      base.substring(fromIdx)
+    val except = hidden.map(_._2).mkString(", ")
+    s"""SELECT * EXCEPT ($except) FROM (
+       |$base2
+       |) __obw
+       |ORDER BY ${newItems.mkString(", ")}$limitTail""".stripMargin
+  }
 
   /** Wildcard modifiers (reference: `wildcard.slt`, sqlparser's
     * `SELECT * EXCLUDE/EXCEPT (cols)`): rewritten onto Spark's

@@ -20,7 +20,9 @@ object CryptoFunctions {
       case _ => throw new IllegalArgumentException(
         "digest: algorithm must be a string literal (md5|sha1|sha224|sha256|sha384|sha512)")
     }
-    algo match {
+    // the reference's digest returns BINARY (functions/src/crypto/digest.rs
+    // → Vec<u8>); Spark's md5/sha* return hex strings, so unhex back
+    val hexStr = algo match {
       case "md5"            => Md5(es.head)
       case "sha1" | "sha"   => Sha1(es.head)
       case "sha224"         => Sha2(es.head, Literal(224))
@@ -29,6 +31,7 @@ object CryptoFunctions {
       case "sha512"         => Sha2(es.head, Literal(512))
       case other => throw new IllegalArgumentException(s"digest: unknown algorithm '$other'")
     }
+    org.apache.spark.sql.catalyst.expressions.Unhex(hexStr)
   }
 
   /** Register on a session (idempotent). */

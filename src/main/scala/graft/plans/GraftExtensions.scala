@@ -82,5 +82,6 @@ object UnionsToFilter extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => UnionsToFilter)
+    GenerateSeriesTVF.register(e)
   }
 }

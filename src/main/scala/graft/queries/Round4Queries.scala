@@ -43,8 +43,8 @@ object Round4Queries {
           sha2(col("s").cast("binary"), 384).as("sha384_hex"),
           sha2(col("s").cast("binary"), 512).as("sha512_hex"),
           sha1(col("s").cast("binary")).as("sha1_hex"),
-          expr("digest(cast(s AS binary), 'md5')").as("digest_md5"),
-          expr("digest(cast(s AS binary), 'sha384')").as("digest_sha384"))
+          expr("lower(hex(digest(cast(s AS binary), 'md5')))").as("digest_md5"),
+          expr("lower(hex(digest(cast(s AS binary), 'sha384')))").as("digest_sha384"))
     },
 
     // Unsigned-int parquet widening convention (SURVEY §1.2): UINT8→smallint,

@@ -232,6 +232,271 @@ object SltRunner {
     s
   }
 
+  /** Bare `FROM VALUES (…), (…)` (no parens around the row list — the
+    * reference accepts it; Spark's inline table needs a derived-table
+    * form for the reference's column1..N names): wrap the rows in parens
+    * and alias, consuming an existing bare alias if present. */
+  private[slt] def translateBareValues(sql: String): String = {
+    val re = """(?i)\b(FROM|JOIN)\s+VALUES\b""".r
+    var s = sql
+    var searchFrom = 0
+    var continue = true
+    while (continue && searchFrom <= s.length) {
+      re.findFirstMatchIn(s.substring(searchFrom)) match {
+        case None => continue = false
+        case Some(m0) =>
+          val kwStart = searchFrom + m0.start
+          var i = searchFrom + m0.end
+          // collect the row list: '(row)' groups separated by commas
+          var lastClose = -1
+          var scanning = true
+          while (scanning) {
+            while (i < s.length && s(i).isWhitespace) i += 1
+            if (i < s.length && s(i) == '(') {
+              val c = matchParen(s, i)
+              if (c < 0) scanning = false
+              else {
+                lastClose = c
+                i = c + 1
+                while (i < s.length && s(i).isWhitespace) i += 1
+                if (i < s.length && s(i) == ',') i += 1 else scanning = false
+              }
+            } else scanning = false
+          }
+          if (lastClose < 0) { searchFrom = kwStart + m0.end - m0.start; continue = false }
+          else {
+            val kw = m0.group(1)
+            val rowsStart = kwStart + m0.group(0).length - "VALUES".length
+            val rows = s.substring(rowsStart, lastClose + 1)
+            val n = firstRowArity(rows)
+            val cols = (1 to n).map(i2 => s"column$i2").mkString("(", ", ", ")")
+            val rest = s.substring(lastClose + 1)
+            val aliasRe = """(?is)^\s*(?:AS\s+)?([A-Za-z_]\w*)\s*(\()?""".r
+            val keywords = Set("WHERE", "ORDER", "GROUP", "LIMIT", "ON", "JOIN", "UNION",
+              "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "HAVING", "EXCEPT", "INTERSECT",
+              "AS", "SELECT", "OFFSET", "USING", "NATURAL", "QUALIFY", "WINDOW")
+            val (aliasText, consumed) = aliasRe.findFirstMatchIn(rest) match {
+              case Some(am) if am.group(2) != null =>
+                // explicit alias with its own column list — keep verbatim
+                (null, 0)
+              case Some(am) if !keywords.contains(am.group(1).toUpperCase) =>
+                (s"AS ${am.group(1)}$cols", am.end(1))
+              case _ => (s"AS _v$cols", 0)
+            }
+            val replacement =
+              if (aliasText == null) s"$kw ($rows)"
+              else s"$kw ($rows) $aliasText"
+            s = s.substring(0, kwStart) + replacement +
+              rest.substring(consumed)
+            searchFrom = kwStart + replacement.length
+          }
+      }
+    }
+    s
+  }
+
+  /** Double-quoted identifiers (the reference's Postgres-style dialect) →
+    * backticks. Textual, so it works with ANSI mode off (Spark's
+    * doubleQuotedIdentifiers conf requires ANSI on, which conflicts with
+    * the reference's non-ANSI arithmetic). Single-quoted literals are
+    * opaque. */
+  private[slt] def translateDoubleQuotes(sql: String): String = {
+    val sb = new StringBuilder
+    var inStr = false
+    var inDq = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql(i)
+      if (inStr) { sb += c; if (c == '\'') inStr = false }
+      else if (inDq) {
+        if (c == '"') {
+          if (i + 1 < sql.length && sql(i + 1) == '"') { sb += '"'; i += 1 }
+          else { sb += '`'; inDq = false }
+        } else sb += c
+      }
+      else c match {
+        case '\'' => inStr = true; sb += c
+        case '"'  => inDq = true; sb += '`'
+        case _    => sb += c
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Ranking-function window specs: the reference IGNORES an explicit
+    * frame on row_number/rank/…/ntile and permits an unordered spec
+    * (result = input order); Spark demands the canonical frame and an
+    * ORDER BY. Strip the frame and order by a constant (stable sort keeps
+    * input order) — both preserve the reference's semantics exactly. */
+  /** `median(x) OVER …` → `percentile(x, 0.5) OVER …`: Spark's median
+    * aggregate refuses window ORDER BY/frames; percentile doesn't. The
+    * aggregate (non-window) median stays native. */
+  private[slt] def translateWindowMedian(sql: String): String = {
+    val re = """(?i)\bmedian\s*\(""".r
+    var s = sql
+    var from = 0
+    var continue = true
+    while (continue && from <= s.length) {
+      re.findFirstMatchIn(s.substring(from)) match {
+        case None => continue = false
+        case Some(m) =>
+          val open = from + m.end - 1
+          val close = matchParen(s, open)
+          if (close < 0) continue = false
+          else {
+            val isWindow = s.substring(close + 1).dropWhile(_.isWhitespace)
+              .toUpperCase.startsWith("OVER")
+            if (isWindow) {
+              val arg = s.substring(open + 1, close)
+              val repl = s"percentile($arg, 0.5)"
+              s = s.substring(0, from + m.start) + repl + s.substring(close + 1)
+              from = from + m.start + repl.length
+            } else from = close + 1
+          }
+      }
+    }
+    s
+  }
+
+  private[slt] def translateWindowSpecs(sql: String): String = {
+    val re = """(?i)\b(row_number|rank|dense_rank|percent_rank|cume_dist|ntile|lead|lag)\s*\(""".r
+    var s = sql
+    var from = 0
+    var continue = true
+    while (continue && from <= s.length) {
+      re.findFirstMatchIn(s.substring(from)) match {
+        case None => continue = false
+        case Some(m) =>
+          val open = from + m.end - 1
+          val close = matchParen(s, open)
+          if (close < 0) continue = false
+          else {
+            val after = s.substring(close + 1)
+            val overRe = """(?is)^\s*OVER\s*\(""".r
+            overRe.findFirstMatchIn(after) match {
+              case None => from = close + 1
+              case Some(om) =>
+                val specOpen = close + 1 + om.end - 1
+                val specClose = matchParen(s, specOpen)
+                if (specClose < 0) { from = close + 1 }
+                else {
+                  val spec = s.substring(specOpen + 1, specClose)
+                  // cut a top-level frame clause (always trailing)
+                  val frameIdx = {
+                    val u = spec.toUpperCase
+                    var depth = 0; var i = 0; var found = -1; var inStr = false
+                    while (i < u.length && found < 0) {
+                      val c = u(i)
+                      if (inStr) { if (c == '\'') inStr = false }
+                      else c match {
+                        case '\'' => inStr = true
+                        case '(' => depth += 1
+                        case ')' => depth -= 1
+                        case _ if depth == 0 &&
+                            (wordAt(u, i, "ROWS") || wordAt(u, i, "RANGE") ||
+                             wordAt(u, i, "GROUPS")) => found = i
+                        case _ =>
+                      }
+                      i += 1
+                    }
+                    found
+                  }
+                  val body = (if (frameIdx >= 0) spec.substring(0, frameIdx) else spec).trim
+                  val hasOrder = """(?i)\bORDER\s+BY\b""".r.findFirstIn(body).isDefined
+                  val newSpec =
+                    if (hasOrder) body
+                    else if (body.isEmpty) "ORDER BY 'x'"
+                    else s"$body ORDER BY 'x'"
+                  if (newSpec == spec) from = specClose + 1
+                  else {
+                    s = s.substring(0, specOpen + 1) + newSpec + s.substring(specClose)
+                    from = specOpen + 1 + newSpec.length + 1
+                  }
+                }
+            }
+          }
+      }
+    }
+    s
+  }
+
+  private def wordAt(u: String, i: Int, kw: String): Boolean =
+    u.startsWith(kw, i) &&
+      (i == 0 || (!u(i - 1).isLetterOrDigit && u(i - 1) != '_')) &&
+      (i + kw.length >= u.length ||
+        (!u(i + kw.length).isLetterOrDigit && u(i + kw.length) != '_'))
+
+  /** Named windows: Spark resolves window names CASE-SENSITIVELY and the
+    * reference doesn't — normalize every definition and reference to a
+    * lowercase __win_ prefix. Definitions live in the WINDOW clause
+    * (`WINDOW a AS (...), b AS (...)`); references are `OVER name`. */
+  private[slt] def translateNamedWindows(sql: String): String = {
+    var s = """(?i)\bOVER\s+([A-Za-z_]\w*)""".r.replaceAllIn(sql,
+      m => "OVER __win_" + m.group(1).toLowerCase)
+    val u = s.toUpperCase
+    val wIdx = {
+      var depth = 0; var i = 0; var found = -1; var inStr = false
+      while (i < u.length && found < 0) {
+        val c = u(i)
+        if (inStr) { if (c == '\'') inStr = false }
+        else c match {
+          case '\'' => inStr = true
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ if depth == 0 && wordAt(u, i, "WINDOW") => found = i
+          case _ =>
+        }
+        i += 1
+      }
+      found
+    }
+    if (wIdx < 0) return s
+    // rewrite each `name AS (spec)` in the definition list
+    val sb = new StringBuilder(s.substring(0, wIdx + "WINDOW".length))
+    var i = wIdx + "WINDOW".length
+    var more = true
+    val DefRe = """(?is)^\s*([A-Za-z_]\w*)\s+AS\s*\(""".r
+    while (more) {
+      DefRe.findFirstMatchIn(s.substring(i)) match {
+        case Some(m) =>
+          val open = i + m.end - 1
+          val close = matchParen(s, open)
+          if (close < 0) { more = false; sb.append(s.substring(i)); i = s.length }
+          else {
+            val name = m.group(1)
+            val prefixed =
+              if (name.toLowerCase.startsWith("__win_")) name.toLowerCase
+              else "__win_" + name.toLowerCase
+            sb.append(s.substring(i, i + m.start(1)))
+              .append(prefixed)
+              .append(s.substring(i + m.end(1), close + 1))
+            i = close + 1
+            // continue on a comma-separated next definition
+            val rest = s.substring(i)
+            val commaLen = rest.takeWhile(_.isWhitespace).length
+            if (commaLen < rest.length && rest(commaLen) == ',') {
+              sb.append(s.substring(i, i + commaLen + 1))
+              i = i + commaLen + 1
+            } else more = false
+          }
+        case None => more = false
+      }
+    }
+    sb.append(s.substring(i))
+    sb.toString
+  }
+
+  /** Chrono (strftime-style) datetime format strings in
+    * to_timestamp/to_date/to_char → Java DateTimeFormatter patterns.
+    * Gated on the function names so LIKE '%...' patterns stay untouched. */
+  private[slt] def translateChronoFormats(sql: String): String =
+    if (!sql.contains("%") ||
+        !"""(?i)to_timestamp|to_date|to_char|date_format""".r.findFirstIn(sql).isDefined) sql
+    else sql.replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
+      .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
+      .replace("%z", "Z").replace("%Z", "VV").replace("%f", "SSSSSSSSS")
+
   /** Anonymous `( VALUES … )` derived tables: the reference names columns
     * column1..N; Spark says col1..N. Append/extend an alias so the
     * reference names resolve. */
@@ -531,24 +796,50 @@ object SltRunner {
       if (args.size == 2) Some(s"trim(${args(1)}, ${args(0)})")
       else if (args.size == 1) Some(s"trim(${args(0)})")
       else None)
+    // reference codecs: 'base64' is UNPADDED, 'base64pad' padded (Spark's
+    // base64 always pads); unbase64 accepts both paddings
     rewriteCalls("encode")(args =>
-      if (args.size == 2 && args(1).equalsIgnoreCase("'base64'")) Some(s"base64(${args(0)})")
+      if (args.size == 2 && args(1).equalsIgnoreCase("'base64'"))
+        Some(s"regexp_replace(base64(${args(0)}), '=+$$', '')")
+      else if (args.size == 2 && args(1).equalsIgnoreCase("'base64pad'"))
+        Some(s"base64(${args(0)})")
       else if (args.size == 2 && args(1).equalsIgnoreCase("'hex'")) Some(s"lower(hex(${args(0)}))")
       else None)
     rewriteCalls("decode")(args =>
-      if (args.size == 2 && args(1).equalsIgnoreCase("'base64'")) Some(s"unbase64(${args(0)})")
+      if (args.size == 2 && (args(1).equalsIgnoreCase("'base64'") ||
+          args(1).equalsIgnoreCase("'base64pad'"))) Some(s"unbase64(${args(0)})")
       else if (args.size == 2 && args(1).equalsIgnoreCase("'hex'")) Some(s"unhex(${args(0)})")
       else None)
+    // lead/lag with a bare NULL value and a typed default: Spark wants the
+    // value and default types to agree
+    for (fn <- Seq("lead", "lag"))
+      rewriteCalls(fn)(args =>
+        if (args.size == 3 && args(0).equalsIgnoreCase("NULL") &&
+            (args(2).equalsIgnoreCase("true") || args(2).equalsIgnoreCase("false")))
+          Some(s"$fn(CAST(NULL AS BOOLEAN), ${args(1)}, ${args(2)})")
+        else None)
+    // percentile_cont(x, p) two-arg form -> Spark's interpolating
+    // percentile(x, p) (works as a window aggregate too)
+    rewriteCalls("percentile_cont")(args =>
+      if (args.size == 2) Some(s"percentile(${args(0)}, ${args(1)})") else None)
+
+    // multi-argument grouping(a,b,c) is Spark's grouping_id bitmask
+    rewriteCalls("grouping")(args =>
+      if (args.size > 1) Some(s"grouping_id(${args.mkString(", ")})") else None)
     // numeric literals with underscores (1_000) — strip the separators;
-    // strpos(str, sub) is Spark's instr (same argument order)
+    // strpos(str, sub) is Spark's instr (same argument order); named-window
+    // references resolve case-sensitively in Spark — lowercase both sides;
+    // the reference tolerates a trailing comma before FROM
     s.replaceAll("(?<=\\d)_(?=\\d)", "")
       .replaceAll("(?i)(?<![\\w_])strpos\\s*\\(", "instr(")
+      .replaceAll("(?i),\\s+FROM\\b", " FROM")
   }
 
   /** Align ORDER BY default null ordering with the reference (ASC → NULLS
     * LAST, DESC → NULLS FIRST — the Postgres convention; Spark defaults
     * are the opposite). Only the final top-level ORDER BY is rewritten. */
-  private[slt] def translateOrderByNulls(sql: String): String = {
+  private[slt] def translateOrderByNulls(sql: String,
+      mode: String = "nulls_max"): String = {
     val upper = sql.toUpperCase
     // last top-level ORDER BY (outside parens/strings)
     var idx = -1; var depth = 0; var inStr = false
@@ -593,9 +884,17 @@ object SltRunner {
     if (keys.isEmpty) return sql
     val rewritten = keys.map { k =>
       val ku = k.toUpperCase
-      if (ku.contains("NULLS")) k
-      else if (ku.endsWith(" DESC")) s"$k NULLS FIRST"
-      else s"$k NULLS LAST"
+      val desc = ku.endsWith(" DESC")
+      // default null placement per the reference's
+      // datafusion.sql_parser.default_null_ordering (order.slt SETs it):
+      // nulls_max = the default (NULLS LAST asc / FIRST desc)
+      val suffix = mode match {
+        case "nulls_min"   => if (desc) "NULLS LAST" else "NULLS FIRST"
+        case "nulls_first" => "NULLS FIRST"
+        case "nulls_last"  => "NULLS LAST"
+        case _             => if (desc) "NULLS FIRST" else "NULLS LAST"
+      }
+      if (ku.contains("NULLS")) k else s"$k $suffix"
     }.mkString(", ")
     sql.substring(0, byIdx) + " " + rewritten +
       (if (end < sql.length) " " + sql.substring(end) else "")
@@ -603,8 +902,37 @@ object SltRunner {
 
   private val MakeArrayRe = """(?i)\bmake_(?:array|list)\s*\(""".r
 
-  private val CreateExternalRe =
-    """(?is)^\s*CREATE\s+EXTERNAL\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*(\([^)]*\))?\s*STORED\s+AS\s+(\w+)\s+LOCATION\s+'([^']+)'\s*(.*)$""".r
+  /** `CREATE EXTERNAL TABLE name [(schema)] STORED AS fmt [clauses]
+    * LOCATION 'path' [clauses]` — parsed with a real paren matcher so
+    * schema types like DECIMAL(10,6) don't break the schema span. */
+  private object CreateExternal {
+    private val HeadRe =
+      """(?is)^\s*CREATE\s+(?:UNBOUNDED\s+)?EXTERNAL\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w."]+)\s*""".r
+    private val StoredRe = """(?is)^\s*STORED\s+AS\s+(\w+)\s*(.*)$""".r
+    private val LocRe = """(?is)LOCATION\s+'([^']+)'""".r
+    /** (name, schemaInner, format, location, otherClauses) */
+    def unapply(sql: String): Option[(String, Option[String], String, String, String)] =
+      HeadRe.findPrefixMatchOf(sql).flatMap { m =>
+        val name = m.group(1)
+        var rest = sql.substring(m.end)
+        val schema =
+          if (rest.startsWith("(")) {
+            val close = matchParen(rest, 0)
+            if (close < 0) return None
+            val inner = rest.substring(1, close)
+            rest = rest.substring(close + 1)
+            Some(inner)
+          } else None
+        StoredRe.findFirstMatchIn(rest).flatMap { sm =>
+          val fmt = sm.group(1)
+          val tail = sm.group(2)
+          LocRe.findFirstMatchIn(tail).map { lm =>
+            (name, schema, fmt, lm.group(1),
+              tail.substring(0, lm.start) + tail.substring(lm.end))
+          }
+        }
+      }
+  }
 
   /** Reference slt files locate external data relative to the
     * sqllogictest crate dir. */
@@ -623,6 +951,9 @@ object SltRunner {
     val trimmed = t.trim
     trimmed.toUpperCase match {
       case "TEXT" | "VARCHAR" | "CHAR" => "STRING"
+      // Spark has no TIME column type in DDL; the canonical HH:MM:SS text
+      // form is totally ordered the same way
+      case "TIME" => "STRING"
       // unsigned widening convention (SURVEY §1.2): each unsigned type maps
       // to the narrowest signed Spark type that holds its full range
       case "TINYINT UNSIGNED"  => "SMALLINT"
@@ -650,18 +981,24 @@ object SltRunner {
     }.mkString("\n")
 
   /** Dialect translation; None = this record has no Spark spelling. */
-  private[slt] def translate(sqlRaw: String): Option[String] = {
+  private[slt] def translate(sqlRaw: String,
+      nullOrdering: String = "nulls_max"): Option[String] = {
     val pre0 = stripComments(sqlRaw).trim.replaceAll(";+\\s*$", "")
     val pre1a = WhenNullRe.replaceAllIn(translateBrackets(pre0),
       "WHEN CAST(NULL AS BOOLEAN) THEN")
     val pre1 = WhereNullRe.replaceAllIn(pre1a, "WHERE CAST(NULL AS BOOLEAN)")
+      .replaceAll("(?is)FILTER\\s*\\(\\s*WHERE\\s+NULL\\s*\\)",
+        "FILTER (WHERE CAST(NULL AS BOOLEAN))")
     val pre1m = translateMapFns(pre1) match {
       case Some(s) => s
       case None    => return None
     }
     val pre1b = translateOrderByNulls(
-      translateValuesAlias(translateInDoubleParen(translateStructFn(
-        translateGetField(translateSubscripts(translateStringFns(pre1m)))))))
+      translateValuesAlias(translateBareValues(translateInDoubleParen(translateStructFn(
+        translateGetField(translateSubscripts(translateChronoFormats(
+          translateNamedWindows(translateWindowSpecs(translateWindowMedian(
+            translateStringFns(translateDoubleQuotes(pre1m)))))))))))),
+      nullOrdering)
       .replaceAll("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?VIEW\\b",
         "CREATE OR REPLACE TEMPORARY VIEW")
       .replaceAll("(?i)\\bapprox_distinct\\s*\\(", "approx_count_distinct(")
@@ -670,8 +1007,9 @@ object SltRunner {
       .replaceAll("(?i)\\bAS\\s+VARCHAR\\s*\\[\\s*\\]", "AS ARRAY<STRING>")
       .replaceAll("(?i)\\bAS\\s+(\\w+)\\s*\\[\\s*\\]", "AS ARRAY<$1>")
       .replaceAll("(?i)\\bAS\\s+VARCHAR\\b(?!\\s*\\()", "AS STRING")
-      .replaceAll("(?i)\\b(FROM|JOIN)\\s+generate_series\\s*\\(\\s*([^,()]+)\\s*,\\s*([^,()]+)\\s*\\)",
-        "$1 range($2, ($3) + 1)")
+      // generate_series/range need no rewrite: GenerateSeriesTVF registers
+      // both as native table functions with the reference's semantics
+
     val pre2 = translateStructs(pre1b) match {
       case Some(s) => s
       case None    => return None
@@ -686,7 +1024,7 @@ object SltRunner {
           .replaceAll("(?i)\\bNOT\\s+NULL\\b", "")
       else pre2
     translateArrowCast(MakeArrayRe.replaceAllIn(sql, "array(")).flatMap {
-      case CreateExternalRe(name, schema, format, location, tail) =>
+      case CreateExternal(name, schemaInner, format, location, tail) =>
         val resolved0 = if (location.startsWith("/")) location
           else new java.io.File(externalDataRoot, location).getCanonicalPath
         // the arrow-testing submodule isn't fetched in this checkout;
@@ -707,8 +1045,8 @@ object SltRunner {
             if (fmt == "csv")
               s"OPTIONS (path '$resolved', header '$hasHeader', inferSchema 'true')"
             else s"OPTIONS (path '$resolved')"
-          val cols = Option(schema).map { s =>
-            splitTopLevel(s.trim.stripPrefix("(").stripSuffix(")"))
+          val cols = schemaInner.map { s =>
+            splitTopLevel(s)
               .map(_.trim).filter(_.nonEmpty).map { cd =>
                 val sp = cd.split("\\s+", 2)
                 s"${sp(0)} ${sparkType(if (sp.length > 1) sp(1) else "STRING")}"
@@ -805,9 +1143,17 @@ object SltRunner {
     case s: String =>
       if (s.isEmpty && !nested) "(empty)" else s.replace("\u0000", "\\0")
     case bytes: Array[Byte] => bytes.map("%02x".format(_)).mkString
-    // DataFusion timestamp display: ISO-8601 with 'T', fraction trimmed
+    // DataFusion timestamp display: ISO-8601 with 'T', fraction trimmed;
+    // when the file set an execution time zone, instants render in that
+    // zone WITH the offset suffix (the reference's timestamptz display)
     case ts: java.sql.Timestamp =>
-      renderDateTime(ts.toLocalDateTime)
+      renderZone match {
+        case Some(z) =>
+          val zdt = java.time.ZonedDateTime.ofInstant(ts.toInstant, z)
+          val off = zdt.getOffset.getId // "Z" for UTC, else "+hh:mm"
+          renderDateTime(zdt.toLocalDateTime) + off
+        case None => renderDateTime(ts.toLocalDateTime)
+      }
     case ldt: java.time.LocalDateTime => renderDateTime(ldt)
     case ins: java.time.Instant =>
       renderDateTime(java.time.LocalDateTime.ofInstant(ins, java.time.ZoneOffset.UTC))
@@ -842,6 +1188,10 @@ object SltRunner {
       }.mkString("{", ", ", "}")
     case other => other.toString
   }
+
+  /** Zone for rendering tz-aware timestamps (set by runFile when the slt
+    * file configures datafusion.execution.time_zone). */
+  @volatile private var renderZone: Option[java.time.ZoneId] = None
 
   private def renderDateTime(ldt: java.time.LocalDateTime): String = {
     val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d" +
@@ -895,6 +1245,15 @@ object SltRunner {
     // Postgres convention: double quotes delimit IDENTIFIERS, not strings.
     // Spark exposes the same convention behind this flag.
     spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+    // the reference coerces INSERT values to the column type (string ->
+    // timestamp); Spark's ANSI store-assignment rejects those
+    spark.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
+    // the reference's expression semantics are non-ANSI in Spark terms:
+    // arithmetic widens/wraps instead of erroring (window.slt runs SUMs
+    // over tinyint columns that ANSI mode rejects), and x/0 yields
+    // NULL/inf rather than an error — matching Spark's legacy mode
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    renderZone = None
     val ctx = DFContext(spark)
     registerCompat(spark)
     var passed = 0
@@ -905,11 +1264,26 @@ object SltRunner {
     // that mentions one would fail for the wrong reason — skip those too.
     val poisoned = mutable.Set[String]()
 
+    // session default null ordering, settable by the file (order.slt)
+    var nullOrdering = "nulls_max"
+    // reference session time zone (to_timestamp_timezone.slt): SET maps to
+    // Spark's session tz; tz-aware results then render with the offset
+    val TzRe =
+      """(?is)^\s*SET\s+datafusion\.execution\.time_zone\s*=\s*'([^']+)'\s*;?\s*$""".r
+    val TzResetRe =
+      """(?is)^\s*RESET\s+datafusion\.execution\.time_zone\s*;?\s*$""".r
+    val NullOrderRe =
+      """(?is)^\s*SET\s+datafusion\.sql_parser\.default_null_ordering\s*=\s*'?(\w*)'?\s*;?\s*$""".r
+
     val CreateNameRe = """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?(?:TABLE|VIEW)\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)""".r
     val InsertNameRe = """(?is)^\s*INSERT\s+INTO\s+([\w.]+)""".r
-    def mentionsPoisoned(sql: String): Option[String] =
+    def mentionsPoisoned(sql: String): Option[String] = {
+      // match table names outside string literals only — a poisoned table
+      // named `d` must not hit the VALUES literal 'd'
+      val noLiterals = sql.replaceAll("'(?:[^']|'')*'", " ")
       poisoned.find(t => ("""(?i)\b""" + java.util.regex.Pattern.quote(t) + """\b""").r
-        .findFirstIn(sql).isDefined)
+        .findFirstIn(noLiterals).isDefined)
+    }
     // a skipped CREATE leaves the table missing; a skipped INSERT leaves
     // it with the wrong CONTENTS — either way dependents must skip
     def poison(sql: String): Unit = {
@@ -932,7 +1306,20 @@ object SltRunner {
         skipped += ((rec.line, "arrow type introspection (Arrow-only)"))
       else mentionsPoisoned(rec.sql) match {
         case Some(t) => skipped += ((rec.line, s"references skipped table $t"))
-        case None => translate(rec.sql) match {
+        case None if TzRe.findFirstMatchIn(rec.sql).isDefined =>
+          val tz = TzRe.findFirstMatchIn(rec.sql).get.group(1)
+          spark.conf.set("spark.sql.session.timeZone", tz)
+          renderZone = Some(java.time.ZoneId.of(tz))
+          passed += 1
+        case None if TzResetRe.findFirstMatchIn(rec.sql).isDefined =>
+          spark.conf.set("spark.sql.session.timeZone", "UTC")
+          renderZone = None
+          passed += 1
+        case None if NullOrderRe.findFirstMatchIn(rec.sql).isDefined =>
+          nullOrdering = NullOrderRe.findFirstMatchIn(rec.sql).get.group(1)
+            .toLowerCase match { case "" => "nulls_max"; case m => m }
+          passed += 1
+        case None => translate(rec.sql, nullOrdering) match {
           case None =>
             poison(rec.sql)
             skipped += ((rec.line, "untranslatable (Arrow-only surface)"))
@@ -1019,6 +1406,11 @@ object SltRunner {
                   if e.getMessage != null &&
                     e.getMessage.contains("unknown algorithm") =>
                 skipped += ((rec.line, "digest algorithm unavailable on the JVM (blake2/blake3)"))
+              case e: Exception
+                  if e.getMessage != null &&
+                    e.getMessage.contains("DECIMAL_PRECISION_EXCEEDS_MAX_PRECISION") =>
+                poison(sql)
+                skipped += ((rec.line, "decimal precision > 38 (Spark max; reference has decimal256)"))
               case e: Exception
                   if e.getMessage != null &&
                     e.getMessage.contains("INVALID_INTERVAL_FORMAT") =>

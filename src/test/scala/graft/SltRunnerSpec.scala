@@ -45,9 +45,12 @@ class SltRunnerSpec extends AnyFunSuite {
     check("predicates.slt", 40,
       knownDivergent = Map(481 -> nan, 495 -> nan, 509 -> nan, 514 -> nan,
         483 -> nan, 497 -> nan, 511 -> nan, 516 -> nan,
-        521 -> "int/int division: reference truncates, Spark yields double"))
+        521 -> "int/int division: reference truncates, Spark yields double",
+        1011 -> "NULL NOT IN (empty subquery): reference applies the empty-set rule (TRUE), Spark yields NULL",
+        1018 -> "NULL NOT IN (empty subquery): reference applies the empty-set rule (TRUE), Spark yields NULL"))
   }
-  test("union.slt")    { check("union.slt", 20) }
+  test("union.slt")    { check("union.slt", 20, knownDivergent = Map(
+    771 -> "ORDER BY over a UNION with duplicate output column names (reference resolves to the first)")) }
   test("joins.slt") {
     check("joins.slt", 360, knownDivergent = Map(
       833 -> "nanosecond timestamps (Spark timestamps are microsecond)",
@@ -98,10 +101,12 @@ class SltRunnerSpec extends AnyFunSuite {
   }
   test("math.slt")     {
     val nanNull = "isnan(NULL): reference returns NULL, Spark false by design"
+    val div0 = "float/0: reference yields IEEE NaN/±Inf, Spark (non-ANSI) yields NULL"
     check("math.slt", 50, knownDivergent = Map(
       66 -> "round() on f32 at the representation boundary (reference rounds in f32, Spark in f64)",
       200 -> nanNull, 205 -> nanNull, 211 -> nanNull, 221 -> nanNull,
-      264 -> nanNull, 296 -> nanNull))
+      264 -> nanNull, 296 -> nanNull,
+      674 -> div0, 683 -> div0, 755 -> div0, 763 -> div0))
   }
   test("subquery.slt") {
     check("subquery.slt", 140, knownDivergent = Map(
@@ -121,4 +126,61 @@ class SltRunnerSpec extends AnyFunSuite {
   test("projection.slt")  { check("projection.slt", 25) }
   test("distinct_on.slt") { check("distinct_on.slt", 30) }
   test("qualify.slt")     { check("qualify.slt", 18) }
+  test("order.slt")       { check("order.slt", 100, knownDivergent = Map(
+    657 -> "ORDER BY the pre-alias column of a DISTINCT projection (reference resolves through the alias)",
+    1515 -> "scalar-subquery select item naming: reference propagates the inner column name, Spark says scalarsubquery()")) }
+  test("group_by.slt")    {
+    val intdiv = "int/int division: reference truncates, Spark yields double"
+    val fd = "functional-dependence grouping via PRIMARY KEY metadata (Spark has no PK constraints)"
+    val nth = "NTH_VALUE as a plain aggregate (Spark's nth_value is window-only)"
+    val dupgs = "duplicate grouping sets are kept by the reference, deduplicated by Spark"
+    check("group_by.slt", 350, knownDivergent = Map(
+      445 -> intdiv, 473 -> intdiv, 655 -> intdiv, 770 -> intdiv, 1329 -> intdiv,
+      1964 -> "auto-generated aggregate column naming convention differs",
+      3427 -> fd, 3442 -> fd, 3454 -> fd, 3497 -> fd, 3513 -> fd, 3541 -> fd,
+      3644 -> fd, 3659 -> fd, 3677 -> fd, 3707 -> fd, 3730 -> fd, 3748 -> fd,
+      4491 -> fd,
+      4947 -> nth, 5033 -> nth,
+      5212 -> dupgs, 5225 -> dupgs))
+  }
+  test("window.slt")      {
+    val lim = "LIMIT without ORDER BY: row selection is engine-dependent"
+    val tie = "window ORDER BY with duplicate sort keys: tie order is the reference's file order (WITH ORDER metadata), engine-dependent in Spark"
+    val fd  = "functional-dependence grouping (unique row_number key) — Spark has no FD inference"
+    val dwin = "DISTINCT inside a window aggregate (Spark: DISTINCT_WINDOW_FUNCTION_UNSUPPORTED)"
+    val fwin = "FILTER clause on a window aggregate (Spark unsupported)"
+    val ovf = "range-frame boundary arithmetic at i64 extremes: reference saturates, Spark overflows to an empty frame"
+    check("window.slt", 290, knownDivergent = Map(
+      1540 -> lim, 1582 -> lim, 1843 -> lim, 4227 -> lim,
+      2681 -> tie, 2764 -> tie, 2887 -> tie, 2932 -> tie, 2978 -> tie, 3081 -> tie,
+      4033 -> fd, 4048 -> fd, 5076 -> fd,
+      5969 -> dwin, 6009 -> dwin,
+      6092 -> fwin, 6113 -> fwin, 6134 -> fwin,
+      6314 -> ovf, 6326 -> ovf, 6339 -> ovf, 6353 -> ovf, 6365 -> ovf,
+      6407 -> ovf, 6419 -> ovf, 6432 -> ovf, 6446 -> ovf, 6458 -> ovf))
+  }
+  test("aggregate.slt")   {
+    val nancorr = "corr/covar over NaN inputs: reference propagates NaN, Spark yields NULL"
+    val med = "median preserves the input type in the reference (decimal scale, f32, i64-extreme interpolation); Spark computes in double"
+    val dwin = "DISTINCT inside a window aggregate (Spark unsupported)"
+    val uhits = "clickbench UInt16-backed date column: parquet unsigned logical type reads as NULL in Spark"
+    check("aggregate.slt", 650, knownDivergent = Map(
+      443 -> nancorr, 465 -> nancorr, 475 -> nancorr, 497 -> nancorr,
+      777 -> med, 1308 -> med, 1495 -> med,
+      8409 -> med, 8444 -> med, 8465 -> med, 8472 -> med,
+      8500 -> med, 8535 -> med, 8556 -> med, 8563 -> med,
+      1080 -> dwin, 1122 -> dwin, 1162 -> dwin,
+      2013 -> "approx_count_distinct HLL estimate: sketch implementations differ",
+      4473 -> "percentile_cont interpolation: reference shows the f64 rounding artifact (21.999…), Spark prints 22",
+      7986 -> "nth_value as a plain aggregate (Spark: window-only)",
+      9250 -> uhits, 9255 -> uhits, 9264 -> uhits))
+  }
+  test("union_by_name.slt") { check("union_by_name.slt", 1) }
+  test("table_functions.slt") { check("table_functions.slt", 1) }
+  test("unnest.slt")      { check("unnest.slt", 1) }
+  test("decimal.slt")     { check("decimal.slt", 65, knownDivergent = Map(
+    397 -> "decimal division scale: reference truncates to 10 fractional digits, Spark keeps max scale",
+    1221 -> "large decimal literal: reference parses through f64 (lossy), Spark parses exactly")) }
+  test("encoding.slt")    { check("encoding.slt", 1) }
+  test("to_timestamp_timezone.slt") { check("to_timestamp_timezone.slt", 1) }
 }
