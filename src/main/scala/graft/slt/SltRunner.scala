@@ -41,13 +41,27 @@ object SltRunner {
 
   // ------------------------------------------------------------------ parse
 
-  private def parseRecords(lines: IndexedSeq[String]): Seq[Record] = {
+  private def parseRecords(lines: IndexedSeq[String]): Seq[Record] =
+    parseRecords(lines, baseDir = null)
+
+  private def parseRecords(lines: IndexedSeq[String], baseDir: String): Seq[Record] = {
     val out = mutable.Buffer[Record]()
     var i = 0
     def isBlank(s: String) = s.trim.isEmpty
     while (i < lines.length) {
       val l = lines(i).trim
       if (isBlank(l) || l.startsWith("#")) { i += 1 }
+      else if (l.startsWith("include ") && baseDir != null) {
+        // sqllogictest include directive (regexp/ suite shares fixtures)
+        val inc = new java.io.File(baseDir, l.stripPrefix("include ").trim)
+        if (inc.exists()) {
+          val incLines = new String(
+            java.nio.file.Files.readAllBytes(inc.toPath),
+            java.nio.charset.StandardCharsets.UTF_8).linesIterator.toIndexedSeq
+          out ++= parseRecords(incLines, inc.getParent)
+        }
+        i += 1
+      }
       else if (l.startsWith("statement") || l.startsWith("query")) {
         val directive = l
         val start = i
@@ -329,6 +343,39 @@ object SltRunner {
     * (result = input order); Spark demands the canonical frame and an
     * ORDER BY. Strip the frame and order by a constant (stable sort keeps
     * input order) — both preserve the reference's semantics exactly. */
+  /** Aggregate-context `array_agg(x)` over zero rows is NULL in the
+    * reference, an empty array in Spark — wrap in an emptiness CASE.
+    * Window usages (OVER) and internal ORDER BY forms are left alone. */
+  private[slt] def translateArrayAggEmpty(sql: String): String = {
+    val re = """(?i)\barray_agg\s*\(""".r
+    var s = sql
+    var from = 0
+    var continue = true
+    while (continue && from <= s.length) {
+      re.findFirstMatchIn(s.substring(from)) match {
+        case None => continue = false
+        case Some(m) =>
+          val open = from + m.end - 1
+          val close = matchParen(s, open)
+          if (close < 0) continue = false
+          else {
+            val arg = s.substring(open + 1, close)
+            val after = s.substring(close + 1).dropWhile(_.isWhitespace).toUpperCase
+            val isWindow = after.startsWith("OVER")
+            val hasOrder = """(?i)\bORDER\s+BY\b""".r.findFirstIn(arg).isDefined
+            if (isWindow || hasOrder) from = close + 1
+            else {
+              val repl =
+                s"(CASE WHEN size(collect_list($arg)) = 0 THEN NULL ELSE collect_list($arg) END)"
+              s = s.substring(0, from + m.start) + repl + s.substring(close + 1)
+              from = from + m.start + repl.length
+            }
+          }
+      }
+    }
+    s
+  }
+
   /** `median(x) OVER …` → `percentile(x, 0.5) OVER …`: Spark's median
     * aggregate refuses window ORDER BY/frames; percentile doesn't. The
     * aggregate (non-window) median stays native. */
@@ -818,6 +865,27 @@ object SltRunner {
             (args(2).equalsIgnoreCase("true") || args(2).equalsIgnoreCase("false")))
           Some(s"$fn(CAST(NULL AS BOOLEAN), ${args(1)}, ${args(2)})")
         else None)
+    // the reference's regex dialect (RegexpCompat): pad every call to the
+    // registered full arity (start=1, occurrence=1, flags='', subexpr=0)
+    rewriteCalls("regexp_like")(args =>
+      if (args.size == 2) Some(s"regexp_like(${args(0)}, ${args(1)}, '')") else None)
+    rewriteCalls("regexp_match")(args =>
+      if (args.size == 2) Some(s"regexp_match(${args(0)}, ${args(1)}, '')") else None)
+    rewriteCalls("regexp_count")(args =>
+      if (args.size == 2) Some(s"regexp_count(${args(0)}, ${args(1)}, 1, '')")
+      else if (args.size == 3) Some(s"regexp_count(${args(0)}, ${args(1)}, ${args(2)}, '')")
+      else if (args.size == 4)
+        Some(s"regexp_count(${args(0)}, ${args(1)}, coalesce(${args(2)}, 1), coalesce(${args(3)}, ''))")
+      else None)
+    rewriteCalls("regexp_instr")(args =>
+      if (args.size == 2) Some(s"regexp_instr(${args(0)}, ${args(1)}, 1, 1, '', 0)")
+      else if (args.size == 3) Some(s"regexp_instr(${args(0)}, ${args(1)}, ${args(2)}, 1, '', 0)")
+      else if (args.size == 4) Some(s"regexp_instr(${args(0)}, ${args(1)}, ${args(2)}, ${args(3)}, '', 0)")
+      else if (args.size == 5) Some(s"regexp_instr(${args(0)}, ${args(1)}, ${args(2)}, ${args(3)}, ${args(4)}, 0)")
+      else None)
+    rewriteCalls("regexp_replace")(args =>
+      if (args.size == 3) Some(s"regexp_replace(${args(0)}, ${args(1)}, ${args(2)}, '')")
+      else None)
     // percentile_cont(x, p) two-arg form -> Spark's interpolating
     // percentile(x, p) (works as a window aggregate too)
     rewriteCalls("percentile_cont")(args =>
@@ -997,11 +1065,16 @@ object SltRunner {
       translateValuesAlias(translateBareValues(translateInDoubleParen(translateStructFn(
         translateGetField(translateSubscripts(translateChronoFormats(
           translateNamedWindows(translateWindowSpecs(translateWindowMedian(
-            translateStringFns(translateDoubleQuotes(pre1m)))))))))))),
+            translateArrayAggEmpty(translateStringFns(translateDoubleQuotes(pre1m))))))))))))),
       nullOrdering)
       .replaceAll("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?VIEW\\b",
         "CREATE OR REPLACE TEMPORARY VIEW")
       .replaceAll("(?i)\\bapprox_distinct\\s*\\(", "approx_count_distinct(")
+      .replaceAll("(?i)\\bCOUNT\\s*\\(\\s*\\)", "COUNT(*)")
+      .replaceAll("(?i)\\bUSING\\s+arrow\\b", "USING graft.sources.ArrowIpcTableProvider")
+      // the reference's array_agg keeps IGNORE NULLS as a suffix; Spark's
+      // collect_list-based array_agg skips nulls already
+      .replaceAll("(?i)(array_agg\\s*\\([^()]*\\))\\s+IGNORE\\s+NULLS", "$1")
       // postgres-style type spellings in CAST: `t[]` array suffix, bare
       // VARCHAR (Spark demands a length parameter)
       .replaceAll("(?i)\\bAS\\s+VARCHAR\\s*\\[\\s*\\]", "AS ARRAY<STRING>")
@@ -1039,12 +1112,30 @@ object SltRunner {
         if (!new java.io.File(resolved).exists()) None // data not in checkout
         else {
           val fmt = format.toLowerCase
-          val hasHeader = tail != null &&
-            """(?i)has_header'?\s+'?true""".r.findFirstIn(tail).isDefined
+          // map the reference's 'format.*' OPTIONS onto Spark's CSV reader
+          // options; the CSV-standard doubled-quote escape is the
+          // reference's default, Spark's is backslash — default to '"'
+          val OptRe = """'format\.(\w+)'\s+'((?:[^']|'')*)'""".r
+          val fmtOpts = Option(tail).map(t =>
+            OptRe.findAllMatchIn(t).map(m => m.group(1) -> m.group(2)).toMap)
+            .getOrElse(Map.empty)
           val opts =
-            if (fmt == "csv")
-              s"OPTIONS (path '$resolved', header '$hasHeader', inferSchema 'true')"
+            if (fmt == "csv") {
+              val pairs = Seq(
+                "path" -> resolved,
+                "header" -> fmtOpts.getOrElse("has_header", "false"),
+                "inferSchema" -> "true",
+                "sep" -> fmtOpts.getOrElse("delimiter", ","),
+                "quote" -> fmtOpts.getOrElse("quote", "\""),
+                "escape" -> fmtOpts.getOrElse("escape", "\""),
+                "multiLine" -> fmtOpts.getOrElse("newlines_in_values", "false"))
+              pairs.map { case (k, v) =>
+                s"$k '${v.replace("\\", "\\\\").replace("'", "''")}'"
+              }.mkString("OPTIONS (", ", ", ")")
+            }
             else s"OPTIONS (path '$resolved')"
+          val provider =
+            if (fmt == "arrow") "graft.sources.ArrowIpcTableProvider" else fmt
           val cols = schemaInner.map { s =>
             splitTopLevel(s)
               .map(_.trim).filter(_.nonEmpty).map { cd =>
@@ -1052,7 +1143,7 @@ object SltRunner {
                 s"${sp(0)} ${sparkType(if (sp.length > 1) sp(1) else "STRING")}"
               }.mkString(" (", ", ", ")")
           }.getOrElse("")
-          Some(s"CREATE OR REPLACE TEMPORARY VIEW $name$cols USING $fmt $opts")
+          Some(s"CREATE OR REPLACE TEMPORARY VIEW $name$cols USING $provider $opts")
         }
       case other => Some(other)
     }.map {
@@ -1291,7 +1382,20 @@ object SltRunner {
       InsertNameRe.findFirstMatchIn(sql).foreach(m => poisoned += m.group(1))
     }
 
-    for (rec <- parseRecords(lines)) {
+    // each reference slt file expects a FRESH context; managed tables from
+    // a PREVIOUS file persist in the shared catalog, so pre-drop exactly
+    // the names this file creates (a full catalog wipe would race with
+    // other test suites running in parallel against the same SparkContext)
+    val records = parseRecords(lines, new java.io.File(path).getParent)
+    locally {
+      val createdNames = records.flatMap(r =>
+        CreateNameRe.findFirstMatchIn(r.sql).map(_.group(1))).distinct
+      for (n <- createdNames if !n.contains(".")) {
+        try spark.sql(s"DROP TABLE IF EXISTS `$n`") catch { case _: Exception => }
+        try spark.sql(s"DROP VIEW IF EXISTS `$n`") catch { case _: Exception => }
+      }
+    }
+    for (rec <- records) {
       val d = rec.directive
       val upper = rec.sql.trim.toUpperCase
       if (d.contains(" error"))
@@ -1300,7 +1404,8 @@ object SltRunner {
         poison(rec.sql)
         skipped += ((rec.line, s"known divergence: ${knownDivergent(rec.line)}"))
       }
-      else if (upper.startsWith("EXPLAIN") || upper.startsWith("DESC"))
+      else if (upper.startsWith("EXPLAIN") || upper.startsWith("DESC") ||
+               upper.startsWith("SHOW"))
         skipped += ((rec.line, "plan/describe-text directive (engine-specific rendering)"))
       else if (upper.contains("ARROW_TYPEOF"))
         skipped += ((rec.line, "arrow type introspection (Arrow-only)"))
@@ -1332,6 +1437,7 @@ object SltRunner {
               PlainCreateRe.findFirstMatchIn(sql)
                 .filterNot(_ => sql.toUpperCase.contains(" AS "))
                 .foreach { m =>
+                  spark.catalog.dropTempView(m.group(1))
                   spark.sql(s"DROP TABLE IF EXISTS ${m.group(1)}")
                   // a table dir left by an earlier JVM isn't in this
                   // in-memory catalog; clear it or CREATE refuses the name
@@ -1350,9 +1456,12 @@ object SltRunner {
                 .findFirstMatchIn(sql)
                 .foreach(m => spark.sql(s"CREATE DATABASE IF NOT EXISTS ${m.group(1)}"))
               val df: DataFrame = maybeEmulateInsert(spark, sql)
+                .orElse(maybeEmulateDml(spark, sql))
                 .getOrElse(runWithDropFallback(ctx, spark, sql))
               if (d.startsWith("statement")) { df.collect(); passed += 1 }
-              else if (sql.trim.toUpperCase.startsWith("INSERT")) {
+              else if (sql.trim.toUpperCase.startsWith("INSERT") ||
+                       sql.trim.toUpperCase.startsWith("DELETE") ||
+                       sql.trim.toUpperCase.startsWith("UPDATE")) {
                 // the reference surfaces INSERT row counts as a result set;
                 // Spark does not — execute for state, skip the count check
                 df.collect()
@@ -1497,6 +1606,7 @@ object SltRunner {
     graft.functions.GraftMath.register(spark)
     graft.functions.VectorFunctions.register(spark)
     graft.functions.CryptoFunctions.register(spark)
+    graft.functions.RegexpCompat.register(spark)
     graft.functions.NGramsExplode.register(spark)
     graft.functions.GraftWindowFunctions.register(spark)
     import org.apache.spark.sql.catalyst.expressions._
@@ -1583,6 +1693,58 @@ object SltRunner {
     * emulated at the Dataset level — the union plan CAPTURES the prior
     * view's analyzed plan, so re-registering the name is not a recursive
     * view reference. */
+  /** DELETE/UPDATE against a temp-view table (the translate layer turns
+    * CREATE TABLE AS VALUES into temp views): rebuild the view from the
+    * current PLAN with the mutation applied — the old plan is captured by
+    * the DataFrame, so there is no self-reference. Mirrors the reference's
+    * in-memory DML (dml/delete.slt, dml/update.slt semantics): DELETE
+    * removes rows where the predicate is TRUE (NULL keeps the row);
+    * UPDATE assigns where TRUE, keeps the old value otherwise. */
+  private def maybeEmulateDml(spark: SparkSession, sql: String): Option[DataFrame] = {
+    val DeleteRe = """(?is)^\s*DELETE\s+FROM\s+([\w.]+)\s*(?:WHERE\s+(.+))?$""".r
+    val UpdateRe = """(?is)^\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$""".r
+    // applies to temp views AND managed tables: for a managed table the
+    // mutated relation becomes a temp view that SHADOWS the table (lazy
+    // plan over the unchanged base scan), which is exactly the statement's
+    // observable behavior for the rest of the file
+    def exists(name: String): Boolean =
+      try spark.catalog.tableExists(name)
+      catch { case _: Exception => false }
+    import org.apache.spark.sql.functions.{expr, when}
+    sql match {
+      case DeleteRe(name, where) if exists(name) =>
+        val old = spark.table(name)
+        val kept =
+          if (where == null) old.limit(0)
+          else old.where(!org.apache.spark.sql.functions
+            .coalesce(expr(where), org.apache.spark.sql.functions.lit(false)))
+        kept.createOrReplaceTempView(name)
+        Some(spark.emptyDataFrame)
+      case UpdateRe(name, setList, where) if exists(name) =>
+        val old = spark.table(name)
+        val assigns: Map[String, String] = splitTopLevel(setList).map(_.trim).map { a =>
+          val eq = a.indexOf('=')
+          (a.substring(0, eq).trim.stripPrefix("`").stripSuffix("`").toLowerCase,
+            a.substring(eq + 1).trim)
+        }.toMap
+        val cond = if (where == null) expr("true")
+          else org.apache.spark.sql.functions
+            .coalesce(expr(where), org.apache.spark.sql.functions.lit(false))
+        val cols = old.schema.fields.map { f =>
+          assigns.get(f.name.toLowerCase) match {
+            case Some(e) =>
+              when(cond, expr(e).cast(f.dataType))
+                .otherwise(org.apache.spark.sql.functions.col(s"`${f.name}`"))
+                .as(f.name)
+            case None => org.apache.spark.sql.functions.col(s"`${f.name}`").as(f.name)
+          }
+        }
+        old.select(cols.toIndexedSeq: _*).createOrReplaceTempView(name)
+        Some(spark.emptyDataFrame)
+      case _ => None
+    }
+  }
+
   private def maybeEmulateInsert(spark: SparkSession, sql: String): Option[DataFrame] = {
     val InsertRe = """(?is)^\s*INSERT\s+INTO\s+([\w.]+)\s+(VALUES\b.*|SELECT\b.*)$""".r
     sql match {

@@ -126,7 +126,7 @@ class SltRunnerSpec extends AnyFunSuite {
   test("projection.slt")  { check("projection.slt", 25) }
   test("distinct_on.slt") { check("distinct_on.slt", 30) }
   test("qualify.slt")     { check("qualify.slt", 18) }
-  test("order.slt")       { check("order.slt", 100, knownDivergent = Map(
+  test("order.slt")       { check("order.slt", 110, knownDivergent = Map(
     657 -> "ORDER BY the pre-alias column of a DISTINCT projection (reference resolves through the alias)",
     1515 -> "scalar-subquery select item naming: reference propagates the inner column name, Spark says scalarsubquery()")) }
   test("group_by.slt")    {
@@ -134,7 +134,7 @@ class SltRunnerSpec extends AnyFunSuite {
     val fd = "functional-dependence grouping via PRIMARY KEY metadata (Spark has no PK constraints)"
     val nth = "NTH_VALUE as a plain aggregate (Spark's nth_value is window-only)"
     val dupgs = "duplicate grouping sets are kept by the reference, deduplicated by Spark"
-    check("group_by.slt", 350, knownDivergent = Map(
+    check("group_by.slt", 370, knownDivergent = Map(
       445 -> intdiv, 473 -> intdiv, 655 -> intdiv, 770 -> intdiv, 1329 -> intdiv,
       1964 -> "auto-generated aggregate column naming convention differs",
       3427 -> fd, 3442 -> fd, 3454 -> fd, 3497 -> fd, 3513 -> fd, 3541 -> fd,
@@ -150,7 +150,7 @@ class SltRunnerSpec extends AnyFunSuite {
     val dwin = "DISTINCT inside a window aggregate (Spark: DISTINCT_WINDOW_FUNCTION_UNSUPPORTED)"
     val fwin = "FILTER clause on a window aggregate (Spark unsupported)"
     val ovf = "range-frame boundary arithmetic at i64 extremes: reference saturates, Spark overflows to an empty frame"
-    check("window.slt", 290, knownDivergent = Map(
+    check("window.slt", 300, knownDivergent = Map(
       1540 -> lim, 1582 -> lim, 1843 -> lim, 4227 -> lim,
       2681 -> tie, 2764 -> tie, 2887 -> tie, 2932 -> tie, 2978 -> tie, 3081 -> tie,
       4033 -> fd, 4048 -> fd, 5076 -> fd,
@@ -164,7 +164,7 @@ class SltRunnerSpec extends AnyFunSuite {
     val med = "median preserves the input type in the reference (decimal scale, f32, i64-extreme interpolation); Spark computes in double"
     val dwin = "DISTINCT inside a window aggregate (Spark unsupported)"
     val uhits = "clickbench UInt16-backed date column: parquet unsigned logical type reads as NULL in Spark"
-    check("aggregate.slt", 650, knownDivergent = Map(
+    check("aggregate.slt", 670, knownDivergent = Map(
       443 -> nancorr, 465 -> nancorr, 475 -> nancorr, 497 -> nancorr,
       777 -> med, 1308 -> med, 1495 -> med,
       8409 -> med, 8444 -> med, 8465 -> med, 8472 -> med,
@@ -175,12 +175,41 @@ class SltRunnerSpec extends AnyFunSuite {
       7986 -> "nth_value as a plain aggregate (Spark: window-only)",
       9250 -> uhits, 9255 -> uhits, 9264 -> uhits))
   }
-  test("union_by_name.slt") { check("union_by_name.slt", 1) }
-  test("table_functions.slt") { check("table_functions.slt", 1) }
-  test("unnest.slt")      { check("unnest.slt", 1) }
-  test("decimal.slt")     { check("decimal.slt", 65, knownDivergent = Map(
+  test("union_by_name.slt") { check("union_by_name.slt", 7) }
+  test("table_functions.slt") { check("table_functions.slt", 55) }
+  test("unnest.slt")      { check("unnest.slt", 17) }
+  test("decimal.slt")     { check("decimal.slt", 68, knownDivergent = Map(
     397 -> "decimal division scale: reference truncates to 10 fractional digits, Spark keeps max scale",
     1221 -> "large decimal literal: reference parses through f64 (lossy), Spark parses exactly")) }
-  test("encoding.slt")    { check("encoding.slt", 1) }
-  test("to_timestamp_timezone.slt") { check("to_timestamp_timezone.slt", 1) }
+  test("encoding.slt")    { check("encoding.slt", 12) }
+  test("to_timestamp_timezone.slt") { check("to_timestamp_timezone.slt", 16) }
+  test("truncate.slt")     { check("truncate.slt", 4) }
+  test("count_star_rule.slt") { check("count_star_rule.slt", 6) }
+  test("update.slt")       { check("update.slt", 9) }
+  test("delete.slt")       { check("delete.slt", 4) }
+  test("dml_delete.slt")   { check("dml_delete.slt", 25) }
+  test("dml_update.slt")   { check("dml_update.slt", 38) }
+  test("binary.slt")       { check("binary.slt", 14) }
+  test("type_coercion.slt") { check("type_coercion.slt", 15) }
+  test("string_numeric_coercion.slt") {
+    val mixedIn = "mixed string/number IN-list: reference coerces per element, Spark unifies the list type"
+    check("string_numeric_coercion.slt", 40,
+      knownDivergent = Map(250 -> mixedIn, 257 -> mixedIn))
+  }
+  test("array_agg.slt")    { check("array_agg.slt", 33) }
+  test("regexp_like.slt")  { check("regexp/regexp_like.slt", 22) }
+  test("regexp_match.slt") { check("regexp/regexp_match.slt", 12) }
+  test("regexp_replace.slt") { check("regexp/regexp_replace.slt", 20) }
+  test("regexp_count.slt") { check("regexp/regexp_count.slt", 18) }
+  test("regexp_instr.slt") { check("regexp/regexp_instr.slt", 18) }
+  test("ddl.slt")          {
+    val dotted = "dotted table names in backticks (Spark restricts identifier charset)"
+    check("ddl.slt", 75, knownDivergent = Map(91 -> dotted, 114 -> dotted))
+  }
+  test("information_schema.slt") { check("information_schema.slt", 35) }
+  test("csv_files.slt")    {
+    check("csv_files.slt", 20, knownDivergent = Map(
+      83 -> "CSV quote-as-escape parsing nuance differs between arrow-csv and univocity",
+      326 -> "slt multiline-cell rendering convention for newlines_in_values"))
+  }
 }
