@@ -1097,7 +1097,8 @@ object SltRunner {
           .replaceAll("(?i)\\bNOT\\s+NULL\\b", "")
       else pre2
     translateArrowCast(MakeArrayRe.replaceAllIn(sql, "array(")).flatMap {
-      case CreateExternal(name, schemaInner, format, location, tail) =>
+      case CreateExternal(name, schemaInner, format, location0, tail) =>
+        val location = redirectScratch(location0)
         val resolved0 = if (location.startsWith("/")) location
           else new java.io.File(externalDataRoot, location).getCanonicalPath
         // the arrow-testing submodule isn't fetched in this checkout;
@@ -1345,6 +1346,15 @@ object SltRunner {
     // NULL/inf rather than an error — matching Spark's legacy mode
     spark.conf.set("spark.sql.ansi.enabled", "false")
     renderZone = None
+    // scratch output dir is exclusively ours; start each file clean
+    locally {
+      val scratch = java.nio.file.Paths.get("/tmp/graft_slt_scratch")
+      if (java.nio.file.Files.exists(scratch)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(scratch).iterator().asScala.toSeq.reverse
+          .foreach(p0 => java.nio.file.Files.deleteIfExists(p0))
+      }
+    }
     val ctx = DFContext(spark)
     registerCompat(spark)
     var passed = 0
@@ -1457,6 +1467,7 @@ object SltRunner {
                 .foreach(m => spark.sql(s"CREATE DATABASE IF NOT EXISTS ${m.group(1)}"))
               val df: DataFrame = maybeEmulateInsert(spark, sql)
                 .orElse(maybeEmulateDml(spark, sql))
+                .orElse(maybeEmulateCopy(ctx, spark, sql))
                 .getOrElse(runWithDropFallback(ctx, spark, sql))
               if (d.startsWith("statement")) { df.collect(); passed += 1 }
               else if (sql.trim.toUpperCase.startsWith("INSERT") ||
@@ -1693,6 +1704,54 @@ object SltRunner {
     * emulated at the Dataset level — the union plan CAPTURES the prior
     * view's analyzed plan, so re-registering the name is not a recursive
     * view reference. */
+  /** Scratch-output redirect: the reference's copy tests write RELATIVE to
+    * the sqllogictest dir (read-only here) — map its scratch subtree to a
+    * writable temp dir for both COPY targets and LOCATION reads. */
+  private[slt] def redirectScratch(path: String): String =
+    if (path.startsWith("test_files/scratch"))
+      "/tmp/graft_slt_scratch" + path.stripPrefix("test_files/scratch")
+    else path
+
+  /** `COPY <table|(query)> TO 'path' [STORED AS fmt] [PARTITIONED BY (…)]
+    * [OPTIONS (…)]` (reference: COPY statement, copy.slt) → DataFrame
+    * write; returns the row count as a 1-row result like the reference. */
+  private def maybeEmulateCopy(ctx: DFContext, spark: SparkSession,
+      sql: String): Option[DataFrame] = {
+    val CopyRe = """(?is)^\s*COPY\s+(.+?)\s+TO\s+'([^']+)'\s*(.*)$""".r
+    sql match {
+      case CopyRe(srcRaw, target, tail) =>
+        val src = srcRaw.trim
+        val df =
+          if (src.startsWith("(")) ctx.sql(src.substring(1, src.length - 1))
+          else spark.table(src)
+        val fmt = """(?i)STORED\s+AS\s+(\w+)""".r.findFirstMatchIn(tail)
+          .map(_.group(1).toLowerCase)
+          .getOrElse(if (target.endsWith(".csv")) "csv"
+            else if (target.endsWith(".json")) "json" else "parquet")
+        val partCols = """(?is)PARTITIONED\s+BY\s*\(([^)]*)\)""".r
+          .findFirstMatchIn(tail)
+          .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty)
+        val OptRe = """'format\.(\w+)'\s+'((?:[^']|'')*)'""".r
+        val fmtOpts = OptRe.findAllMatchIn(tail).map(m => m.group(1) -> m.group(2)).toMap
+        val n = df.count()
+        // the reference's COPY adds files into an existing directory
+        var w = df.write.mode("append").format(
+          if (fmt == "arrow") "graft.sources.ArrowIpcTableProvider" else fmt)
+        // compression spellings like zstd(10): Spark takes the codec name
+        fmtOpts.get("compression").foreach(c =>
+          w = w.option("compression", c.replaceAll("\\(.*\\)", "")))
+        if (fmt == "csv") {
+          w = w.option("header", fmtOpts.getOrElse("has_header", "false"))
+          fmtOpts.get("delimiter").foreach(d => w = w.option("sep", d))
+        }
+        if (partCols.nonEmpty) w = w.partitionBy(partCols: _*)
+        w.save(redirectScratch(target))
+        Some(spark.sql(s"SELECT CAST($n AS BIGINT) AS count"))
+      case _ => None
+    }
+  }
+
   /** DELETE/UPDATE against a temp-view table (the translate layer turns
     * CREATE TABLE AS VALUES into temp views): rebuild the view from the
     * current PLAN with the mutation applied — the old plan is captured by

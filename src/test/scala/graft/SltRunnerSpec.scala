@@ -207,6 +207,12 @@ class SltRunnerSpec extends AnyFunSuite {
     check("ddl.slt", 75, knownDivergent = Map(91 -> dotted, 114 -> dotted))
   }
   test("information_schema.slt") { check("information_schema.slt", 35) }
+  test("copy.slt")         { check("copy.slt", 45) }
+  test("avro.slt")         { check("avro.slt", 2) }
+  test("schema_evolution.slt") { check("schema_evolution.slt", 4) }
+  test("subquery_sort.slt") { check("subquery_sort.slt", 6) }
+  test("sort_merge_join.slt") { check("sort_merge_join.slt", 70) }
+
   test("csv_files.slt")    {
     check("csv_files.slt", 20, knownDivergent = Map(
       83 -> "CSV quote-as-escape parsing nuance differs between arrow-csv and univocity",
