@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -22,9 +22,29 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * list_inner_product / list_cosine_similarity / list_distance on DOUBLE[],
   * so oracle results agree bit-for-bit before rounding).
   */
-abstract class VectorBinaryExpression extends BinaryExpression {
+abstract class VectorBinaryExpression extends BinaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+
+  /** float/double arrays pass through untouched (the KNN hot path stays on
+    * the float fast lane); any other numeric array — int literals, decimal
+    * literals — coerces to array<double>, the reference's Float64
+    * convention. Double is listed first so the coercion target is f64.
+    * (Type left inferred: AbstractDataType is private[sql].) */
+  override def inputTypes = GraftSqlBridge.doubleOrFloatArrayTypes(2)
+
+  /** A NULL *element* nulls the whole row (reference convention), so the
+    * result is nullable even over non-null array columns. */
+  override def nullable: Boolean = true
+
+  /** Whether an element-null scan is needed at all — embeddings parquet
+    * declares containsNull and pays one predictable branch per element;
+    * non-null arrays skip the scan entirely. */
+  protected final def mayContainNullElements: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    })
 
   /** Element width of one side: float embeddings and double centroids both
     * appear in practice (k-means emits rounded double arrays). Reads widen
@@ -51,23 +71,44 @@ abstract class VectorBinaryExpression extends BinaryExpression {
   /** Java source computing `double result` from float arrays a, b of len n.
     * Every local it declares must come from `fresh` — two vector expressions
     * in one codegen stage otherwise redeclare the same Java locals, janino
-    * rejects the stage, and Spark silently falls back to interpreted eval. */
+    * rejects the stage, and Spark silently falls back to interpreted eval.
+    * May set `$isNull = true` for undefined results (zero-magnitude cosine). */
   protected def loopBody(a: String, b: String, n: String, result: String,
-      fresh: String => String): String
+      isNull: String, fresh: String => String): String
 
-  protected def evalLoop(a: ArrayData, b: ArrayData): Double
+  /** Interpreted result; null = SQL NULL (undefined). */
+  protected def evalLoop(a: ArrayData, b: ArrayData): Any
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    evalLoop(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    val bb = b.asInstanceOf[ArrayData]
+    val n = math.min(aa.numElements(), bb.numElements())
+    var i = 0
+    while (i < n) {
+      if (aa.isNullAt(i) || bb.isNullAt(i)) return null
+      i += 1
+    }
+    evalLoop(aa, bb)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val result = ctx.freshName("result")
+      val i0 = ctx.freshName("i0")
+      val nullScan =
+        if (mayContainNullElements)
+          s"""for (int $i0 = 0; $i0 < $n && !${ev.isNull}; $i0++) {
+             |  if ($a.isNullAt($i0) || $b.isNullAt($i0)) ${ev.isNull} = true;
+             |}""".stripMargin
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $result;
-         |${loopBody(a, b, n, result, ctx.freshName)}
+         |$nullScan
+         |double $result = 0.0;
+         |if (!${ev.isNull}) {
+         |  ${loopBody(a, b, n, result, ev.isNull, ctx.freshName)}
+         |}
          |${ev.value} = $result;
        """.stripMargin
     })
@@ -78,7 +119,7 @@ case class InnerProduct(left: Expression, right: Expression) extends VectorBinar
   override def prettyName: String = "inner_product"
 
   override protected def loopBody(a: String, b: String, n: String, result: String,
-      fresh: String => String): String = {
+      isNull: String, fresh: String => String): String = {
     val acc = fresh("acc"); val i = fresh("i")
     s"""
        |double $acc = 0.0;
@@ -89,7 +130,7 @@ case class InnerProduct(left: Expression, right: Expression) extends VectorBinar
      """.stripMargin
   }
 
-  override protected def evalLoop(a: ArrayData, b: ArrayData): Double = {
+  override protected def evalLoop(a: ArrayData, b: ArrayData): Any = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
@@ -106,7 +147,7 @@ case class CosineDistance(left: Expression, right: Expression) extends VectorBin
   override def prettyName: String = "cosine_distance"
 
   override protected def loopBody(a: String, b: String, n: String, result: String,
-      fresh: String => String): String = {
+      isNull: String, fresh: String => String): String = {
     val dot = fresh("dot"); val na = fresh("na"); val nb = fresh("nb")
     val i = fresh("i"); val x = fresh("x"); val y = fresh("y")
     s"""
@@ -116,11 +157,15 @@ case class CosineDistance(left: Expression, right: Expression) extends VectorBin
        |  double $y = ${getRight(b, i)};
        |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
        |}
-       |$result = 1.0 - $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       |if ($na == 0.0 || $nb == 0.0) {
+       |  $isNull = true;  // zero-magnitude vector: cosine undefined
+       |} else {
+       |  $result = 1.0 - $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       |}
      """.stripMargin
   }
 
-  override protected def evalLoop(a: ArrayData, b: ArrayData): Double = {
+  override protected def evalLoop(a: ArrayData, b: ArrayData): Any = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -129,7 +174,8 @@ case class CosineDistance(left: Expression, right: Expression) extends VectorBin
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -142,7 +188,7 @@ case class L2Distance(left: Expression, right: Expression) extends VectorBinaryE
   override def prettyName: String = "l2_distance"
 
   override protected def loopBody(a: String, b: String, n: String, result: String,
-      fresh: String => String): String = {
+      isNull: String, fresh: String => String): String = {
     val acc = fresh("acc"); val i = fresh("i"); val d = fresh("d")
     s"""
        |double $acc = 0.0;
@@ -154,7 +200,7 @@ case class L2Distance(left: Expression, right: Expression) extends VectorBinaryE
      """.stripMargin
   }
 
-  override protected def evalLoop(a: ArrayData, b: ArrayData): Double = {
+  override protected def evalLoop(a: ArrayData, b: ArrayData): Any = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0

@@ -581,7 +581,9 @@ object SltRunner {
               val aliasRe = """(?is)^\s*(?:AS\s+)?([A-Za-z_]\w*)\s*(\()?""".r
               val keywords = Set("WHERE", "ORDER", "GROUP", "LIMIT", "ON", "JOIN", "UNION",
                 "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "HAVING", "EXCEPT", "INTERSECT",
-                "AS", "SELECT", "OFFSET", "USING", "NATURAL", "QUALIFY", "WINDOW")
+                "AS", "SELECT", "OFFSET", "USING", "NATURAL", "QUALIFY", "WINDOW",
+                // `COPY (VALUES …) TO 'path'` — TO is never a table alias
+                "TO")
               aliasRe.findFirstMatchIn(rest) match {
                 case Some(am) if am.group(2) != null => // explicit column list — leave
                   searchFrom = close + 1
@@ -891,9 +893,70 @@ object SltRunner {
     rewriteCalls("percentile_cont")(args =>
       if (args.size == 2) Some(s"percentile(${args(0)}, ${args(1)})") else None)
 
+    // reference any_value skips NULLs (first non-null); Spark's 1-arg
+    // default keeps them — pass ignoreNulls explicitly
+    rewriteCalls("any_value")(args =>
+      if (args.size == 1) Some(s"any_value(${args(0)}, true)") else None)
+    // PostgreSQL-style named arguments `f(name => expr)`: reorder to
+    // positional via the reference UDFs' declared parameter names
+    val namedSigs = Map(
+      "substr" -> Seq("str", "start_pos", "length"),
+      "substring" -> Seq("str", "start_pos", "length"),
+      "corr" -> Seq("y", "x"),
+      "covar_samp" -> Seq("y", "x"),
+      "covar_pop" -> Seq("y", "x"),
+      "percentile_cont" -> Seq("percentile"),
+      "lead" -> Seq("expr", "offset", "default"),
+      "lag" -> Seq("expr", "offset", "default"),
+      "nth_value" -> Seq("expr", "n"),
+      "log" -> Seq("base", "x"),
+      "round" -> Seq("x", "decimal_places"),
+      "nullif" -> Seq("expr1", "expr2"))
+    val NamedArg = """(?is)^([A-Za-z_]\w*)\s*=>\s*(.+)$""".r
+    for ((fn, sig) <- namedSigs) rewriteCalls(fn) { args =>
+      if (!args.exists(a => NamedArg.findFirstMatchIn(a).isDefined)) None
+      else {
+        val slots = Array.fill[Option[String]](sig.size)(None)
+        var nextPos = 0
+        var ok = true
+        args.foreach { a =>
+          NamedArg.findFirstMatchIn(a) match {
+            case Some(m) =>
+              val i = sig.indexWhere(_.equalsIgnoreCase(m.group(1)))
+              if (i < 0 || slots(i).isDefined) ok = false else slots(i) = Some(m.group(2).trim)
+            case None =>
+              if (nextPos < sig.size && slots(nextPos).isEmpty) {
+                slots(nextPos) = Some(a); nextPos += 1
+              } else ok = false
+          }
+        }
+        val filled = slots.takeWhile(_.isDefined).flatten.toSeq
+        if (!ok || filled.size != args.size) None
+        else Some(s"$fn(${filled.mkString(", ")})")
+      }
+    }
+
     // multi-argument grouping(a,b,c) is Spark's grouping_id bitmask
     rewriteCalls("grouping")(args =>
       if (args.size > 1) Some(s"grouping_id(${args.mkString(", ")})") else None)
+    // grouping()/grouping_id() dialect gaps: under a plain GROUP BY the
+    // reference answers 0 where Spark errors; and Spark's grouping_id
+    // demands its argument order match the grouping columns exactly, so
+    // rebuild it from single-column grouping() bits (first arg = MSB)
+    val hasGroupingStructure =
+      """(?i)\b(GROUPING\s+SETS|ROLLUP|CUBE)\b""".r.findFirstIn(s).isDefined
+    if (hasGroupingStructure) {
+      rewriteCalls("grouping_id")(args =>
+        if (args.isEmpty) None
+        else Some(args.zipWithIndex.map { case (a, i) =>
+          val shift = args.size - 1 - i
+          if (shift == 0) s"grouping($a)" else s"grouping($a) * ${1L << shift}"
+        }.mkString("(", " + ", ")")))
+    } else if ("""(?i)\bGROUP\s+BY\b""".r.findFirstIn(s).isDefined) {
+      rewriteCalls("grouping_id")(_ => Some("0"))
+      rewriteCalls("grouping")(args =>
+        if (args.size == 1) Some("0") else None)
+    }
     // numeric literals with underscores (1_000) — strip the separators;
     // strpos(str, sub) is Spark's instr (same argument order); named-window
     // references resolve case-sensitively in Spark — lowercase both sides;
@@ -978,12 +1041,13 @@ object SltRunner {
       """(?is)^\s*CREATE\s+(?:UNBOUNDED\s+)?EXTERNAL\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w."]+)\s*""".r
     private val StoredRe = """(?is)^\s*STORED\s+AS\s+(\w+)\s*(.*)$""".r
     private val LocRe = """(?is)LOCATION\s+'([^']+)'""".r
+    private val PartRe = """(?is)\bPARTITIONED\s+BY\s*\(([^)]*)\)\s*""".r
     /** (name, schemaInner, format, location, otherClauses) */
     def unapply(sql: String): Option[(String, Option[String], String, String, String)] =
       HeadRe.findPrefixMatchOf(sql).flatMap { m =>
         val name = m.group(1)
         var rest = sql.substring(m.end)
-        val schema =
+        var schema =
           if (rest.startsWith("(")) {
             val close = matchParen(rest, 0)
             if (close < 0) return None
@@ -991,6 +1055,16 @@ object SltRunner {
             rest = rest.substring(close + 1)
             Some(inner)
           } else None
+        // hive-style PARTITIONED BY: typed entries are extra columns that
+        // live in the directory names — fold them into the schema (Spark's
+        // partition discovery binds them); name-only entries need nothing
+        PartRe.findFirstMatchIn(rest).foreach { pm =>
+          val typed = pm.group(1).split(",").map(_.trim)
+            .filter(_.split("\\s+").length > 1)
+          if (typed.nonEmpty)
+            schema = Some((schema.toSeq ++ typed).mkString(", "))
+          rest = rest.substring(0, pm.start) + rest.substring(pm.end)
+        }
         StoredRe.findFirstMatchIn(rest).flatMap { sm =>
           val fmt = sm.group(1)
           val tail = sm.group(2)
@@ -1006,6 +1080,16 @@ object SltRunner {
     * sqllogictest crate dir. */
   private[slt] var externalDataRoot = "/root/reference/datafusion/sqllogictest"
 
+  /** `'format.key' value` pairs from a DDL/COPY tail — values are quoted
+    * ('true') or bare (true, gzip, 0.5) in the reference files. */
+  private[slt] def formatOptions(tail: String): Map[String, String] =
+    if (tail == null) Map.empty
+    else {
+      val OptRe = """'format\.(\w+)'\s+(?:'((?:[^']|'')*)'|([\w.%\-]+))""".r
+      OptRe.findAllMatchIn(tail).map(m =>
+        m.group(1) -> Option(m.group(2)).getOrElse(m.group(3))).toMap
+    }
+
   private val CreateSchemaValuesRe =
     """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*?)\)\s+AS\s+(VALUES.*|SELECT.*)$""".r
   private val CreateAsRe =
@@ -1016,7 +1100,9 @@ object SltRunner {
     """(?is)^(\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[\w."]+)\s*\((.*)\)\s*$""".r
 
   private def sparkType(t: String): String = {
-    val trimmed = t.trim
+    // a trailing bare NULL is the explicit-nullability marker (reference
+    // DDL: `field1 BIGINT NULL`) — nullable is Spark's default, drop it
+    val trimmed = t.trim.replaceAll("(?i)\\s+NULL$", "")
     trimmed.toUpperCase match {
       case "TEXT" | "VARCHAR" | "CHAR" => "STRING"
       // Spark has no TIME column type in DDL; the canonical HH:MM:SS text
@@ -1057,6 +1143,12 @@ object SltRunner {
     val pre1 = WhereNullRe.replaceAllIn(pre1a, "WHERE CAST(NULL AS BOOLEAN)")
       .replaceAll("(?is)FILTER\\s*\\(\\s*WHERE\\s+NULL\\s*\\)",
         "FILTER (WHERE CAST(NULL AS BOOLEAN))")
+      // bare NULL as a join condition: Spark rejects the VOID type
+      .replaceAll("(?i)\\bON\\s+NULL\\b", "ON CAST(NULL AS BOOLEAN)")
+      // GROUPING SETS(()) alone IS global aggregation — Spark's expand-based
+      // grouping emits no grand-total row over empty input, a plain global
+      // agg does (SQL standard); the rewrite is exact for all inputs
+      .replaceAll("(?is)\\bGROUP\\s+BY\\s+GROUPING\\s+SETS\\s*\\(\\s*\\(\\s*\\)\\s*\\)", "")
     val pre1m = translateMapFns(pre1) match {
       case Some(s) => s
       case None    => return None
@@ -1080,6 +1172,7 @@ object SltRunner {
       .replaceAll("(?i)\\bAS\\s+VARCHAR\\s*\\[\\s*\\]", "AS ARRAY<STRING>")
       .replaceAll("(?i)\\bAS\\s+(\\w+)\\s*\\[\\s*\\]", "AS ARRAY<$1>")
       .replaceAll("(?i)\\bAS\\s+VARCHAR\\b(?!\\s*\\()", "AS STRING")
+      .replaceAll("(?i)\\bAS\\s+TEXT\\b", "AS STRING")
       // generate_series/range need no rewrite: GenerateSeriesTVF registers
       // both as native table functions with the reference's semantics
 
@@ -1091,10 +1184,16 @@ object SltRunner {
     // only matter to the reference's error-directive tests, which are
     // skipped anyway)
     val sql =
-      if ("""(?is)^\s*CREATE\s+(EXTERNAL\s+)?TABLE""".r.findFirstIn(pre2).isDefined)
-        pre2.replaceAll("(?i),?\\s*PRIMARY\\s+KEY\\s*\\([^)]*\\)", "")
+      if ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?(EXTERNAL\s+)?TABLE""".r.findFirstIn(pre2).isDefined)
+        pre2.replaceAll("(?i),?\\s*CONSTRAINT\\s+\\w+\\s+PRIMARY\\s+KEY\\s*\\([^)]*\\)", "")
+          .replaceAll("(?i),?\\s*PRIMARY\\s+KEY\\s*\\([^)]*\\)", "")
           .replaceAll("(?i)\\bPRIMARY\\s+KEY\\b", "")
+          .replaceAll("(?i),?\\s*UNIQUE\\s*\\([^)]*\\)", "")
           .replaceAll("(?i)\\bNOT\\s+NULL\\b", "")
+          // plain CREATE OR REPLACE TABLE: Spark's v1 session catalog has no
+          // REPLACE TABLE — emit plain CREATE; the executor's drop-fallback
+          // supplies the replace semantics on name conflict
+          .replaceAll("(?is)^\\s*CREATE\\s+OR\\s+REPLACE\\s+TABLE\\b", "CREATE TABLE")
       else pre2
     translateArrowCast(MakeArrayRe.replaceAllIn(sql, "array(")).flatMap {
       case CreateExternal(name, schemaInner, format, location0, tail) =>
@@ -1115,16 +1214,14 @@ object SltRunner {
           val fmt = format.toLowerCase
           // map the reference's 'format.*' OPTIONS onto Spark's CSV reader
           // options; the CSV-standard doubled-quote escape is the
-          // reference's default, Spark's is backslash — default to '"'
-          val OptRe = """'format\.(\w+)'\s+'((?:[^']|'')*)'""".r
-          val fmtOpts = Option(tail).map(t =>
-            OptRe.findAllMatchIn(t).map(m => m.group(1) -> m.group(2)).toMap)
-            .getOrElse(Map.empty)
+          // reference's default, Spark's is backslash — default to '"';
+          // has_header defaults TRUE (datafusion.catalog.has_header)
+          val fmtOpts = formatOptions(tail)
           val opts =
             if (fmt == "csv") {
               val pairs = Seq(
                 "path" -> resolved,
-                "header" -> fmtOpts.getOrElse("has_header", "false"),
+                "header" -> fmtOpts.getOrElse("has_header", "true"),
                 "inferSchema" -> "true",
                 "sep" -> fmtOpts.getOrElse("delimiter", ","),
                 "quote" -> fmtOpts.getOrElse("quote", "\""),
@@ -1134,6 +1231,11 @@ object SltRunner {
                 s"$k '${v.replace("\\", "\\\\").replace("'", "''")}'"
               }.mkString("OPTIONS (", ", ", ")")
             }
+            else if (fmt == "json")
+              // the reference's newline_delimited=false means whole-file
+              // JSON arrays — Spark's spelling is multiLine
+              s"OPTIONS (path '$resolved', multiLine '${
+                if (fmtOpts.get("newline_delimited").contains("false")) "true" else "false"}')"
             else s"OPTIONS (path '$resolved')"
           val provider =
             if (fmt == "arrow") "graft.sources.ArrowIpcTableProvider" else fmt
@@ -1616,6 +1718,7 @@ object SltRunner {
   private def registerCompat(spark: SparkSession): Unit = {
     graft.functions.GraftMath.register(spark)
     graft.functions.VectorFunctions.register(spark)
+    graft.functions.ArrayMathFunctions.register(spark)
     graft.functions.CryptoFunctions.register(spark)
     graft.functions.RegexpCompat.register(spark)
     graft.functions.NGramsExplode.register(spark)
@@ -1732,21 +1835,62 @@ object SltRunner {
           .findFirstMatchIn(tail)
           .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Seq.empty)
-        val OptRe = """'format\.(\w+)'\s+'((?:[^']|'')*)'""".r
-        val fmtOpts = OptRe.findAllMatchIn(tail).map(m => m.group(1) -> m.group(2)).toMap
+        val fmtOpts = formatOptions(tail)
         val n = df.count()
-        // the reference's COPY adds files into an existing directory
-        var w = df.write.mode("append").format(
-          if (fmt == "arrow") "graft.sources.ArrowIpcTableProvider" else fmt)
+        // a single-file target ('x.parquet') is REPLACED with one file at
+        // exactly that path (as the reference writes it); a directory
+        // target accumulates files across COPY statements
+        val lastSeg = target.substring(target.lastIndexOf('/') + 1)
+        // a PARTITIONED BY target is a directory tree even when named
+        // 'x.parquet' (parquet.slt's cache_metadata_partitioned.parquet)
+        val singleFile = lastSeg.contains(".") && partCols.isEmpty
+        val dest = redirectScratch(target)
+        val saveTo = if (singleFile) dest + ".__graft_tmp__" else dest
+        var w = (if (singleFile) df.coalesce(1) else df).write
+          .mode(if (singleFile) "overwrite" else "append")
+          .format(if (fmt == "arrow") "graft.sources.ArrowIpcTableProvider" else fmt)
         // compression spellings like zstd(10): Spark takes the codec name
         fmtOpts.get("compression").foreach(c =>
           w = w.option("compression", c.replaceAll("\\(.*\\)", "")))
         if (fmt == "csv") {
-          w = w.option("header", fmtOpts.getOrElse("has_header", "false"))
+          // the reference's CSV defaults: header on, embedded quotes doubled,
+          // whitespace preserved verbatim
+          w = w.option("header", fmtOpts.getOrElse("has_header", "true"))
           fmtOpts.get("delimiter").foreach(d => w = w.option("sep", d))
+          val quote = fmtOpts.getOrElse("quote", "\"")
+          w = w.option("quote", quote)
+          w = w.option("escape", fmtOpts.get("escape").getOrElse(
+            if (fmtOpts.get("double_quote").contains("false")) "\\" else quote))
+          // quote_style: 'always' maps to quoteAll; 'nonnumeric' and
+          // 'never' have no univocity spelling (knownDivergent in the spec)
+          if (fmtOpts.get("quote_style").exists(_.equalsIgnoreCase("always")))
+            w = w.option("quoteAll", "true")
+          w = w.option("ignoreLeadingWhiteSpace",
+            fmtOpts.getOrElse("ignore_leading_whitespace", "false"))
+          w = w.option("ignoreTrailingWhiteSpace",
+            fmtOpts.getOrElse("ignore_trailing_whitespace", "false"))
         }
         if (partCols.nonEmpty) w = w.partitionBy(partCols: _*)
-        w.save(redirectScratch(target))
+        w.save(saveTo)
+        if (singleFile) {
+          // promote the lone part file to the literal target path
+          import java.nio.file.{Files, Paths, StandardCopyOption}
+          val tmpDir = new java.io.File(saveTo)
+          val part = tmpDir.listFiles().find(f =>
+            f.isFile && f.getName.startsWith("part-")).getOrElse(
+            throw new IllegalStateException(s"no part file under $saveTo"))
+          Option(Paths.get(dest).getParent).foreach(Files.createDirectories(_))
+          Files.move(part.toPath, Paths.get(dest), StandardCopyOption.REPLACE_EXISTING)
+          tmpDir.listFiles().foreach(_.delete())
+          tmpDir.delete()
+        }
+        // tables already created over this path must observe the new file
+        // list (the reference's COPY tests overwrite in place); temp views
+        // pin their InMemoryFileIndex at CREATE time, so REFRESH each one
+        spark.catalog.refreshByPath(dest)
+        spark.catalog.listTables().collect().foreach { t =>
+          try spark.sql(s"REFRESH TABLE ${t.name}") catch { case _: Exception => }
+        }
         Some(spark.sql(s"SELECT CAST($n AS BIGINT) AS count"))
       case _ => None
     }
@@ -1865,5 +2009,14 @@ object SltRunner {
           if sql.trim.toUpperCase.startsWith("DROP VIEW") &&
             e.getMessage.contains("WRONG_COMMAND_FOR_OBJECT_TYPE") =>
         spark.sql(sql.trim.replaceFirst("(?i)^DROP\\s+VIEW", "DROP TABLE"))
+      // REPLACE semantics for the session catalog: drop the old table and
+      // re-create (translate strips `OR REPLACE` before this point)
+      case e: org.apache.spark.sql.AnalysisException
+          if sql.trim.toUpperCase.startsWith("CREATE TABLE") &&
+            e.getMessage.contains("TABLE_OR_VIEW_ALREADY_EXISTS") =>
+        val name = """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w."]+)""".r
+          .findFirstMatchIn(sql).map(_.group(1)).getOrElse(throw e)
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        ctx.sql(sql)
     }
 }

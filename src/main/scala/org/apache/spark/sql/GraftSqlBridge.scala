@@ -37,6 +37,14 @@ object GraftSqlBridge {
   def schemaToArrow(schema: types.StructType, timeZoneId: String = "UTC"): org.apache.arrow.vector.types.pojo.Schema =
     util.ArrowUtils.toArrowSchema(schema, timeZoneId, errorOnDuplicatedFieldNames = true, largeVarTypes = false)
 
+  /** `AbstractDataType` is private[sql]; expose the input-type contract a
+    * numeric-array expression needs: "array<double> or array<float>,
+    * coercing anything else to array<double>" (TypeCollection tries members
+    * in order; an input matching any member passes through uncast). */
+  def doubleOrFloatArrayTypes(arity: Int): Seq[types.AbstractDataType] =
+    Seq.fill(arity)(types.TypeCollection(
+      types.ArrayType(types.DoubleType), types.ArrayType(types.FloatType)))
+
   /** Wrap a raw window-function expression in a WindowExpression — the
     * programmatic path for custom window functions, since Column.over routes
     * through the ColumnNode layer which only recognizes built-ins. */

@@ -128,7 +128,8 @@ class SltRunnerSpec extends AnyFunSuite {
   test("qualify.slt")     { check("qualify.slt", 18) }
   test("order.slt")       { check("order.slt", 110, knownDivergent = Map(
     657 -> "ORDER BY the pre-alias column of a DISTINCT projection (reference resolves through the alias)",
-    1515 -> "scalar-subquery select item naming: reference propagates the inner column name, Spark says scalarsubquery()")) }
+    1515 -> "scalar-subquery select item naming: reference propagates the inner column name, Spark says scalarsubquery()",
+    1870 -> "u8 addition wraps modulo 256 in the reference; the unsigned-widening convention (SURVEY 1.2) computes the exact sum")) }
   test("group_by.slt")    {
     val intdiv = "int/int division: reference truncates, Spark yields double"
     val fd = "functional-dependence grouping via PRIMARY KEY metadata (Spark has no PK constraints)"
@@ -150,7 +151,9 @@ class SltRunnerSpec extends AnyFunSuite {
     val dwin = "DISTINCT inside a window aggregate (Spark: DISTINCT_WINDOW_FUNCTION_UNSUPPORTED)"
     val fwin = "FILTER clause on a window aggregate (Spark unsupported)"
     val ovf = "range-frame boundary arithmetic at i64 extremes: reference saturates, Spark overflows to an empty frame"
+    val ulag = "lag/lead over an unordered window: Spark requires ORDER BY in the window spec"
     check("window.slt", 300, knownDivergent = Map(
+      584 -> lim, 597 -> lim, 4450 -> ulag, 4469 -> ulag,
       1540 -> lim, 1582 -> lim, 1843 -> lim, 4227 -> lim,
       2681 -> tie, 2764 -> tie, 2887 -> tie, 2932 -> tie, 2978 -> tie, 3081 -> tie,
       4033 -> fd, 4048 -> fd, 5076 -> fd,
@@ -213,9 +216,56 @@ class SltRunnerSpec extends AnyFunSuite {
   test("subquery_sort.slt") { check("subquery_sort.slt", 6) }
   test("sort_merge_join.slt") { check("sort_merge_join.slt", 70) }
 
+  test("join_only.slt") {
+    val scope = "qualified outer column through an unaliased subquery (Spark scoping)"
+    check("join_only.slt", 160, knownDivergent = Map(1132 -> scope, 1143 -> scope))
+  }
+  test("intersection.slt")  { check("intersection.slt", 2) }
+  test("aggregate_any_value.slt") { check("aggregate_any_value.slt", 5) }
+  test("join_lists.slt")    { check("join_lists.slt", 6) }
+  test("same_column_name_cross_join.slt") { check("same_column_name_cross_join.slt", 10) }
+  test("first_last_nested.slt") { check("first_last_nested.slt", 2) }
+  test("references.slt")    { check("references.slt", 9) }
+  test("negative_zero.slt") {
+    val negz = "-0.0 grouping keys: Spark normalizes -0.0 to 0.0 and float/0 is NULL (non-ANSI)"
+    check("negative_zero.slt", 22, knownDivergent = Map(65 -> negz, 80 -> negz))
+  }
+  test("grouping.slt") {
+    val total = "grand-total row over an empty input: reference emits it (SQL standard), Spark's expand-based grouping emits none"
+    check("grouping.slt", 14, knownDivergent = Map(248 -> total, 254 -> total, 260 -> total))
+  }
+  test("errors.slt")        { check("errors.slt", 6) }
+  test("json.slt")          { check("json.slt", 16) }
+  test("ident_normalization.slt") { check("ident_normalization.slt", 24) }
+  test("named_arguments.slt") { check("named_arguments.slt", 32) }
+  test("merge_into.slt")    { check("merge_into.slt", 9) }
+  test("insert.slt")        { check("insert.slt", 23) }
+  test("null_aware_anti_join.slt") {
+    check("null_aware_anti_join.slt", 79, knownDivergent = Map(
+      174 -> "NULL NOT IN (empty subquery): reference applies the empty-set rule (TRUE), Spark yields NULL"))
+  }
+  test("window_limits.slt") { check("window_limits.slt", 30) }
+  test("window_topn.slt")   { check("window_topn.slt", 76) }
+  test("aggregates_topk.slt") { check("aggregates_topk.slt", 82) }
+  test("lateral_join.slt")  { check("lateral_join.slt", 60) }
+  test("pipe_operator.slt") { check("pipe_operator.slt", 14) }
+  test("parquet.slt")       { check("parquet.slt", 55) }
+  test("create_external_table.slt") { check("create_external_table.slt", 1) }
+  test("cosine_distance.slt") { check("cosine_distance.slt", 11) }
+  test("inner_product.slt") { check("inner_product.slt", 14) }
+  test("array_sum.slt")     { check("array_sum.slt", 10) }
+  test("array_add.slt")     { check("array_add.slt", 18) }
+  test("array_avg.slt")     { check("array_avg.slt", 12) }
+  test("array_product.slt") { check("array_product.slt", 10) }
+  test("array_subtract.slt") { check("array_subtract.slt", 18) }
+  test("array_normalize.slt") { check("array_normalize.slt", 12) }
+  test("array_scale.slt")   { check("array_scale.slt", 17) }
+
   test("csv_files.slt")    {
-    check("csv_files.slt", 20, knownDivergent = Map(
+    check("csv_files.slt", 55, knownDivergent = Map(
       83 -> "CSV quote-as-escape parsing nuance differs between arrow-csv and univocity",
-      326 -> "slt multiline-cell rendering convention for newlines_in_values"))
+      326 -> "slt multiline-cell rendering convention for newlines_in_values",
+      439 -> "quote_style nonnumeric: univocity has no per-type quoting mode",
+      468 -> "quote_style never: univocity cannot disable quoting"))
   }
 }
