@@ -102,13 +102,25 @@ object SltRunner {
 
   /** Rewrite every arrow_cast(expr, 'Type') whose Type has a Spark
     * spelling; returns None (→ skip) when a type is unmappable. */
+  /** arrow_cast / cast_to_type / try_cast_to_type: all take an Arrow type
+    * name literal; the latter two are the reference's user-facing spellings
+    * (try_* yields NULL on failure = Spark's TRY_CAST). */
+  private val ArrowCastNames = Seq("try_cast_to_type", "cast_to_type", "arrow_cast")
   private[slt] def translateArrowCast(sql: String): Option[String] = {
     var s = sql
     var guard = 0
-    while (s.toLowerCase.contains("arrow_cast(") && guard < 50) {
+    def nextCall: Option[(String, Int)] =
+      ArrowCastNames.flatMap { n =>
+        val i = s.toLowerCase.indexOf(n + "(")
+        // longest name first, so cast_to_type never matches inside try_…
+        if (i >= 0 && !(n == "cast_to_type" &&
+            s.toLowerCase.regionMatches(math.max(0, i - 4), "try_", 0, 4)))
+          Some((n, i)) else None
+      }.sortBy(_._2).headOption
+    while (nextCall.isDefined && guard < 50) {
       guard += 1
-      val idx = s.toLowerCase.indexOf("arrow_cast(")
-      val open = idx + "arrow_cast".length
+      val (fname, idx) = nextCall.get
+      val open = idx + fname.length
       // find the matching close paren
       var depth = 0; var j = open; var close = -1
       while (j < s.length && close < 0) {
@@ -134,7 +146,8 @@ object SltRunner {
       val tpe = inner.substring(cut + 1).trim.stripPrefix("'").stripSuffix("'")
       arrowTypes.get(tpe) match {
         case Some(sparkT) =>
-          s = s.substring(0, idx) + s"CAST($expr AS $sparkT)" + s.substring(close + 1)
+          val kw = if (fname == "try_cast_to_type") "TRY_CAST" else "CAST"
+          s = s.substring(0, idx) + s"$kw($expr AS $sparkT)" + s.substring(close + 1)
         case None => return None
       }
     }
@@ -343,9 +356,13 @@ object SltRunner {
     * (result = input order); Spark demands the canonical frame and an
     * ORDER BY. Strip the frame and order by a constant (stable sort keeps
     * input order) — both preserve the reference's semantics exactly. */
-  /** Aggregate-context `array_agg(x)` over zero rows is NULL in the
-    * reference, an empty array in Spark — wrap in an emptiness CASE.
-    * Window usages (OVER) and internal ORDER BY forms are left alone. */
+  /** `array_agg(x)` dialect gaps, both fixed by collecting structs (a
+    * struct row is never null, so nothing is dropped) and unwrapping:
+    *  - the reference KEEPS NULL elements; Spark's collect_list drops them
+    *  - over zero rows the reference yields NULL, Spark an empty array
+    * `IGNORE NULLS` suffix = Spark's default → plain array_agg (suffix is
+    * stripped later in the chain); DISTINCT and internal ORDER BY forms
+    * are left alone. Window usages wrap the whole OVER clause. */
   private[slt] def translateArrayAggEmpty(sql: String): String = {
     val re = """(?i)\barray_agg\s*\(""".r
     var s = sql
@@ -360,13 +377,39 @@ object SltRunner {
           if (close < 0) continue = false
           else {
             val arg = s.substring(open + 1, close)
-            val after = s.substring(close + 1).dropWhile(_.isWhitespace).toUpperCase
+            val afterRaw = s.substring(close + 1)
+            val after = afterRaw.dropWhile(_.isWhitespace).toUpperCase
             val isWindow = after.startsWith("OVER")
+            val isIgnore = after.startsWith("IGNORE")
             val hasOrder = """(?i)\bORDER\s+BY\b""".r.findFirstIn(arg).isDefined
-            if (isWindow || hasOrder) from = close + 1
-            else {
+            val isDistinct = arg.trim.toUpperCase.startsWith("DISTINCT")
+            // DISTINCT moves inside the struct wrap (struct equality is
+            // fieldwise, and a struct row is never null, so NULL survives
+            // the distinct the way the reference keeps it)
+            def inner =
+              if (isDistinct)
+                s"collect_list(DISTINCT named_struct('__v', ${arg.trim.substring("DISTINCT".length).trim}))"
+              else s"collect_list(named_struct('__v', $arg))"
+            if (isIgnore || hasOrder || (isDistinct && isWindow)) from = close + 1
+            else if (isWindow) {
+              // span the OVER clause: `OVER (...)` or `OVER name`
+              val overStart = close + 1 + afterRaw.takeWhile(_.isWhitespace).length
+              var p = overStart + 4
+              while (p < s.length && s(p).isWhitespace) p += 1
+              val overEnd =
+                if (p < s.length && s(p) == '(') {
+                  val c = matchParen(s, p); if (c < 0) -1 else c + 1
+                } else p + """^[A-Za-z_]\w*""".r.findFirstIn(s.substring(p))
+                  .map(_.length).getOrElse(0)
+              if (overEnd <= p) from = close + 1
+              else {
+                val repl = s"transform($inner ${s.substring(overStart, overEnd)}, __s -> __s.__v)"
+                s = s.substring(0, from + m.start) + repl + s.substring(overEnd)
+                from = from + m.start + repl.length
+              }
+            } else {
               val repl =
-                s"(CASE WHEN size(collect_list($arg)) = 0 THEN NULL ELSE collect_list($arg) END)"
+                s"(CASE WHEN size($inner) = 0 THEN NULL ELSE transform($inner, __s -> __s.__v) END)"
               s = s.substring(0, from + m.start) + repl + s.substring(close + 1)
               from = from + m.start + repl.length
             }
@@ -893,6 +936,10 @@ object SltRunner {
     rewriteCalls("percentile_cont")(args =>
       if (args.size == 2) Some(s"percentile(${args(0)}, ${args(1)})") else None)
 
+    // reference array_sort defaults ascending NULLS FIRST; Spark's
+    // array_sort sorts nulls last, sort_array(asc) sorts them first
+    rewriteCalls("array_sort")(args =>
+      if (args.size == 1) Some(s"sort_array(${args(0)})") else None)
     // reference any_value skips NULLs (first non-null); Spark's 1-arg
     // default keeps them — pass ignoreNulls explicitly
     rewriteCalls("any_value")(args =>
@@ -1301,12 +1348,24 @@ object SltRunner {
     if (close < 0) 0 else splitTopLevel(body.substring(open + 1, close)).size
   }
 
+  /** Line-by-line compare honoring the runner's `<slt:ignore>` wildcard
+    * (slt_features.slt): an expected cell fragment matches anything. */
+  private def rowsMatch(got: Seq[String], want: Seq[String]): Boolean =
+    got.size == want.size && got.zip(want).forall { case (g, w) =>
+      g == w || (w.contains("<slt:ignore>") &&
+        java.util.regex.Pattern.compile(
+          w.split(java.util.regex.Pattern.quote("<slt:ignore>"), -1)
+            .map(java.util.regex.Pattern.quote).mkString(".*")).matcher(g).matches())
+    }
+
   private def splitTopLevel(s: String): Seq[String] = {
     val out = mutable.Buffer[String]()
+    // braces nest too: `{x: 10, y: 100}` struct literals are split-atomic
+    // even before translateStructs rewrites them to named_struct
     var depth = 0; val cur = new StringBuilder
     for (c <- s) c match {
-      case '(' => depth += 1; cur += c
-      case ')' => depth -= 1; cur += c
+      case '(' | '{' => depth += 1; cur += c
+      case ')' | '}' => depth -= 1; cur += c
       case ',' if depth == 0 => out += cur.toString; cur.clear()
       case _ => cur += c
     }
@@ -1570,7 +1629,8 @@ object SltRunner {
               val df: DataFrame = maybeEmulateInsert(spark, sql)
                 .orElse(maybeEmulateDml(spark, sql))
                 .orElse(maybeEmulateCopy(ctx, spark, sql))
-                .getOrElse(runWithDropFallback(ctx, spark, sql))
+                .getOrElse(runWithDropFallback(ctx, spark,
+                  rewriteDynamicPaths(spark, sql)))
               if (d.startsWith("statement")) { df.collect(); passed += 1 }
               else if (sql.trim.toUpperCase.startsWith("INSERT") ||
                        sql.trim.toUpperCase.startsWith("DELETE") ||
@@ -1596,8 +1656,8 @@ object SltRunner {
                 // query is compared as a SET (standard practice for engines
                 // with nondeterministic row order).
                 val orderFree = sortMode.isEmpty && !hasTopLevelOrderBy(sql)
-                if (got == want) passed += 1
-                else if (orderFree && got.sorted == want.sorted) passed += 1
+                if (rowsMatch(got, want)) passed += 1
+                else if (orderFree && rowsMatch(got.sorted, want.sorted)) passed += 1
                 else failures += Failure(rec.line, sql,
                   s"expected ${want.take(5).mkString("|")}... got ${got.take(5).mkString("|")}")
               }
@@ -1676,7 +1736,10 @@ object SltRunner {
                 skipped += ((rec.line, "type-coercion dialect gap (analyzer rejects)"))
               case e: Exception =>
                 poison(sql)
-                failures += Failure(rec.line, sql, e.toString.take(300))
+                var root: Throwable = e
+                while (root.getCause != null && root.getCause != root) root = root.getCause
+                val rootNote = if (root eq e) "" else s" [root: ${root.toString.take(200)}]"
+                failures += Failure(rec.line, sql, e.toString.take(300) + rootNote)
             }
         }
       }
@@ -1799,6 +1862,24 @@ object SltRunner {
           CaseWhen(Seq((GreaterThanOrEqual(xd, Literal(0.0d)), dbl(Floor(xd)))),
             dbl(Ceil(xd)))
         } else TruncDate(es.head, es(1)), "built-in")
+    // date_bin(stride, ts[, origin]) — the library's Column kernel
+    // (GraftFunctions.dateBin) generalized to an expression stride:
+    // stride micros = epoch + stride interval, pure integer arithmetic
+    reg.createOrReplaceTempFunction("date_bin", es => {
+      import org.apache.spark.sql.types.{CalendarIntervalType, TimestampType}
+      val epoch = Cast(Literal("1970-01-01 00:00:00"), TimestampType)
+      // a bare string stride ('15 minutes') coerces to an interval
+      val stride = es.head match {
+        case Literal(_, org.apache.spark.sql.types.StringType) =>
+          Cast(es.head, CalendarIntervalType)
+        case e => e
+      }
+      val origin = if (es.size >= 3) Cast(es(2), TimestampType) else epoch
+      val o = UnixMicros(origin)
+      val x = UnixMicros(Cast(es(1), TimestampType))
+      val strideUs = UnixMicros(Cast(TimestampAddInterval(epoch, stride), TimestampType))
+      MicrosToTimestamp(Subtract(x, Pmod(Subtract(x, o), strideUs)))
+    }, "built-in")
     // reference string literals are standard SQL (no backslash escapes)
     spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
   }
@@ -1807,6 +1888,45 @@ object SltRunner {
     * emulated at the Dataset level — the union plan CAPTURES the prior
     * view's analyzed plan, so re-registering the name is not a recursive
     * view reference. */
+  /** Dynamic file query (`SELECT … FROM 'path'` — the reference's
+    * dynamic_file.slt): register a temp view over the path (format from
+    * the file extension, header CSV per the COPY default) and substitute
+    * its name. Paths that don't exist are left verbatim (→ parse skip). */
+  private val DynPathRe = """(?i)\bFROM\s+'((?:\.\./|test_files/|/)[^']*)'""".r
+  private def rewriteDynamicPaths(spark: SparkSession, sql: String): String =
+    DynPathRe.replaceAllIn(sql, m => {
+      val p0 = redirectScratch(m.group(1))
+      val resolved = if (p0.startsWith("/")) p0
+        else new java.io.File(externalDataRoot, p0).getCanonicalPath
+      val f = new java.io.File(resolved)
+      def extOf(x: java.io.File): Option[String] = {
+        val i = x.getName.lastIndexOf('.')
+        if (i > 0) Some(x.getName.substring(i + 1).toLowerCase) else None
+      }
+      def firstExt(dir: java.io.File): Option[String] = {
+        val fs = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filterNot(x => x.getName.startsWith(".") || x.getName.startsWith("_"))
+        fs.filter(_.isFile).flatMap(extOf).headOption
+          .orElse(fs.filter(_.isDirectory).sortBy(_.getName).flatMap(d => firstExt(d)).headOption)
+      }
+      if (!f.exists()) java.util.regex.Matcher.quoteReplacement(m.group(0))
+      else {
+        val fmt = (if (f.isFile) extOf(f) else firstExt(f)).getOrElse("parquet") match {
+          case "csv" => "csv"
+          case "json" | "ndjson" => "json"
+          case "avro" => "avro"
+          case "arrow" => "graft.sources.ArrowIpcTableProvider"
+          case _ => "parquet"
+        }
+        val view = "__dyn_" + Integer.toHexString(resolved.hashCode).replace('-', '_')
+        val opts =
+          if (fmt == "csv") s"OPTIONS (path '$resolved', header 'true', inferSchema 'true')"
+          else s"OPTIONS (path '$resolved')"
+        spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $view USING $fmt $opts")
+        java.util.regex.Matcher.quoteReplacement(s"FROM $view")
+      }
+    })
+
   /** Scratch-output redirect: the reference's copy tests write RELATIVE to
     * the sqllogictest dir (read-only here) — map its scratch subtree to a
     * writable temp dir for both COPY targets and LOCATION reads. */

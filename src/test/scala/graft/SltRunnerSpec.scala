@@ -261,6 +261,48 @@ class SltRunnerSpec extends AnyFunSuite {
   test("array_normalize.slt") { check("array_normalize.slt", 12) }
   test("array_scale.slt")   { check("array_scale.slt", 17) }
 
+  test("join_is_not_distinct_from.slt") { check("join_is_not_distinct_from.slt", 24) }
+  test("eliminate_outer_join.slt") { check("eliminate_outer_join.slt", 48) }
+  test("push_down_filter_outer_joins.slt") { check("push_down_filter_outer_joins.slt", 18) }
+  test("propagate_empty_relation_outer_join.slt") { check("propagate_empty_relation_outer_join.slt", 14) }
+  test("simplify_expr.slt")  { check("simplify_expr.slt", 10) }
+  test("simplify_predicates.slt") { check("simplify_predicates.slt", 4) }
+  test("cse.slt")            { check("cse.slt", 1) }
+  test("floor_preimage.slt") { check("floor_preimage.slt", 20) }
+  test("optimizer_group_by_constant.slt") { check("optimizer_group_by_constant.slt", 5) }
+  test("monotonic_projection_test.slt") { check("monotonic_projection_test.slt", 16) }
+  test("filter_without_sort_exec.slt") { check("filter_without_sort_exec.slt", 3) }
+  test("limit_pruning.slt")  { check("limit_pruning.slt", 15) }
+  test("join_limit_pushdown.slt") { check("join_limit_pushdown.slt", 22) }
+  test("push_down_topk_through_join.slt") { check("push_down_topk_through_join.slt", 43) }
+  test("sort_pushdown.slt")  { check("sort_pushdown.slt", 370) }
+  test("window_topk_pushdown.slt") { check("window_topk_pushdown.slt", 7) }
+  test("aggregate_repartition.slt") { check("aggregate_repartition.slt", 8) }
+  test("aggregates_simplify.slt") {
+    check("aggregates_simplify.slt", 19, knownDivergent = Map(
+      238 -> "nondeterministic expression inside an aggregate: Spark rejects by design"))
+  }
+  test("agg_func_substitute.slt") { check("agg_func_substitute.slt", 1) }
+  test("array_agg_sliding_window.slt") {
+    val dwin = "DISTINCT inside a window aggregate (Spark: DISTINCT_WINDOW_FUNCTION_UNSUPPORTED)"
+    check("array_agg_sliding_window.slt", 32, knownDivergent =
+      Seq(190, 202, 222, 238, 254, 275, 318, 342).map(_ -> dwin).toMap)
+  }
+  test("array_query.slt")    { check("array_query.slt", 33) }
+  test("issue_17138.slt")    { check("issue_17138.slt", 4) }
+  test("cast_to_type.slt")   { check("cast_to_type.slt", 11) }
+  test("dictionary.slt")     { check("dictionary.slt", 3) }
+  test("listing_table_partitions.slt") { check("listing_table_partitions.slt", 2) }
+  test("parquet_filter_pushdown.slt") { check("parquet_filter_pushdown.slt", 55) }
+  test("parquet_statistics.slt") { check("parquet_statistics.slt", 11) }
+  test("insert_to_external.slt") { check("insert_to_external.slt", 3) }
+  test("dynamic_file.slt") {
+    val apart = "partitioned Arrow IPC write (the DSv2 arrow writer is unpartitioned)"
+    check("dynamic_file.slt", 15, knownDivergent = Map(111 -> apart, 118 -> apart))
+  }
+  test("binary_view.slt")    { check("binary_view.slt", 6) }
+  test("slt_features.slt")   { check("slt_features.slt", 9) }
+
   test("csv_files.slt")    {
     check("csv_files.slt", 55, knownDivergent = Map(
       83 -> "CSV quote-as-escape parsing nuance differs between arrow-csv and univocity",
