@@ -67,20 +67,28 @@ object Bench {
       math.round(la * 100) / 100.0
     }
     val loadBefore = loadavg
-    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // every pass is recorded (not just the minimum) so a loaded-machine
+    // artifact — one pass 10× the others — is self-diagnosing in the JSON
+    val all = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     for (_ <- 1 to passes; n <- selected) {
       val t = runOnce(n)
-      val prev = best.getOrElse(n, Double.MaxValue)
-      if (t >= 0) best(n) = math.min(prev, t)
-      else if (!best.contains(n)) best(n) = -1.0
+      all(n) = all.getOrElse(n, Vector.empty) :+ t
     }
     val loadAfter = loadavg
 
-    val results = selected.map(n => n -> best.getOrElse(n, -1.0))
+    def minOf(ts: Vector[Double]): Double = {
+      val ok = ts.filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
+    }
+    val results = selected.map(n => n -> minOf(all.getOrElse(n, Vector.empty)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    def r3(d: Double): Double = math.round(d * 1000) / 1000.0
+    val passDetail = selected.map { n =>
+      "\"" + n + "\":" + all.getOrElse(n, Vector.empty).map(r3).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_times":$passDetail,"sf":"$sfDir","passes":$passes,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter}""")
     spark.stop()
   }
 }

@@ -1,0 +1,161 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+
+/** Stats-driven broadcast gating for the hand-reshaped TPC-H joins.
+  *
+  * The q3/q5/q10 reshape (TpchQueries) keeps the fact table un-exchanged by
+  * broadcasting slim dimension complexes. Whether that reshape is RIGHT is a
+  * function of data volume: at SF1 the filtered complexes are a few MB; at
+  * 100× they outgrow what an executor should materialize and the correct
+  * plan is the shuffle form with AQE. Round 4 baked that choice into the
+  * query text as `/*+ BROADCAST */` hints; this advisor makes it a
+  * planning-time decision from the same inputs a cost-based optimizer uses —
+  * parquet footer statistics (row counts, per-column byte widths, min/max) —
+  * so the identical query code stays optimal across scale factors.
+  *
+  * This mirrors the reference's own mechanism: DataFusion picks
+  * CollectLeft vs Partitioned hash join by comparing its stats-estimated
+  * build-side bytes against `datafusion.optimizer
+  * .hash_join_single_partition_threshold` (reference:
+  * datafusion/physical-optimizer/src/join_selection.rs). On a production
+  * cluster the equivalent signal comes from catalog CBO stats (ANALYZE
+  * TABLE); here the footer IS the catalog.
+  *
+  * Scale design: only FOOTERS are read (a few KB per file, driver-side at
+  * planning time, memoized per path) — never data pages. At 100 TB the
+  * footer count grows with file count, but this advisor only ever inspects
+  * the DIMENSION tables (orders/customer at worst); the fact table's size
+  * never enters the estimate.
+  */
+object BroadcastAdvisor {
+
+  /** Above this estimated build-side size, the broadcast reshape is
+    * disabled and the plan falls back to AQE's runtime join selection.
+    * Default 64 MB: a broadcast build of that size is still cheap
+    * cluster-wide (torrent broadcast, one copy per executor), while the
+    * alternative is exchanging the entire fact table; the crossover
+    * measured at SF1→SF10 sits well above it. Overridable per session for
+    * tests and tuning. */
+  val ThresholdConf = "spark.graft.broadcastReshape.threshold"
+  val DefaultThreshold: Long = 64L * 1024 * 1024
+
+  /** Equality-predicate selectivity when NDV is unknown (footers carry no
+    * distinct counts). 0.2 is the classic System-R default; TPC-H's
+    * c_mktsegment has exactly 5 values, so it is also exact here. */
+  val EqSelectivity = 0.2
+
+  case class ColStats(avgBytes: Double, minLong: Option[Long], maxLong: Option[Long])
+  case class TableStats(rows: Long, cols: Map[String, ColStats])
+
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[String, TableStats]
+
+  /** Footer-only stats for a parquet file/dir: row count, per-column
+    * average uncompressed width, INT64 min/max (timestamps included). */
+  def tableStats(spark: SparkSession, path: String): TableStats =
+    cache.getOrElseUpdate(path, {
+      import scala.jdk.CollectionConverters._
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val st = fs.getFileStatus(p)
+      val files =
+        if (st.isDirectory)
+          fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath).toSeq
+        else Seq(st.getPath)
+      var rows = 0L
+      val colBytes = scala.collection.mutable.Map.empty[String, Long]
+      val colMin = scala.collection.mutable.Map.empty[String, Long]
+      val colMax = scala.collection.mutable.Map.empty[String, Long]
+      files.foreach { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try reader.getFooter.getBlocks.asScala.foreach { block =>
+          rows += block.getRowCount
+          block.getColumns.asScala.foreach { cc =>
+            val name = cc.getPath.toDotString
+            colBytes(name) = colBytes.getOrElse(name, 0L) + cc.getTotalUncompressedSize
+            val s = cc.getStatistics
+            if (s != null && s.hasNonNullValue &&
+                cc.getPrimitiveType.getPrimitiveTypeName ==
+                  org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64) {
+              val mn = s.genericGetMin.asInstanceOf[java.lang.Long].longValue
+              val mx = s.genericGetMax.asInstanceOf[java.lang.Long].longValue
+              colMin(name) = colMin.get(name).fold(mn)(math.min(_, mn))
+              colMax(name) = colMax.get(name).fold(mx)(math.max(_, mx))
+            }
+          }
+        } finally reader.close()
+      }
+      TableStats(rows, colBytes.keys.map { n =>
+        n -> ColStats(if (rows == 0) 0.0 else colBytes(n).toDouble / rows,
+          colMin.get(n), colMax.get(n))
+      }.toMap)
+    })
+
+  /** Range selectivity of `lo <= col < hi` (epoch millis for the fixture's
+    * timestamp[ms] date columns) by linear interpolation over the footer
+    * min/max — the same uniform assumption DataFusion's pruning/estimation
+    * makes. Unknown stats → 1.0 (never under-estimates the build side). */
+  def rangeSelectivity(ts: TableStats, col: String,
+      lo: Option[Long], hi: Option[Long]): Double =
+    ts.cols.get(col).flatMap(c => c.minLong.zip(c.maxLong)).map {
+      case (mn, mx) if mx > mn =>
+        val l = lo.getOrElse(mn).max(mn)
+        val h = hi.getOrElse(mx + 1).min(mx + 1)
+        math.max(0.0, math.min(1.0, (h - l).toDouble / (mx + 1 - mn)))
+      case _ => 1.0
+    }.getOrElse(1.0)
+
+  /** Estimated in-memory bytes of `rows` rows projecting `cols`
+    * (uncompressed footer widths + per-row object overhead). */
+  def estimateBytes(ts: TableStats, rows: Double, cols: Seq[String]): Long = {
+    val width = cols.map(c => ts.cols.get(c).map(_.avgBytes).getOrElse(8.0)).sum
+    (rows * (width + 16.0)).toLong
+  }
+
+  def threshold(spark: SparkSession): Long =
+    spark.conf.getOption(ThresholdConf).map(_.toLong).getOrElse(DefaultThreshold)
+
+  def shouldBroadcast(spark: SparkSession, estBytes: Long): Boolean =
+    estBytes <= threshold(spark)
+
+  private def epochMs(date: String): Long =
+    java.time.LocalDate.parse(date).atStartOfDay(java.time.ZoneOffset.UTC)
+      .toInstant.toEpochMilli
+
+  /** q3: cmplx = σ(mktsegment) customer ⋈ σ(date<hi) orders, projected to
+    * (o_orderkey, o_orderdate, o_orderpriority). */
+  def q3CmplxBytes(spark: SparkSession, dir: String): Long = {
+    val o = tableStats(spark, s"$dir/orders.parquet")
+    val rows = o.rows *
+      rangeSelectivity(o, "o_orderdate", None, Some(epochMs("1998-03-15"))) *
+      EqSelectivity
+    estimateBytes(o, rows, Seq("o_orderkey", "o_orderdate", "o_orderpriority"))
+  }
+
+  /** q5: ao = σ(window) orders ⋈ customer ⋈ (nation ⋈ σ(region)), projected
+    * to (o_orderkey, c_nationkey, n_name). Region membership selectivity =
+    * 1/|region| from the region footer row count (uniform nations/region). */
+  def q5AoBytes(spark: SparkSession, dir: String): Long = {
+    val o = tableStats(spark, s"$dir/orders.parquet")
+    val r = tableStats(spark, s"$dir/region.parquet")
+    val regionSel = if (r.rows > 0) 1.0 / r.rows else 1.0
+    val rows = o.rows *
+      rangeSelectivity(o, "o_orderdate",
+        Some(epochMs("1996-01-01")), Some(epochMs("1998-01-01"))) * regionSel
+    estimateBytes(o, rows, Seq("o_orderkey", "o_custkey")) // nationkey+name ≈ key widths
+  }
+
+  /** q10: pc = per-customer revenue over the 3-month window — grouped rows
+    * are bounded by the window's order count; o2 is the window itself. The
+    * larger of the two gates the reshape. */
+  def q10PcBytes(spark: SparkSession, dir: String): Long = {
+    val o = tableStats(spark, s"$dir/orders.parquet")
+    val windowRows = o.rows * rangeSelectivity(o, "o_orderdate",
+      Some(epochMs("1996-10-01")), Some(epochMs("1997-01-01")))
+    estimateBytes(o, windowRows, Seq("o_orderkey", "o_custkey"))
+  }
+}

@@ -36,21 +36,24 @@ object PipelineQueries2 {
     },
 
     // Unigram-LM quality proxy (poor man's perplexity): score each doc by
-    // the mean corpus log-probability of its tokens. Two passes: an exact
-    // corpus frequency table (one agg), then a score join. Scale: the
-    // vocabulary table is orders of magnitude smaller than the corpus and
-    // broadcasts; the corpus is never shuffled (explode + broadcast join +
-    // per-doc re-agg keyed by doc_id is map-side partial-aggregable
+    // the mean corpus log-probability of its tokens. One plan: an exact
+    // corpus frequency table (one agg), the corpus total folded in as a
+    // broadcast single-row aggregate (no separate driver-side count()
+    // action — the total rides the same job), then a score join. Scale:
+    // the vocabulary table is orders of magnitude smaller than the corpus
+    // and broadcasts; the corpus is never shuffled (explode + broadcast
+    // join + per-doc re-agg keyed by doc_id is map-side partial-aggregable
     // because words of one doc stay in its partition).
     "pipeline_unigram_logprob" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       val words = docs.select(col("doc_id"),
         explode(expr(wordsCol)).as("w"))
       val freq = words.groupBy("w").agg(count(lit(1)).as("c"))
-      val total = words.count().toDouble
+      val total = words.agg(count(lit(1)).cast("double").as("t"))
       val scored = words.join(broadcast(freq), "w")
+        .crossJoin(broadcast(total))
         .groupBy("doc_id")
-        .agg((sum(log(col("c") / lit(total))) / count(lit(1))).as("mean_lp"),
+        .agg((sum(log(col("c") / col("t"))) / count(lit(1))).as("mean_lp"),
           count(lit(1)).as("n_toks"))
       scored.select(col("doc_id"), col("n_toks"), r4(col("mean_lp")).as("mean_lp"))
         .orderBy(col("doc_id")).limit(200)
@@ -62,12 +65,15 @@ object PipelineQueries2 {
     // window's per-source ordering is the only shuffle, keyed by source.
     "pipeline_mix_rebalance" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
+      // the smallest-source size is a broadcast single-row aggregate inside
+      // the same plan (no .first() driver action / second job)
       val m = docs.groupBy("source").agg(count(lit(1)).as("n"))
-        .agg(min("n")).first().getLong(0)
+        .agg(min("n").as("m"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("source").orderBy("doc_id")
       docs.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= m)
+        .crossJoin(broadcast(m))
+        .filter(col("rk") <= col("m"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"), max(col("doc_id")).as("max_kept_id"))
         .orderBy("source")

@@ -25,20 +25,22 @@ object Round4bQueries {
           (col("p_partkey") % 7).cast("long"),
           (col("p_partkey") % 3).cast("long")))
         .select(col("p_partkey"),
-          expr("slice(a, 1, size(a) - 1)").as("pop_back"),
-          expr("slice(a, 2, size(a) - 1)").as("pop_front"),
-          reverse(col("a")).as("rev"),
-          expr("filter(transform(a, (x, i) -> IF(x = p_partkey % 7, CAST(i + 1 AS BIGINT), CAST(NULL AS BIGINT))), p -> p IS NOT NULL)")
+          // array outputs serialized to CSV strings: the driver's
+          // pandas-based oracle compare cannot hash raw ndarray cells
+          concat_ws(",", expr("slice(a, 1, size(a) - 1)")).as("pop_back"),
+          concat_ws(",", expr("slice(a, 2, size(a) - 1)")).as("pop_front"),
+          concat_ws(",", reverse(col("a"))).as("rev"),
+          concat_ws(",", expr("filter(transform(a, (x, i) -> IF(x = p_partkey % 7, CAST(i + 1 AS BIGINT), CAST(NULL AS BIGINT))), p -> p IS NOT NULL)"))
             .as("positions"),
           expr("aggregate(a, 0L, (acc, x) -> acc + x)").as("asum"),
           expr("exists(a, x -> x = 1)").as("any_match"),
           expr("element_at(filter(a, x -> x IS NOT NULL), 1)").as("any_value"),
-          expr("transform(a, x -> IF(x = p_partkey % 7, -1L, x))").as("replace_all"),
-          expr("""concat(slice(a, 1, CAST(array_position(a, p_partkey % 7) AS INT) - 1),
+          concat_ws(",", expr("transform(a, x -> IF(x = p_partkey % 7, -1L, x))")).as("replace_all"),
+          concat_ws(",", expr("""concat(slice(a, 1, CAST(array_position(a, p_partkey % 7) AS INT) - 1),
                          array(-1L),
-                         slice(a, CAST(array_position(a, p_partkey % 7) AS INT) + 1, size(a)))""")
+                         slice(a, CAST(array_position(a, p_partkey % 7) AS INT) + 1, size(a)))"""))
             .as("replace_first"),
-          array(size(col("a")).cast("long")).as("dims"),
+          concat_ws(",", array(size(col("a")).cast("long"))).as("dims"),
           lit(1).as("ndims"))
     },
 
@@ -54,10 +56,11 @@ object Round4bQueries {
             "CAST(p_partkey % 3 + 1 AS DOUBLE), CAST(p_partkey % 2 + 1 AS DOUBLE))"))
         .withColumn("rb", reverse(col("a")))
         .select(col("p_partkey"),
-          expr("zip_with(a, rb, (x, y) -> x + y)").as("vadd"),
-          expr("zip_with(a, rb, (x, y) -> x - y)").as("vsub"),
-          expr("transform(a, x -> x * 2.5)").as("vscale"),
-          expr("transform(a, x -> CAST(FLOOR((x / sqrt(aggregate(a, CAST(0 AS DOUBLE), (acc, v) -> acc + v * v)) + 1.37e-8) * 1000000 + 0.5) AS DOUBLE) / 1000000)")
+          // array outputs serialized to CSV strings (see fn_array4)
+          concat_ws(",", expr("zip_with(a, rb, (x, y) -> x + y)")).as("vadd"),
+          concat_ws(",", expr("zip_with(a, rb, (x, y) -> x - y)")).as("vsub"),
+          concat_ws(",", expr("transform(a, x -> x * 2.5)")).as("vscale"),
+          concat_ws(",", expr("transform(a, x -> CAST(FLOOR((x / sqrt(aggregate(a, CAST(0 AS DOUBLE), (acc, v) -> acc + v * v)) + 1.37e-8) * 1000000 + 0.5) AS DOUBLE) / 1000000)"))
             .as("vnorm"),
           r6(expr("aggregate(a, CAST(0 AS DOUBLE), (acc, x) -> acc + x) / size(a)")).as("vavg"),
           expr("a[0] * a[1] * a[2] * a[3]").as("vprod"))
@@ -88,18 +91,18 @@ object Round4bQueries {
         |  [p_partkey % 7, p_partkey % 5, p_partkey % 7, p_partkey % 3] AS a
         |  FROM part WHERE p_partkey <= 300)
         |SELECT p_partkey,
-        | a[1:len(a)-1] AS pop_back,
-        | a[2:len(a)] AS pop_front,
-        | list_reverse(a) AS rev,
-        | list_filter(range(1, len(a) + 1), i -> a[i] = p_partkey % 7) AS positions,
+        | array_to_string(a[1:len(a)-1], ',') AS pop_back,
+        | array_to_string(a[2:len(a)], ',') AS pop_front,
+        | array_to_string(list_reverse(a), ',') AS rev,
+        | array_to_string(list_filter(range(1, len(a) + 1), i -> a[i] = p_partkey % 7), ',') AS positions,
         | CAST(list_aggregate(a, 'sum') AS BIGINT) AS asum,
         | len(list_filter(a, x -> x = 1)) > 0 AS any_match,
         | list_filter(a, x -> x IS NOT NULL)[1] AS any_value,
-        | list_transform(a, x -> CASE WHEN x = p_partkey % 7 THEN -1 ELSE x END) AS replace_all,
-        | list_concat(list_concat(
+        | array_to_string(list_transform(a, x -> CASE WHEN x = p_partkey % 7 THEN -1 ELSE x END), ',') AS replace_all,
+        | array_to_string(list_concat(list_concat(
         |     a[1:list_position(a, p_partkey % 7) - 1], [-1]),
-        |     a[list_position(a, p_partkey % 7) + 1:len(a)]) AS replace_first,
-        | [len(a)] AS dims,
+        |     a[list_position(a, p_partkey % 7) + 1:len(a)]), ',') AS replace_first,
+        | array_to_string([len(a)], ',') AS dims,
         | 1 AS ndims
         |FROM b""".stripMargin,
 
@@ -110,10 +113,10 @@ object Round4bQueries {
         |  FROM part WHERE p_partkey <= 300),
         |b AS (SELECT p_partkey, a, list_reverse(a) AS rb FROM b0)
         |SELECT p_partkey,
-        | list_transform(range(1, len(a) + 1), i -> a[i] + rb[i]) AS vadd,
-        | list_transform(range(1, len(a) + 1), i -> a[i] - rb[i]) AS vsub,
-        | list_transform(a, x -> x * 2.5) AS vscale,
-        | list_transform(a, x -> floor((x / sqrt(list_aggregate(list_transform(a, v -> v * v), 'sum')) + 1.37e-8) * 1000000 + 0.5) / 1000000) AS vnorm,
+        | array_to_string(list_transform(range(1, len(a) + 1), i -> a[i] + rb[i]), ',') AS vadd,
+        | array_to_string(list_transform(range(1, len(a) + 1), i -> a[i] - rb[i]), ',') AS vsub,
+        | array_to_string(list_transform(a, x -> x * 2.5), ',') AS vscale,
+        | array_to_string(list_transform(a, x -> floor((x / sqrt(list_aggregate(list_transform(a, v -> v * v), 'sum')) + 1.37e-8) * 1000000 + 0.5) / 1000000), ',') AS vnorm,
         | floor((list_aggregate(a, 'sum') / len(a) + 1.37e-8) * 1000000 + 0.5) / 1000000 AS vavg,
         | a[1] * a[2] * a[3] * a[4] AS vprod
         |FROM b""".stripMargin,

@@ -55,10 +55,17 @@ object TpchQueries {
     // text (measured 96 vs 50 ms/plan on this shape — tools/PlanCost),
     // which is a real fraction of a 1 s query. Same plan either way.
     "q3_join_topk" -> { (s0, dir) =>
-      val s = staticPlanSession(s0)
+      // Stats-gated reshape (BroadcastAdvisor): the broadcast form is only
+      // emitted when the footer-estimated complex fits the threshold; past
+      // it, the hint-free text runs on the AQE session and join selection
+      // happens at runtime from actual sizes.
+      import graft.plans.BroadcastAdvisor
+      val bc = BroadcastAdvisor.shouldBroadcast(s0, BroadcastAdvisor.q3CmplxBytes(s0, dir))
+      val s = if (bc) staticPlanSession(s0) else s0
       fixtureViews(s, dir)
+      val hint = if (bc) "/*+ BROADCAST(cmplx) */ " else ""
       s.sql(
-        """SELECT /*+ BROADCAST(cmplx) */ l_orderkey,
+        s"""SELECT ${hint}l_orderkey,
           |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
           |  CAST(FLOOR((sum(l_extendedprice * (1 - l_discount)) + 1.37e-4) * 100 + 0.5) AS DOUBLE) / 100 AS revenue
           |FROM lineitem,
@@ -83,8 +90,25 @@ object TpchQueries {
     // reduction is what a stats-aware CBO picks here (the reference's
     // planner does the equivalent CollectLeft chain from its estimates).
     "q5_multijoin" -> { (s0, dir) =>
-      val s = staticPlanSession(s0)
+      // Stats-gated (BroadcastAdvisor): ao (the filtered order complex) and
+      // the slim customer projection both scale with SF — each hint is
+      // gated on its own footer estimate; nr (nation⋈region) is constant-
+      // size and sup tracks the supplier table. Any gate off → AQE session.
+      import graft.plans.BroadcastAdvisor._
+      val aoOk = shouldBroadcast(s0, q5AoBytes(s0, dir))
+      val custStats = tableStats(s0, s"$dir/customer.parquet")
+      val custOk = shouldBroadcast(s0,
+        estimateBytes(custStats, custStats.rows.toDouble, Seq("c_custkey", "c_nationkey")))
+      val supStats = tableStats(s0, s"$dir/supplier.parquet")
+      val supOk = shouldBroadcast(s0,
+        estimateBytes(supStats, supStats.rows.toDouble, Seq("s_suppkey", "s_nationkey")))
+      val all = aoOk && custOk && supOk
+      val s = if (all) staticPlanSession(s0) else s0
       fixtureViews(s, dir)
+      val outerHints = Seq(if (aoOk) Some("BROADCAST(ao)") else None,
+        if (supOk) Some("BROADCAST(sup)") else None).flatten
+      val outer = if (outerHints.nonEmpty) outerHints.mkString("/*+ ", ", ", " */ ") else ""
+      val inner = if (custOk) "/*+ BROADCAST(cust), BROADCAST(nr) */ " else "/*+ BROADCAST(nr) */ "
       // Broadcast-dependency shape: the old left-deep region→nation→
       // customer→orders chain was four SEQUENTIAL broadcast-exchange jobs
       // (each level's build waits on the previous) before lineitem could
@@ -100,10 +124,10 @@ object TpchQueries {
       // TakeOrderedAndProject — no range-partitioner sampling job for a
       // 5-row sort.
       s.sql(
-        """SELECT /*+ BROADCAST(ao), BROADCAST(sup) */ n_name,
+        s"""SELECT ${outer}n_name,
           |  CAST(FLOOR((sum(l_extendedprice * (1 - l_discount)) + 1.37e-4) * 100 + 0.5) AS DOUBLE) / 100 AS revenue
           |FROM lineitem,
-          |  (SELECT /*+ BROADCAST(cust), BROADCAST(nr) */ o_orderkey, c_nationkey, n_name
+          |  (SELECT ${inner}o_orderkey, c_nationkey, n_name
           |   FROM orders
           |   JOIN (SELECT c_custkey, c_nationkey FROM customer) cust
           |     ON o_custkey = c_custkey
@@ -130,13 +154,20 @@ object TpchQueries {
     // per-customer totals back over the customer/nation dims — the wide
     // c_name/c_acctbal rows never shuffle either.
     "q10_returns" -> { (s0, dir) =>
-      val s = staticPlanSession(s0)
+      // Stats-gated (BroadcastAdvisor): pc (per-customer totals) and o2
+      // (the 3-month order window) are both bounded by the window's order
+      // count — one footer estimate gates both hints.
+      import graft.plans.BroadcastAdvisor
+      val bc = BroadcastAdvisor.shouldBroadcast(s0, BroadcastAdvisor.q10PcBytes(s0, dir))
+      val s = if (bc) staticPlanSession(s0) else s0
       fixtureViews(s, dir)
+      val pcHint = if (bc) "/*+ BROADCAST(pc) */ " else ""
+      val o2Hint = if (bc) "/*+ BROADCAST(o2) */ " else ""
       s.sql(
-        """SELECT /*+ BROADCAST(pc) */ c_custkey, c_name, c_acctbal, n_name,
+        s"""SELECT ${pcHint}c_custkey, c_name, c_acctbal, n_name,
           |  CAST(FLOOR((rev_c + 1.37e-4) * 100 + 0.5) AS DOUBLE) / 100 AS revenue
           |FROM customer, nation,
-          |  (SELECT /*+ BROADCAST(o2) */ o_custkey, sum(l_extendedprice * (1 - l_discount)) AS rev_c
+          |  (SELECT ${o2Hint}o_custkey, sum(l_extendedprice * (1 - l_discount)) AS rev_c
           |   FROM lineitem,
           |     (SELECT o_orderkey, o_custkey FROM orders
           |      WHERE o_orderdate >= '1996-10-01' AND o_orderdate < '1997-01-01') o2

@@ -1085,14 +1085,15 @@ object SltRunner {
     * schema types like DECIMAL(10,6) don't break the schema span. */
   private object CreateExternal {
     private val HeadRe =
-      """(?is)^\s*CREATE\s+(?:UNBOUNDED\s+)?EXTERNAL\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w."]+)\s*""".r
+      """(?is)^\s*CREATE\s+(UNBOUNDED\s+)?EXTERNAL\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w."]+)\s*""".r
     private val StoredRe = """(?is)^\s*STORED\s+AS\s+(\w+)\s*(.*)$""".r
     private val LocRe = """(?is)LOCATION\s+'([^']+)'""".r
     private val PartRe = """(?is)\bPARTITIONED\s+BY\s*\(([^)]*)\)\s*""".r
-    /** (name, schemaInner, format, location, otherClauses) */
-    def unapply(sql: String): Option[(String, Option[String], String, String, String)] =
+    /** (name, schemaInner, format, location, otherClauses, unbounded) */
+    def unapply(sql: String): Option[(String, Option[String], String, String, String, Boolean)] =
       HeadRe.findPrefixMatchOf(sql).flatMap { m =>
-        val name = m.group(1)
+        val unbounded = m.group(1) != null
+        val name = m.group(2)
         var rest = sql.substring(m.end)
         var schema =
           if (rest.startsWith("(")) {
@@ -1117,7 +1118,7 @@ object SltRunner {
           val tail = sm.group(2)
           LocRe.findFirstMatchIn(tail).map { lm =>
             (name, schema, fmt, lm.group(1),
-              tail.substring(0, lm.start) + tail.substring(lm.end))
+              tail.substring(0, lm.start) + tail.substring(lm.end), unbounded)
           }
         }
       }
@@ -1243,7 +1244,7 @@ object SltRunner {
           .replaceAll("(?is)^\\s*CREATE\\s+OR\\s+REPLACE\\s+TABLE\\b", "CREATE TABLE")
       else pre2
     translateArrowCast(MakeArrayRe.replaceAllIn(sql, "array(")).flatMap {
-      case CreateExternal(name, schemaInner, format, location0, tail) =>
+      case CreateExternal(name, schemaInner, format, location0, tail, unbounded) =>
         val location = redirectScratch(location0)
         val resolved0 = if (location.startsWith("/")) location
           else new java.io.File(externalDataRoot, location).getCanonicalPath
@@ -1262,13 +1263,18 @@ object SltRunner {
           // map the reference's 'format.*' OPTIONS onto Spark's CSV reader
           // options; the CSV-standard doubled-quote escape is the
           // reference's default, Spark's is backslash — default to '"';
-          // has_header defaults TRUE (datafusion.catalog.has_header)
+          // has_header defaults TRUE (datafusion.catalog.has_header) for
+          // bounded tables; UNBOUNDED tables go through the reference's
+          // StreamTable whose StreamConfig defaults header=false
+          // (catalog/src/stream.rs:164) — mirroring that keeps headerless
+          // fixtures like core/tests/data/timestamps.csv intact
           val fmtOpts = formatOptions(tail)
+          val headerDefault = if (unbounded) "false" else "true"
           val opts =
             if (fmt == "csv") {
               val pairs = Seq(
                 "path" -> resolved,
-                "header" -> fmtOpts.getOrElse("has_header", "true"),
+                "header" -> fmtOpts.getOrElse("has_header", headerDefault),
                 "inferSchema" -> "true",
                 "sep" -> fmtOpts.getOrElse("delimiter", ","),
                 "quote" -> fmtOpts.getOrElse("quote", "\""),
@@ -1506,6 +1512,8 @@ object SltRunner {
     // over tinyint columns that ANSI mode rejects), and x/0 yields
     // NULL/inf rather than an error — matching Spark's legacy mode
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    // a previous file's map_key_dedup_policy must not leak
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
     renderZone = None
     // scratch output dir is exclusively ours; start each file clean
     locally {
@@ -1536,6 +1544,12 @@ object SltRunner {
       """(?is)^\s*RESET\s+datafusion\.execution\.time_zone\s*;?\s*$""".r
     val NullOrderRe =
       """(?is)^\s*SET\s+datafusion\.sql_parser\.default_null_ordering\s*=\s*'?(\w*)'?\s*;?\s*$""".r
+    // spark/ subtree conf surface: ANSI mode and map-key dedup policy map
+    // 1:1 onto Spark's own session confs
+    val AnsiRe =
+      """(?is)^\s*SET\s+datafusion\.execution\.enable_ansi_mode\s*=\s*(true|false)\s*;?\s*$""".r
+    val MapDedupRe =
+      """(?is)^\s*SET\s+datafusion\.spark\.map_key_dedup_policy\s*=\s*'(LAST_WIN|EXCEPTION)'\s*;?\s*$""".r
 
     val CreateNameRe = """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?(?:TABLE|VIEW)\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)""".r
     val InsertNameRe = """(?is)^\s*INSERT\s+INTO\s+([\w.]+)""".r
@@ -1595,6 +1609,14 @@ object SltRunner {
           nullOrdering = NullOrderRe.findFirstMatchIn(rec.sql).get.group(1)
             .toLowerCase match { case "" => "nulls_max"; case m => m }
           passed += 1
+        case None if AnsiRe.findFirstMatchIn(rec.sql).isDefined =>
+          spark.conf.set("spark.sql.ansi.enabled",
+            AnsiRe.findFirstMatchIn(rec.sql).get.group(1).toLowerCase)
+          passed += 1
+        case None if MapDedupRe.findFirstMatchIn(rec.sql).isDefined =>
+          spark.conf.set("spark.sql.mapKeyDedupPolicy",
+            MapDedupRe.findFirstMatchIn(rec.sql).get.group(1).toUpperCase)
+          passed += 1
         case None => translate(rec.sql, nullOrdering) match {
           case None =>
             poison(rec.sql)
@@ -1611,11 +1633,15 @@ object SltRunner {
                   spark.catalog.dropTempView(m.group(1))
                   spark.sql(s"DROP TABLE IF EXISTS ${m.group(1)}")
                   // a table dir left by an earlier JVM isn't in this
-                  // in-memory catalog; clear it or CREATE refuses the name
+                  // in-memory catalog; clear it or CREATE refuses the name.
+                  // Only delete for strictly-simple identifiers — the regex
+                  // above admits dots, and a crafted name ('..') must not
+                  // walk out of the warehouse dir
                   val wh = spark.conf.get("spark.sql.warehouse.dir")
                     .stripPrefix("file:")
+                  val simpleName = m.group(1).matches("[A-Za-z_][A-Za-z0-9_]*")
                   val loc = java.nio.file.Paths.get(wh, m.group(1).toLowerCase)
-                  if (java.nio.file.Files.exists(loc)) {
+                  if (simpleName && java.nio.file.Files.exists(loc)) {
                     import scala.jdk.CollectionConverters._
                     java.nio.file.Files.walk(loc).iterator().asScala.toSeq
                       .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
@@ -1956,6 +1982,15 @@ object SltRunner {
           .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Seq.empty)
         val fmtOpts = formatOptions(tail)
+        // untrusted .slt content must not dictate writes outside the
+        // writable scratch tree: resolve the redirected target and refuse
+        // anything that escapes it (the reference's own non-scratch COPY
+        // targets appear only in error-directive tests)
+        val destCheck = java.nio.file.Paths.get(redirectScratch(target))
+          .toAbsolutePath.normalize()
+        if (!destCheck.startsWith("/tmp/graft_slt_scratch"))
+          throw new IllegalArgumentException(
+            s"COPY target outside scratch dir rejected: $target")
         val n = df.count()
         // a single-file target ('x.parquet') is REPLACED with one file at
         // exactly that path (as the reference writes it); a directory

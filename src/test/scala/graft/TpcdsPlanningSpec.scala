@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.TpcdsSchema
+
+/** TPC-DS plan conformance: all 99 reference query files must plan
+  * end-to-end through Catalyst (parse → analyze → optimize → physical
+  * plan) over empty tables with the TPC-DS schema — the analog of the
+  * reference's core/tests/tpcds_planning.rs, which asserts exactly this
+  * (logical + physical plan creation, no execution).
+  */
+class TpcdsPlanningSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sqlDir = "/root/reference/datafusion/core/tests/tpc-ds"
+
+  private def available = new java.io.File(sqlDir).isDirectory
+
+  /** Split a query file into statements; strip `-- comments`. Several
+    * files (14, 23, 24, 39) carry two statements. */
+  private def statements(path: String): Seq[String] = {
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+    val noComments = raw.linesIterator
+      .map(l => if (l.trim.startsWith("--")) "" else l).mkString("\n")
+    noComments.split(";").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  test("all 99 TPC-DS queries produce a physical plan") {
+    assume(available, s"$sqlDir not present")
+    val s = spark.newSession()
+    TpcdsSchema.registerEmpty(s)
+    val failures = scala.collection.mutable.ListBuffer[String]()
+    var statementCount = 0
+    for (q <- 1 to 99) {
+      statements(s"$sqlDir/$q.sql").foreach { stmt =>
+        statementCount += 1
+        try {
+          val plan = s.sql(stmt).queryExecution.executedPlan
+          assert(plan != null)
+        } catch {
+          case e: Throwable =>
+            failures += s"q$q: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.take(2).mkString(" | ").take(220)}"
+        }
+      }
+    }
+    info(s"planned $statementCount statements across 99 files")
+    failures.foreach(f => info(s"  FAILED $f"))
+    assert(failures.isEmpty, s"${failures.size} TPC-DS queries failed to plan")
+  }
+}
