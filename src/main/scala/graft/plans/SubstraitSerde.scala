@@ -1,0 +1,725 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Substrait plan exchange over the spec's canonical protobuf-JSON form —
+  * the same wire format the reference's substrait crate tests with (its
+  * `serde` feature; fixture plans under
+  * substrait/tests/testdata/tpch_substrait_plans, JSON files produced by
+  * Isthmus). Two halves:
+  *
+  *  - [[consumeJson]]: Substrait Plan JSON → executable DataFrame. Covers
+  *    the relational core the reference's consumer covers
+  *    (substrait/src/logical_plan/consumer/): read(namedTable) / filter /
+  *    project(+emit) / aggregate / sort / fetch / join / cross / set, and
+  *    the expression surface those TPC-H plans use (field selections,
+  *    scalar functions by extension name, literals incl. decimal/date/
+  *    interval, cast, ifThen, singularOrList).
+  *  - [[emitJson]]: DataFrame analyzed plan → Substrait Plan JSON with
+  *    extension declarations, consumable by [[consumeJson]] (round-trip
+  *    re-plans on the receiving session — the substrait contract).
+  *
+  * Substrait field references are ORDINAL; Spark's DataFrame algebra is
+  * name-based. The consumer bridges by renaming every relation's output
+  * positionally (`_s0.._sN`), so duplicate source names (self-joins, join
+  * fan-in) can never mis-resolve; the root relation re-applies the plan's
+  * declared output names.
+  */
+object SubstraitSerde {
+
+  // ================================================================ consume
+
+  /** Rebuild a DataFrame from Substrait protobuf-JSON. `tableFor` resolves
+    * a namedTable (case-normalized to lower) to a DataFrame; columns the
+    * base schema declares but the table lacks are filled with typed NULLs
+    * so ordinal references stay aligned (fixture tables are narrower than
+    * the full TPC-H schema). */
+  def consumeJson(spark: SparkSession, json: String,
+      tableFor: String => Option[DataFrame]): DataFrame = {
+    val plan = JsonMethods.parse(json)
+    val functions = extensionFunctions(plan)
+    val rels = plan \ "relations" match {
+      case JArray(rs) => rs
+      case _ => throw new IllegalArgumentException("substrait: no relations")
+    }
+    val root = rels.head \ "root"
+    val input = rel(root \ "input", functions, tableFor, spark)
+    root \ "names" match {
+      case JArray(names) =>
+        val ns = names.map { case JString(s) => s; case o => o.toString }
+        input.toDF(ns: _*)
+      case _ => input
+    }
+  }
+
+  /** anchor -> base function name ("sum:dec" -> "sum"; absent anchor = 0
+    * per proto3 JSON zero-omission). */
+  private def extensionFunctions(plan: JValue): Map[Long, String] =
+    (plan \ "extensions" match {
+      case JArray(es) => es
+      case _ => Nil
+    }).flatMap { e =>
+      e \ "extensionFunction" match {
+        case JNothing => None
+        case ef =>
+          val anchor = long(ef \ "functionAnchor").getOrElse(0L)
+          val name = str(ef \ "name").getOrElse("")
+          Some(anchor -> name.split(':').head)
+      }
+    }.toMap
+
+  private def str(j: JValue): Option[String] =
+    j match { case JString(s) => Some(s); case _ => None }
+  private def long(j: JValue): Option[Long] = j match {
+    case JInt(n) => Some(n.toLong)
+    case JLong(n) => Some(n)
+    case JString(s) => scala.util.Try(s.toLong).toOption
+    case JDouble(d) => Some(d.toLong)
+    case JDecimal(d) => Some(d.toLong)
+    case _ => None
+  }
+  private def int(j: JValue): Option[Int] = long(j).map(_.toInt)
+  private def arr(j: JValue): List[JValue] =
+    j match { case JArray(xs) => xs; case JNothing => Nil; case x => List(x) }
+
+  private def positional(cols: Seq[Column]): Seq[Column] =
+    cols.zipWithIndex.map { case (c, i) => c.as(s"_s$i") }
+
+  /** Apply RelCommon emit mapping (select output ordinals) if present. */
+  private def applyEmit(df: DataFrame, relNode: JValue): DataFrame =
+    relNode \ "common" \ "emit" \ "outputMapping" match {
+      case JArray(m) =>
+        val picks = m.flatMap(int).map(i => col(s"_s$i"))
+        df.select(positional(picks): _*)
+      case _ => df
+    }
+
+  private def rel(j: JValue, fns: Map[Long, String],
+      tableFor: String => Option[DataFrame], spark: SparkSession): DataFrame = {
+    def recurse(child: JValue): DataFrame = rel(child, fns, tableFor, spark)
+
+    val built: (DataFrame, JValue) = j match {
+      case _ if j \ "read" != JNothing =>
+        val r = j \ "read"
+        val names = arr(r \ "baseSchema" \ "names").flatMap(str)
+        val types = arr(r \ "baseSchema" \ "struct" \ "types").map(sparkTypeOf)
+        val tname = arr(r \ "namedTable" \ "names").flatMap(str).lastOption
+          .getOrElse(throw new IllegalArgumentException(
+            "substrait: only namedTable reads are supported"))
+        val base = tableFor(tname.toLowerCase).getOrElse(
+          throw new IllegalArgumentException(s"substrait: unknown table $tname"))
+        val have = base.columns.map(_.toLowerCase).toSet
+        val cols = names.zip(types).map { case (n, t) =>
+          if (have(n.toLowerCase)) col(n.toLowerCase)
+          else lit(null).cast(t)
+        }
+        var df = base.select(positional(cols): _*)
+        r \ "filter" match {
+          case JNothing =>
+          case f => df = df.filter(expression(f, df, fns))
+        }
+        (df, r)
+
+      case _ if j \ "filter" != JNothing =>
+        val f = j \ "filter"
+        val in = recurse(f \ "input")
+        (in.filter(expression(f \ "condition", in, fns)), f)
+
+      case _ if j \ "project" != JNothing =>
+        val p = j \ "project"
+        val in = recurse(p \ "input")
+        val exprs = arr(p \ "expressions").map(expression(_, in, fns))
+        val all = in.columns.toSeq.map(col) ++ exprs
+        (in.select(positional(all): _*), p)
+
+      case _ if j \ "aggregate" != JNothing =>
+        val a = j \ "aggregate"
+        val in = recurse(a \ "input")
+        val groupExprs = arr(a \ "groupings").headOption
+          .map(g => arr(g \ "groupingExpressions").map(expression(_, in, fns)))
+          .getOrElse(Nil)
+        val measures = arr(a \ "measures").map { m =>
+          val me = m \ "measure"
+          val name = fns.getOrElse(long(me \ "functionReference").getOrElse(0L),
+            throw new IllegalArgumentException("substrait: unknown aggregate anchor"))
+          val distinct =
+            str(me \ "invocation").contains("AGGREGATION_INVOCATION_DISTINCT")
+          val args = arr(me \ "arguments").map(a0 => expression(a0 \ "value", in, fns))
+          aggFunction(name, args, distinct)
+        }
+        // grouping keys materialize as extra columns first so arbitrary
+        // grouping EXPRESSIONS (not just fields) group correctly
+        val keyed = in.select(
+          (in.columns.toSeq.map(col) ++
+            groupExprs.zipWithIndex.map { case (e, i) => e.as(s"_g$i") }): _*)
+        val keys = groupExprs.indices.map(i => col(s"_g$i"))
+        val agged =
+          if (measures.isEmpty) keyed.select(keys: _*).distinct()
+          else if (keys.isEmpty) keyed.agg(measures.head, measures.tail: _*)
+          else keyed.groupBy(keys: _*).agg(measures.head, measures.tail: _*)
+        val out = agged.columns.toSeq.map(col)
+        (agged.select(positional(out): _*), a)
+
+      case _ if j \ "sort" != JNothing =>
+        val s = j \ "sort"
+        val in = recurse(s \ "input")
+        val sorts = arr(s \ "sorts").map { sf =>
+          val e = expression(sf \ "expr", in, fns)
+          str(sf \ "direction").getOrElse("SORT_DIRECTION_ASC_NULLS_LAST") match {
+            case "SORT_DIRECTION_ASC_NULLS_FIRST"  => e.asc_nulls_first
+            case "SORT_DIRECTION_ASC_NULLS_LAST"   => e.asc_nulls_last
+            case "SORT_DIRECTION_DESC_NULLS_FIRST" => e.desc_nulls_first
+            case "SORT_DIRECTION_DESC_NULLS_LAST"  => e.desc_nulls_last
+            case _ => e.asc
+          }
+        }
+        (in.orderBy(sorts: _*), s)
+
+      case _ if j \ "fetch" != JNothing =>
+        val f = j \ "fetch"
+        val in = recurse(f \ "input")
+        val offset = long(f \ "offset").getOrElse(0L)
+        val count = long(f \ "count").getOrElse(-1L)
+        val off = if (offset > 0) in.offset(offset.toInt) else in
+        (if (count >= 0) off.limit(count.toInt) else off, f)
+
+      case _ if j \ "join" != JNothing =>
+        val jn = j \ "join"
+        val l = recurse(jn \ "left")
+        val r0 = recurse(jn \ "right")
+        val nL = l.columns.length
+        // continue the ordinal numbering across the right side so the
+        // combined schema matches substrait's left++right field space
+        val r = r0.toDF(r0.columns.indices.map(i => s"_s${nL + i}"): _*)
+        val joined = l.crossJoin(r) // condition applied via the typed join below
+        val jt = str(jn \ "type").getOrElse("JOIN_TYPE_INNER") match {
+          case "JOIN_TYPE_INNER" => "inner"
+          case "JOIN_TYPE_OUTER" => "full"
+          case "JOIN_TYPE_LEFT"  => "left"
+          case "JOIN_TYPE_RIGHT" => "right"
+          case "JOIN_TYPE_LEFT_SEMI" | "JOIN_TYPE_SEMI" => "left_semi"
+          case "JOIN_TYPE_LEFT_ANTI" | "JOIN_TYPE_ANTI" => "left_anti"
+          case other => throw new IllegalArgumentException(s"substrait: join $other")
+        }
+        val cond = jn \ "expression" match {
+          case JNothing => lit(true)
+          case e => expression(e, joined, fns)
+        }
+        val out = l.join(r, cond, jt)
+        val renamed = out.toDF(out.columns.indices.map(i => s"_s$i"): _*)
+        (renamed, jn)
+
+      case _ if j \ "cross" != JNothing =>
+        val c = j \ "cross"
+        val l = recurse(c \ "left")
+        val r0 = recurse(c \ "right")
+        val nL = l.columns.length
+        val r = r0.toDF(r0.columns.indices.map(i => s"_s${nL + i}"): _*)
+        (l.crossJoin(r), c)
+
+      case _ if j \ "set" != JNothing =>
+        val s = j \ "set"
+        val inputs = arr(s \ "inputs").map(recurse)
+        str(s \ "op").getOrElse("") match {
+          case "SET_OP_UNION_ALL" => (inputs.reduce(_.union(_)), s)
+          case "SET_OP_UNION_DISTINCT" => (inputs.reduce(_.union(_)).distinct(), s)
+          case other => throw new IllegalArgumentException(s"substrait: set $other")
+        }
+
+      case _ =>
+        val keys = j match { case JObject(fs) => fs.map(_._1).mkString(","); case _ => "?" }
+        throw new IllegalArgumentException(s"substrait: unsupported rel [$keys]")
+    }
+    applyEmit(built._1, built._2)
+  }
+
+  // ------------------------------------------------------------ expressions
+
+  private def expression(j: JValue, input: DataFrame,
+      fns: Map[Long, String]): Column = j match {
+    case _ if j \ "selection" != JNothing =>
+      // proto3 JSON omits zero: structField:{} is field 0
+      val f = int(j \ "selection" \ "directReference" \ "structField" \ "field")
+        .getOrElse(0)
+      col(input.columns(f))
+    case _ if j \ "literal" != JNothing => literal(j \ "literal")
+    case _ if j \ "scalarFunction" != JNothing =>
+      val sf = j \ "scalarFunction"
+      val name = fns.getOrElse(long(sf \ "functionReference").getOrElse(0L),
+        throw new IllegalArgumentException("substrait: unknown function anchor"))
+      val (enums, args) = arr(sf \ "arguments").partitionMap { a =>
+        a \ "enum" match {
+          case JString(e) => Left(e)
+          case _ => Right(expression(a \ "value", input, fns))
+        }
+      }
+      scalarFunction(name, enums, args)
+    case _ if j \ "cast" != JNothing =>
+      val c = j \ "cast"
+      expression(c \ "input", input, fns).cast(sparkTypeOf(c \ "type"))
+    case _ if j \ "ifThen" != JNothing =>
+      val it = j \ "ifThen"
+      val ifs = arr(it \ "ifs").map(b =>
+        (expression(b \ "if", input, fns), expression(b \ "then", input, fns)))
+      val base = when(ifs.head._1, ifs.head._2)
+      val chained = ifs.tail.foldLeft(base) { case (acc, (c, t)) => acc.when(c, t) }
+      it \ "else" match {
+        case JNothing => chained
+        case e => chained.otherwise(expression(e, input, fns))
+      }
+    case _ if j \ "singularOrList" != JNothing =>
+      val sl = j \ "singularOrList"
+      val v = expression(sl \ "value", input, fns)
+      val opts = arr(sl \ "options").map(expression(_, input, fns))
+      v.isin(opts: _*)
+    case _ =>
+      val keys = j match { case JObject(fs) => fs.map(_._1).mkString(","); case _ => "?" }
+      throw new IllegalArgumentException(s"substrait: unsupported expression [$keys]")
+  }
+
+  private def literal(l: JValue): Column = {
+    def has(k: String) = l \ k != JNothing
+    if (has("boolean")) lit(l \ "boolean" == JBool(true))
+    else if (has("i8")) lit(int(l \ "i8").get.toByte)
+    else if (has("i16")) lit(int(l \ "i16").get.toShort)
+    else if (has("i32")) lit(int(l \ "i32").get)
+    else if (has("i64")) lit(long(l \ "i64").get)
+    else if (has("fp32")) lit(jdouble(l \ "fp32").toFloat)
+    else if (has("fp64")) lit(jdouble(l \ "fp64"))
+    else if (has("string")) lit(str(l \ "string").get)
+    else if (has("fixedChar")) lit(str(l \ "fixedChar").get)
+    else if (has("date")) date_add(lit("1970-01-01").cast(DateType), int(l \ "date").get)
+    else if (has("decimal")) {
+      val d = l \ "decimal"
+      val bytes = java.util.Base64.getDecoder.decode(str(d \ "value").get)
+      val unscaled = new java.math.BigInteger(bytes.reverse) // little-endian
+      val scale = int(d \ "scale").getOrElse(0)
+      val precision = int(d \ "precision").getOrElse(38)
+      lit(new java.math.BigDecimal(unscaled, scale))
+        .cast(DecimalType(precision, scale))
+    }
+    else if (has("intervalDayToSecond")) {
+      val iv = l \ "intervalDayToSecond"
+      val days = int(iv \ "days").getOrElse(0)
+      val seconds = int(iv \ "seconds").getOrElse(0)
+      val micros = int(iv \ "microseconds").getOrElse(
+        int(iv \ "subseconds").getOrElse(0))
+      make_dt_interval(lit(days), lit(0), lit(0),
+        lit(seconds + micros / 1e6))
+    }
+    else if (has("intervalYearToMonth")) {
+      val iv = l \ "intervalYearToMonth"
+      make_ym_interval(lit(int(iv \ "years").getOrElse(0)),
+        lit(int(iv \ "months").getOrElse(0)))
+    }
+    else if (has("null")) lit(null).cast(sparkTypeOf(l \ "null"))
+    else throw new IllegalArgumentException(
+      s"substrait: unsupported literal ${JsonMethods.compact(JsonMethods.render(l))}")
+  }
+
+  private def jdouble(j: JValue): Double = j match {
+    case JDouble(d) => d
+    case JInt(n) => n.toDouble
+    case JDecimal(d) => d.toDouble
+    case JString(s) => s.toDouble
+    case o => throw new IllegalArgumentException(s"substrait: bad float $o")
+  }
+
+  private def scalarFunction(name: String, enums: List[String],
+      args: List[Column]): Column = name match {
+    case "and" => args.reduce(_ && _)
+    case "or" => args.reduce(_ || _)
+    case "not" => !args.head
+    case "equal" => args(0) === args(1)
+    case "not_equal" => args(0) =!= args(1)
+    case "lt" => args(0) < args(1)
+    case "gt" => args(0) > args(1)
+    case "lte" => args(0) <= args(1)
+    case "gte" => args(0) >= args(1)
+    case "add" => args(0) + args(1)
+    case "subtract" => args(0) - args(1)
+    case "multiply" => args(0) * args(1)
+    case "divide" => args(0) / args(1)
+    case "modulus" => args(0) % args(1)
+    case "negate" => -args.head
+    case "abs" => abs(args.head)
+    case "like" => call_function("like", args: _*)
+    case "concat" => concat(args: _*)
+    case "substring" =>
+      if (args.size >= 3) args(0).substr(args(1), args(2))
+      else args(0).substr(args(1), length(args(0)))
+    case "extract" => enums.headOption.map(_.toUpperCase) match {
+      case Some("YEAR") => year(args.head)
+      case Some("MONTH") => month(args.head)
+      case Some("DAY") => dayofmonth(args.head)
+      case Some("HOUR") => hour(args.head)
+      case Some("MINUTE") => minute(args.head)
+      case Some("SECOND") => second(args.head)
+      case other => throw new IllegalArgumentException(s"substrait: extract $other")
+    }
+    case "is_null" => args.head.isNull
+    case "is_not_null" => args.head.isNotNull
+    case "between" => args(0) >= args(1) && args(0) <= args(2)
+    case "coalesce" => coalesce(args: _*)
+    case other =>
+      throw new IllegalArgumentException(s"substrait: unsupported function $other")
+  }
+
+  private def aggFunction(name: String, args: List[Column],
+      distinct: Boolean): Column = (name, distinct) match {
+    case ("sum", false) => sum(args.head)
+    case ("sum", true) => sum_distinct(args.head)
+    case ("avg", false) => avg(args.head)
+    case ("min", _) => min(args.head)
+    case ("max", _) => max(args.head)
+    case ("count", false) => if (args.isEmpty) count(lit(1)) else count(args.head)
+    case ("count", true) => count_distinct(args.head)
+    case other => throw new IllegalArgumentException(s"substrait: aggregate $other")
+  }
+
+  /** Substrait Type message → Spark DataType (JSON field key = kind). */
+  private def sparkTypeOf(t: JValue): DataType = {
+    def has(k: String) = t \ k != JNothing
+    if (has("bool")) BooleanType
+    else if (has("i8")) ByteType
+    else if (has("i16")) ShortType
+    else if (has("i32")) IntegerType
+    else if (has("i64")) LongType
+    else if (has("fp32")) FloatType
+    else if (has("fp64")) DoubleType
+    else if (has("string") || has("varchar") || has("fixedChar")) StringType
+    else if (has("binary")) BinaryType
+    else if (has("date")) DateType
+    else if (has("timestamp") || has("timestampTz") ||
+             has("precisionTimestamp") || has("precisionTimestampTz")) TimestampType
+    else if (has("decimal"))
+      DecimalType(int(t \ "decimal" \ "precision").getOrElse(38),
+        int(t \ "decimal" \ "scale").getOrElse(0))
+    else throw new IllegalArgumentException(
+      s"substrait: unsupported type ${JsonMethods.compact(JsonMethods.render(t))}")
+  }
+
+  // =================================================================== emit
+
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
+    AttributeReference, Expression => CExpr, Literal => CLit, SortOrder,
+    Ascending, Descending, NullsFirst, NullsLast, Cast => CCast,
+    CaseWhen => CCaseWhen, In => CIn, IsNull => CIsNull,
+    IsNotNull => CIsNotNull, Not => CNot, And => CAnd, Or => COr,
+    EqualTo, LessThan, GreaterThan, LessThanOrEqual, GreaterThanOrEqual,
+    Add => CAdd, Subtract => CSubtract, Multiply => CMultiply,
+    Divide => CDivide, Remainder => CRemainder, Like => CLike}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{
+    AggregateExpression, Sum => CSum, Average => CAvg, Min => CMin,
+    Max => CMax, Count => CCount}
+  import org.apache.spark.sql.catalyst.plans.logical._
+
+  /** Mutable per-emit function registry (name:signature → anchor). */
+  private class FnReg {
+    val anchors = scala.collection.mutable.LinkedHashMap[String, Long]()
+    def anchor(sig: String): Long = anchors.getOrElseUpdate(sig, anchors.size.toLong)
+  }
+
+  def emitJson(df: DataFrame): String = {
+    val reg = new FnReg
+    val analyzed = df.queryExecution.analyzed
+    val relJson = emitRel(analyzed, reg)
+    val extensions = reg.anchors.toSeq.map { case (sig, anchor) =>
+      JObject("extensionFunction" -> JObject(
+        "extensionUriReference" -> JInt(1),
+        "functionAnchor" -> JInt(anchor),
+        "name" -> JString(sig)))
+    }
+    val plan = JObject(
+      "extensionUris" -> JArray(List(JObject(
+        "extensionUriAnchor" -> JInt(1),
+        "uri" -> JString("/functions_all.yaml")))),
+      "extensions" -> JArray(extensions.toList),
+      "relations" -> JArray(List(JObject(
+        "root" -> JObject(
+          "input" -> relJson,
+          "names" -> JArray(analyzed.output.map(a => JString(a.name)).toList))))),
+      "version" -> JObject("minorNumber" -> JInt(54), "producer" -> JString("graft")))
+    JsonMethods.compact(JsonMethods.render(plan))
+  }
+
+  private def emitRel(plan: LogicalPlan, reg: FnReg): JValue = plan match {
+    case SubqueryAlias(ident, child) if child.collectLeaves().size == 1 &&
+        (child.isInstanceOf[LeafNode] || PlanSerdeLeaf.is(child)) =>
+      JObject("read" -> JObject(
+        "common" -> JObject("direct" -> JObject()),
+        "baseSchema" -> JObject(
+          "names" -> JArray(plan.output.map(a => JString(a.name)).toList),
+          "struct" -> JObject("types" ->
+            JArray(plan.output.map(a => typeJson(a.dataType, a.nullable)).toList))),
+        "namedTable" -> JObject("names" -> JArray(List(JString(ident.name))))))
+    case SubqueryAlias(_, child) => emitRel(child, reg)
+    case Project(projectList, child) =>
+      val childOut = child.output
+      val newExprs = scala.collection.mutable.ListBuffer[JValue]()
+      val mapping = projectList.map {
+        case a: AttributeReference if childOut.exists(_.exprId == a.exprId) =>
+          childOut.indexWhere(_.exprId == a.exprId)
+        case Alias(a: AttributeReference, _)
+          if childOut.exists(_.exprId == a.exprId) =>
+          childOut.indexWhere(_.exprId == a.exprId)
+        case e =>
+          val stripped = e match { case Alias(c, _) => c; case x => x }
+          newExprs += emitExpr(stripped, childOut, reg)
+          childOut.size + newExprs.size - 1
+      }
+      JObject("project" -> JObject(
+        "common" -> JObject("emit" -> JObject(
+          "outputMapping" -> JArray(mapping.map(JInt(_)).toList))),
+        "input" -> emitRel(child, reg),
+        "expressions" -> JArray(newExprs.toList)))
+    case Filter(condition, child) =>
+      JObject("filter" -> JObject(
+        "common" -> JObject("direct" -> JObject()),
+        "input" -> emitRel(child, reg),
+        "condition" -> emitExpr(condition, child.output, reg)))
+    case Aggregate(groupingExpressions, aggregateExpressions, child, _) =>
+      val childOut = child.output
+      val groups = groupingExpressions.map(emitExpr(_, childOut, reg))
+      val measures = scala.collection.mutable.ListBuffer[JValue]()
+      val mapping = aggregateExpressions.map { ae =>
+        val stripped = ae match { case Alias(c, _) => c; case x => x }
+        val gi = groupingExpressions.indexWhere(_.semanticEquals(stripped))
+        if (gi >= 0) gi
+        else stripped match {
+          case agg: AggregateExpression =>
+            measures += emitMeasure(agg, childOut, reg)
+            groupingExpressions.size + measures.size - 1
+          case other => throw new IllegalArgumentException(
+            s"substrait emit: aggregate output is neither key nor measure: ${other.sql}")
+        }
+      }
+      JObject("aggregate" -> JObject(
+        "common" -> JObject("emit" -> JObject(
+          "outputMapping" -> JArray(mapping.map(JInt(_)).toList))),
+        "input" -> emitRel(child, reg),
+        "groupings" -> JArray(List(JObject(
+          "groupingExpressions" -> JArray(groups.toList)))),
+        "measures" -> JArray(measures.toList)))
+    case Join(left, right, joinType, condition, _) =>
+      val inputAttrs = left.output ++ right.output
+      val jt = joinType.sql match {
+        case "INNER" => "JOIN_TYPE_INNER"
+        case "FULL OUTER" => "JOIN_TYPE_OUTER"
+        case "LEFT OUTER" => "JOIN_TYPE_LEFT"
+        case "RIGHT OUTER" => "JOIN_TYPE_RIGHT"
+        case "LEFT SEMI" => "JOIN_TYPE_LEFT_SEMI"
+        case "LEFT ANTI" => "JOIN_TYPE_LEFT_ANTI"
+        case "CROSS" => "JOIN_TYPE_INNER"
+        case other => throw new IllegalArgumentException(s"substrait emit: join $other")
+      }
+      JObject("join" -> JObject(
+        "common" -> JObject("direct" -> JObject()),
+        "left" -> emitRel(left, reg),
+        "right" -> emitRel(right, reg),
+        "expression" -> condition.map(emitExpr(_, inputAttrs, reg))
+          .getOrElse(JObject("literal" -> JObject("boolean" -> JBool(true)))),
+        "type" -> JString(jt)))
+    case Sort(order, true, child, _) =>
+      JObject("sort" -> JObject(
+        "common" -> JObject("direct" -> JObject()),
+        "input" -> emitRel(child, reg),
+        "sorts" -> JArray(order.map { so =>
+          val dir = (so.direction, so.nullOrdering) match {
+            case (Ascending, NullsFirst) => "SORT_DIRECTION_ASC_NULLS_FIRST"
+            case (Ascending, NullsLast) => "SORT_DIRECTION_ASC_NULLS_LAST"
+            case (Descending, NullsFirst) => "SORT_DIRECTION_DESC_NULLS_FIRST"
+            case (Descending, NullsLast) => "SORT_DIRECTION_DESC_NULLS_LAST"
+          }
+          JObject("expr" -> emitExpr(so.child, child.output, reg),
+            "direction" -> JString(dir))
+        }.toList)))
+    case GlobalLimit(limitExpr, LocalLimit(_, child)) =>
+      JObject("fetch" -> JObject(
+        "common" -> JObject("direct" -> JObject()),
+        "input" -> emitRel(child, reg),
+        "count" -> JString(limitExpr.eval().asInstanceOf[Number].longValue().toString)))
+    case Union(children, false, false) =>
+      JObject("set" -> JObject(
+        "common" -> JObject("direct" -> JObject()),
+        "inputs" -> JArray(children.map(emitRel(_, reg)).toList),
+        "op" -> JString("SET_OP_UNION_ALL")))
+    case Distinct(child) =>
+      // substrait's DISTINCT form: aggregate grouping all fields
+      JObject("aggregate" -> JObject(
+        "common" -> JObject("direct" -> JObject()),
+        "input" -> emitRel(child, reg),
+        "groupings" -> JArray(List(JObject(
+          "groupingExpressions" -> JArray(child.output.indices.map(fieldRef).toList)))),
+        "measures" -> JArray(Nil)))
+    // Dataset.distinct() analyzes to Deduplicate over all columns
+    case Deduplicate(keys, child) if keys.size == child.output.size &&
+        keys.forall(k => child.output.exists(_.semanticEquals(k))) =>
+      emitRel(Distinct(child), reg)
+    case other => throw new IllegalArgumentException(
+      s"substrait emit: unsupported node ${other.nodeName}")
+  }
+
+  /** Leaf detection helper shared with PlanSerde's notion of a scan. */
+  private object PlanSerdeLeaf {
+    def is(plan: LogicalPlan): Boolean = plan match {
+      case _: LeafNode => true
+      case View(_, _, child, _) => is(child)
+      case SubqueryAlias(_, c) => is(c)
+      case _ => false
+    }
+  }
+
+  private def fieldRef(i: Int): JValue =
+    JObject("selection" -> JObject(
+      "directReference" -> JObject("structField" ->
+        (if (i == 0) JObject() else JObject("field" -> JInt(i)))),
+      "rootReference" -> JObject()))
+
+  private def sigOf(name: String, args: Seq[CExpr]): String =
+    name + ":" + args.map(a => shortType(a.dataType)).mkString("_")
+
+  private def shortType(dt: DataType): String = dt match {
+    case ByteType => "i8"; case ShortType => "i16"
+    case IntegerType => "i32"; case LongType => "i64"
+    case FloatType => "fp32"; case DoubleType => "fp64"
+    case StringType => "str"; case DateType => "date"
+    case BooleanType => "bool"; case _: DecimalType => "dec"
+    case _: TimestampType => "ts"; case _ => "any"
+  }
+
+  private def emitExpr(e: CExpr, input: Seq[Attribute], reg: FnReg): JValue = {
+    def fn(name: String, args: Seq[CExpr]): JValue =
+      JObject("scalarFunction" -> JObject(
+        "functionReference" -> JInt(reg.anchor(sigOf(name, args))),
+        "outputType" -> typeJson(e.dataType, e.nullable),
+        "arguments" -> JArray(args.map(a =>
+          JObject("value" -> emitExpr(a, input, reg))).toList)))
+    e match {
+      case a: AttributeReference =>
+        val i = input.indexWhere(_.exprId == a.exprId)
+        if (i < 0) throw new IllegalArgumentException(
+          s"substrait emit: unresolved reference ${a.name}")
+        fieldRef(i)
+      case Alias(child, _) => emitExpr(child, input, reg)
+      case l: CLit => JObject("literal" -> literalJson(l))
+      case CAnd(l, r) => fn("and", Seq(l, r))
+      case COr(l, r) => fn("or", Seq(l, r))
+      case CNot(c) => fn("not", Seq(c))
+      case EqualTo(l, r) => fn("equal", Seq(l, r))
+      case LessThan(l, r) => fn("lt", Seq(l, r))
+      case GreaterThan(l, r) => fn("gt", Seq(l, r))
+      case LessThanOrEqual(l, r) => fn("lte", Seq(l, r))
+      case GreaterThanOrEqual(l, r) => fn("gte", Seq(l, r))
+      case CAdd(l, r, _) => fn("add", Seq(l, r))
+      case CSubtract(l, r, _) => fn("subtract", Seq(l, r))
+      case CMultiply(l, r, _) => fn("multiply", Seq(l, r))
+      case CDivide(l, r, _) => fn("divide", Seq(l, r))
+      case CRemainder(l, r, _) => fn("modulus", Seq(l, r))
+      case CLike(l, r, _) => fn("like", Seq(l, r))
+      case CIsNull(c) => fn("is_null", Seq(c))
+      case CIsNotNull(c) => fn("is_not_null", Seq(c))
+      case CCast(child, dt, _, _) =>
+        JObject("cast" -> JObject(
+          "type" -> typeJson(dt, e.nullable),
+          "input" -> emitExpr(child, input, reg),
+          "failureBehavior" -> JString("FAILURE_BEHAVIOR_THROW_EXCEPTION")))
+      case CCaseWhen(branches, elseValue) =>
+        JObject("ifThen" -> JObject(
+          "ifs" -> JArray(branches.map { case (c, v) =>
+            JObject("if" -> emitExpr(c, input, reg),
+              "then" -> emitExpr(v, input, reg))
+          }.toList),
+          "else" -> elseValue.map(emitExpr(_, input, reg)).getOrElse(JNothing)))
+      case CIn(value, list) if list.forall(_.isInstanceOf[CLit]) =>
+        JObject("singularOrList" -> JObject(
+          "value" -> emitExpr(value, input, reg),
+          "options" -> JArray(list.map(x =>
+            emitExpr(x, input, reg)).toList)))
+      case other => throw new IllegalArgumentException(
+        s"substrait emit: unsupported expression ${other.getClass.getSimpleName}: ${other.sql}")
+    }
+  }
+
+  private def emitMeasure(agg: AggregateExpression, input: Seq[Attribute],
+      reg: FnReg): JValue = {
+    val (name, args) = agg.aggregateFunction match {
+      case CSum(c, _) => ("sum", Seq(c))
+      case CAvg(c, _) => ("avg", Seq(c))
+      case CMin(c) => ("min", Seq(c))
+      case CMax(c) => ("max", Seq(c))
+      case CCount(cs) if cs.forall(_.foldable) => ("count", Nil)
+      case CCount(cs) => ("count", cs)
+      case other => throw new IllegalArgumentException(
+        s"substrait emit: unsupported aggregate ${other.prettyName}")
+    }
+    val invocation =
+      if (agg.isDistinct) "AGGREGATION_INVOCATION_DISTINCT"
+      else "AGGREGATION_INVOCATION_ALL"
+    JObject("measure" -> JObject(
+      "functionReference" -> JInt(reg.anchor(sigOf(name, args))),
+      "phase" -> JString("AGGREGATION_PHASE_INITIAL_TO_RESULT"),
+      "outputType" -> typeJson(agg.dataType, agg.nullable),
+      "invocation" -> JString(invocation),
+      "arguments" -> JArray(args.map(a =>
+        JObject("value" -> emitExpr(a, input, reg))).toList)))
+  }
+
+  private def literalJson(l: CLit): JValue = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    if (l.value == null)
+      JObject("null" -> typeJson(l.dataType, nullable = true))
+    else l.dataType match {
+      case BooleanType => JObject("boolean" -> JBool(l.value.asInstanceOf[Boolean]))
+      case ByteType => JObject("i8" -> JInt(l.value.asInstanceOf[Byte].toInt))
+      case ShortType => JObject("i16" -> JInt(l.value.asInstanceOf[Short].toInt))
+      case IntegerType => JObject("i32" -> JInt(l.value.asInstanceOf[Int]))
+      case LongType => JObject("i64" -> JString(l.value.toString))
+      case FloatType => JObject("fp32" -> JDouble(l.value.asInstanceOf[Float].toDouble))
+      case DoubleType => JObject("fp64" -> JDouble(l.value.asInstanceOf[Double]))
+      case StringType => JObject("string" -> JString(l.value.toString))
+      case DateType => JObject("date" -> JInt(l.value.asInstanceOf[Int]))
+      case dt: DecimalType =>
+        val bd = l.value.asInstanceOf[org.apache.spark.sql.types.Decimal]
+          .toJavaBigDecimal
+        val unscaled = bd.unscaledValue()
+        // 16-byte little-endian two's complement per the substrait spec
+        val be = unscaled.toByteArray
+        val sign: Byte = if (unscaled.signum() < 0) -1 else 0
+        val le = (be.reverse ++ Array.fill(16 - be.length)(sign)).take(16)
+        JObject("decimal" -> JObject(
+          "value" -> JString(java.util.Base64.getEncoder.encodeToString(le)),
+          "precision" -> JInt(dt.precision), "scale" -> JInt(dt.scale)))
+      case other => throw new IllegalArgumentException(
+        s"substrait emit: unsupported literal type $other")
+    }
+  }
+
+  private def typeJson(dt: DataType, nullable: Boolean): JValue = {
+    val nullability =
+      if (nullable) "NULLABILITY_NULLABLE" else "NULLABILITY_REQUIRED"
+    val inner = JObject("nullability" -> JString(nullability))
+    dt match {
+      case BooleanType => JObject("bool" -> inner)
+      case ByteType => JObject("i8" -> inner)
+      case ShortType => JObject("i16" -> inner)
+      case IntegerType => JObject("i32" -> inner)
+      case LongType => JObject("i64" -> inner)
+      case FloatType => JObject("fp32" -> inner)
+      case DoubleType => JObject("fp64" -> inner)
+      case StringType => JObject("string" -> inner)
+      case BinaryType => JObject("binary" -> inner)
+      case DateType => JObject("date" -> inner)
+      case _: TimestampType | TimestampNTZType => JObject("timestamp" -> inner)
+      case d: DecimalType => JObject("decimal" -> JObject(
+        "scale" -> JInt(d.scale), "precision" -> JInt(d.precision),
+        "nullability" -> JString(nullability)))
+      case other => throw new IllegalArgumentException(
+        s"substrait emit: unsupported type $other")
+    }
+  }
+}

@@ -22,8 +22,16 @@ class TpcdsPlanningSpec extends AnyFunSuite {
       java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
     val noComments = raw.linesIterator
       .map(l => if (l.trim.startsWith("--")) "" else l).mkString("\n")
-    noComments.split(";").map(_.trim).filter(_.nonEmpty).toSeq
+    noComments.split(";").map(_.trim).filter(_.nonEmpty).map(dialect).toSeq
   }
+
+  /** TPC-DS ships two non-Spark dialect forms (kept verbatim in the
+    * reference's files): single-quoted column aliases (`as 'order count'`)
+    * and bare interval shorthand (`+ 30 days`). Map both onto Spark
+    * grammar; everything else parses unchanged. */
+  private def dialect(sql: String): String =
+    sql.replaceAll("(?i)\\bas\\s+'([^']+)'", "as `$1`")
+      .replaceAll("(?i)([+-])\\s*(\\d+)\\s+days\\b", "$1 INTERVAL $2 DAYS")
 
   test("all 99 TPC-DS queries produce a physical plan") {
     assume(available, s"$sqlDir not present")
