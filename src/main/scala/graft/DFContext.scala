@@ -65,12 +65,22 @@ class DFContext(val spark: SparkSession) {
         throw new IllegalArgumentException(s"prepared statement $name not found"))
       val args = Option(argText).map(DFContext.splitTopLevel(_, ","))
         .getOrElse(Seq.empty).map(_.trim).filter(_.nonEmpty)
-      // bind $n (descending so $12 binds before $1); declared types cast
-      var bound = body
-      for (i <- args.indices.reverse) {
-        val lit = if (declared.lift(i).isDefined && declared(i).nonEmpty)
-          s"CAST(${args(i)} AS ${declared(i)})" else args(i)
-        bound = bound.replace("$" + (i + 1), lit)
+      // Bind $n with a trailing-digit guard ($1 must not fire inside $10)
+      // and never inside single-quoted string literals; an index past the
+      // supplied arguments is a loud error, not silent text corruption.
+      val bound = {
+        val parts = body.split("'", -1) // even indices = outside literals
+        parts.zipWithIndex.map { case (seg, pi) =>
+          if (pi % 2 == 1) seg
+          else "\\$(\\d+)(?!\\d)".r.replaceAllIn(seg, m => {
+            val i = m.group(1).toInt - 1
+            if (i < 0 || i >= args.size) throw new IllegalArgumentException(
+              s"EXECUTE $name: placeholder $$${m.group(1)} but only ${args.size} argument(s) supplied")
+            val lit = if (declared.lift(i).exists(_.nonEmpty))
+              s"CAST(${args(i)} AS ${declared(i)})" else args(i)
+            java.util.regex.Matcher.quoteReplacement(lit)
+          })
+        }.mkString("'")
       }
       sqlRewritten(bound)
     case DeallocRe(name) =>

@@ -24,9 +24,20 @@ object RegexpCompat {
       case 'm' => f |= Pattern.MULTILINE
       case 'x' => f |= Pattern.COMMENTS
       case 'g' => // handled by replace; ignored elsewhere
-      case _   =>
+      case c   => throw new IllegalArgumentException(
+        s"regexp: invalid flag '$c' (the reference errors on unknown flags too)")
     }
-    try Some(Pattern.compile(pattern, f)) catch { case _: Exception => None }
+    try Some(Pattern.compile(pattern, f)) catch {
+      case e: java.util.regex.PatternSyntaxException
+          // silent no-match ONLY for the Rust-regex constructs Java cannot
+          // compile the same way (the conformance files probe these);
+          // anything else is a genuinely bad pattern → error like the
+          // reference, never a silently-passing false result
+          if pattern.contains("(?<") || pattern.contains("(?=") ||
+             pattern.contains("(?!") || pattern.contains("\\p{") => None
+      case e: java.util.regex.PatternSyntaxException =>
+        throw new IllegalArgumentException(s"regexp: invalid pattern: ${e.getMessage}")
+    }
   }
 
   /** char (code point) index → UTF-16 offset; None when past end+1. */

@@ -79,6 +79,12 @@ object GenerateSeriesTVF {
     Project(Seq(Alias(r.output.head, "value")()), r)
   }
 
+  private def longPlanSliced(start: Long, endExclusive: Long, step: Long,
+      numSlices: Int): LogicalPlan = {
+    val r = LRange(start, endExclusive, step, Some(numSlices))
+    Project(Seq(Alias(r.output.head, "value")()), r)
+  }
+
   private def evalArg(e: Expression): Any = {
     require(e.foldable, s"generate_series arguments must be constant, got: ${e.sql}")
     e.eval()
@@ -89,7 +95,15 @@ object GenerateSeriesTVF {
     case _ => false
   }
 
-  private def build(exprs: Seq[Expression], inclusive: Boolean): LogicalPlan = {
+  private def build(exprs0: Seq[Expression], inclusive: Boolean): LogicalPlan = {
+    // Spark's builtin range(start, end, step, numSlices) 4-arg form: honor
+    // the explicit slice count so external SQL keeps working (the column is
+    // still named `value` — alias positionally, `range(...) t(id)`, for the
+    // builtin name)
+    val (exprs, slices) =
+      if (!inclusive && exprs0.size == 4)
+        (exprs0.take(3), Some(evalArg(exprs0(3)).asInstanceOf[Number].intValue()))
+      else (exprs0, None)
     require(exprs.nonEmpty && exprs.size <= 3,
       s"generate_series expects 1-3 arguments, got ${exprs.size}")
     val isInterval = (t: DataType) =>
@@ -106,6 +120,8 @@ object GenerateSeriesTVF {
         case Seq(s0, e0)     => (s0, e0, 1L)
         case Seq(s0, e0, st) => (s0, e0, st)
       }
+      slices.foreach(n => return longPlanSliced(start,
+        if (!inclusive) end else if (step > 0) end + 1 else end - 1, step, n))
       require(step != 0, "generate_series step must not be zero")
       val endEx =
         if (!inclusive) end

@@ -66,7 +66,9 @@ object PlanSerde {
     // analyze to SubqueryAlias(name, viewPlan)); over anything else it is
     // just a name scope.
     case SubqueryAlias(ident, child) if isRelationLeaf(child) =>
-      GScan(ident.name)
+      // keep the full identifier (db.table) — ident.name alone would make
+      // the consumer resolve a same-named table in the default schema
+      GScan((ident.qualifier :+ ident.name).mkString("."))
     case SubqueryAlias(ident, child) => GAlias(ident.name, fromCatalyst(child))
     case Project(projectList, child) =>
       GProject(projectList.map(exprSql), fromCatalyst(child))
@@ -84,8 +86,24 @@ object PlanSerde {
       GAggregate(groups, aggOnly.map(exprSql),
         aggregateExpressions.map(outputName), fromCatalyst(child))
     case Join(left, right, joinType, condition, _) =>
-      GJoin(joinType.sql, condition.map(exprSql),
-        fromCatalyst(left), fromCatalyst(right))
+      // Fail-loudly contract: a column name present on BOTH sides that the
+      // serialized condition references UNQUALIFIED would re-resolve
+      // arbitrarily on the consumer — reject at serialize time.
+      val condSql = condition.map(exprSql)
+      val dups = left.output.map(_.name).toSet
+        .intersect(right.output.map(_.name).toSet)
+      condSql.foreach { c =>
+        dups.foreach { d =>
+          val bare = ("(?<!`\\.)" + java.util.regex.Pattern.quote(quote(d)) +
+            "(?!\\.`)").r
+          val unqualified = bare.findAllMatchIn(c).exists(m =>
+            m.start == 0 || c.charAt(m.start - 1) != '.')
+          if (unqualified) throw new IllegalArgumentException(
+            s"PlanSerde: join condition references '$d' unqualified but both " +
+              "sides output that name — alias the inputs so the reference is unambiguous")
+        }
+      }
+      GJoin(joinType.sql, condSql, fromCatalyst(left), fromCatalyst(right))
     case Sort(order, true, child, _) =>
       GSort(order.map(_.sql), fromCatalyst(child))
     case GlobalLimit(limitExpr, LocalLimit(_, child)) =>
