@@ -1106,11 +1106,15 @@ object SltRunner {
         // hive-style PARTITIONED BY: typed entries are extra columns that
         // live in the directory names — fold them into the schema (Spark's
         // partition discovery binds them); name-only entries need nothing
+        var partClause = ""
         PartRe.findFirstMatchIn(rest).foreach { pm =>
           val typed = pm.group(1).split(",").map(_.trim)
             .filter(_.split("\\s+").length > 1)
           if (typed.nonEmpty)
             schema = Some((schema.toSeq ++ typed).mkString(", "))
+          // keep the clause visible to downstream handling (partition-col
+          // reordering, parquet partition append) via the tail
+          partClause = s" PARTITIONED BY (${pm.group(1)})"
           rest = rest.substring(0, pm.start) + rest.substring(pm.end)
         }
         StoredRe.findFirstMatchIn(rest).flatMap { sm =>
@@ -1118,7 +1122,8 @@ object SltRunner {
           val tail = sm.group(2)
           LocRe.findFirstMatchIn(tail).map { lm =>
             (name, schema, fmt, lm.group(1),
-              tail.substring(0, lm.start) + tail.substring(lm.end), unbounded)
+              tail.substring(0, lm.start) + tail.substring(lm.end) + partClause,
+              unbounded)
           }
         }
       }
@@ -1183,6 +1188,23 @@ object SltRunner {
     }.mkString("\n")
 
   /** Dialect translation; None = this record has no Spark spelling. */
+  /** Double every backslash inside single-quoted literals (linear scan —
+    * a regex over multi-KB statements blows the matcher stack). Honors
+    * doubled-'' escapes; text outside literals is untouched. */
+  private[slt] def doubleBackslashesInLiterals(sql: String): String = {
+    if (sql.indexOf('\\') < 0) return sql
+    val out = new StringBuilder(sql.length + 8)
+    var i = 0; var inLit = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') { inLit = !inLit; out += c }
+      else if (c == '\\' && inLit) out ++= "\\\\"
+      else out += c
+      i += 1
+    }
+    out.toString
+  }
+
   private[slt] def translate(sqlRaw: String,
       nullOrdering: String = "nulls_max"): Option[String] = {
     val pre0 = stripComments(sqlRaw).trim.replaceAll(";+\\s*$", "")
@@ -1191,17 +1213,21 @@ object SltRunner {
     // paren so `x AS time` column aliases stay untouched)
     if ("(?i)::\\s*time\\b".r.findFirstIn(pre0).isDefined ||
         "(?i)\\bAS\\s+TIME\\s*\\)".r.findFirstIn(pre0).isDefined) return None
-    val pre0a = if (!sparkDialect) pre0 else {
-      // spark/ subtree literals are standard SQL: backslash is a plain
-      // character. The subtree keeps Spark's default lexer (for correct
-      // doubled-'' handling), so raw backslashes must be doubled to
-      // survive Spark's escape processing.
-      val doubled = "'(?:[^']|'')*'".r.replaceAllIn(pre0, m =>
-        java.util.regex.Matcher.quoteReplacement(m.matched.replace("\\", "\\\\")))
+    // Reference literals are standard SQL: backslash is a plain character
+    // and '' is an escaped quote. Spark's default lexer handles '' right
+    // but treats backslash as an escape — double raw backslashes inside
+    // single-quoted literals so they survive unescaping. (The legacy
+    // escapedStringLiterals conf would handle backslashes but breaks ''.)
+    // CREATE EXTERNAL TABLE / COPY parse their own OPTIONS values with raw
+    // semantics (and re-escape when emitting Spark SQL) — don't pre-double
+    val ownOptions = "(?is)^\\s*(CREATE\\s+(UNBOUNDED\\s+)?EXTERNAL|COPY)\\b"
+      .r.findFirstIn(pre0).isDefined
+    val pre0a0 = if (ownOptions) pre0 else doubleBackslashesInLiterals(pre0)
+    val pre0a = if (!sparkDialect) pre0a0 else {
       // -0.0 typed ::double must keep its sign: Spark parses the bare
       // literal as DECIMAL (no negative zero) before the cast applies;
       // routing through a string literal preserves IEEE -0.0
-      doubled.replaceAll("(?i)(?<![\\w.])-0\\.0\\s*::\\s*(double|float|real)\\b",
+      pre0a0.replaceAll("(?i)(?<![\\w.])-0\\.0\\s*::\\s*(double|float|real)\\b",
         "CAST('-0.0' AS $1)")
     }
     val pre1a = WhenNullRe.replaceAllIn(translateBrackets(pre0a),
@@ -1310,14 +1336,47 @@ object SltRunner {
             else s"OPTIONS (path '$resolved')"
           val provider =
             if (fmt == "arrow") "graft.sources.ArrowIpcTableProvider" else fmt
-          val cols = schemaInner.map { s =>
-            splitTopLevel(s)
+          // Parquet with a DECLARED schema: a user schema on a parquet scan
+          // reads the physical layout verbatim and IGNORES logical type
+          // annotations (a decimal(3,1) file column declared DOUBLE reads
+          // its unscaled ints — 95.5 becomes 955). Read with the footer
+          // schema and CAST to the declared types instead, which is the
+          // reference's coercion semantics.
+          if (fmt == "parquet" && schemaInner.isDefined) {
+            val declared = splitTopLevel(schemaInner.get)
               .map(_.trim).filter(_.nonEmpty).map { cd =>
                 val sp = cd.split("\\s+", 2)
-                s"${sp(0)} ${sparkType(if (sp.length > 1) sp(1) else "STRING")}"
-              }.mkString(" (", ", ", ")")
-          }.getOrElse("")
-          Some(s"CREATE OR REPLACE TEMPORARY VIEW $name$cols USING $provider $opts")
+                (sp(0), sparkType(if (sp.length > 1) sp(1) else "STRING"))
+              }
+            val PartRe2 = """(?is)\bPARTITIONED\s+BY\s*\(([^)]*)\)""".r
+            val partCols = PartRe2.findFirstMatchIn(tail)
+              .map(_.group(1).split(",").map(_.trim.split("\\s+")(0))
+                .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+              .filterNot(p => declared.exists(_._1.equalsIgnoreCase(p)))
+            // handled at execution time (maybeEmulateDeclaredParquet): the
+            // footer schema decides cast-vs-NULL-fill per declared column
+            Some(s"GRAFT_PARQUET_VIEW $name|$resolved|" +
+              declared.map { case (n, t) => s"$n:$t" }.mkString(",") + "|" +
+              partCols.mkString(","))
+          } else {
+            // the reference moves PARTITIONED BY columns to the END of the
+            // table schema regardless of their declared position
+            val partNames = """(?is)\bPARTITIONED\s+BY\s*\(([^)]*)\)""".r
+              .findFirstMatchIn(tail)
+              .map(_.group(1).split(",").map(_.trim.split("\\s+")(0))
+                .filter(_.nonEmpty).map(_.toLowerCase).toSet)
+              .getOrElse(Set.empty[String])
+            val cols = schemaInner.map { s =>
+              val defs = splitTopLevel(s)
+                .map(_.trim).filter(_.nonEmpty).map { cd =>
+                  val sp = cd.split("\\s+", 2)
+                  (sp(0), s"${sp(0)} ${sparkType(if (sp.length > 1) sp(1) else "STRING")}")
+                }
+              val (parts, data) = defs.partition(d => partNames(d._1.toLowerCase))
+              (data ++ parts).map(_._2).mkString(" (", ", ", ")")
+            }.getOrElse("")
+            Some(s"CREATE OR REPLACE TEMPORARY VIEW $name$cols USING $provider $opts")
+          }
         }
       case other => Some(other)
     }.map {
@@ -1635,7 +1694,17 @@ object SltRunner {
     def mentionsPoisoned(sql: String): Option[String] = {
       // match table names outside string literals only — a poisoned table
       // named `d` must not hit the VALUES literal 'd'
-      val noLiterals = sql.replaceAll("'(?:[^']|'')*'", " ")
+      // linear blanking (an alternation-loop regex overflows the matcher
+      // stack on multi-KB literals — explain_tree.slt has 3 KB ones)
+      val noLiterals = {
+        val b = new StringBuilder(sql.length)
+        var inLit = false
+        sql.foreach { c =>
+          if (c == '\'') { inLit = !inLit; b += ' ' }
+          else b += (if (inLit) ' ' else c)
+        }
+        b.toString
+      }
       poisoned.find(t => ("""(?i)\b""" + java.util.regex.Pattern.quote(t) + """\b""").r
         .findFirstIn(noLiterals).isDefined)
     }
@@ -1873,7 +1942,8 @@ object SltRunner {
               """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\.""".r
                 .findFirstMatchIn(sql)
                 .foreach(m => spark.sql(s"CREATE DATABASE IF NOT EXISTS ${m.group(1)}"))
-              val df: DataFrame = maybeEmulateInsert(spark, sql)
+              val df: DataFrame = maybeEmulateDeclaredParquet(spark, sql)
+                .orElse(maybeEmulateInsert(spark, sql))
                 .orElse(maybeEmulateDml(spark, sql))
                 .orElse(maybeEmulateCopy(ctx, spark, sql))
                 .getOrElse(runWithDropFallback(ctx, spark,
@@ -1893,6 +1963,29 @@ object SltRunner {
                 // Spark does not — execute for state, skip the count check
                 df.collect()
                 skipped += ((rec.line, "INSERT row-count result not surfaced by Spark"))
+              }
+              else if (HashThresholdRe.findFirstMatchIn(
+                  rec.expected.mkString(" ").trim).isDefined) {
+                // sqllogictest hash-threshold form: "N values hashing to
+                // <md5>" — md5 over every value (row-major, sorted per the
+                // directive's sort mode), one per line
+                val m = HashThresholdRe.findFirstMatchIn(
+                  rec.expected.mkString(" ").trim).get
+                val wantCount = m.group(1).toLong
+                val wantHash = m.group(2)
+                val sortMode = d.split("\\s+").drop(2).headOption.getOrElse("")
+                val cells0 = collectCells(df).map(_.map(_.replaceAll("\\s+$", "")))
+                val values = sortMode match {
+                  case "rowsort" => cells0.sortBy(_.mkString(" ")).flatten
+                  case "valuesort" => cells0.flatten.sorted
+                  case _ => cells0.flatten
+                }
+                val md = java.security.MessageDigest.getInstance("MD5")
+                values.foreach(v => md.update((v + "\n").getBytes("UTF-8")))
+                val gotHash = md.digest().map(b => f"$b%02x").mkString
+                if (values.size == wantCount && gotHash == wantHash) passed += 1
+                else failures += Failure(rec.line, sql,
+                  s"hash-threshold mismatch: expected $wantCount values/$wantHash, got ${values.size}/$gotHash")
               }
               else {
                 val rows = collectRendered(df)
@@ -2134,8 +2227,9 @@ object SltRunner {
       val strideUs = UnixMicros(Cast(TimestampAddInterval(epoch, stride), TimestampType))
       MicrosToTimestamp(Subtract(x, Pmod(Subtract(x, o), strideUs)))
     }, "built-in")
-    // reference string literals are standard SQL (no backslash escapes)
-    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    // reference string literals are standard SQL (no backslash escapes);
+    // translate() doubles raw backslashes inside literals instead of the
+    // legacy escapedStringLiterals conf, which breaks doubled-'' quotes
   }
 
   /** INSERT INTO a name our CREATE translation registered as a TEMP VIEW:
@@ -2359,10 +2453,22 @@ object SltRunner {
   /** Collect with map columns projected through map_entries first — the
     * Row API materializes maps as hash maps, losing the insertion order
     * the reference's display asserts. */
-  private def collectRendered(df: DataFrame): Seq[String] = {
+  private val HashThresholdRe = """^(\d+) values hashing to ([0-9a-f]{32})$""".r
+
+  /** Per-cell rendering (for the hash-threshold compare, which hashes
+    * VALUES, not rows). */
+  private def collectCells(df: DataFrame): Seq[Seq[String]] =
+    collectRendered(df, cells = true).map(_.asInstanceOf[Seq[String]])
+
+  private def collectRendered(df: DataFrame): Seq[String] =
+    collectRendered(df, cells = false).map(_.asInstanceOf[String])
+
+  private def collectRendered(df: DataFrame, cells: Boolean): Seq[Any] = {
     import org.apache.spark.sql.types.MapType
     val fields = df.schema.fields
-    if (!fields.exists(_.dataType.isInstanceOf[MapType])) df.collect().map(renderRow).toSeq
+    def pack(cs: Seq[String]): Any = if (cells) cs else cs.mkString(" ")
+    if (!fields.exists(_.dataType.isInstanceOf[MapType]))
+      df.collect().map(r => pack((0 until r.length).map(i => render(r.get(i))))).toSeq
     else {
       val prj = fields.map { f =>
         if (f.dataType.isInstanceOf[MapType])
@@ -2371,14 +2477,43 @@ object SltRunner {
       }
       val isMap = fields.map(_.dataType.isInstanceOf[MapType])
       df.select(prj.toIndexedSeq: _*).collect().map { r =>
-        (0 until r.length).map { i =>
+        pack((0 until r.length).map { i =>
           if (isMap(i) && r.get(i) != null)
             r.getSeq[Row](i).map(e =>
               s"${render(e.get(0), nested = true)}: ${render(e.get(1), nested = true)}")
               .mkString("{", ", ", "}")
           else render(r.get(i))
-        }.mkString(" ")
+        })
       }.toSeq
+    }
+  }
+
+  /** CREATE EXTERNAL TABLE (parquet, declared schema) — runtime half of the
+    * translate-side GRAFT_PARQUET_VIEW marker. A user schema passed to a
+    * parquet scan reads the physical layout verbatim, ignoring logical
+    * annotations (decimal unscaled ints read as the declared numeric), so
+    * instead the files are read with their FOOTER schema and each declared
+    * column becomes a CAST when present or a typed NULL when absent
+    * (schema evolution); hive partition columns bind via discovery and are
+    * appended last (the reference's column order). */
+  private def maybeEmulateDeclaredParquet(spark: SparkSession,
+      sql: String): Option[DataFrame] = {
+    val Re = """(?s)^GRAFT_PARQUET_VIEW ([^|]+)\|([^|]*)\|([^|]*)\|([^|]*)$""".r
+    Re.findFirstMatchIn(sql).map { m =>
+      val (name, path) = (m.group(1), m.group(2))
+      val declared = m.group(3).split(",").filter(_.nonEmpty).map { cd =>
+        val Array(n, t) = cd.split(":", 2); (n, t)
+      }.toSeq
+      val partCols = m.group(4).split(",").filter(_.nonEmpty).toSeq
+      val base = spark.read.parquet(path)
+      val have = base.columns.map(_.toLowerCase).toSet
+      import org.apache.spark.sql.functions.{col, expr, lit}
+      val cols = declared.map { case (n, t) =>
+        if (have(n.toLowerCase)) expr(s"CAST($n AS $t)").as(n)
+        else lit(null).cast(t).as(n)
+      } ++ partCols.filter(p => have(p.toLowerCase)).map(col)
+      base.select(cols: _*).createOrReplaceTempView(name)
+      spark.emptyDataFrame
     }
   }
 

@@ -6,50 +6,91 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.arrow.memory.RootAllocator
-import org.apache.arrow.vector.ipc.ArrowFileReader
+import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowReader, ArrowStreamReader}
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnarBatch}
 
-/** Arrow IPC *file format* reader as a from-scratch DataSource V2 — the
-  * custom `TableProvider` demonstration (SURVEY §2.10), mirroring the
-  * reference's Arrow datasource (datasource-arrow/src/source.rs).
+/** Arrow IPC reader as a from-scratch DataSource V2 — the custom
+  * `TableProvider` demonstration (SURVEY §2.10), mirroring the reference's
+  * Arrow datasource (datasource-arrow/src/source.rs). Both IPC framings
+  * are supported — the random-access FILE format (ARROW1 magic) and the
+  * STREAMING format — detected per file from the leading bytes, plus
+  * hive-style partitioned directories (`part=123/data.arrow`), whose
+  * key=value path segments surface as trailing string partition columns.
   *
   * Usage: `spark.read.format("graft.sources.ArrowIpcTableProvider")
-  * .load(pathOrDir)` where the path is one `.arrow` file or a directory of
-  * them.
+  * .load(pathOrDir)`.
   *
-  * Scale design: one input partition per (file, record-batch-range) unit —
-  * here per file, the IPC footer gives batch counts so a finer split is a
-  * local change; batches are served ZERO-COPY as Spark `ColumnarBatch`es
-  * wrapping `ArrowColumnVector`s (no row materialization; Spark's own
-  * columnar-to-row boundary handles the rest). Column pruning is pushed
-  * into the reader: only requested vectors are wrapped.
+  * Scale design: one input partition per file (the IPC footer gives batch
+  * counts so a finer split is a local change); batches are served
+  * ZERO-COPY as Spark `ColumnarBatch`es wrapping `ArrowColumnVector`s (no
+  * row materialization; Spark's own columnar-to-row boundary handles the
+  * rest). Column pruning is pushed into the reader: only requested vectors
+  * are wrapped; partition values come from the path, never from data
+  * pages.
   */
 object ArrowIpcSource {
-  def files(path: String): Seq[Path] = {
-    val p = Paths.get(path)
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.filter(_.toString.endsWith(".arrow")).toSeq.sortBy(_.toString)
-    else Seq(p)
+
+  /** (file, partition values from `k=v` path segments under `path`). */
+  def files(path: String): Seq[(Path, Seq[(String, String)])] = {
+    val root = Paths.get(path)
+    if (!Files.isDirectory(root)) return Seq((root, Nil))
+    val out = scala.collection.mutable.Buffer[(Path, Seq[(String, String)])]()
+    def walk(dir: Path, parts: Seq[(String, String)]): Unit = {
+      val children = Files.list(dir).iterator().asScala.toSeq.sortBy(_.toString)
+      children.foreach { c =>
+        if (Files.isDirectory(c)) {
+          val seg = c.getFileName.toString
+          val kv = seg.split("=", 2)
+          walk(c, if (kv.length == 2) parts :+ (kv(0) -> kv(1)) else parts)
+        } else if (c.toString.endsWith(".arrow") || c.toString.endsWith(".arrows"))
+          out += ((c, parts))
+      }
+    }
+    walk(root, Nil)
+    out.toSeq
   }
+
+  private val FileMagic = "ARROW1".getBytes("ASCII")
+
+  /** The FILE framing leads with ARROW1 magic; anything else is STREAM. */
+  def isFileFormat(p: Path): Boolean = {
+    val in = Files.newInputStream(p)
+    try {
+      val head = new Array[Byte](6)
+      val n = in.read(head)
+      n == 6 && java.util.Arrays.equals(head, FileMagic)
+    } finally in.close()
+  }
+
+  def openReader(p: Path, alloc: RootAllocator): (ArrowReader, AutoCloseable) =
+    if (isFileFormat(p)) {
+      val ch = FileChannel.open(p, StandardOpenOption.READ)
+      (new ArrowFileReader(ch, alloc), ch)
+    } else {
+      val in = Files.newInputStream(p)
+      (new ArrowStreamReader(in, alloc), in)
+    }
 
   def readSchema(path: String): StructType = {
     // a write target may not exist yet: report an empty schema and let the
     // write path take its real schema from LogicalWriteInfo (the table
     // declares ACCEPT_ANY_SCHEMA so append validation doesn't compare)
-    val first = files(path).headOption.getOrElse(return new StructType())
+    val all = files(path)
+    val (first, parts) = all.headOption.getOrElse(return new StructType())
     val alloc = new RootAllocator()
-    val ch = FileChannel.open(first, StandardOpenOption.READ)
+    val (reader, res) = openReader(first, alloc)
     try {
-      val reader = new ArrowFileReader(ch, alloc)
-      try GraftSqlBridge.schemaFromArrow(reader.getVectorSchemaRoot.getSchema)
-      finally reader.close()
-    } finally { ch.close(); alloc.close() }
+      val base = GraftSqlBridge.schemaFromArrow(reader.getVectorSchemaRoot.getSchema)
+      parts.foldLeft(base) { case (st, (k, _)) =>
+        st.add(StructField(k, StringType, nullable = true))
+      }
+    } finally { reader.close(); res.close(); alloc.close() }
   }
 }
 
@@ -90,12 +131,15 @@ class ArrowIpcScan(required: StructType, path: String) extends Scan with Batch {
   override def toBatch: Batch = this
   override def description(): String = s"ArrowIpcScan($path, ${required.fieldNames.mkString(",")})"
   override def planInputPartitions(): Array[InputPartition] =
-    ArrowIpcSource.files(path).map(p => ArrowFilePartition(p.toString)).toArray
+    ArrowIpcSource.files(path).map { case (p, parts) =>
+      ArrowFilePartition(p.toString, parts)
+    }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new ArrowIpcReaderFactory(required)
 }
 
-case class ArrowFilePartition(file: String) extends InputPartition
+case class ArrowFilePartition(file: String, partValues: Seq[(String, String)])
+  extends InputPartition
 
 class ArrowIpcReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = true
@@ -104,24 +148,44 @@ class ArrowIpcReaderFactory(required: StructType) extends PartitionReaderFactory
     throw new UnsupportedOperationException("columnar-only source")
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
-    val file = partition.asInstanceOf[ArrowFilePartition].file
+    val fp = partition.asInstanceOf[ArrowFilePartition]
+    val partMap = fp.partValues.toMap
     new PartitionReader[ColumnarBatch] {
       private val alloc = new RootAllocator()
-      private val ch = FileChannel.open(Paths.get(file), StandardOpenOption.READ)
-      private val reader = new ArrowFileReader(ch, alloc)
+      private val (reader, resource) =
+        ArrowIpcSource.openReader(Paths.get(fp.file), alloc)
       private val root = reader.getVectorSchemaRoot
 
       override def next(): Boolean = reader.loadNextBatch()
 
       override def get(): ColumnarBatch = {
-        val vectors = required.fieldNames.map { n =>
-          new ArrowColumnVector(root.getVector(n))
+        val n = root.getRowCount
+        val vectors = required.fields.map { f =>
+          partMap.get(f.name) match {
+            case Some(v) =>
+              // partition value: a constant vector filled from the path,
+              // typed per the table schema (CREATE may declare it INT)
+              import org.apache.spark.sql.types._
+              val cv = new org.apache.spark.sql.execution.vectorized
+                .ConstantColumnVector(n, f.dataType)
+              f.dataType match {
+                case IntegerType => cv.setInt(v.toInt)
+                case LongType => cv.setLong(v.toLong)
+                case DoubleType => cv.setDouble(v.toDouble)
+                case BooleanType => cv.setBoolean(v.toBoolean)
+                case _ => cv.setUtf8String(
+                  org.apache.spark.unsafe.types.UTF8String.fromString(v))
+              }
+              cv: org.apache.spark.sql.vectorized.ColumnVector
+            case None =>
+              new ArrowColumnVector(root.getVector(f.name)):
+                org.apache.spark.sql.vectorized.ColumnVector
+          }
         }
-        new ColumnarBatch(vectors.toArray[org.apache.spark.sql.vectorized.ColumnVector],
-          root.getRowCount)
+        new ColumnarBatch(vectors, n)
       }
 
-      override def close(): Unit = { reader.close(); ch.close(); alloc.close() }
+      override def close(): Unit = { reader.close(); resource.close(); alloc.close() }
     }
   }
 }

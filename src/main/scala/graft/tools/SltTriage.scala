@@ -23,7 +23,9 @@ object SltTriage {
           println(s"   FAIL l${x.line}: ${x.sql.take(150).replace('\n', ' ')} -> ${x.detail.take(200).replace('\n', ' ')}"))
         if (r.failures.size > 12) println(s"   ... ${r.failures.size - 12} more failures")
       } catch {
-        case e: Throwable => println(s"== $f: CRASH ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+        case e: Throwable =>
+          println(s"== $f: CRASH ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+          e.getStackTrace.filter(_.toString.contains("graft")).take(8).foreach(fr => println(s"   at $fr"))
       }
     }
     spark.stop()

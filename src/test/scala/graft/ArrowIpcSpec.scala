@@ -41,7 +41,7 @@ class ArrowIpcSpec extends AnyFunSuite {
     src.write.format("graft.sources.ArrowIpcTableProvider").mode("overwrite").save(d)
     val files = graft.sources.ArrowIpcSource.files(d)
     assert(files.size == 3, s"expected 3 part files, got $files")
-    assert(files.forall(_.getFileName.toString.endsWith(".arrow")))
+    assert(files.forall(_._1.getFileName.toString.endsWith(".arrow")))
     val back = spark.read.format("graft.sources.ArrowIpcTableProvider").load(d)
     assert(back.count() == src.count())
     val (sa, sb) = (back.agg(sum("o_totalprice")).collect().head.getDouble(0),

@@ -310,4 +310,93 @@ class SltRunnerSpec extends AnyFunSuite {
       439 -> "quote_style nonnumeric: univocity has no per-type quoting mode",
       468 -> "quote_style never: univocity cannot disable quoting"))
   }
+
+  // ---- round-5 closure of the remaining top-level files ----
+
+  test("aggregate_memory_spill.slt") { check("aggregate_memory_spill.slt", 18) }
+  test("aggregate_skip_partial.slt") {
+    val med = "median over f32: reference computes/displays in f32, Spark in double"
+    val hll = "approx_count_distinct HLL estimate: sketch implementations differ"
+    check("aggregate_skip_partial.slt", 70, knownDivergent = Map(
+      311 -> med, 392 -> med, 678 -> med, 331 -> hll, 349 -> hll, 412 -> hll))
+  }
+  test("arrow_field.slt")     { check("arrow_field.slt", 2) }
+  test("arrow_files.slt")     { check("arrow_files.slt", 35) }
+  test("arrow_try_cast.slt")  { check("arrow_try_cast.slt", 2) }
+  test("arrow_typeof.slt")    { check("arrow_typeof.slt", 1) }
+  test("async_udf.slt")       { check("async_udf.slt", 4) }
+  test("cast_extension_type_metadata.slt") { check("cast_extension_type_metadata.slt", 0) }
+  test("clickbench.slt")      { check("clickbench.slt", 3) }
+  test("clickbench_extended.slt") { check("clickbench_extended.slt", 6) }
+  test("create_function.slt") {
+    val builtin = "DROP FUNCTION on a builtin: the reference deregisters it, Spark protects builtins"
+    check("create_function.slt", 3, knownDivergent = Map(42 -> builtin, 54 -> builtin))
+  }
+  test("date_bin_errors.slt") { check("date_bin_errors.slt", 0) }
+  test("dictionary_struct.slt") { check("dictionary_struct.slt", 0) }
+  test("dynamic_filter_pushdown_config.slt") { check("dynamic_filter_pushdown_config.slt", 100) }
+  test("dynamic_row_group_pruning.slt") { check("dynamic_row_group_pruning.slt", 12) }
+  test("encrypted_parquet.slt") { check("encrypted_parquet.slt", 2) }
+  test("explain.slt")         { check("explain.slt", 55) }
+  test("explain_analyze.slt") { check("explain_analyze.slt", 90) }
+  test("explain_tree.slt")    { check("explain_tree.slt", 30) }
+  test("file_row_index.slt")  { check("file_row_index.slt", 4) }
+  test("float16.slt")         { check("float16.slt", 0) }
+  test("functional_dependencies.slt") {
+    check("functional_dependencies.slt", 18, knownDivergent = Map(
+      207 -> "functional-dependence grouping via PRIMARY KEY metadata (Spark has no PK constraints)"))
+  }
+  test("grouping_set_repartition.slt") { check("grouping_set_repartition.slt", 12) }
+  test("imdb.slt")            { check("imdb.slt", 170) }
+  test("information_schema_columns.slt") { check("information_schema_columns.slt", 8) }
+  test("information_schema_multiple_catalogs.slt") {
+    val cat = "multi-catalog namespaces need a DSv2 catalog plugin; the single-catalog information_schema surface is covered"
+    check("information_schema_multiple_catalogs.slt", 19,
+      knownDivergent = Map(50 -> cat, 68 -> cat))
+  }
+  test("information_schema_table_types.slt") { check("information_schema_table_types.slt", 6) }
+  test("input_file_name.slt") { check("input_file_name.slt", 0) }
+  test("insert_values_placeholders.slt") { check("insert_values_placeholders.slt", 2) }
+  test("join_disable_repartition_joins.slt") {
+    val scope = "qualified outer column through an unaliased subquery (Spark scoping)"
+    check("join_disable_repartition_joins.slt", 170,
+      knownDivergent = Map(1132 -> scope, 1143 -> scope))
+  }
+  test("lead_lag_extreme_offsets.slt") {
+    val ext = "i64-extreme lead/lag offsets overflow Spark's offset-frame arithmetic (32-bit offsets)"
+    check("lead_lag_extreme_offsets.slt", 4, knownDivergent =
+      Seq(10, 18, 26, 38, 46, 54).map(_ -> ext).toMap)
+  }
+  test("limit_single_row_batches.slt") { check("limit_single_row_batches.slt", 7) }
+  test("list_view.slt")       { check("list_view.slt", 0) }
+  test("listing_table_statistics.slt") { check("listing_table_statistics.slt", 9) }
+  test("metadata.slt")        { check("metadata.slt", 1) }
+  test("nested_loop_join_spill.slt") { check("nested_loop_join_spill.slt", 11) }
+  test("options.slt")         { check("options.slt", 20) }
+  test("ordered_aggregate_spill.slt") { check("ordered_aggregate_spill.slt", 35) }
+  test("parquet_cdc.slt")     { check("parquet_cdc.slt", 18) }
+  test("parquet_cdc_config.slt") { check("parquet_cdc_config.slt", 6) }
+  test("parquet_max_row_group_bytes.slt") { check("parquet_max_row_group_bytes.slt", 25) }
+  test("parquet_metadata_functions.slt") { check("parquet_metadata_functions.slt", 3) }
+  test("parquet_nested_schema_pruning.slt") { check("parquet_nested_schema_pruning.slt", 9) }
+  test("parquet_sorted_statistics.slt") { check("parquet_sorted_statistics.slt", 6) }
+  test("preserve_file_partitioning.slt") { check("preserve_file_partitioning.slt", 70) }
+  test("projection_pushdown.slt") { check("projection_pushdown.slt", 170) }
+  test("push_down_filter_parquet.slt") { check("push_down_filter_parquet.slt", 150) }
+  test("push_down_filter_regression.slt") { check("push_down_filter_regression.slt", 70) }
+  test("push_down_filter_unnest.slt") { check("push_down_filter_unnest.slt", 8) }
+  test("pwmj.slt") {
+    val order = "reference emission order contradicts the query's ORDER BY (PWMJ row order); values identical as a set"
+    check("pwmj.slt", 23, knownDivergent = Map(141 -> order, 232 -> order))
+  }
+  test("range_partitioning.slt") { check("range_partitioning.slt", 50) }
+  test("repartition.slt")     { check("repartition.slt", 11) }
+  test("repartition_scan.slt") { check("repartition_scan.slt", 11) }
+  test("repartition_subset_satisfaction.slt") { check("repartition_subset_satisfaction.slt", 35) }
+  test("run_end_encoded.slt") { check("run_end_encoded.slt", 0) }
+  test("schema_evolution_nested.slt") { check("schema_evolution_nested.slt", 2) }
+  test("set_variable.slt")    { check("set_variable.slt", 80) }
+  test("sort_merge_join_spill.slt") { check("sort_merge_join_spill.slt", 45) }
+  test("statistics_registry.slt") { check("statistics_registry.slt", 23) }
+  test("union_function.slt")  { check("union_function.slt", 6) }
 }
