@@ -656,6 +656,12 @@ object SltRunner {
     * every surviving bracket is a subscript. */
   private[slt] def translateSubscripts(sql: String): String = {
     val IntRe = """^\s*-?\d+\s*$""".r
+    // computed 1-based indexes (a[1 + 2], col[n - 7]): arithmetic over
+    // identifiers/numbers only — no commas/quotes/colons (slices), so map
+    // keys and array literals are untouched. try_element_at keeps the
+    // reference's NULL-on-0/out-of-range semantics (Spark's native [] is
+    // 0-based and element_at(0) throws).
+    val ExprIdxRe = """^[\w\s+\-*/%().]+$""".r
     var s = sql
     var changed = true
     while (changed) {
@@ -668,12 +674,24 @@ object SltRunner {
         else if (c == '\'') inStr = true
         else if (c == '[') {
           val close = matchBracket(s, i)
-          if (close > 0 && IntRe.findFirstIn(s.substring(i + 1, close)).isDefined) {
+          val inner = if (close > 0) s.substring(i + 1, close) else ""
+          val isInt = close > 0 && IntRe.findFirstIn(inner).isDefined
+          val isExpr = close > 0 && !isInt && inner.nonEmpty &&
+            ExprIdxRe.findFirstIn(inner).isDefined &&
+            inner.exists(ch => ch.isDigit || ch.isLetter)
+          if (isInt || isExpr) {
             val start = primaryStart(s, i)
             if (start >= 0 && start < i) {
               val primary = s.substring(start, i)
-              val idx = s.substring(i + 1, close).trim
-              s = s.substring(0, start) + s"element_at($primary, $idx)" + s.substring(close + 1)
+              val idx = inner.trim
+              val hasArith = idx.exists("+-*/%".contains(_))
+              val call =
+                if (isInt) s"element_at($primary, $idx)"
+                // bare column subscripts keep their own type (map keys);
+                // arithmetic indexes cast to INT for element_at
+                else if (hasArith) s"try_element_at($primary, CAST(($idx) AS INT))"
+                else s"try_element_at($primary, $idx)"
+              s = s.substring(0, start) + call + s.substring(close + 1)
               changed = true
             }
           }
@@ -1205,6 +1223,41 @@ object SltRunner {
     out.toString
   }
 
+  /** Postgres-dialect extract fields Spark spells differently:
+    * isoyear → YEAROFWEEK, isodow → DAYOFWEEK_ISO (direct), and
+    * dow (Sunday=0) → DAYOFWEEK-1 (wrapped subtraction). */
+  private[slt] def translateExtractFields(sql: String): String = {
+    // the spark/ subtree tests SPARK's own extract fields (DOW is 1-based
+    // there) — the postgres-dialect mapping applies to the main corpus only
+    if (sparkDialect) return sql
+    var s = sql
+    s = s.replaceAll("(?i)\\bEXTRACT\\s*\\(\\s*`?isoyear`?\\s+FROM\\b", "EXTRACT(YEAROFWEEK FROM")
+      .replaceAll("(?i)\\bEXTRACT\\s*\\(\\s*`?isodow`?\\s+FROM\\b", "EXTRACT(DAYOFWEEK_ISO FROM")
+      .replaceAll("(?i)(date_part\\s*\\(\\s*)'isoyear'", "$1'YEAROFWEEK'")
+      .replaceAll("(?i)(date_part\\s*\\(\\s*)'isodow'", "$1'DAYOFWEEK_ISO'")
+    // dow (Sunday=0): wrap the whole call as (<call with DAYOFWEEK> - 1)
+    def wrapDow(openRe: scala.util.matching.Regex, newHead: String): Unit = {
+      var continue = true
+      while (continue) {
+        openRe.findFirstMatchIn(s) match {
+          case None => continue = false
+          case Some(m) =>
+            val open = s.indexOf('(', m.start)
+            val close = matchParen(s, open)
+            if (close < 0) { continue = false }
+            else {
+              val restOfCall = s.substring(m.end, close) // after the field name
+              s = s.substring(0, m.start) +
+                "(" + newHead + restOfCall + ") - 1)" + s.substring(close + 1)
+            }
+        }
+      }
+    }
+    wrapDow("(?i)\\bdate_part\\s*\\(\\s*'dow'".r, "date_part('DAYOFWEEK'")
+    wrapDow("(?i)\\bEXTRACT\\s*\\(\\s*`?dow`?\\s+FROM\\b".r, "EXTRACT(DAYOFWEEK FROM")
+    s
+  }
+
   private[slt] def translate(sqlRaw: String,
       nullOrdering: String = "nulls_max"): Option[String] = {
     val pre0 = stripComments(sqlRaw).trim.replaceAll(";+\\s*$", "")
@@ -1212,7 +1265,8 @@ object SltRunner {
     // match 'timestamp': word boundary; the CAST form requires the closing
     // paren so `x AS time` column aliases stay untouched)
     if ("(?i)::\\s*time\\b".r.findFirstIn(pre0).isDefined ||
-        "(?i)\\bAS\\s+TIME\\s*\\)".r.findFirstIn(pre0).isDefined) return None
+        "(?i)\\bAS\\s+TIME\\s*\\)".r.findFirstIn(pre0).isDefined ||
+        "(?i)\\bTIME\\s+'".r.findFirstIn(pre0).isDefined) return None
     // Reference literals are standard SQL: backslash is a plain character
     // and '' is an escaped quote. Spark's default lexer handles '' right
     // but treats backslash as an escape — double raw backslashes inside
@@ -1247,9 +1301,9 @@ object SltRunner {
     }
     val pre1b = translateOrderByNulls(
       translateValuesAlias(translateBareValues(translateInDoubleParen(translateStructFn(
-        translateGetField(translateSubscripts(translateChronoFormats(
+        translateGetField(translateSubscripts(translateExtractFields(translateChronoFormats(
           translateNamedWindows(translateWindowSpecs(translateWindowMedian(
-            translateArrayAggEmpty(translateStringFns(translateDoubleQuotes(pre1m))))))))))))),
+            translateArrayAggEmpty(translateStringFns(translateDoubleQuotes(pre1m)))))))))))))),
       nullOrdering)
       .replaceAll("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?VIEW\\b",
         "CREATE OR REPLACE TEMPORARY VIEW")
@@ -1464,13 +1518,18 @@ object SltRunner {
   private def splitTopLevel(s: String): Seq[String] = {
     val out = mutable.Buffer[String]()
     // braces nest too: `{x: 10, y: 100}` struct literals are split-atomic
-    // even before translateStructs rewrites them to named_struct
-    var depth = 0; val cur = new StringBuilder
-    for (c <- s) c match {
-      case '(' | '{' => depth += 1; cur += c
-      case ')' | '}' => depth -= 1; cur += c
-      case ',' if depth == 0 => out += cur.toString; cur.clear()
-      case _ => cur += c
+    // even before translateStructs rewrites them to named_struct; commas
+    // inside string literals (',') never split
+    var depth = 0; var inStr = false; val cur = new StringBuilder
+    for (c <- s) {
+      if (inStr) { if (c == '\'') inStr = false; cur += c }
+      else c match {
+        case '\'' => inStr = true; cur += c
+        case '(' | '{' => depth += 1; cur += c
+        case ')' | '}' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
     }
     if (cur.nonEmpty) out += cur.toString
     out.toSeq
@@ -1525,6 +1584,11 @@ object SltRunner {
       val hours = n / 3600000000000L % 24
       val mins = n / 60000000000L % 60
       val secs = n % 60000000000L
+      // DataFusion renders INTERVAL literals (MonthDayNano) with zero
+      // components omitted, but true Durations (timestamp differences,
+      // DAY-TO-SECOND typed — see renderTyped) with all four components.
+      // The spark/ subtree's generated expectations are always full-form
+      // with 6 fractional digits.
       if (sparkDialect)
         f"$sign$days%d days $sign$hours%d hours $sign$mins%d mins " +
           f"$sign${secs / 1000000000L}%d.${secs / 1000L % 1000000L}%06d secs"
@@ -1607,8 +1671,8 @@ object SltRunner {
 
   private def renderFloat(d: Double, nested: Boolean): String =
     if (d.isNaN) "NaN"
-    else if (d.isPosInfinity) "Infinity"
-    else if (d.isNegInfinity) "-Infinity"
+    else if (d.isPosInfinity) { if (nested) "inf" else "Infinity" }
+    else if (d.isNegInfinity) { if (nested) "-inf" else "-Infinity" }
     else if (nested)
       if (d == math.rint(d) && math.abs(d) < 1e15) s"${d.toLong}.0" else d.toString
     else dfFloatStr(d.toString)
@@ -1617,8 +1681,8 @@ object SltRunner {
     * (0.00001f → "1.0E-5" → "0.00001"). */
   private def renderFloat32(f: Float, nested: Boolean): String =
     if (f.isNaN) "NaN"
-    else if (f.isPosInfinity) "Infinity"
-    else if (f.isNegInfinity) "-Infinity"
+    else if (f.isPosInfinity) { if (nested) "inf" else "Infinity" }
+    else if (f.isNegInfinity) { if (nested) "-inf" else "-Infinity" }
     else if (nested)
       if (f == math.rint(f) && math.abs(f) < 1e15) s"${f.toLong}.0" else f.toString
     else dfFloatStr(f.toString)
@@ -1726,6 +1790,19 @@ object SltRunner {
       for (n <- createdNames if !n.contains(".")) {
         try spark.sql(s"DROP TABLE IF EXISTS `$n`") catch { case _: Exception => }
         try spark.sql(s"DROP VIEW IF EXISTS `$n`") catch { case _: Exception => }
+        // a managed-table dir left by an earlier JVM blocks CTAS with
+        // LOCATION_ALREADY_EXISTS even after the catalog drop above —
+        // remove it (single path component, no separators, checked)
+        try {
+          val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+          val loc = java.nio.file.Paths.get(wh, n.toLowerCase)
+          if (!n.contains("/") && !n.contains("\\") && n != ".." && n != "." &&
+              java.nio.file.Files.exists(loc)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(loc).iterator().asScala.toSeq
+              .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          }
+        } catch { case _: Exception => }
       }
     }
     // -------- error-class conformance for `statement error`/`query error`:
@@ -2213,7 +2290,7 @@ object SltRunner {
     // (GraftFunctions.dateBin) generalized to an expression stride:
     // stride micros = epoch + stride interval, pure integer arithmetic
     reg.createOrReplaceTempFunction("date_bin", es => {
-      import org.apache.spark.sql.types.{CalendarIntervalType, TimestampType}
+      import org.apache.spark.sql.types.{CalendarIntervalType, TimestampType, IntegerType, LongType}
       val epoch = Cast(Literal("1970-01-01 00:00:00"), TimestampType)
       // a bare string stride ('15 minutes') coerces to an interval
       val stride = es.head match {
@@ -2222,10 +2299,139 @@ object SltRunner {
         case e => e
       }
       val origin = if (es.size >= 3) Cast(es(2), TimestampType) else epoch
-      val o = UnixMicros(origin)
-      val x = UnixMicros(Cast(es(1), TimestampType))
-      val strideUs = UnixMicros(Cast(TimestampAddInterval(epoch, stride), TimestampType))
-      MicrosToTimestamp(Subtract(x, Pmod(Subtract(x, o), strideUs)))
+      // calendar-month strides bin on month boundaries (the reference's
+      // date_bin month semantics), not a fixed microsecond width
+      val strideMonths: Long = stride match {
+        case c: Cast => c.child match {
+          case Literal(sv, _) =>
+            try {
+              val ci = org.apache.spark.sql.catalyst.util.IntervalUtils
+                .stringToInterval(
+                  org.apache.spark.unsafe.types.UTF8String.fromString(sv.toString))
+              if (ci != null && ci.months != 0 && ci.days == 0 && ci.microseconds == 0)
+                ci.months.toLong
+              else 0L
+            } catch { case _: Exception => 0L }
+          case _ => 0L
+        }
+        case _ => 0L
+      }
+      if (strideMonths != 0) {
+        // months-since-origin, floored to the stride, added back — calendar
+        // binning, not a fixed microsecond width
+        val x = Cast(es(1), TimestampType)
+        val mb = Cast(MonthsBetween(x, origin, Literal(false)), LongType)
+        val bin = Subtract(mb, Pmod(mb, Literal(strideMonths)))
+        TimestampAdd("MONTH", bin, origin)
+      } else {
+        val o = UnixMicros(origin)
+        val x = UnixMicros(Cast(es(1), TimestampType))
+        val strideUs = UnixMicros(Cast(TimestampAddInterval(epoch, stride), TimestampType))
+        MicrosToTimestamp(Subtract(x, Pmod(Subtract(x, o), strideUs)))
+      }
+    }, "built-in")
+    // reference from_unixtime(secs) returns a TIMESTAMP (Spark's returns a
+    // formatted STRING — same instant, different render); the 2-arg
+    // timezone form stays Spark-native
+    reg.createOrReplaceTempFunction("from_unixtime", es =>
+      if (es.size == 1)
+        Cast(FromUnixTime(es.head, Literal("yyyy-MM-dd HH:mm:ss")),
+          org.apache.spark.sql.types.TimestampType)
+      else FromUnixTime(es(0), es(1)), "built-in")
+    // lambda helper for higher-order compat rewrites
+    def lam(body: Expression => Expression): Expression = {
+      val v = UnresolvedNamedLambdaVariable(Seq("x"))
+      LambdaFunction(body(v), Seq(v))
+    }
+    def nullLong = Literal.create(null, org.apache.spark.sql.types.LongType)
+    // null-AWARE first position (the reference finds NULL needles; Spark's
+    // ArrayPosition is null-propagating): search IsNull flags instead
+    def positionOf(a: Expression, v: Expression): Expression = {
+      val direct = ArrayPosition(a, v)
+      val nullPos = ArrayPosition(ArrayTransform(a, lam(IsNull(_))), Literal(true))
+      val p = If(IsNull(v), nullPos, direct)
+      If(Or(IsNull(p), EqualTo(p, Literal(0L))), nullLong, p)
+    }
+    // reference array_position: NULL when absent; finds NULL needles;
+    // 3-arg from-index form searches the suffix, re-based
+    reg.createOrReplaceTempFunction("array_position", es => es match {
+      case Seq(a, v) => positionOf(a, v)
+      case Seq(a, v, f) =>
+        val fi = Cast(f, org.apache.spark.sql.types.IntegerType)
+        Add(positionOf(new Slice(a, fi, Size(a)), v),
+          Cast(Subtract(fi, Literal(1)), org.apache.spark.sql.types.LongType))
+      case other => positionOf(other.head, other(1))
+    }, "built-in")
+    // reference array_remove removes the FIRST occurrence only (Spark's
+    // removes all): splice around the found position
+    reg.createOrReplaceTempFunction("array_remove", es => {
+      val (a, v) = (es(0), es(1))
+      val pos = Cast(positionOf(a, v), org.apache.spark.sql.types.IntegerType)
+      val spliced = If(IsNull(pos), a,
+        Concat(Seq(new Slice(a, Literal(1), Subtract(pos, Literal(1))),
+          new Slice(a, Add(pos, Literal(1)), Size(a)))))
+      // NULL needle yields NULL (reference semantics)
+      CaseWhen(Seq((IsNotNull(v), spliced)), None)
+    }, "built-in")
+    // reference array_append/array_prepend on a NULL array yield [v]
+    // (Spark null-propagates)
+    reg.createOrReplaceTempFunction("array_append", es =>
+      If(IsNull(es(0)), CreateArray(Seq(es(1))), ArrayAppend(es(0), es(1))), "built-in")
+    reg.createOrReplaceTempFunction("array_prepend", es =>
+      If(IsNull(es(0)), CreateArray(Seq(es(1))), ArrayPrepend(es(0), es(1))), "built-in")
+    // reference array_sort(arr [, 'ASC'|'DESC' [, 'NULLS FIRST'|'LAST']]):
+    // defaults ASC NULLS FIRST. Spark primitives give asc-nulls-first and
+    // desc-nulls-last; the other two combos append the NULLs explicitly.
+    reg.createOrReplaceTempFunction("array_sort", es => {
+      def strOf(e: Expression): String = e match {
+        case Literal(v, org.apache.spark.sql.types.StringType) =>
+          String.valueOf(v).toUpperCase
+        case _ => ""
+      }
+      // a NULL direction/placement argument yields NULL (reference)
+      val hasNullArg = es.tail.exists {
+        case Literal(null, _) => true
+        case _ => false
+      }
+      val nonNulls = ArrayFilter(es.head, lam(IsNotNull(_)))
+      val nulls = ArrayFilter(es.head, lam(IsNull(_)))
+      val desc = es.size >= 2 && strOf(es(1)).startsWith("DESC")
+      val nullsFirst =
+        if (es.size >= 3) strOf(es(2)).contains("FIRST")
+        else !desc // asc defaults NULLS FIRST, desc NULLS LAST
+      val sorted = (desc, nullsFirst) match {
+        case (false, true)  => SortArray(es.head, Literal(true))
+        case (true, false)  => SortArray(es.head, Literal(false))
+        case (false, false) => Concat(Seq(SortArray(nonNulls, Literal(true)), nulls))
+        case (true, true)   => Concat(Seq(nulls, SortArray(nonNulls, Literal(false))))
+      }
+      // no-else CASE yields a typed NULL without eager dataType resolution
+      if (hasNullArg) CaseWhen(Seq((Literal(false), sorted)), None)
+      else sorted
+    }, "built-in")
+    // reference cardinality counts elements RECURSIVELY through nested
+    // lists; Spark's is the top-level size — flatten per nesting level
+    reg.createOrReplaceTempFunction("cardinality", es => {
+      import org.apache.spark.sql.types.ArrayType
+      def depth(t: org.apache.spark.sql.types.DataType): Int = t match {
+        case ArrayType(inner, _) => 1 + depth(inner)
+        case _ => 0
+      }
+      val d = try depth(es.head.dataType) catch { case _: Exception => 1 }
+      val flattened = (1 until d).foldLeft(es.head)((e, _) => Flatten(e))
+      Cast(Size(flattened), org.apache.spark.sql.types.LongType)
+    }, "built-in")
+    // reference to_date(n) for numeric n = epoch DAYS (Spark yields NULL)
+    reg.createOrReplaceTempFunction("to_date", es => {
+      val isNumeric =
+        try es.head.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+        catch { case _: Exception => false }
+      if (es.size == 1 && isNumeric)
+        DateAdd(Cast(Literal("1970-01-01"), org.apache.spark.sql.types.DateType),
+          Cast(es.head, org.apache.spark.sql.types.IntegerType))
+      else if (es.size >= 2)
+        new ParseToDate(es(0), es(1))
+      else new ParseToDate(es.head)
     }, "built-in")
     // reference string literals are standard SQL (no backslash escapes);
     // translate() doubles raw backslashes inside literals instead of the
@@ -2463,12 +2669,33 @@ object SltRunner {
   private def collectRendered(df: DataFrame): Seq[String] =
     collectRendered(df, cells = false).map(_.asInstanceOf[String])
 
+  /** Type-directed render: a Duration whose column is the full
+    * DAY-TO-SECOND interval type is a real duration (timestamp
+    * difference) and renders with all four components (arrow Display);
+    * narrower interval fields (an INTERVAL '5' HOUR literal) keep the
+    * omit-zero literal form. */
+  private def renderTyped(v: Any, dt: org.apache.spark.sql.types.DataType): String =
+    (v, dt) match {
+      case (d: java.time.Duration, t: org.apache.spark.sql.types.DayTimeIntervalType)
+          if !sparkDialect &&
+             t.startField == org.apache.spark.sql.types.DayTimeIntervalType.DAY &&
+             t.endField == org.apache.spark.sql.types.DayTimeIntervalType.SECOND =>
+        val totalNanos = d.toNanos
+        val sign = if (totalNanos < 0) "-" else ""
+        val n = math.abs(totalNanos)
+        f"$sign${n / 86400000000000L}%d days $sign${n / 3600000000000L % 24}%d hours " +
+          f"$sign${n / 60000000000L % 60}%d mins " +
+          f"$sign${n % 60000000000L / 1000000000L}%d.${n % 1000000000L}%09d secs"
+      case _ => render(v)
+    }
+
   private def collectRendered(df: DataFrame, cells: Boolean): Seq[Any] = {
     import org.apache.spark.sql.types.MapType
     val fields = df.schema.fields
     def pack(cs: Seq[String]): Any = if (cells) cs else cs.mkString(" ")
     if (!fields.exists(_.dataType.isInstanceOf[MapType]))
-      df.collect().map(r => pack((0 until r.length).map(i => render(r.get(i))))).toSeq
+      df.collect().map(r => pack((0 until r.length).map(i =>
+        renderTyped(r.get(i), fields(i).dataType)))).toSeq
     else {
       val prj = fields.map { f =>
         if (f.dataType.isInstanceOf[MapType])
