@@ -42,20 +42,38 @@ object Tables {
 
   private def doLoad(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-      // rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos and
-      // truncate to Spark's native µs timestamps. Integer division (`div`)
-      // keeps full precision — a double roundtrip would lose sub-ms bits at
-      // 2024-era epoch-nanos magnitudes (~1.7e18 > 2^53).
+      // events.ts encoding varies across fixture generations: parquet
+      // TIMESTAMP(NANOS) (which Spark's reader rejects outright with
+      // [PARQUET_TYPE_ILLEGAL] unless read as raw longs) or native µs.
+      // Handle both by reading with nanosAsLong and dispatching on the
+      // OBSERVED type rather than assuming one generation's encoding.
       // (GraftSession sets nanosAsLong at build time; this guard covers
       // sessions built elsewhere, e.g. bare test harnesses.)
       if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      normalizeEventsTs(raw)
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
+
+  /** Normalize the events.ts column to session-tz µs TimestampType from
+    * whatever the fixture stores: raw epoch-nanos longs (`div 1000` keeps
+    * full integer precision — a double roundtrip would lose sub-ms bits at
+    * 2024-era epoch-nanos magnitudes, ~1.7e18 > 2^53), TIMESTAMP_NTZ (µs
+    * files; cast is value-preserving under the UTC session tz), or already
+    * TimestampType (pass through). */
+  private[graft] def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+  }
 
   /** Register every fixture table as a temp view named after the table. */
   def registerAll(spark: SparkSession, dir: String): Unit =

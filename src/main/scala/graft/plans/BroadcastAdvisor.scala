@@ -45,7 +45,13 @@ object BroadcastAdvisor {
     * c_mktsegment has exactly 5 values, so it is also exact here. */
   val EqSelectivity = 0.2
 
-  case class ColStats(avgBytes: Double, minLong: Option[Long], maxLong: Option[Long])
+  /** `microsPerUnit`: for temporal columns, how many µs one stored unit
+    * spans (1 for TIMESTAMP(MICROS), 1000 for MILLIS, 86.4e9 for DATE
+    * days) — fixture generations have switched units between rounds, so
+    * the advisor derives it from the footer's logical type annotation
+    * rather than assuming one encoding. None for non-temporal columns. */
+  case class ColStats(avgBytes: Double, minLong: Option[Long],
+      maxLong: Option[Long], microsPerUnit: Option[Double] = None)
   case class TableStats(rows: Long, cols: Map[String, ColStats])
 
   private val cache =
@@ -69,6 +75,7 @@ object BroadcastAdvisor {
       val colBytes = scala.collection.mutable.Map.empty[String, Long]
       val colMin = scala.collection.mutable.Map.empty[String, Long]
       val colMax = scala.collection.mutable.Map.empty[String, Long]
+      val colUnit = scala.collection.mutable.Map.empty[String, Double]
       files.foreach { f =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -78,27 +85,49 @@ object BroadcastAdvisor {
             val name = cc.getPath.toDotString
             colBytes(name) = colBytes.getOrElse(name, 0L) + cc.getTotalUncompressedSize
             val s = cc.getStatistics
-            if (s != null && s.hasNonNullValue &&
-                cc.getPrimitiveType.getPrimitiveTypeName ==
-                  org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64) {
-              val mn = s.genericGetMin.asInstanceOf[java.lang.Long].longValue
-              val mx = s.genericGetMax.asInstanceOf[java.lang.Long].longValue
+            import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+            import org.apache.parquet.schema.LogicalTypeAnnotation
+            val ptype = cc.getPrimitiveType
+            val longStats: Option[(Long, Long)] =
+              if (s == null || !s.hasNonNullValue) None
+              else ptype.getPrimitiveTypeName match {
+                case PrimitiveTypeName.INT64 => Some((
+                  s.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+                  s.genericGetMax.asInstanceOf[java.lang.Long].longValue))
+                case PrimitiveTypeName.INT32 => Some((
+                  s.genericGetMin.asInstanceOf[java.lang.Integer].longValue,
+                  s.genericGetMax.asInstanceOf[java.lang.Integer].longValue))
+                case _ => None
+              }
+            longStats.foreach { case (mn, mx) =>
               colMin(name) = colMin.get(name).fold(mn)(math.min(_, mn))
               colMax(name) = colMax.get(name).fold(mx)(math.max(_, mx))
+            }
+            ptype.getLogicalTypeAnnotation match {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                colUnit(name) = t.getUnit match {
+                  case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000.0
+                  case LogicalTypeAnnotation.TimeUnit.MICROS => 1.0
+                  case LogicalTypeAnnotation.TimeUnit.NANOS => 0.001
+                }
+              case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+                colUnit(name) = 86400.0 * 1000000.0
+              case _ =>
             }
           }
         } finally reader.close()
       }
       TableStats(rows, colBytes.keys.map { n =>
         n -> ColStats(if (rows == 0) 0.0 else colBytes(n).toDouble / rows,
-          colMin.get(n), colMax.get(n))
+          colMin.get(n), colMax.get(n), colUnit.get(n))
       }.toMap)
     })
 
-  /** Range selectivity of `lo <= col < hi` (epoch millis for the fixture's
-    * timestamp[ms] date columns) by linear interpolation over the footer
-    * min/max — the same uniform assumption DataFusion's pruning/estimation
-    * makes. Unknown stats → 1.0 (never under-estimates the build side). */
+  /** Range selectivity of `lo <= col < hi` with bounds in the COLUMN's own
+    * stored units (see [[dateBound]]), by linear interpolation over the
+    * footer min/max — the same uniform assumption DataFusion's
+    * pruning/estimation makes. Unknown stats → 1.0 (never under-estimates
+    * the build side). */
   def rangeSelectivity(ts: TableStats, col: String,
       lo: Option[Long], hi: Option[Long]): Double =
     ts.cols.get(col).flatMap(c => c.minLong.zip(c.maxLong)).map {
@@ -108,6 +137,16 @@ object BroadcastAdvisor {
         math.max(0.0, math.min(1.0, (h - l).toDouble / (mx + 1 - mn)))
       case _ => 1.0
     }.getOrElse(1.0)
+
+  /** A calendar-date bound expressed in `col`'s stored units (days for
+    * DATE columns, ms/µs/ns for the timestamp encodings — fixture
+    * generations have used several). Falls back to epoch-ms when the
+    * footer carries no temporal annotation. */
+  def dateBound(ts: TableStats, col: String, date: String): Long = {
+    val micros = epochMs(date) * 1000.0
+    val perUnit = ts.cols.get(col).flatMap(_.microsPerUnit).getOrElse(1000.0)
+    (micros / perUnit).toLong
+  }
 
   /** Estimated in-memory bytes of `rows` rows projecting `cols`
     * (uncompressed footer widths + per-row object overhead). */
@@ -131,7 +170,7 @@ object BroadcastAdvisor {
   def q3CmplxBytes(spark: SparkSession, dir: String): Long = {
     val o = tableStats(spark, s"$dir/orders.parquet")
     val rows = o.rows *
-      rangeSelectivity(o, "o_orderdate", None, Some(epochMs("1998-03-15"))) *
+      rangeSelectivity(o, "o_orderdate", None, Some(dateBound(o, "o_orderdate", "1998-03-15"))) *
       EqSelectivity
     estimateBytes(o, rows, Seq("o_orderkey", "o_orderdate", "o_orderpriority"))
   }
@@ -145,7 +184,8 @@ object BroadcastAdvisor {
     val regionSel = if (r.rows > 0) 1.0 / r.rows else 1.0
     val rows = o.rows *
       rangeSelectivity(o, "o_orderdate",
-        Some(epochMs("1996-01-01")), Some(epochMs("1998-01-01"))) * regionSel
+        Some(dateBound(o, "o_orderdate", "1996-01-01")),
+        Some(dateBound(o, "o_orderdate", "1998-01-01"))) * regionSel
     estimateBytes(o, rows, Seq("o_orderkey", "o_custkey")) // nationkey+name ≈ key widths
   }
 
@@ -155,7 +195,8 @@ object BroadcastAdvisor {
   def q10PcBytes(spark: SparkSession, dir: String): Long = {
     val o = tableStats(spark, s"$dir/orders.parquet")
     val windowRows = o.rows * rangeSelectivity(o, "o_orderdate",
-      Some(epochMs("1996-10-01")), Some(epochMs("1997-01-01")))
+      Some(dateBound(o, "o_orderdate", "1996-10-01")),
+      Some(dateBound(o, "o_orderdate", "1997-01-01")))
     estimateBytes(o, windowRows, Seq("o_orderkey", "o_custkey"))
   }
 }

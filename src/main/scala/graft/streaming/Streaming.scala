@@ -35,8 +35,8 @@ object Streaming {
     Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve("events.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema).parquet(stage.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(schema).parquet(stage.toString))
   }
 
   /** Tumbling-window aggregation, run to completion over the bounded input;
