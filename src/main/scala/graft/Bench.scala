@@ -23,7 +23,11 @@ object Bench {
     "win_running", "unnest_words", "events_sessionize",
     "text_stats", "dedup_exact", "dedup_minhash_stats", "dedup_ngram_topk",
     "embed_knn", "vector_math", "dedup_cluster", "sample_split",
-    "pipeline_pack")
+    "pipeline_pack",
+    // round 5 appended: the reference's remaining bench families
+    // (external_aggr, ClickBench user x minute, sort_tpch) — totals remain
+    // comparable across rounds on the shared prefix above
+    "external_aggr_hicard", "cb_user_minute_matrix", "sort_tpch_wide")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
