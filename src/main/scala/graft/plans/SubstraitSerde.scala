@@ -47,7 +47,7 @@ object SubstraitSerde {
       case _ => throw new IllegalArgumentException("substrait: no relations")
     }
     val root = rels.head \ "root"
-    val input = rel(root \ "input", functions, tableFor, spark)
+    val input = rel(root \ "input", Ctx(functions, tableFor, spark), 0).df
     root \ "names" match {
       case JArray(names) =>
         val ns = names.map { case JString(s) => s; case o => o.toString }
@@ -89,20 +89,39 @@ object SubstraitSerde {
   private def positional(cols: Seq[Column]): Seq[Column] =
     cols.zipWithIndex.map { case (c, i) => c.as(s"_s$i") }
 
-  /** Apply RelCommon emit mapping (select output ordinals) if present. */
-  private def applyEmit(df: DataFrame, relNode: JValue): DataFrame =
-    relNode \ "common" \ "emit" \ "outputMapping" match {
-      case JArray(m) =>
-        val picks = m.flatMap(int).map(i => col(s"_s$i"))
-        df.select(positional(picks): _*)
-      case _ => df
+  /** Bundled consume context (extension anchors, table resolver, session). */
+  private case class Ctx(fns: Map[Long, String],
+      tableFor: String => Option[DataFrame], spark: SparkSession)
+
+  /** Relation build result: the DataFrame plus its OUTPUT WIDTH.
+    *
+    * Width is threaded explicitly because a correlated-subquery body
+    * (holding lazy `.outer()` references) CANNOT be analyzed standalone —
+    * any `.columns`/`.schema`/`toDF` access on such a DataFrame forces
+    * analysis and throws UNRESOLVED_COLUMN. Positional naming (_s0.._sN)
+    * plus a tracked width lets every construction step reference columns
+    * by computed name with zero schema access; the full plan analyzes once
+    * at the root, where the subquery expressions have their outer scope. */
+  private case class RelOut(df: DataFrame, width: Int)
+
+  /** `depth` = number of enclosing query-level scopes (for stepsOut
+    * validation; all field names are scope-invariant `_s<ordinal>`). */
+  private def rel(j: JValue, ctx: Ctx, depth: Int): RelOut = {
+    val fns = ctx.fns; val tableFor = ctx.tableFor
+    def recurse(child: JValue): RelOut = rel(child, ctx, depth)
+    def expression(e: JValue): Column = expr0(e, ctx, depth + 1, bind = false)
+    def emitOf(node: JValue): Option[List[Int]] =
+      node \ "common" \ "emit" \ "outputMapping" match {
+        case JArray(m) => Some(m.flatMap(int))
+        case _ => None
+      }
+    def applyEmit(out: RelOut, node: JValue): RelOut = emitOf(node) match {
+      case Some(m) =>
+        RelOut(out.df.select(positional(m.map(i => col(s"_s$i"))): _*), m.size)
+      case None => out
     }
 
-  private def rel(j: JValue, fns: Map[Long, String],
-      tableFor: String => Option[DataFrame], spark: SparkSession): DataFrame = {
-    def recurse(child: JValue): DataFrame = rel(child, fns, tableFor, spark)
-
-    val built: (DataFrame, JValue) = j match {
+    j match {
       case _ if j \ "read" != JNothing =>
         val r = j \ "read"
         val names = arr(r \ "baseSchema" \ "names").flatMap(str)
@@ -120,27 +139,31 @@ object SubstraitSerde {
         var df = base.select(positional(cols): _*)
         r \ "filter" match {
           case JNothing =>
-          case f => df = df.filter(expression(f, df, fns))
+          case f => df = df.filter(expression(f))
         }
-        (df, r)
+        applyEmit(RelOut(df, names.size), r)
 
       case _ if j \ "filter" != JNothing =>
         val f = j \ "filter"
         val in = recurse(f \ "input")
-        (in.filter(expression(f \ "condition", in, fns)), f)
+        applyEmit(RelOut(in.df.filter(expression(f \ "condition")), in.width), f)
 
       case _ if j \ "project" != JNothing =>
+        // emit is FUSED into the project's single select (referencing the
+        // expression objects directly, never re-referencing columns the
+        // same select defines) — one plan node, lazy-safe
         val p = j \ "project"
         val in = recurse(p \ "input")
-        val exprs = arr(p \ "expressions").map(expression(_, in, fns))
-        val all = in.columns.toSeq.map(col) ++ exprs
-        (in.select(positional(all): _*), p)
+        val exprs = arr(p \ "expressions").map(expression)
+        val all = ((0 until in.width).map(i => col(s"_s$i")) ++ exprs).toIndexedSeq
+        val emitted = emitOf(p).map(_.map(all(_))).getOrElse(all.toList)
+        RelOut(in.df.select(positional(emitted): _*), emitted.size)
 
       case _ if j \ "aggregate" != JNothing =>
         val a = j \ "aggregate"
         val in = recurse(a \ "input")
         val groupExprs = arr(a \ "groupings").headOption
-          .map(g => arr(g \ "groupingExpressions").map(expression(_, in, fns)))
+          .map(g => arr(g \ "groupingExpressions").map(expression))
           .getOrElse(Nil)
         val measures = arr(a \ "measures").map { m =>
           val me = m \ "measure"
@@ -148,27 +171,41 @@ object SubstraitSerde {
             throw new IllegalArgumentException("substrait: unknown aggregate anchor"))
           val distinct =
             str(me \ "invocation").contains("AGGREGATION_INVOCATION_DISTINCT")
-          val args = arr(me \ "arguments").map(a0 => expression(a0 \ "value", in, fns))
+          val args = arr(me \ "arguments").map(a0 => expression(a0 \ "value"))
           aggFunction(name, args, distinct)
         }
-        // grouping keys materialize as extra columns first so arbitrary
-        // grouping EXPRESSIONS (not just fields) group correctly
-        val keyed = in.select(
-          (in.columns.toSeq.map(col) ++
-            groupExprs.zipWithIndex.map { case (e, i) => e.as(s"_g$i") }): _*)
-        val keys = groupExprs.indices.map(i => col(s"_g$i"))
+        val nK = groupExprs.size
         val agged =
-          if (measures.isEmpty) keyed.select(keys: _*).distinct()
-          else if (keys.isEmpty) keyed.agg(measures.head, measures.tail: _*)
-          else keyed.groupBy(keys: _*).agg(measures.head, measures.tail: _*)
-        val out = agged.columns.toSeq.map(col)
-        (agged.select(positional(out): _*), a)
+          if (measures.isEmpty)
+            // DISTINCT form; Dataset.distinct resolves eagerly — fine at
+            // the outer level, unsupported under a lazy subquery body
+            in.df.select(positional(groupExprs): _*).distinct()
+          else if (nK == 0)
+            // global aggregate via select (same Aggregate plan):
+            // Dataset.agg's typed-agg bridge requires a fully-resolved
+            // child, which a lazy subquery body is not yet
+            in.df.select(positional(measures): _*)
+          else {
+            // grouping keys materialize as extra columns first so
+            // arbitrary grouping EXPRESSIONS (not just fields) group
+            // correctly; keys+measures re-aliased positionally by name
+            val keyed = in.df.select(
+              ((0 until in.width).map(i => col(s"_s$i")) ++
+                groupExprs.zipWithIndex.map { case (e, i) => e.as(s"_g$i") }): _*)
+            val keys = (0 until nK).map(i => col(s"_g$i"))
+            val ms = measures.zipWithIndex.map { case (m, i) => m.as(s"_m$i") }
+            keyed.groupBy(keys: _*).agg(ms.head, ms.tail: _*)
+              .select(positional(
+                (0 until nK).map(i => col(s"_g$i")) ++
+                  measures.indices.map(i => col(s"_m$i"))): _*)
+          }
+        applyEmit(RelOut(agged, nK + measures.size), a)
 
       case _ if j \ "sort" != JNothing =>
         val s = j \ "sort"
         val in = recurse(s \ "input")
         val sorts = arr(s \ "sorts").map { sf =>
-          val e = expression(sf \ "expr", in, fns)
+          val e = expression(sf \ "expr")
           str(sf \ "direction").getOrElse("SORT_DIRECTION_ASC_NULLS_LAST") match {
             case "SORT_DIRECTION_ASC_NULLS_FIRST"  => e.asc_nulls_first
             case "SORT_DIRECTION_ASC_NULLS_LAST"   => e.asc_nulls_last
@@ -177,25 +214,26 @@ object SubstraitSerde {
             case _ => e.asc
           }
         }
-        (in.orderBy(sorts: _*), s)
+        applyEmit(RelOut(in.df.orderBy(sorts: _*), in.width), s)
 
       case _ if j \ "fetch" != JNothing =>
         val f = j \ "fetch"
         val in = recurse(f \ "input")
         val offset = long(f \ "offset").getOrElse(0L)
         val count = long(f \ "count").getOrElse(-1L)
-        val off = if (offset > 0) in.offset(offset.toInt) else in
-        (if (count >= 0) off.limit(count.toInt) else off, f)
+        val off = if (offset > 0) in.df.offset(offset.toInt) else in.df
+        applyEmit(
+          RelOut(if (count >= 0) off.limit(count.toInt) else off, in.width), f)
 
       case _ if j \ "join" != JNothing =>
         val jn = j \ "join"
         val l = recurse(jn \ "left")
         val r0 = recurse(jn \ "right")
-        val nL = l.columns.length
         // continue the ordinal numbering across the right side so the
-        // combined schema matches substrait's left++right field space
-        val r = r0.toDF(r0.columns.indices.map(i => s"_s${nL + i}"): _*)
-        val joined = l.crossJoin(r) // condition applied via the typed join below
+        // combined name space matches substrait's left++right field space
+        // (select-based rename: no schema access on the unanalyzed side)
+        val r = r0.df.select((0 until r0.width)
+          .map(i => col(s"_s$i").as(s"_s${l.width + i}")): _*)
         val jt = str(jn \ "type").getOrElse("JOIN_TYPE_INNER") match {
           case "JOIN_TYPE_INNER" => "inner"
           case "JOIN_TYPE_OUTER" => "full"
@@ -207,78 +245,131 @@ object SubstraitSerde {
         }
         val cond = jn \ "expression" match {
           case JNothing => lit(true)
-          case e => expression(e, joined, fns)
+          case e => expression(e) // names _s0.._s{nL+nR-1} span both sides
         }
-        val out = l.join(r, cond, jt)
-        val renamed = out.toDF(out.columns.indices.map(i => s"_s$i"): _*)
-        (renamed, jn)
+        val semi = jt == "left_semi" || jt == "left_anti"
+        val width = if (semi) l.width else l.width + r0.width
+        applyEmit(RelOut(l.df.join(r, cond, jt), width), jn)
 
       case _ if j \ "cross" != JNothing =>
         val c = j \ "cross"
         val l = recurse(c \ "left")
         val r0 = recurse(c \ "right")
-        val nL = l.columns.length
-        val r = r0.toDF(r0.columns.indices.map(i => s"_s${nL + i}"): _*)
-        (l.crossJoin(r), c)
+        val r = r0.df.select((0 until r0.width)
+          .map(i => col(s"_s$i").as(s"_s${l.width + i}")): _*)
+        applyEmit(RelOut(l.df.crossJoin(r), l.width + r0.width), c)
 
       case _ if j \ "set" != JNothing =>
         val s = j \ "set"
         val inputs = arr(s \ "inputs").map(recurse)
-        str(s \ "op").getOrElse("") match {
-          case "SET_OP_UNION_ALL" => (inputs.reduce(_.union(_)), s)
-          case "SET_OP_UNION_DISTINCT" => (inputs.reduce(_.union(_)).distinct(), s)
+        val df = str(s \ "op").getOrElse("") match {
+          case "SET_OP_UNION_ALL" => inputs.map(_.df).reduce(_.union(_))
+          case "SET_OP_UNION_DISTINCT" =>
+            inputs.map(_.df).reduce(_.union(_)).distinct()
           case other => throw new IllegalArgumentException(s"substrait: set $other")
         }
+        applyEmit(RelOut(df, inputs.head.width), s)
 
       case _ =>
         val keys = j match { case JObject(fs) => fs.map(_._1).mkString(","); case _ => "?" }
         throw new IllegalArgumentException(s"substrait: unsupported rel [$keys]")
     }
-    applyEmit(built._1, built._2)
   }
 
   // ------------------------------------------------------------ expressions
 
-  private def expression(j: JValue, input: DataFrame,
-      fns: Map[Long, String]): Column = j match {
+  /** Expression builder. Field selections resolve BY COMPUTED NAME
+    * (`_s<ordinal>` — scope-invariant under the positional-rename
+    * convention), never by DataFrame schema access, so construction works
+    * inside lazily-analyzed correlated-subquery bodies. Subquery forms map
+    * onto Spark 4's Dataset subquery expression API: scalar →
+    * Dataset.scalar(), setPredicate EXISTS / inPredicate →
+    * Dataset.exists() (the reference consumer performs the same rewrites;
+    * substrait/src/logical_plan/consumer/expr/subquery.rs). Correlation
+    * (outerReference, and IN-needles evaluated inside the haystack's plan)
+    * becomes an unresolved column marked `.outer()`: the analyzer resolves
+    * it against the enclosing plan while resolving the subquery
+    * expression; outer() skips the inner scope, so identical positional
+    * names cannot capture. `depth` counts available scopes — all fixture
+    * correlation is stepsOut=1; deeper nesting would be ambiguous under
+    * name resolution and fails loudly. */
+  private def expr0(j: JValue, ctx: Ctx, depth: Int, bind: Boolean): Column = {
+    def sub(e: JValue): Column = expr0(e, ctx, depth, bind)
+    j match {
     case _ if j \ "selection" != JNothing =>
       // proto3 JSON omits zero: structField:{} is field 0
-      val f = int(j \ "selection" \ "directReference" \ "structField" \ "field")
+      val sel = j \ "selection"
+      val f = int(sel \ "directReference" \ "structField" \ "field")
         .getOrElse(0)
-      col(input.columns(f))
+      val stepsOut =
+        if (sel \ "outerReference" == JNothing) 0
+        else int(sel \ "outerReference" \ "stepsOut").getOrElse(1)
+      if (stepsOut > 0) {
+        if (stepsOut >= depth) throw new IllegalArgumentException(
+          s"substrait: outerReference stepsOut=$stepsOut exceeds nesting depth")
+        if (stepsOut > 1) throw new IllegalArgumentException(
+          s"substrait: outerReference stepsOut=$stepsOut unsupported (max 1)")
+        col(s"_s$f").outer()
+      }
+      else if (bind) col(s"_s$f").outer()
+      else col(s"_s$f")
     case _ if j \ "literal" != JNothing => literal(j \ "literal")
     case _ if j \ "scalarFunction" != JNothing =>
       val sf = j \ "scalarFunction"
-      val name = fns.getOrElse(long(sf \ "functionReference").getOrElse(0L),
+      val name = ctx.fns.getOrElse(long(sf \ "functionReference").getOrElse(0L),
         throw new IllegalArgumentException("substrait: unknown function anchor"))
       val (enums, args) = arr(sf \ "arguments").partitionMap { a =>
         a \ "enum" match {
           case JString(e) => Left(e)
-          case _ => Right(expression(a \ "value", input, fns))
+          case _ => Right(sub(a \ "value"))
         }
       }
       scalarFunction(name, enums, args)
     case _ if j \ "cast" != JNothing =>
       val c = j \ "cast"
-      expression(c \ "input", input, fns).cast(sparkTypeOf(c \ "type"))
+      sub(c \ "input").cast(sparkTypeOf(c \ "type"))
     case _ if j \ "ifThen" != JNothing =>
       val it = j \ "ifThen"
-      val ifs = arr(it \ "ifs").map(b =>
-        (expression(b \ "if", input, fns), expression(b \ "then", input, fns)))
+      val ifs = arr(it \ "ifs").map(b => (sub(b \ "if"), sub(b \ "then")))
       val base = when(ifs.head._1, ifs.head._2)
       val chained = ifs.tail.foldLeft(base) { case (acc, (c, t)) => acc.when(c, t) }
       it \ "else" match {
         case JNothing => chained
-        case e => chained.otherwise(expression(e, input, fns))
+        case e => chained.otherwise(sub(e))
       }
     case _ if j \ "singularOrList" != JNothing =>
       val sl = j \ "singularOrList"
-      val v = expression(sl \ "value", input, fns)
-      val opts = arr(sl \ "options").map(expression(_, input, fns))
+      val v = sub(sl \ "value")
+      val opts = arr(sl \ "options").map(sub)
       v.isin(opts: _*)
+    case _ if j \ "subquery" != JNothing =>
+      val sq = j \ "subquery"
+      if (sq \ "scalar" != JNothing)
+        rel(sq \ "scalar" \ "input", ctx, depth).df.scalar()
+      else if (sq \ "setPredicate" != JNothing) {
+        val sp = sq \ "setPredicate"
+        val op = str(sp \ "predicateOp").getOrElse("")
+        if (op != "PREDICATE_OP_EXISTS") throw new IllegalArgumentException(
+          s"substrait: unsupported setPredicate $op")
+        rel(sp \ "tuples", ctx, depth).df.exists()
+      } else if (sq \ "inPredicate" != JNothing) {
+        val ip = sq \ "inPredicate"
+        val hay = rel(ip \ "haystack", ctx, depth)
+        // needles are expressions over the CURRENT scope but evaluate
+        // inside the haystack's plan — marked .outer() (non-null fixture
+        // keys make the EXISTS rewrite of IN exact; substrait inPredicate
+        // has no null-aware variant)
+        val needles = arr(ip \ "needles").map(expr0(_, ctx, depth, bind = true))
+        val cond = needles.zipWithIndex
+          .map { case (n, i) => col(s"_s$i") === n }
+          .reduce(_ && _)
+        hay.df.where(cond).exists()
+      } else throw new IllegalArgumentException(
+        s"substrait: unsupported subquery form")
     case _ =>
       val keys = j match { case JObject(fs) => fs.map(_._1).mkString(","); case _ => "?" }
       throw new IllegalArgumentException(s"substrait: unsupported expression [$keys]")
+    }
   }
 
   private def literal(l: JValue): Column = {

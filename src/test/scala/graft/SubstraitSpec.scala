@@ -72,12 +72,13 @@ class SubstraitSpec extends AnyFunSuite {
     }
   }
 
-  test("consume and plan every non-subquery reference TPC-H Substrait plan") {
+  test("consume and plan every reference TPC-H Substrait plan") {
     assume(available)
-    // the fixture plans with no Subquery expression (the consumer's
-    // supported surface; the reference's consumer gates similarly).
+    // All fixture plans, including the subquery forms (scalar,
+    // setPredicate EXISTS, inPredicate — correlated via outerReference),
+    // which map onto Spark 4's Dataset.scalar()/exists() subquery API.
     // query_15's fixture file is an empty JSON placeholder upstream.
-    val qs = Seq(1, 3, 5, 6, 7, 8, 9, 10, 12, 13, 14, 19)
+    val qs = (1 to 22).filterNot(_ == 15)
     val failures = scala.collection.mutable.ListBuffer[String]()
     qs.foreach { q =>
       try {
