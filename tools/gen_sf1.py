@@ -97,6 +97,16 @@ def main():
     write("embeddings", f"""
         SELECT vec_id + i*{vk} AS vec_id, embedding, label
         FROM '{SRC}/embeddings.parquet', {rep}""")
+    # events: shift ids per copy; keep ts untouched so time-bucketed
+    # aggregations grow in GROUP SIZE (same buckets, N x rows) while the
+    # user x minute matrix grows in CELL COUNT (new users per copy) — both
+    # scale axes of the ClickBench-shaped workloads.
+    ek = mx("events", "event_id")
+    uk = mx("events", "user_id")
+    write("events", f"""
+        SELECT event_id + i*{ek} AS event_id, ts,
+               user_id + i*{uk} AS user_id, event_type, value, props
+        FROM '{SRC}/events.parquet', {rep}""")
     for small in ("nation", "region"):
         dst = f"{out}/{small}.parquet"
         if os.path.isdir(dst):
