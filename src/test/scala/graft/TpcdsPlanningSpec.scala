@@ -55,4 +55,30 @@ class TpcdsPlanningSpec extends AnyFunSuite {
     failures.foreach(f => info(s"  FAILED $f"))
     assert(failures.isEmpty, s"${failures.size} TPC-DS queries failed to plan")
   }
+
+  test("all 99 TPC-DS queries also execute over the empty schema") {
+    // One step past the reference's planning-only gate: run every
+    // statement to completion (empty inputs → 0-or-aggregate-only rows).
+    // This exercises physical operator construction, codegen and the
+    // whole-stage pipelines for the full TPC-DS operator mix — breakage
+    // in exchange planning or window/grouping-set physical rewrites shows
+    // here even when planning succeeds.
+    assume(available, s"$sqlDir not present")
+    val s = spark.newSession()
+    TpcdsSchema.registerEmpty(s)
+    val failures = scala.collection.mutable.ListBuffer[String]()
+    for (q <- 1 to 99) {
+      statements(s"$sqlDir/$q.sql").foreach { stmt =>
+        try {
+          val n = s.sql(stmt).count()
+          assert(n >= 0)
+        } catch {
+          case e: Throwable =>
+            failures += s"q$q: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.take(2).mkString(" | ").take(220)}"
+        }
+      }
+    }
+    failures.foreach(f => info(s"  FAILED $f"))
+    assert(failures.isEmpty, s"${failures.size} TPC-DS queries failed to execute")
+  }
 }
