@@ -25,9 +25,10 @@ import org.json4s.jackson.JsonMethods
   *
   * Substrait field references are ORDINAL; Spark's DataFrame algebra is
   * name-based. The consumer bridges by renaming every relation's output
-  * positionally (`_s0.._sN`), so duplicate source names (self-joins, join
-  * fan-in) can never mis-resolve; the root relation re-applies the plan's
-  * declared output names.
+  * positionally with a query-level qualifier (`_q<level>_s<ordinal>`), so
+  * duplicate source names (self-joins, join fan-in) and cross-level
+  * subquery scopes can never mis-resolve; the root relation re-applies
+  * the plan's declared output names.
   */
 object SubstraitSerde {
 
@@ -86,8 +87,14 @@ object SubstraitSerde {
   private def arr(j: JValue): List[JValue] =
     j match { case JArray(xs) => xs; case JNothing => Nil; case x => List(x) }
 
-  private def positional(cols: Seq[Column]): Seq[Column] =
-    cols.zipWithIndex.map { case (c, i) => c.as(s"_s$i") }
+  /** Positional rename, LEVEL-QUALIFIED: `_q<level>_s<ordinal>`. The
+    * level prefix makes names unique across query-nesting levels — an
+    * unresolved-name `.outer()` reference resolves inner-first, so bare
+    * `_sN` names would silently capture the subquery's own column
+    * whenever the ordinal exists on both sides (which positional naming
+    * guarantees). Level-qualifying removes the collision entirely. */
+  private def positional(cols: Seq[Column], level: Int): Seq[Column] =
+    cols.zipWithIndex.map { case (c, i) => c.as(s"_q${level}_s$i") }
 
   /** Bundled consume context (extension anchors, table resolver, session). */
   private case class Ctx(fns: Map[Long, String],
@@ -98,18 +105,19 @@ object SubstraitSerde {
     * Width is threaded explicitly because a correlated-subquery body
     * (holding lazy `.outer()` references) CANNOT be analyzed standalone —
     * any `.columns`/`.schema`/`toDF` access on such a DataFrame forces
-    * analysis and throws UNRESOLVED_COLUMN. Positional naming (_s0.._sN)
-    * plus a tracked width lets every construction step reference columns
+    * analysis and throws UNRESOLVED_COLUMN. Level-qualified positional
+    * naming plus a tracked width lets every construction step reference columns
     * by computed name with zero schema access; the full plan analyzes once
     * at the root, where the subquery expressions have their outer scope. */
   private case class RelOut(df: DataFrame, width: Int)
 
-  /** `depth` = number of enclosing query-level scopes (for stepsOut
-    * validation; all field names are scope-invariant `_s<ordinal>`). */
-  private def rel(j: JValue, ctx: Ctx, depth: Int): RelOut = {
+  /** `level` = query nesting level (0 = root; a subquery body is its
+    * enclosing level + 1). All field names inside a level are
+    * `_q<level>_s<ordinal>`. */
+  private def rel(j: JValue, ctx: Ctx, level: Int): RelOut = {
     val fns = ctx.fns; val tableFor = ctx.tableFor
-    def recurse(child: JValue): RelOut = rel(child, ctx, depth)
-    def expression(e: JValue): Column = expr0(e, ctx, depth + 1, bind = false)
+    def recurse(child: JValue): RelOut = rel(child, ctx, level)
+    def expression(e: JValue): Column = expr0(e, ctx, level, bind = false)
     def emitOf(node: JValue): Option[List[Int]] =
       node \ "common" \ "emit" \ "outputMapping" match {
         case JArray(m) => Some(m.flatMap(int))
@@ -117,7 +125,8 @@ object SubstraitSerde {
       }
     def applyEmit(out: RelOut, node: JValue): RelOut = emitOf(node) match {
       case Some(m) =>
-        RelOut(out.df.select(positional(m.map(i => col(s"_s$i"))): _*), m.size)
+        RelOut(out.df.select(
+          positional(m.map(i => col(s"_q${level}_s$i")), level): _*), m.size)
       case None => out
     }
 
@@ -136,7 +145,7 @@ object SubstraitSerde {
           if (have(n.toLowerCase)) col(n.toLowerCase)
           else lit(null).cast(t)
         }
-        var df = base.select(positional(cols): _*)
+        var df = base.select(positional(cols, level): _*)
         r \ "filter" match {
           case JNothing =>
           case f => df = df.filter(expression(f))
@@ -155,9 +164,9 @@ object SubstraitSerde {
         val p = j \ "project"
         val in = recurse(p \ "input")
         val exprs = arr(p \ "expressions").map(expression)
-        val all = ((0 until in.width).map(i => col(s"_s$i")) ++ exprs).toIndexedSeq
+        val all = ((0 until in.width).map(i => col(s"_q${level}_s$i")) ++ exprs).toIndexedSeq
         val emitted = emitOf(p).map(_.map(all(_))).getOrElse(all.toList)
-        RelOut(in.df.select(positional(emitted): _*), emitted.size)
+        RelOut(in.df.select(positional(emitted, level): _*), emitted.size)
 
       case _ if j \ "aggregate" != JNothing =>
         val a = j \ "aggregate"
@@ -179,25 +188,27 @@ object SubstraitSerde {
           if (measures.isEmpty)
             // DISTINCT form; Dataset.distinct resolves eagerly — fine at
             // the outer level, unsupported under a lazy subquery body
-            in.df.select(positional(groupExprs): _*).distinct()
+            in.df.select(positional(groupExprs, level): _*).distinct()
           else if (nK == 0)
             // global aggregate via select (same Aggregate plan):
             // Dataset.agg's typed-agg bridge requires a fully-resolved
             // child, which a lazy subquery body is not yet
-            in.df.select(positional(measures): _*)
+            in.df.select(positional(measures, level): _*)
           else {
             // grouping keys materialize as extra columns first so
             // arbitrary grouping EXPRESSIONS (not just fields) group
             // correctly; keys+measures re-aliased positionally by name
             val keyed = in.df.select(
-              ((0 until in.width).map(i => col(s"_s$i")) ++
-                groupExprs.zipWithIndex.map { case (e, i) => e.as(s"_g$i") }): _*)
-            val keys = (0 until nK).map(i => col(s"_g$i"))
-            val ms = measures.zipWithIndex.map { case (m, i) => m.as(s"_m$i") }
+              ((0 until in.width).map(i => col(s"_q${level}_s$i")) ++
+                groupExprs.zipWithIndex.map { case (e, i) =>
+                  e.as(s"_q${level}_g$i") }): _*)
+            val keys = (0 until nK).map(i => col(s"_q${level}_g$i"))
+            val ms = measures.zipWithIndex.map { case (m, i) =>
+              m.as(s"_q${level}_m$i") }
             keyed.groupBy(keys: _*).agg(ms.head, ms.tail: _*)
               .select(positional(
-                (0 until nK).map(i => col(s"_g$i")) ++
-                  measures.indices.map(i => col(s"_m$i"))): _*)
+                (0 until nK).map(i => col(s"_q${level}_g$i")) ++
+                  measures.indices.map(i => col(s"_q${level}_m$i")), level): _*)
           }
         applyEmit(RelOut(agged, nK + measures.size), a)
 
@@ -233,7 +244,7 @@ object SubstraitSerde {
         // combined name space matches substrait's left++right field space
         // (select-based rename: no schema access on the unanalyzed side)
         val r = r0.df.select((0 until r0.width)
-          .map(i => col(s"_s$i").as(s"_s${l.width + i}")): _*)
+          .map(i => col(s"_q${level}_s$i").as(s"_q${level}_s${l.width + i}")): _*)
         val jt = str(jn \ "type").getOrElse("JOIN_TYPE_INNER") match {
           case "JOIN_TYPE_INNER" => "inner"
           case "JOIN_TYPE_OUTER" => "full"
@@ -256,7 +267,7 @@ object SubstraitSerde {
         val l = recurse(c \ "left")
         val r0 = recurse(c \ "right")
         val r = r0.df.select((0 until r0.width)
-          .map(i => col(s"_s$i").as(s"_s${l.width + i}")): _*)
+          .map(i => col(s"_q${level}_s$i").as(s"_q${level}_s${l.width + i}")): _*)
         applyEmit(RelOut(l.df.crossJoin(r), l.width + r0.width), c)
 
       case _ if j \ "set" != JNothing =>
@@ -293,8 +304,8 @@ object SubstraitSerde {
     * names cannot capture. `depth` counts available scopes — all fixture
     * correlation is stepsOut=1; deeper nesting would be ambiguous under
     * name resolution and fails loudly. */
-  private def expr0(j: JValue, ctx: Ctx, depth: Int, bind: Boolean): Column = {
-    def sub(e: JValue): Column = expr0(e, ctx, depth, bind)
+  private def expr0(j: JValue, ctx: Ctx, level: Int, bind: Boolean): Column = {
+    def sub(e: JValue): Column = expr0(e, ctx, level, bind)
     j match {
     case _ if j \ "selection" != JNothing =>
       // proto3 JSON omits zero: structField:{} is field 0
@@ -305,14 +316,15 @@ object SubstraitSerde {
         if (sel \ "outerReference" == JNothing) 0
         else int(sel \ "outerReference" \ "stepsOut").getOrElse(1)
       if (stepsOut > 0) {
-        if (stepsOut >= depth) throw new IllegalArgumentException(
-          s"substrait: outerReference stepsOut=$stepsOut exceeds nesting depth")
-        if (stepsOut > 1) throw new IllegalArgumentException(
-          s"substrait: outerReference stepsOut=$stepsOut unsupported (max 1)")
-        col(s"_s$f").outer()
+        if (stepsOut > level) throw new IllegalArgumentException(
+          s"substrait: outerReference stepsOut=$stepsOut exceeds nesting level")
+        // level-qualified name of the TARGET scope; .outer() resolves
+        // against enclosing plans, and the level prefix guarantees the
+        // name exists in exactly one of them (arbitrary stepsOut works)
+        col(s"_q${level - stepsOut}_s$f").outer()
       }
-      else if (bind) col(s"_s$f").outer()
-      else col(s"_s$f")
+      else if (bind) col(s"_q${level}_s$f").outer()
+      else col(s"_q${level}_s$f")
     case _ if j \ "literal" != JNothing => literal(j \ "literal")
     case _ if j \ "scalarFunction" != JNothing =>
       val sf = j \ "scalarFunction"
@@ -345,23 +357,23 @@ object SubstraitSerde {
     case _ if j \ "subquery" != JNothing =>
       val sq = j \ "subquery"
       if (sq \ "scalar" != JNothing)
-        rel(sq \ "scalar" \ "input", ctx, depth).df.scalar()
+        rel(sq \ "scalar" \ "input", ctx, level + 1).df.scalar()
       else if (sq \ "setPredicate" != JNothing) {
         val sp = sq \ "setPredicate"
         val op = str(sp \ "predicateOp").getOrElse("")
         if (op != "PREDICATE_OP_EXISTS") throw new IllegalArgumentException(
           s"substrait: unsupported setPredicate $op")
-        rel(sp \ "tuples", ctx, depth).df.exists()
+        rel(sp \ "tuples", ctx, level + 1).df.exists()
       } else if (sq \ "inPredicate" != JNothing) {
         val ip = sq \ "inPredicate"
-        val hay = rel(ip \ "haystack", ctx, depth)
+        val hay = rel(ip \ "haystack", ctx, level + 1)
         // needles are expressions over the CURRENT scope but evaluate
         // inside the haystack's plan — marked .outer() (non-null fixture
         // keys make the EXISTS rewrite of IN exact; substrait inPredicate
         // has no null-aware variant)
-        val needles = arr(ip \ "needles").map(expr0(_, ctx, depth, bind = true))
+        val needles = arr(ip \ "needles").map(expr0(_, ctx, level, bind = true))
         val cond = needles.zipWithIndex
-          .map { case (n, i) => col(s"_s$i") === n }
+          .map { case (n, i) => col(s"_q${level + 1}_s$i") === n }
           .reduce(_ && _)
         hay.df.where(cond).exists()
       } else throw new IllegalArgumentException(
@@ -503,7 +515,10 @@ object SubstraitSerde {
     IsNotNull => CIsNotNull, Not => CNot, And => CAnd, Or => COr,
     EqualTo, LessThan, GreaterThan, LessThanOrEqual, GreaterThanOrEqual,
     Add => CAdd, Subtract => CSubtract, Multiply => CMultiply,
-    Divide => CDivide, Remainder => CRemainder, Like => CLike}
+    Divide => CDivide, Remainder => CRemainder, Like => CLike,
+    ScalarSubquery => CScalarSubquery, Exists => CExists,
+    InSubquery => CInSubquery, ListQuery => CListQuery,
+    OuterReference => COuterReference}
   import org.apache.spark.sql.catalyst.expressions.aggregate.{
     AggregateExpression, Sum => CSum, Average => CAvg, Min => CMin,
     Max => CMax, Count => CCount}
@@ -538,7 +553,8 @@ object SubstraitSerde {
     JsonMethods.compact(JsonMethods.render(plan))
   }
 
-  private def emitRel(plan: LogicalPlan, reg: FnReg): JValue = plan match {
+  private def emitRel(plan: LogicalPlan, reg: FnReg,
+      outer: Seq[Attribute] = Nil): JValue = plan match {
     case SubqueryAlias(ident, child) if child.collectLeaves().size == 1 &&
         (child.isInstanceOf[LeafNode] || PlanSerdeLeaf.is(child)) =>
       JObject("read" -> JObject(
@@ -548,7 +564,7 @@ object SubstraitSerde {
           "struct" -> JObject("types" ->
             JArray(plan.output.map(a => typeJson(a.dataType, a.nullable)).toList))),
         "namedTable" -> JObject("names" -> JArray(List(JString(ident.name))))))
-    case SubqueryAlias(_, child) => emitRel(child, reg)
+    case SubqueryAlias(_, child) => emitRel(child, reg, outer)
     case Project(projectList, child) =>
       val childOut = child.output
       val newExprs = scala.collection.mutable.ListBuffer[JValue]()
@@ -560,22 +576,57 @@ object SubstraitSerde {
           childOut.indexWhere(_.exprId == a.exprId)
         case e =>
           val stripped = e match { case Alias(c, _) => c; case x => x }
-          newExprs += emitExpr(stripped, childOut, reg)
+          newExprs += emitExpr(stripped, childOut, reg, outer)
           childOut.size + newExprs.size - 1
       }
       JObject("project" -> JObject(
         "common" -> JObject("emit" -> JObject(
           "outputMapping" -> JArray(mapping.map(JInt(_)).toList))),
-        "input" -> emitRel(child, reg),
+        "input" -> emitRel(child, reg, outer),
         "expressions" -> JArray(newExprs.toList)))
     case Filter(condition, child) =>
       JObject("filter" -> JObject(
         "common" -> JObject("direct" -> JObject()),
-        "input" -> emitRel(child, reg),
-        "condition" -> emitExpr(condition, child.output, reg)))
+        "input" -> emitRel(child, reg, outer),
+        "condition" -> emitExpr(condition, child.output, reg, outer)))
+    // Composite post-aggregation outputs (avg(x) * 0.01, sum(a)/sum(b)):
+    // substrait's AggregateRel holds only keys and raw measures, so split
+    // into Aggregate(pure) + Project(composite over ordinals) and emit that
+    case Aggregate(g, aggExprs, child, _) if aggExprs.exists { ne =>
+      val st = ne match { case Alias(c, _) => c; case x => x }
+      !st.isInstanceOf[AggregateExpression] &&
+        g.indexWhere(_.semanticEquals(st)) < 0 &&
+        st.exists(_.isInstanceOf[AggregateExpression])
+    } =>
+      import org.apache.spark.sql.catalyst.expressions.NamedExpression
+      val keyAliases: Seq[NamedExpression] = g.zipWithIndex.map {
+        case (a: Attribute, _) => a
+        case (e, i) => Alias(e, s"_k$i")()
+      }
+      val aggAliases = scala.collection.mutable.LinkedHashMap[CExpr, Alias]()
+      def measureRef(ae: AggregateExpression): Attribute =
+        aggAliases.getOrElseUpdate(ae.canonicalized, Alias(ae, s"_a${aggAliases.size}")())
+          .toAttribute
+      def keyRefFor(e: CExpr): Option[Attribute] = {
+        val i = g.indexWhere(_.semanticEquals(e))
+        if (i < 0) None else Some(keyAliases(i).toAttribute)
+      }
+      val rewritten: Seq[NamedExpression] = aggExprs.map { ne =>
+        val newE = ne.transformDown {
+          case ae: AggregateExpression => measureRef(ae)
+          case e if !e.isInstanceOf[CLit] && keyRefFor(e).isDefined => keyRefFor(e).get
+        }
+        newE match {
+          case n: NamedExpression => n
+          case x => Alias(x, ne.name)()
+        }
+      }
+      val pure = Aggregate(g, keyAliases ++ aggAliases.values.toSeq, child)
+      emitRel(Project(rewritten, pure), reg, outer)
+
     case Aggregate(groupingExpressions, aggregateExpressions, child, _) =>
       val childOut = child.output
-      val groups = groupingExpressions.map(emitExpr(_, childOut, reg))
+      val groups = groupingExpressions.map(emitExpr(_, childOut, reg, outer))
       val measures = scala.collection.mutable.ListBuffer[JValue]()
       val mapping = aggregateExpressions.map { ae =>
         val stripped = ae match { case Alias(c, _) => c; case x => x }
@@ -583,7 +634,7 @@ object SubstraitSerde {
         if (gi >= 0) gi
         else stripped match {
           case agg: AggregateExpression =>
-            measures += emitMeasure(agg, childOut, reg)
+            measures += emitMeasure(agg, childOut, reg, outer)
             groupingExpressions.size + measures.size - 1
           case other => throw new IllegalArgumentException(
             s"substrait emit: aggregate output is neither key nor measure: ${other.sql}")
@@ -592,7 +643,7 @@ object SubstraitSerde {
       JObject("aggregate" -> JObject(
         "common" -> JObject("emit" -> JObject(
           "outputMapping" -> JArray(mapping.map(JInt(_)).toList))),
-        "input" -> emitRel(child, reg),
+        "input" -> emitRel(child, reg, outer),
         "groupings" -> JArray(List(JObject(
           "groupingExpressions" -> JArray(groups.toList)))),
         "measures" -> JArray(measures.toList)))
@@ -610,15 +661,15 @@ object SubstraitSerde {
       }
       JObject("join" -> JObject(
         "common" -> JObject("direct" -> JObject()),
-        "left" -> emitRel(left, reg),
-        "right" -> emitRel(right, reg),
-        "expression" -> condition.map(emitExpr(_, inputAttrs, reg))
+        "left" -> emitRel(left, reg, outer),
+        "right" -> emitRel(right, reg, outer),
+        "expression" -> condition.map(emitExpr(_, inputAttrs, reg, outer))
           .getOrElse(JObject("literal" -> JObject("boolean" -> JBool(true)))),
         "type" -> JString(jt)))
     case Sort(order, true, child, _) =>
       JObject("sort" -> JObject(
         "common" -> JObject("direct" -> JObject()),
-        "input" -> emitRel(child, reg),
+        "input" -> emitRel(child, reg, outer),
         "sorts" -> JArray(order.map { so =>
           val dir = (so.direction, so.nullOrdering) match {
             case (Ascending, NullsFirst) => "SORT_DIRECTION_ASC_NULLS_FIRST"
@@ -626,31 +677,31 @@ object SubstraitSerde {
             case (Descending, NullsFirst) => "SORT_DIRECTION_DESC_NULLS_FIRST"
             case (Descending, NullsLast) => "SORT_DIRECTION_DESC_NULLS_LAST"
           }
-          JObject("expr" -> emitExpr(so.child, child.output, reg),
+          JObject("expr" -> emitExpr(so.child, child.output, reg, outer),
             "direction" -> JString(dir))
         }.toList)))
     case GlobalLimit(limitExpr, LocalLimit(_, child)) =>
       JObject("fetch" -> JObject(
         "common" -> JObject("direct" -> JObject()),
-        "input" -> emitRel(child, reg),
+        "input" -> emitRel(child, reg, outer),
         "count" -> JString(limitExpr.eval().asInstanceOf[Number].longValue().toString)))
     case Union(children, false, false) =>
       JObject("set" -> JObject(
         "common" -> JObject("direct" -> JObject()),
-        "inputs" -> JArray(children.map(emitRel(_, reg)).toList),
+        "inputs" -> JArray(children.map(emitRel(_, reg, outer)).toList),
         "op" -> JString("SET_OP_UNION_ALL")))
     case Distinct(child) =>
       // substrait's DISTINCT form: aggregate grouping all fields
       JObject("aggregate" -> JObject(
         "common" -> JObject("direct" -> JObject()),
-        "input" -> emitRel(child, reg),
+        "input" -> emitRel(child, reg, outer),
         "groupings" -> JArray(List(JObject(
           "groupingExpressions" -> JArray(child.output.indices.map(fieldRef).toList)))),
         "measures" -> JArray(Nil)))
     // Dataset.distinct() analyzes to Deduplicate over all columns
     case Deduplicate(keys, child) if keys.size == child.output.size &&
         keys.forall(k => child.output.exists(_.semanticEquals(k))) =>
-      emitRel(Distinct(child), reg)
+      emitRel(Distinct(child), reg, outer)
     case other => throw new IllegalArgumentException(
       s"substrait emit: unsupported node ${other.nodeName}")
   }
@@ -683,20 +734,21 @@ object SubstraitSerde {
     case _: TimestampType => "ts"; case _ => "any"
   }
 
-  private def emitExpr(e: CExpr, input: Seq[Attribute], reg: FnReg): JValue = {
+  private def emitExpr(e: CExpr, input: Seq[Attribute], reg: FnReg,
+      outer: Seq[Attribute] = Nil): JValue = {
     def fn(name: String, args: Seq[CExpr]): JValue =
       JObject("scalarFunction" -> JObject(
         "functionReference" -> JInt(reg.anchor(sigOf(name, args))),
         "outputType" -> typeJson(e.dataType, e.nullable),
         "arguments" -> JArray(args.map(a =>
-          JObject("value" -> emitExpr(a, input, reg))).toList)))
+          JObject("value" -> emitExpr(a, input, reg, outer))).toList)))
     e match {
       case a: AttributeReference =>
         val i = input.indexWhere(_.exprId == a.exprId)
         if (i < 0) throw new IllegalArgumentException(
           s"substrait emit: unresolved reference ${a.name}")
         fieldRef(i)
-      case Alias(child, _) => emitExpr(child, input, reg)
+      case Alias(child, _) => emitExpr(child, input, reg, outer)
       case l: CLit => JObject("literal" -> literalJson(l))
       case CAnd(l, r) => fn("and", Seq(l, r))
       case COr(l, r) => fn("or", Seq(l, r))
@@ -717,27 +769,47 @@ object SubstraitSerde {
       case CCast(child, dt, _, _) =>
         JObject("cast" -> JObject(
           "type" -> typeJson(dt, e.nullable),
-          "input" -> emitExpr(child, input, reg),
+          "input" -> emitExpr(child, input, reg, outer),
           "failureBehavior" -> JString("FAILURE_BEHAVIOR_THROW_EXCEPTION")))
       case CCaseWhen(branches, elseValue) =>
         JObject("ifThen" -> JObject(
           "ifs" -> JArray(branches.map { case (c, v) =>
-            JObject("if" -> emitExpr(c, input, reg),
-              "then" -> emitExpr(v, input, reg))
+            JObject("if" -> emitExpr(c, input, reg, outer),
+              "then" -> emitExpr(v, input, reg, outer))
           }.toList),
-          "else" -> elseValue.map(emitExpr(_, input, reg)).getOrElse(JNothing)))
+          "else" -> elseValue.map(emitExpr(_, input, reg, outer)).getOrElse(JNothing)))
       case CIn(value, list) if list.forall(_.isInstanceOf[CLit]) =>
         JObject("singularOrList" -> JObject(
-          "value" -> emitExpr(value, input, reg),
+          "value" -> emitExpr(value, input, reg, outer),
           "options" -> JArray(list.map(x =>
-            emitExpr(x, input, reg)).toList)))
+            emitExpr(x, input, reg, outer)).toList)))
+      case COuterReference(a) =>
+        // depth-1 correlation: index into the ENCLOSING rel's input
+        val i = outer.indexWhere(_.exprId == a.exprId)
+        if (i < 0) throw new IllegalArgumentException(
+          s"substrait emit: outer reference ${a.name} not found in enclosing scope")
+        JObject("selection" -> JObject(
+          "directReference" -> JObject("structField" ->
+            (if (i == 0) JObject() else JObject("field" -> JInt(i)))),
+          "outerReference" -> JObject("stepsOut" -> JInt(1))))
+      case ss: CScalarSubquery =>
+        JObject("subquery" -> JObject("scalar" -> JObject(
+          "input" -> emitRel(ss.plan, reg, input))))
+      case ex: CExists =>
+        JObject("subquery" -> JObject("setPredicate" -> JObject(
+          "predicateOp" -> JString("PREDICATE_OP_EXISTS"),
+          "tuples" -> emitRel(ex.plan, reg, input))))
+      case CInSubquery(values, lq: CListQuery) =>
+        JObject("subquery" -> JObject("inPredicate" -> JObject(
+          "needles" -> JArray(values.map(emitExpr(_, input, reg, outer)).toList),
+          "haystack" -> emitRel(lq.plan, reg, input))))
       case other => throw new IllegalArgumentException(
         s"substrait emit: unsupported expression ${other.getClass.getSimpleName}: ${other.sql}")
     }
   }
 
   private def emitMeasure(agg: AggregateExpression, input: Seq[Attribute],
-      reg: FnReg): JValue = {
+      reg: FnReg, outer: Seq[Attribute] = Nil): JValue = {
     val (name, args) = agg.aggregateFunction match {
       case CSum(c, _) => ("sum", Seq(c))
       case CAvg(c, _) => ("avg", Seq(c))
@@ -757,7 +829,7 @@ object SubstraitSerde {
       "outputType" -> typeJson(agg.dataType, agg.nullable),
       "invocation" -> JString(invocation),
       "arguments" -> JArray(args.map(a =>
-        JObject("value" -> emitExpr(a, input, reg))).toList)))
+        JObject("value" -> emitExpr(a, input, reg, outer))).toList)))
   }
 
   private def literalJson(l: CLit): JValue = {

@@ -205,6 +205,33 @@ class SubstraitSpec extends AnyFunSuite {
     assert(ub.count() == u.count())
   }
 
+  test("emit/consume round-trip: subquery expressions (scalar, EXISTS, IN)") {
+    spark.read.parquet(s"$dataDir/orders.parquet").createOrReplaceTempView("rt2_orders")
+    spark.read.parquet(s"$dataDir/customer.parquet").createOrReplaceTempView("rt2_customer")
+    val orig = spark.sql(
+      """SELECT c_custkey, c_acctbal FROM rt2_customer
+        |WHERE c_acctbal > (SELECT avg(o_totalprice) * 0.01 FROM rt2_orders
+        |                   WHERE o_custkey = c_custkey)
+        |  AND EXISTS (SELECT 1 FROM rt2_orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |  AND c_custkey IN (SELECT o_custkey FROM rt2_orders
+        |                    WHERE o_totalprice > 1000.0)
+        |ORDER BY c_custkey""".stripMargin)
+    val json = SubstraitSerde.emitJson(orig)
+    assert(json.contains("\"scalar\"") && json.contains("PREDICATE_OP_EXISTS") &&
+      json.contains("\"inPredicate\"") && json.contains("\"outerReference\""))
+    val back = SubstraitSerde.consumeJson(spark, json,
+      n => n match {
+        case "rt2_orders" => Some(spark.table("rt2_orders"))
+        case "rt2_customer" => Some(spark.table("rt2_customer"))
+        case _ => None
+      })
+    val a = orig.collect().map(_.toString).toSeq
+    val b = back.collect().map(_.toString).toSeq
+    assert(a.nonEmpty, "round-trip query should select rows")
+    assert(a == b, s"round-trip mismatch: ${a.take(3)} vs ${b.take(3)}")
+  }
+
   test("emitted JSON carries substrait structure (extensions + root names)") {
     spark.read.parquet(s"$dataDir/region.parquet").createOrReplaceTempView("rt_region")
     val df = spark.table("rt_region").where("r_regionkey > 1").select("r_name")
