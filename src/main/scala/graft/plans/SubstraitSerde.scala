@@ -215,16 +215,7 @@ object SubstraitSerde {
       case _ if j \ "sort" != JNothing =>
         val s = j \ "sort"
         val in = recurse(s \ "input")
-        val sorts = arr(s \ "sorts").map { sf =>
-          val e = expression(sf \ "expr")
-          str(sf \ "direction").getOrElse("SORT_DIRECTION_ASC_NULLS_LAST") match {
-            case "SORT_DIRECTION_ASC_NULLS_FIRST"  => e.asc_nulls_first
-            case "SORT_DIRECTION_ASC_NULLS_LAST"   => e.asc_nulls_last
-            case "SORT_DIRECTION_DESC_NULLS_FIRST" => e.desc_nulls_first
-            case "SORT_DIRECTION_DESC_NULLS_LAST"  => e.desc_nulls_last
-            case _ => e.asc
-          }
-        }
+        val sorts = arr(s \ "sorts").map(sf => sortColumn(sf, expression(sf \ "expr")))
         applyEmit(RelOut(in.df.orderBy(sorts: _*), in.width), s)
 
       case _ if j \ "fetch" != JNothing =>
@@ -354,6 +345,8 @@ object SubstraitSerde {
       val v = sub(sl \ "value")
       val opts = arr(sl \ "options").map(sub)
       v.isin(opts: _*)
+    case _ if j \ "windowFunction" != JNothing =>
+      windowFunction(j \ "windowFunction", ctx, level)
     case _ if j \ "subquery" != JNothing =>
       val sq = j \ "subquery"
       if (sq \ "scalar" != JNothing)
@@ -382,6 +375,79 @@ object SubstraitSerde {
       val keys = j match { case JObject(fs) => fs.map(_._1).mkString(","); case _ => "?" }
       throw new IllegalArgumentException(s"substrait: unsupported expression [$keys]")
     }
+  }
+
+  /** SortField direction -> Column ordering. */
+  private def sortColumn(sf: JValue, e: Column): Column =
+    str(sf \ "direction").getOrElse("SORT_DIRECTION_ASC_NULLS_LAST") match {
+      case "SORT_DIRECTION_ASC_NULLS_FIRST"  => e.asc_nulls_first
+      case "SORT_DIRECTION_ASC_NULLS_LAST"   => e.asc_nulls_last
+      case "SORT_DIRECTION_DESC_NULLS_FIRST" => e.desc_nulls_first
+      case "SORT_DIRECTION_DESC_NULLS_LAST"  => e.desc_nulls_last
+      case _ => e.asc
+    }
+
+  /** Expression.WindowFunction -> Column.over(WindowSpec) (reference:
+    * substrait consumer expr/window_function.rs). Ranking functions keep
+    * Spark's mandatory default frame; aggregates honor the declared
+    * ROWS/RANGE bounds, with the reference's unspecified-bounds default
+    * (no ORDER BY -> whole partition; ORDER BY -> range to current row,
+    * which is Spark's own default, so no explicit frame is set). */
+  private def windowFunction(wf: JValue, ctx: Ctx, level: Int): Column = {
+    import org.apache.spark.sql.expressions.Window
+    val name = ctx.fns.getOrElse(long(wf \ "functionReference").getOrElse(0L),
+      throw new IllegalArgumentException("substrait: unknown window anchor"))
+    val args = arr(wf \ "arguments")
+      .flatMap(a => a \ "value" match {
+        case JNothing => None
+        case v => Some(expr0(v, ctx, level, bind = false))
+      })
+    val distinct =
+      str(wf \ "invocation").contains("AGGREGATION_INVOCATION_DISTINCT")
+    def argLit(i: Int, default: Int): Int =
+      arr(wf \ "arguments").lift(i)
+        .flatMap(a => long(a \ "value" \ "literal" \ "i32")
+          .orElse(long(a \ "value" \ "literal" \ "i64"))).map(_.toInt)
+        .getOrElse(default)
+    val ranking = Set("row_number", "rank", "dense_rank", "percent_rank",
+      "cume_dist", "ntile", "lead", "lag")
+    val fn: Column = name match {
+      case "row_number" => row_number()
+      case "rank" => rank()
+      case "dense_rank" => dense_rank()
+      case "percent_rank" => percent_rank()
+      case "cume_dist" => cume_dist()
+      case "ntile" => ntile(argLit(0, 1))
+      case "lead" => lead(args.head, argLit(1, 1))
+      case "lag" => lag(args.head, argLit(1, 1))
+      case "first_value" => first(args.head)
+      case "last_value" => last(args.head)
+      case other => aggFunction(other,
+        if (args.isEmpty) List(lit(1)) else args, distinct)
+    }
+    val parts = arr(wf \ "partitions").map(expr0(_, ctx, level, bind = false))
+    val sorts = arr(wf \ "sorts").map(sf =>
+      sortColumn(sf, expr0(sf \ "expr", ctx, level, bind = false)))
+    var w = Window.partitionBy(parts: _*)
+    if (sorts.nonEmpty) w = w.orderBy(sorts: _*)
+    def bound(b: JValue, unboundedDefault: Long): Long =
+      if (b \ "currentRow" != JNothing) Window.currentRow
+      else if (b \ "preceding" != JNothing)
+        -long(b \ "preceding" \ "offset").getOrElse(0L)
+      else if (b \ "following" != JNothing)
+        long(b \ "following" \ "offset").getOrElse(0L)
+      else unboundedDefault
+    val lo = bound(wf \ "lowerBound", Window.unboundedPreceding)
+    val hi = bound(wf \ "upperBound", Window.unboundedFollowing)
+    val explicitBounds =
+      wf \ "lowerBound" != JNothing || wf \ "upperBound" != JNothing
+    if (!ranking(name) && explicitBounds) {
+      str(wf \ "boundsType") match {
+        case Some("BOUNDS_TYPE_RANGE") => w = w.rangeBetween(lo, hi)
+        case _ => w = w.rowsBetween(lo, hi)
+      }
+    }
+    fn.over(w)
   }
 
   private def literal(l: JValue): Column = {
@@ -518,7 +584,12 @@ object SubstraitSerde {
     Divide => CDivide, Remainder => CRemainder, Like => CLike,
     ScalarSubquery => CScalarSubquery, Exists => CExists,
     InSubquery => CInSubquery, ListQuery => CListQuery,
-    OuterReference => COuterReference}
+    OuterReference => COuterReference, WindowExpression => CWindowExpression,
+    WindowSpecDefinition, SpecifiedWindowFrame, UnspecifiedFrame,
+    RowFrame, RangeFrame, UnboundedPreceding, UnboundedFollowing,
+    CurrentRow => CCurrentRow, RowNumber => CRowNumber, Rank => CRank,
+    DenseRank => CDenseRank, PercentRank => CPercentRank,
+    CumeDist => CCumeDist, NTile => CNTile, Lead => CLead, Lag => CLag}
   import org.apache.spark.sql.catalyst.expressions.aggregate.{
     AggregateExpression, Sum => CSum, Average => CAvg, Min => CMin,
     Max => CMax, Count => CCount}
@@ -666,6 +737,17 @@ object SubstraitSerde {
         "expression" -> condition.map(emitExpr(_, inputAttrs, reg, outer))
           .getOrElse(JObject("literal" -> JObject("boolean" -> JBool(true)))),
         "type" -> JString(jt)))
+    case w: Window =>
+      // substrait models window functions as expressions in a ProjectRel;
+      // Window's output is child ++ windowExpressions, which is exactly
+      // the emit-free project shape
+      JObject("project" -> JObject(
+        "common" -> JObject("direct" -> JObject()),
+        "input" -> emitRel(w.child, reg, outer),
+        "expressions" -> JArray(w.windowExpressions.map { ne =>
+          val stripped = ne match { case Alias(c, _) => c; case x => x }
+          emitExpr(stripped, w.child.output, reg, outer)
+        }.toList)))
     case Sort(order, true, child, _) =>
       JObject("sort" -> JObject(
         "common" -> JObject("direct" -> JObject()),
@@ -783,6 +865,77 @@ object SubstraitSerde {
           "value" -> emitExpr(value, input, reg, outer),
           "options" -> JArray(list.map(x =>
             emitExpr(x, input, reg, outer)).toList)))
+      case CWindowExpression(fun, WindowSpecDefinition(parts, order, frame)) =>
+        val (name, wargs, distinct) = fun match {
+          case agg: AggregateExpression =>
+            val (n, as) = agg.aggregateFunction match {
+              case CSum(c, _) => ("sum", Seq(c))
+              case CAvg(c, _) => ("avg", Seq(c))
+              case CMin(c) => ("min", Seq(c))
+              case CMax(c) => ("max", Seq(c))
+              case CCount(cs) if cs.forall(_.foldable) => ("count", Nil)
+              case CCount(cs) => ("count", cs)
+              case other => throw new IllegalArgumentException(
+                s"substrait emit: window aggregate ${other.prettyName}")
+            }
+            (n, as, agg.isDistinct)
+          case _: CRowNumber => ("row_number", Nil, false)
+          case _: CRank => ("rank", Nil, false)
+          case _: CDenseRank => ("dense_rank", Nil, false)
+          case _: CPercentRank => ("percent_rank", Nil, false)
+          case _: CCumeDist => ("cume_dist", Nil, false)
+          case CNTile(b) => ("ntile", Seq(b), false)
+          case CLead(in0, off, _, false) => ("lead", Seq(in0, off), false)
+          case CLag(in0, off, _, false) => ("lag", Seq(in0, off), false)
+          case other => throw new IllegalArgumentException(
+            s"substrait emit: window function ${other.prettyName}")
+        }
+        def boundJson(b: CExpr): JValue = b match {
+          case UnboundedPreceding | UnboundedFollowing =>
+            JObject("unbounded" -> JObject())
+          case CCurrentRow => JObject("currentRow" -> JObject())
+          // analyzed bounds keep arithmetic (`ROWS 2 PRECEDING` is
+          // UnaryMinus(2)) — fold any constant bound to its offset
+          case e0 if e0.foldable =>
+            val n = e0.eval().asInstanceOf[Number].longValue()
+            if (n < 0) JObject("preceding" -> JObject("offset" -> JString((-n).toString)))
+            else if (n > 0) JObject("following" -> JObject("offset" -> JString(n.toString)))
+            else JObject("currentRow" -> JObject())
+          case other => throw new IllegalArgumentException(
+            s"substrait emit: window bound ${other.sql}")
+        }
+        val frameFields: List[(String, JValue)] = frame match {
+          case SpecifiedWindowFrame(ft, lower, upper) =>
+            List(
+              "boundsType" -> JString(ft match {
+                case RowFrame => "BOUNDS_TYPE_ROWS"
+                case RangeFrame => "BOUNDS_TYPE_RANGE"
+              }),
+              "lowerBound" -> boundJson(lower),
+              "upperBound" -> boundJson(upper))
+          case UnspecifiedFrame => Nil
+          case other => throw new IllegalArgumentException(
+            s"substrait emit: window frame ${other.sql}")
+        }
+        JObject(("windowFunction" -> JObject(List(
+          "functionReference" -> JInt(reg.anchor(sigOf(name, wargs))),
+          "outputType" -> typeJson(e.dataType, e.nullable),
+          "invocation" -> JString(
+            if (distinct) "AGGREGATION_INVOCATION_DISTINCT"
+            else "AGGREGATION_INVOCATION_ALL"),
+          "arguments" -> JArray(wargs.map(a =>
+            JObject("value" -> emitExpr(a, input, reg, outer))).toList),
+          "partitions" -> JArray(parts.map(emitExpr(_, input, reg, outer)).toList),
+          "sorts" -> JArray(order.map { so =>
+            val dir = (so.direction, so.nullOrdering) match {
+              case (Ascending, NullsFirst) => "SORT_DIRECTION_ASC_NULLS_FIRST"
+              case (Ascending, NullsLast) => "SORT_DIRECTION_ASC_NULLS_LAST"
+              case (Descending, NullsFirst) => "SORT_DIRECTION_DESC_NULLS_FIRST"
+              case (Descending, NullsLast) => "SORT_DIRECTION_DESC_NULLS_LAST"
+            }
+            JObject("expr" -> emitExpr(so.child, input, reg, outer),
+              "direction" -> JString(dir))
+          }.toList)) ++ frameFields)) :: Nil)
       case COuterReference(a) =>
         // depth-1 correlation: index into the ENCLOSING rel's input
         val i = outer.indexWhere(_.exprId == a.exprId)

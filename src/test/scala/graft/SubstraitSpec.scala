@@ -232,6 +232,27 @@ class SubstraitSpec extends AnyFunSuite {
     assert(a == b, s"round-trip mismatch: ${a.take(3)} vs ${b.take(3)}")
   }
 
+  test("emit/consume round-trip: window functions") {
+    spark.read.parquet(s"$dataDir/customer.parquet").createOrReplaceTempView("rt3_customer")
+    val orig = spark.sql(
+      """SELECT c_custkey, c_mktsegment,
+        |  RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk,
+        |  SUM(c_acctbal) OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_custkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS run3,
+        |  ROW_NUMBER() OVER (ORDER BY c_custkey) AS rn
+        |FROM rt3_customer
+        |ORDER BY c_custkey""".stripMargin)
+    val json = SubstraitSerde.emitJson(orig)
+    assert(json.contains("\"windowFunction\"") &&
+      json.contains("BOUNDS_TYPE_ROWS") && json.contains("\"preceding\""))
+    val back = SubstraitSerde.consumeJson(spark, json,
+      n => if (n == "rt3_customer") Some(spark.table("rt3_customer")) else None)
+    val a = orig.collect().map(_.toString).toSeq
+    val b = back.collect().map(_.toString).toSeq
+    assert(a.nonEmpty && a == b,
+      s"window round-trip mismatch: ${a.take(2)} vs ${b.take(2)}")
+  }
+
   test("emitted JSON carries substrait structure (extensions + root names)") {
     spark.read.parquet(s"$dataDir/region.parquet").createOrReplaceTempView("rt_region")
     val df = spark.table("rt_region").where("r_regionkey > 1").select("r_name")
