@@ -24,8 +24,8 @@ class QueriesSpec extends AnyFunSuite {
 
   test("inventory size never silently shrinks") {
     // bump when adding queries; catches entries dropped by bad merges/edits
-    assert(SparkEntry.queries.size >= 277, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size >= 277, s"got ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size >= 286, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size >= 286, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("entry returns rows") {
