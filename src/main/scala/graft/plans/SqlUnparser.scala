@@ -248,9 +248,6 @@ object SqlUnparser {
         s"WHERE ${exprSql(condition, cols, ctx)}"), c.names)
 
     case Aggregate(groupingExpressions, aggregateExpressions, child, _) =>
-      if (child.isInstanceOf[Expand] ||
-          groupingExpressions.exists(_.exists(_.isInstanceOf[GroupingID])))
-        unsupported("ROLLUP/CUBE/GROUPING SETS (Expand) aggregate")
       val c = render(child, ctx)
       val al = ctx.fresh()
       val cols = refs(child, c, Some(al))
@@ -282,6 +279,46 @@ object SqlUnparser {
           s"$core AS ${quoteIfNeeded(n)}"
         }
       Rendered(selectOver(items, c, al), c.names ++ winNames)
+
+    // Expand (the analyzed form of ROLLUP/CUBE/GROUPING SETS, where
+    // grouping()/grouping_id() are already plain bit-ops on the emitted
+    // spark_grouping_id column) is semantically "one output row per
+    // projection per input row" — exactly UNION ALL of the projections.
+    // Rendering it that way is universally correct with zero
+    // reverse-engineering of grouping-set syntax; null slots carry
+    // CAST(NULL AS T) from Literal.sql so branch types align.
+    case Expand(projections, output, child) =>
+      val c = render(child, ctx)
+      val names = outNames(output.map(a => a: NamedExpression))
+      val branches = projections.map { proj =>
+        val al = ctx.fresh()
+        val cols = refs(child, c, Some(al))
+        val items = proj.zip(names).map { case (e, n) =>
+          s"${exprSql(e, cols, ctx)} AS ${quoteIfNeeded(n)}"
+        }
+        selectOver(items, c, al)
+      }
+      Rendered(branches.map(b => s"($b)").mkString(" UNION ALL "), names)
+
+    // Generate (explode/posexplode/inline/custom UDTFs) → LATERAL VIEW.
+    case g: Generate =>
+      val c = render(g.child, ctx)
+      val al = ctx.fresh()
+      val cols = refs(g.child, c, Some(al))
+      val gv = ctx.fresh()
+      val genNames = outNames(g.generatorOutput)
+      val genCols = g.generatorOutput.map(_.exprId)
+        .zip(genNames.map(n => quoteIfNeeded(gv) + "." + quoteIfNeeded(n))).toMap
+      val allCols = cols ++ genCols
+      val outN = outNames(g.output.map(a => a: NamedExpression))
+      val items = g.output.zip(outN).map { case (a, n) =>
+        s"${allCols(a.exprId)} AS ${quoteIfNeeded(n)}"
+      }
+      val lateral = s"LATERAL VIEW ${if (g.outer) "OUTER " else ""}" +
+        s"${exprSql(g.generator, cols, ctx)} ${quoteIfNeeded(gv)} AS " +
+        genNames.map(quoteIfNeeded).mkString(", ")
+      Rendered(s"SELECT ${items.mkString(", ")} FROM (${c.sql}) AS " +
+        s"${quoteIfNeeded(al)} $lateral", outN)
 
     case Distinct(child) =>
       val c = render(child, ctx)

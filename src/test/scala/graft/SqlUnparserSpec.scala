@@ -34,7 +34,10 @@ class SqlUnparserSpec extends AnyFunSuite {
     "agg_distinct_mixed", "agg_minmax_countd",
     "tpcds_q2_yoy_priority", "tpcds_q44_best_worst", "tpcds_q69_exists_notexists",
     "tpcds_q88_bucket_grid", "tpcds_q90_half_ratio", "tpcds_q54_segment_histogram",
-    "cb_topk_users", "h2o_g6_median_sd")
+    "cb_topk_users", "h2o_g6_median_sd",
+    // ROLLUP/CUBE/GROUPING SETS (Expand → UNION ALL) and Generate (LATERAL VIEW)
+    "agg_rollup", "agg_cube", "agg_groupingsets", "agg_grouping_id",
+    "unnest_words", "explode_map")
 
   for (name <- names) {
     test(s"unparse roundtrip: $name") {
@@ -49,7 +52,9 @@ class SqlUnparserSpec extends AnyFunSuite {
   }
 
   test("unsupported shapes fail loudly, not wrongly") {
-    val rollup = SparkEntry.queries("agg_rollup")(spark, dir)
-    intercept[UnsupportedOperationException](SqlUnparser.unparse(rollup))
+    import spark.implicits._
+    // typed object operators (map over a Dataset) have no SQL rendering
+    val typed = spark.range(3).as[Long].map(_ + 1).toDF("v")
+    intercept[UnsupportedOperationException](SqlUnparser.unparse(typed))
   }
 }
