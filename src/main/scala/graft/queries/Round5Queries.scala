@@ -1,10 +1,39 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
 import Q._
 import graft.plans.SqlUnparser
 
 /** Round-5 additions exercised through the driver's oracle gate. */
 object Round5Queries {
+
+  private def scratch(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_scratch/$name"
+
+  /** Child session tuned so Spark's runtime bloom-filter injection
+    * (InjectRuntimeFilter) actually fires at fixture scale: broadcast off
+    * (the filter only pays on shuffle joins — with a broadcast there is
+    * nothing to prune pre-shuffle) and the application-side size floor
+    * dropped (defaults assume a 10 GB fact; the semantics under test are
+    * size-independent). At 100 TB the DEFAULT thresholds make this same
+    * plan transformation kick in without any tuning — this pins the
+    * behavior so an engine upgrade can't silently lose it. */
+  private val rfSessions = new java.util.WeakHashMap[SparkSession, SparkSession]()
+  def runtimeFilterSession(s: SparkSession): SparkSession = rfSessions.synchronized {
+    val existing = rfSessions.get(s)
+    if (existing != null) existing
+    else {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      ss.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      rfSessions.put(s, ss)
+      ss
+    }
+  }
 
   /** The unparser surface (reference: datafusion/sql/src/unparser/ —
     * plan_to_sql) proven end-to-end under the DuckDB differential: build
@@ -16,10 +45,72 @@ object Round5Queries {
     "unparse_roundtrip" -> ((s, dir) => {
       val df = TpchQueries.queries("q10_returns")(s, dir)
       df.sparkSession.sql(SqlUnparser.unparse(df))
-    })
+    }),
+
+    // Parquet column bloom filters (reference: the parquet reader's
+    // bloom-filter row-group pruning, datafusion/datasource-parquet/src/
+    // row_group_filter.rs): write a multi-row-group file with a bloom
+    // filter on the point-lookup column, read back through the filter.
+    // The file is written in ingest order (not sorted by l_partkey), so
+    // row-group min/max stats cannot prune a point lookup — only the
+    // bloom can skip groups. BloomFilterSpec asserts the footer carries
+    // the filter and that groups are actually skippable; this entry pins
+    // the read path's CORRECTNESS through the DuckDB differential.
+    "source_bloom_parquet" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"))
+      val path = scratch("lineitem_bloom")
+      // dictionary off for the bloom column: parquet-mr omits the bloom
+      // when every page is dictionary-encoded (the dictionary already
+      // prunes exactly); at fixture scale the key dictionary fits in a
+      // page, at 100 TB it overflows and the bloom takes over — this
+      // pins the overflow-path behavior
+      li.coalesce(1).write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#l_partkey", "true")
+        .option("parquet.enable.dictionary#l_partkey", "false")
+        .option("parquet.block.size", (128 * 1024).toString)
+        .parquet(path)
+      s.read.parquet(path).filter(col("l_partkey") === 1)
+        .agg(count(lit(1)).as("n"),
+          r2(coalesce(sum(col("l_extendedprice")), lit(0.0))).as("amt"),
+          coalesce(sum(col("l_quantity")), lit(0.0)).cast("long").as("qty"))
+    },
+
+    // Runtime bloom-filter join pruning (reference: dynamic/sideways
+    // filter pushdown through hash joins — physical-plan/src/joins/
+    // hash_join.rs dynamic filters, dynamic_filter_pushdown_config.slt):
+    // a selective dimension predicate is turned into a bloom filter
+    // evaluated on the fact BEFORE its shuffle, so at scale only matching
+    // fact rows are exchanged. RuntimeFilterSpec asserts the
+    // might_contain(...) filter lands in the fact scan's plan; this entry
+    // pins result equivalence under the injection.
+    "join_runtime_filter" -> { (s, dir) =>
+      val ss = runtimeFilterSession(s)
+      fixtureViews(ss, dir)
+      ss.sql(
+        """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(FLOOR((SUM(l_extendedprice * (1 - l_discount)) + 1.37e-4) * 100 + 0.5) AS DOUBLE) / 100 AS rev
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE p_size = 7 AND p_type = 'PROMO'
+          |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+    }
   )
 
   val oracleSql: Map[String, String] = Map(
-    "unparse_roundtrip" -> TpchQueries.oracleSql("q10_returns")
+    "unparse_roundtrip" -> TpchQueries.oracleSql("q10_returns"),
+
+    "source_bloom_parquet" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(FLOOR((COALESCE(SUM(l_extendedprice), 0) + 1.37e-4) * 100 + 0.5) AS DOUBLE) / 100 AS amt,
+        |  CAST(COALESCE(SUM(l_quantity), 0) AS BIGINT) AS qty
+        |FROM lineitem WHERE l_partkey = 1""".stripMargin,
+
+    "join_runtime_filter" ->
+      """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(FLOOR((SUM(l_extendedprice * (1 - l_discount)) + 1.37e-4) * 100 + 0.5) AS DOUBLE) / 100 AS rev
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size = 7 AND p_type = 'PROMO'
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
   )
 }
