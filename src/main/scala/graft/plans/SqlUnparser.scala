@@ -90,6 +90,18 @@ object SqlUnparser {
     var norm = e
     while (norm.exists(_.isInstanceOf[RuntimeReplaceable]))
       norm = norm.transformUp { case r: RuntimeReplaceable => r.replacement }
+    // `With` common-expression wrappers (BETWEEN & friends factor a shared
+    // subexpression) have no SQL rendering ("with(...)" text is not
+    // parseable) — inline each ref with its definition; bottom-up so
+    // nested Withs resolve innermost-first.
+    while (norm.exists(_.isInstanceOf[With]))
+      norm = norm.transformUp {
+        case w: With =>
+          val defs = w.defs.map(d => d.id -> d.child).toMap
+          w.child.transformUp {
+            case r: CommonExpressionRef if defs.contains(r.id) => defs(r.id)
+          }
+      }
     // transformDown so InSubquery/Exists are seen before their child plan
     // wrappers (ListQuery would otherwise hit the catch-all first).
     val rewritten = norm.transformDown {
