@@ -50,6 +50,16 @@ object StreamQueries {
       Streaming.runStreamStaticJoin(s, dir, "graft_stream_static")
         .select(col("c_mktsegment"), col("event_type"), col("n"),
           r2(col("val_sum")).as("val_sum"))
+    },
+
+    // transformWithState (typed ValueState + MapState on RocksDB): the
+    // order-insensitive per-user profile must equal a batch GROUP BY.
+    "stream_tws_profile" -> { (s, dir) =>
+      Streaming.runTwsUserProfile(s, dir, "graft_stream_tws")
+        .select(col("user_id"), col("n_events"),
+          r2(col("total_value")).as("total_value"),
+          col("span_ms"), col("n_types"))
+        .orderBy("user_id")
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -92,5 +102,12 @@ object StreamQueries {
         | floor((sum(p.value) + 1.37e-4) * 100 + 0.5) / 100 AS purchase_value
         |FROM v JOIN p ON v.user_id = p.user_id
         |  AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 30 MINUTE
-        |GROUP BY v.user_id""".stripMargin)
+        |GROUP BY v.user_id""".stripMargin,
+
+    "stream_tws_profile" ->
+      """SELECT user_id, count(*) AS n_events,
+        | floor((sum(value) + 1.37e-4) * 100 + 0.5) / 100 AS total_value,
+        | max(epoch_ms(CAST(ts AS TIMESTAMP))) - min(epoch_ms(CAST(ts AS TIMESTAMP))) AS span_ms,
+        | count(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

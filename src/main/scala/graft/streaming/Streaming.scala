@@ -190,4 +190,95 @@ object Streaming {
     q.stop()
     spark.table(queryName)
   }
+
+  case class EvFull(user_id: Long, event_type: String, value: Double,
+      ts: java.sql.Timestamp)
+  case class UserProfile(user_id: Long, n_events: Long, total_value: Double,
+      span_ms: Long, n_types: Long)
+  private case class ProfileState(n: Long, sum: Double, minMs: Long, maxMs: Long)
+
+  /** Arbitrary stateful processing on the transformWithState API (the
+    * successor to flatMapGroupsWithState: typed composite state — here a
+    * ValueState profile plus a MapState of seen event types — on the
+    * RocksDB state store). Maintains an order-insensitive per-user profile
+    * (count, value sum, event-time span in ms, distinct type count), so
+    * the result is deterministic regardless of row order within a
+    * micro-batch and comparable to a batch GROUP BY oracle. */
+  def runTwsUserProfile(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues}
+    class ProfileProcessor extends StatefulProcessor[Long, EvFull, UserProfile] {
+      @transient private var profile:
+        org.apache.spark.sql.streaming.ValueState[ProfileState] = _
+      @transient private var types:
+        org.apache.spark.sql.streaming.MapState[String, Boolean] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+        profile = getHandle.getValueState[ProfileState]("profile",
+          implicitly[org.apache.spark.sql.Encoder[ProfileState]],
+          org.apache.spark.sql.streaming.TTLConfig.NONE)
+        types = getHandle.getMapState[String, Boolean]("types",
+          implicitly[org.apache.spark.sql.Encoder[String]],
+          implicitly[org.apache.spark.sql.Encoder[Boolean]],
+          org.apache.spark.sql.streaming.TTLConfig.NONE)
+      }
+      override def handleInputRows(key: Long, rows: Iterator[EvFull],
+          timerValues: TimerValues): Iterator[UserProfile] = {
+        var st = Option(profile.get()).filter(_ => profile.exists())
+          .getOrElse(ProfileState(0L, 0.0, Long.MaxValue, Long.MinValue))
+        rows.foreach { e =>
+          val ms = e.ts.getTime
+          st = ProfileState(st.n + 1, st.sum + e.value,
+            math.min(st.minMs, ms), math.max(st.maxMs, ms))
+          types.updateValue(e.event_type, true)
+        }
+        profile.update(st)
+        Iterator.single(UserProfile(key, st.n, st.sum, st.maxMs - st.minMs,
+          types.keys().size.toLong))
+      }
+    }
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = eventsStream(spark, dir)
+        .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+        .as[EvFull]
+      val out = events.groupByKey(_.user_id)
+        .transformWithState(new ProfileProcessor,
+          TimeMode.None(), OutputMode.Update())
+      spark.streams.active.filter(_.name == queryName).foreach(_.stop())
+      val q = out.toDF().writeStream.outputMode("update")
+        .format("memory").queryName(queryName).start()
+      q.processAllAvailable()
+      q.stop()
+      // n_events is strictly increasing across emissions; the max-n row is
+      // the final state (same convention as runStatefulUserStats)
+      spark.table(queryName).groupBy("user_id")
+        .agg(max(col("n_events")).as("n_events"),
+          expr("max_by(total_value, n_events)").as("total_value"),
+          expr("max_by(span_ms, n_events)").as("span_ms"),
+          expr("max_by(n_types, n_events)").as("n_types"))
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+}
+
+/** Minimal transformWithState processor (per-key running count) used by
+  * StreamingSpec's cross-micro-batch state test. */
+class CountProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, Long, (Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues}
+  @transient private var n: org.apache.spark.sql.streaming.ValueState[Long] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    n = getHandle.getValueState[Long]("n",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[Long],
+      timerValues: TimerValues): Iterator[(Long, Long)] = {
+    val next = (if (n.exists()) n.get() else 0L) + rows.size
+    n.update(next)
+    Iterator.single((key, next))
+  }
 }

@@ -47,4 +47,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(batch.nonEmpty)
   }
+
+  test("transformWithState profile survives state across micro-batches") {
+    // split the events fixture into two files and feed them one per
+    // trigger: the second batch's profiles must CONTINUE the first batch's
+    // RocksDB state, so the final result still equals one batch GROUP BY
+    import java.nio.file.{Files, Paths}
+    val src = Tables.load(spark, sfDir, "events")
+    val twoDir = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stream_src_two")
+    org.apache.commons.io.FileUtils.deleteQuietly(twoDir.toFile)
+    Files.createDirectories(twoDir)
+    src.where(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(twoDir.resolve("a").toString)
+    src.where(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(twoDir.resolve("b").toString)
+    val stageDir = twoDir.resolve("staged")
+    Files.createDirectories(stageDir)
+    var i = 0
+    for (sub <- Seq("a", "b"); f <- new java.io.File(twoDir.resolve(sub).toString)
+        .listFiles() if f.getName.endsWith(".parquet")) {
+      Files.copy(f.toPath, stageDir.resolve(s"part$i.parquet")); i += 1
+    }
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val schema = src.schema
+    val stream = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir.toString)
+    // reuse the profile processor via the public runner's building blocks:
+    // count per user through two triggers, emitting updates per batch
+    val out = stream.select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .transformWithState(new graft.streaming.CountProcessor,
+        TimeMode.None(), OutputMode.Update())
+    val q = out.toDF("user_id", "n").writeStream.outputMode("update")
+      .format("memory").queryName("t_tws_two").start()
+    q.processAllAvailable()
+    q.stop()
+    val finalCounts = ss.table("t_tws_two").groupBy("user_id")
+      .agg(max("n").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = src.groupBy("user_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(finalCounts == batch)
+    // at least one user must have been updated in BOTH batches (proof the
+    // state crossed the trigger boundary)
+    val emissions = ss.table("t_tws_two").groupBy("user_id").count()
+      .collect().map(r => r.getLong(1))
+    assert(emissions.exists(_ >= 2), "no user spanned two micro-batches")
+  }
 }
