@@ -485,6 +485,16 @@ object SubstraitSerde {
       make_ym_interval(lit(int(iv \ "years").getOrElse(0)),
         lit(int(iv \ "months").getOrElse(0)))
     }
+    else if (has("precisionTimestamp")) {
+      val pt = l \ "precisionTimestamp"
+      val v = long(pt \ "value").get
+      val us = int(pt \ "precision").getOrElse(6) match {
+        case 0 => v * 1000000L; case 3 => v * 1000L; case 9 => v / 1000L
+        case _ => v
+      }
+      timestamp_micros(lit(us))
+    }
+    else if (has("timestamp")) timestamp_micros(lit(long(l \ "timestamp").get))
     else if (has("null")) lit(null).cast(sparkTypeOf(l \ "null"))
     else throw new IllegalArgumentException(
       s"substrait: unsupported literal ${JsonMethods.compact(JsonMethods.render(l))}")
@@ -534,6 +544,11 @@ object SubstraitSerde {
     case "is_not_null" => args.head.isNotNull
     case "between" => args(0) >= args(1) && args(0) <= args(2)
     case "coalesce" => coalesce(args: _*)
+    case "floor" => floor(args.head)
+    case "ceil" => ceil(args.head)
+    case "contains" => args(0).contains(args(1))
+    case "starts_with" => args(0).startsWith(args(1))
+    case "ends_with" => args(0).endsWith(args(1))
     case other =>
       throw new IllegalArgumentException(s"substrait: unsupported function $other")
   }
@@ -589,11 +604,15 @@ object SubstraitSerde {
     RowFrame, RangeFrame, UnboundedPreceding, UnboundedFollowing,
     CurrentRow => CCurrentRow, RowNumber => CRowNumber, Rank => CRank,
     DenseRank => CDenseRank, PercentRank => CPercentRank,
-    CumeDist => CCumeDist, NTile => CNTile, Lead => CLead, Lag => CLag}
+    CumeDist => CCumeDist, NTile => CNTile, Lead => CLead, Lag => CLag,
+    Floor => CFloor, Ceil => CCeil, Year => CYear, Month => CMonth,
+    DayOfMonth => CDayOfMonth, Quarter => CQuarter,
+    Contains => CContains, StartsWith => CStartsWith, EndsWith => CEndsWith}
   import org.apache.spark.sql.catalyst.expressions.aggregate.{
     AggregateExpression, Sum => CSum, Average => CAvg, Min => CMin,
     Max => CMax, Count => CCount}
   import org.apache.spark.sql.catalyst.plans.logical._
+  import org.apache.spark.sql.execution.datasources.LogicalRelation
 
   /** Mutable per-emit function registry (name:signature → anchor). */
   private class FnReg {
@@ -603,7 +622,11 @@ object SubstraitSerde {
 
   def emitJson(df: DataFrame): String = {
     val reg = new FnReg
-    val analyzed = df.queryExecution.analyzed
+    // substrait has no CTE rel — inline every WITH before emitting (the
+    // consumer re-plans; common-subplan reuse is the receiving engine's
+    // optimization to rediscover)
+    val analyzed = org.apache.spark.sql.catalyst.optimizer
+      .InlineCTE(alwaysInline = true)(df.queryExecution.analyzed)
     val relJson = emitRel(analyzed, reg)
     val extensions = reg.anchors.toSeq.map { case (sig, anchor) =>
       JObject("extensionFunction" -> JObject(
@@ -624,18 +647,53 @@ object SubstraitSerde {
     JsonMethods.compact(JsonMethods.render(plan))
   }
 
+  /** The innermost stable table name under alias/view wrappers: a query
+    * alias (`lineitem l1`) must emit the TABLE's name, not the alias —
+    * the consumer resolves reads by table name. */
+  private def innerTableName(plan: LogicalPlan): Option[String] = plan match {
+    case View(desc, _, _, _) => Some(desc.identifier.table)
+    case SubqueryAlias(ident, child) => innerTableName(child).orElse(Some(ident.name))
+    case lr: LogicalRelation =>
+      lr.catalogTable.map(_.identifier.table).orElse(relationPathName(lr))
+    case _ => None
+  }
+
+  /** Path-derived name for a catalog-less file relation: the root path's
+    * base name with any file extension stripped (Tables.load reads
+    * `<dir>/<table>.parquet`). */
+  private def relationPathName(lr: LogicalRelation): Option[String] =
+    lr.relation match {
+      case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        fs.location.rootPaths.headOption.map { p =>
+          val base = p.getName
+          if (base.contains('.')) base.substring(0, base.lastIndexOf('.')) else base
+        }
+      case _ => None
+    }
+
+  private def emitRead(name: String, output: Seq[Attribute]): JValue =
+    JObject("read" -> JObject(
+      "common" -> JObject("direct" -> JObject()),
+      "baseSchema" -> JObject(
+        "names" -> JArray(output.map(a => JString(a.name)).toList),
+        "struct" -> JObject("types" ->
+          JArray(output.map(a => typeJson(a.dataType, a.nullable)).toList))),
+      "namedTable" -> JObject("names" -> JArray(List(JString(name))))))
+
   private def emitRel(plan: LogicalPlan, reg: FnReg,
       outer: Seq[Attribute] = Nil): JValue = plan match {
     case SubqueryAlias(ident, child) if child.collectLeaves().size == 1 &&
         (child.isInstanceOf[LeafNode] || PlanSerdeLeaf.is(child)) =>
-      JObject("read" -> JObject(
-        "common" -> JObject("direct" -> JObject()),
-        "baseSchema" -> JObject(
-          "names" -> JArray(plan.output.map(a => JString(a.name)).toList),
-          "struct" -> JObject("types" ->
-            JArray(plan.output.map(a => typeJson(a.dataType, a.nullable)).toList))),
-        "namedTable" -> JObject("names" -> JArray(List(JString(ident.name))))))
+      emitRead(innerTableName(child).getOrElse(ident.name), plan.output)
     case SubqueryAlias(_, child) => emitRel(child, reg, outer)
+    // hints are engine-local advice; the plan-exchange contract is that
+    // the consumer re-plans for its own layout, so they drop on the wire
+    case h: ResolvedHint => emitRel(h.child, reg, outer)
+    case lr: LogicalRelation =>
+      emitRead(innerTableName(lr).getOrElse(
+        throw new IllegalArgumentException(
+          "substrait emit: relation with no catalog identifier or path")),
+        lr.output)
     case Project(projectList, child) =>
       val childOut = child.output
       val newExprs = scala.collection.mutable.ListBuffer[JValue]()
@@ -865,6 +923,15 @@ object SubstraitSerde {
           "value" -> emitExpr(value, input, reg, outer),
           "options" -> JArray(list.map(x =>
             emitExpr(x, input, reg, outer)).toList)))
+      case CFloor(c) => fn("floor", Seq(c))
+      case CCeil(c) => fn("ceil", Seq(c))
+      case CContains(l, r) => fn("contains", Seq(l, r))
+      case CStartsWith(l, r) => fn("starts_with", Seq(l, r))
+      case CEndsWith(l, r) => fn("ends_with", Seq(l, r))
+      case CYear(c) => extractFn("YEAR", c, e, input, reg, outer)
+      case CMonth(c) => extractFn("MONTH", c, e, input, reg, outer)
+      case CDayOfMonth(c) => extractFn("DAY", c, e, input, reg, outer)
+      case CQuarter(c) => extractFn("QUARTER", c, e, input, reg, outer)
       case CWindowExpression(fun, WindowSpecDefinition(parts, order, frame)) =>
         val (name, wargs, distinct) = fun match {
           case agg: AggregateExpression =>
@@ -961,6 +1028,17 @@ object SubstraitSerde {
     }
   }
 
+  /** Substrait models EXTRACT as `extract` with a leading enum argument
+    * (the field name), mirrored by the consumer's enum parsing. */
+  private def extractFn(field: String, c: CExpr, e: CExpr,
+      input: Seq[Attribute], reg: FnReg, outer: Seq[Attribute]): JValue =
+    JObject("scalarFunction" -> JObject(
+      "functionReference" -> JInt(reg.anchor(sigOf("extract", Seq(c)))),
+      "outputType" -> typeJson(e.dataType, e.nullable),
+      "arguments" -> JArray(List(
+        JObject("enum" -> JString(field)),
+        JObject("value" -> emitExpr(c, input, reg, outer))))))
+
   private def emitMeasure(agg: AggregateExpression, input: Seq[Attribute],
       reg: FnReg, outer: Seq[Attribute] = Nil): JValue = {
     val (name, args) = agg.aggregateFunction match {
@@ -999,6 +1077,9 @@ object SubstraitSerde {
       case DoubleType => JObject("fp64" -> JDouble(l.value.asInstanceOf[Double]))
       case StringType => JObject("string" -> JString(l.value.toString))
       case DateType => JObject("date" -> JInt(l.value.asInstanceOf[Int]))
+      case _: TimestampType =>
+        JObject("precisionTimestamp" -> JObject(
+          "precision" -> JInt(6), "value" -> JString(l.value.toString)))
       case dt: DecimalType =>
         val bd = l.value.asInstanceOf[org.apache.spark.sql.types.Decimal]
           .toJavaBigDecimal

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.SubstraitSerde
+
+/** Substrait emit→consume sweep over the TPC-H inventory shapes: each
+  * entry's ANALYZED plan is emitted to Substrait JSON, consumed back into
+  * a fresh DataFrame against the same fixture tables, and the results must
+  * match row-for-row. Emit-unsupported shapes are counted and printed
+  * (never silently dropped), with a floor so support cannot regress.
+  */
+class SubstraitSweepSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private val names = Seq("q1_agg", "q3_join_topk", "q4_priority",
+    "q5_multijoin", "q6_filter", "q7_volume", "q8_share", "q9_profit",
+    "q10_returns", "q12_shipmode", "q13_custdist", "q14_promo",
+    "q15_topsupplier", "q17_smallqty", "q18_bigorders", "q19_disjunct",
+    "q20_nested_in", "q21_waiting", "q22_global", "q11_partsupp",
+    "q2_mincost", "q16_suppcnt")
+
+  test("TPC-H inventory round-trips through Substrait emit/consume") {
+    val present = names.filter(SparkEntry.queries.contains)
+    var ok = 0
+    val skipped = scala.collection.mutable.ListBuffer[String]()
+    val failures = scala.collection.mutable.ListBuffer[String]()
+    for (name <- present) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val s = df.sparkSession
+      val jsonOpt =
+        try Some(SubstraitSerde.emitJson(df))
+        catch { case e: Exception => skipped += s"$name: ${e.getMessage}"; None }
+      jsonOpt.foreach { json =>
+        try {
+          val back = SubstraitSerde.consumeJson(s, json,
+            n => if (graft.Tables.names.contains(n))
+              Some(graft.Tables.load(s, dir, n)) else Some(s.table(n)))
+          val a = df.collect().map(_.toString).sorted.toSeq
+          val b = back.collect().map(_.toString).sorted.toSeq
+          if (a == b) ok += 1 else failures += s"$name: rows differ"
+        } catch { case e: Exception =>
+          skipped += s"$name (consume): ${e.getMessage.take(160)}" }
+      }
+    }
+    info(s"${present.size} entries: $ok roundtripped, ${skipped.size} skipped")
+    skipped.foreach(x => info(s"  skipped $x"))
+    failures.foreach(x => info(s"  MISMATCH $x"))
+    assert(failures.isEmpty, s"${failures.size} substrait roundtrip mismatches")
+    assert(ok >= 21, s"only $ok roundtripped — emit support regressed")
+  }
+}
