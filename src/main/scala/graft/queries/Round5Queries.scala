@@ -47,6 +47,19 @@ object Round5Queries {
       df.sparkSession.sql(SqlUnparser.unparse(df))
     }),
 
+    // The Substrait wire format proven the same way: emit q18's analyzed
+    // plan to Substrait JSON, consume it back into a fresh DataFrame, and
+    // hand THAT to the driver — any serde drift (field indices, literal
+    // encodings, join types, aggregate splits) breaks the hash gate.
+    "substrait_roundtrip" -> ((s, dir) => {
+      val df = TpchQueries.queries("q18_bigorders")(s, dir)
+      val ss = df.sparkSession
+      graft.plans.SubstraitSerde.consumeJson(ss,
+        graft.plans.SubstraitSerde.emitJson(df),
+        n => if (graft.Tables.names.contains(n))
+          Some(graft.Tables.load(ss, dir, n)) else Some(ss.table(n)))
+    }),
+
     // Parquet column bloom filters (reference: the parquet reader's
     // bloom-filter row-group pruning, datafusion/datasource-parquet/src/
     // row_group_filter.rs): write a multi-row-group file with a bloom
@@ -99,6 +112,7 @@ object Round5Queries {
 
   val oracleSql: Map[String, String] = Map(
     "unparse_roundtrip" -> TpchQueries.oracleSql("q10_returns"),
+    "substrait_roundtrip" -> TpchQueries.oracleSql("q18_bigorders"),
 
     "source_bloom_parquet" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n,
