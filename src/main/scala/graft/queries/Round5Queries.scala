@@ -90,6 +90,44 @@ object Round5Queries {
           coalesce(sum(col("l_quantity")), lit(0.0)).cast("long").as("qty"))
     },
 
+    // Bucketed co-located join (Scale.writeBucketed under the oracle
+    // gate): both sides persisted hash-bucketed on the join key, so the
+    // join plans WITHOUT an exchange on either side — at 100 TB this is
+    // the repeated-join layout that amortizes one shuffle into zero.
+    // ScaleSpec asserts the no-shuffle plan; this entry pins the values.
+    "join_bucketed" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      val od = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      graft.operators.Scale.writeBucketed(li, "r5_bkt_lineitem", "l_orderkey", 8)
+      graft.operators.Scale.writeBucketed(od, "r5_bkt_orders", "o_orderkey", 8)
+      s.table("r5_bkt_lineitem")
+        .join(s.table("r5_bkt_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), r2(sum(col("l_extendedprice"))).as("amt"),
+          sum(col("l_quantity")).cast("long").as("qty"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Compressed sinks (COPY TO ... compression options): zstd parquet
+    // and gzip CSV written and read back — the values must survive both
+    // codecs byte-exactly.
+    "sink_compression" -> { (s, dir) =>
+      val od = t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      val pqPath = scratch("orders_zstd_parquet")
+      val csvPath = scratch("orders_gzip_csv")
+      od.write.mode("overwrite").option("compression", "zstd").parquet(pqPath)
+      od.write.mode("overwrite").option("compression", "gzip")
+        .option("header", "true").csv(csvPath)
+      val pq = s.read.parquet(pqPath)
+        .agg(count(lit(1)).as("n_pq"), r2(sum(col("o_totalprice"))).as("total_pq"))
+      val cs = s.read.schema(od.schema).option("header", "true").csv(csvPath)
+        .agg(count(lit(1)).as("n_csv"), r2(sum(col("o_totalprice"))).as("total_csv"))
+      pq.crossJoin(cs)
+    },
+
     // Runtime bloom-filter join pruning (reference: dynamic/sideways
     // filter pushdown through hash joins — physical-plan/src/joins/
     // hash_join.rs dynamic filters, dynamic_filter_pushdown_config.slt):
@@ -113,6 +151,20 @@ object Round5Queries {
   val oracleSql: Map[String, String] = Map(
     "unparse_roundtrip" -> TpchQueries.oracleSql("q10_returns"),
     "substrait_roundtrip" -> TpchQueries.oracleSql("q18_bigorders"),
+
+    "join_bucketed" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(FLOOR((SUM(l_extendedprice) + 1.37e-4) * 100 + 0.5) AS DOUBLE) / 100 AS amt,
+        |  CAST(SUM(l_quantity) AS BIGINT) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "sink_compression" ->
+      """SELECT count(*) AS n_pq,
+        |  CAST(FLOOR((SUM(o_totalprice) + 1.37e-4) * 100 + 0.5) AS DOUBLE) / 100 AS total_pq,
+        |  count(*) AS n_csv,
+        |  CAST(FLOOR((SUM(o_totalprice) + 1.37e-4) * 100 + 0.5) AS DOUBLE) / 100 AS total_csv
+        |FROM orders WHERE o_orderkey <= 2000""".stripMargin,
 
     "source_bloom_parquet" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n,
