@@ -1493,8 +1493,34 @@ object SltRunner {
         java.util.regex.Pattern.compile(
           w.split(java.util.regex.Pattern.quote("<slt:ignore>"), -1)
             .map(java.util.regex.Pattern.quote).mkString(".*")).matcher(g).matches()) ||
-      numericallyEqual(g, w)
+      numericallyEqual(g, w) || tsEqual(g, w)
     }
+
+  /** Instant expectations differ only in tz spelling across the corpus:
+    * the spark/ conversion files render UTC instants RFC3339-style
+    * ("1970-01-01T00:00:01.500Z", fraction padded to 3/6 digits) while the
+    * Spark-side render is naive-trimmed ("…T00:00:01.5"). Same instant,
+    * different print — compare timestamp-shaped cells with the Z stripped
+    * and the fraction's trailing zeros trimmed. */
+  private val tsShape =
+    """\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?Z?""".r
+  private def tsEqual(g: String, w: String): Boolean = {
+    def norm(s: String): Option[String] = s match {
+      case tsShape(_*) =>
+        val base = s.stripSuffix("Z")
+        Some(if (base.contains('.'))
+          base.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+        else base)
+      case _ => None
+    }
+    def tokEq(a: String, b: String): Boolean = a == b ||
+      ((norm(a), norm(b)) match {
+        case (Some(x), Some(y)) => x == y
+        case _ => false
+      })
+    val gt = g.trim.split("\\s+"); val wt = w.trim.split("\\s+")
+    gt.length == wt.length && gt.zip(wt).forall { case (a, b) => tokEq(a, b) }
+  }
 
   /** Fallback when exact text differs: token-wise numeric compare with a
     * tight relative tolerance. The spark/ subtree's expected floats carry
@@ -1727,7 +1753,7 @@ object SltRunner {
     // spark/ subtree files assert SPARK behavior: no DataFusion-dialect
     // function overrides, default string-literal escaping
     sparkDialect = path.replace('\\', '/').contains("/spark/")
-    if (!sparkDialect) registerCompat(spark)
+    if (!sparkDialect) registerCompat(spark) else registerSparkShims(spark)
     var passed = 0
     val failures = mutable.Buffer[Failure]()
     val skipped = mutable.Buffer[(Int, String)]()
@@ -2202,6 +2228,29 @@ object SltRunner {
 
   /** The engine's own SQL-function compat layer (the same packs the
     * oracle inventory exercises), plus `iszero` (math/iszero.rs). */
+  /** The datafusion-spark compat crate exposes helpers under names Spark
+    * itself doesn't have; on actual Spark they ARE builtin semantics, so
+    * the spark-dialect session registers thin aliases instead of skipping
+    * their directives: spark_cast(x, 'type') is CAST (the crate's whole
+    * purpose is replicating Spark's cast), bitwise_not is `~`. */
+  private def registerSparkShims(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{BitwiseNot, Cast, Literal}
+    import org.apache.spark.sql.types.StringType
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("spark_cast", es => {
+      val tpe = es(1) match {
+        case l: Literal if l.dataType == StringType && l.value != null =>
+          l.value.toString
+        case other => throw new IllegalArgumentException(
+          s"spark_cast: type argument must be a string literal, got ${other.sql}")
+      }
+      Cast(es.head,
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(tpe))
+    }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "bitwise_not", es => BitwiseNot(es.head), "built-in")
+  }
+
   private def registerCompat(spark: SparkSession): Unit = {
     graft.functions.GraftMath.register(spark)
     graft.functions.VectorFunctions.register(spark)
