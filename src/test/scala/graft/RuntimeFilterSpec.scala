@@ -74,6 +74,59 @@ class RuntimeFilterSpec extends AnyFunSuite {
     } finally reader.close()
   }
 
+  test("runtime bloom filter reduces the fact side's shuffled bytes") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def factShuffleBytes(ss: org.apache.spark.sql.SparkSession): Long = {
+      graft.queries.Q.fixtureViews(ss, dir)
+      val df = ss.sql(
+        """SELECT p_brand, SUM(l_extendedprice) AS amt
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE p_size = 7 AND p_type = 'PROMO'
+          |GROUP BY p_brand""".stripMargin)
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      val root = plan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // under AQE, exchanges sit inside QueryStageExec wrappers whose plan
+      // is an INNER child — plain collect() never reaches them
+      def collectEx(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[ShuffleExchangeLike] = {
+        val self = p match { case s: ShuffleExchangeLike => Seq(s); case _ => Nil }
+        val kids = p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case _ => p.children
+        }
+        self ++ kids.flatMap(collectEx)
+      }
+      val exchanges = collectEx(root)
+      if (exchanges.isEmpty)
+        info(s"no exchanges found in:\n${root.treeString.take(2000)}")
+      // the LARGEST shuffle in the query is the fact side's
+      exchanges.map { s =>
+        s.metrics.get("shuffleBytesWritten").orElse(s.metrics.get("dataSize"))
+          .map(_.value).getOrElse(0L)
+      }.max
+    }
+    def session(rf: Boolean) = {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", rf.toString)
+      ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      ss.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      ss
+    }
+    val withFilter = factShuffleBytes(session(rf = true))
+    val without = factShuffleBytes(session(rf = false))
+    info(s"fact shuffle bytes: with filter $withFilter, without $without")
+    assert(withFilter > 0 && without > 0)
+    assert(withFilter * 2 < without,
+      s"runtime filter did not reduce the fact exchange ($withFilter vs $without)")
+  }
+
   test("AQE splits a skewed join partition instead of straggling") {
     val ss = spark.newSession()
     import ss.implicits._
