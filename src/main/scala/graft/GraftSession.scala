@@ -55,6 +55,18 @@ object GraftSession {
       // study measured as 2.6→1.4 s on SF10 q1 (one fat wave waits on its
       // slowest task).
       .config("spark.sql.files.maxPartitionBytes", (24 * 1024 * 1024).toString)
+      // Dynamic partition pruning: Spark's default only prunes when the
+      // pruning subquery can reuse the join's broadcast exchange, and that
+      // reuse check fails whenever the dimension side is itself a join
+      // (canonical plans diverge) — the filter silently degrades to
+      // dynamicpruningexpression(true) and the fact scan reads EVERY
+      // partition (found by measuring numPartitions on scan_dpp: 25/25
+      // read). DPP only triggers when the dim side is broadcast-small, so
+      // re-running it as a standalone subquery is bounded by construction —
+      // at 100 TB that duplicate dim scan costs MBs and saves reading the
+      // unpruned fact. RuntimeFilterSpec asserts partitions-read ≤ the
+      // selected dim keys.
+      .config("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
       .config("spark.ui.enabled", "false")
 
   /** builder + context-creation-time experiment knobs (these cannot be set

@@ -127,6 +127,32 @@ class RuntimeFilterSpec extends AnyFunSuite {
       s"runtime filter did not reduce the fact exchange ($withFilter vs $without)")
   }
 
+  test("dynamic partition pruning reduces measured partitions read") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = SparkEntry.queries("scan_dpp")(spark.newSession(), dir)
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = {
+      val self = p match { case f: FileSourceScanExec => Seq(f); case _ => Nil }
+      val kids = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case _ => p.children
+      }
+      self ++ kids.flatMap(scans)
+    }
+    // the fact scan is the one with a partition-pruning subquery filter
+    val fact = scans(df.queryExecution.executedPlan)
+      .find(_.partitionFilters.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression])))
+      .getOrElse(fail("no scan carries a DynamicPruningExpression"))
+    info(s"fact scan metrics: ${fact.metrics.map { case (k, m) => s"$k=${m.value}" }.mkString(", ")}")
+    val read = fact.metrics("numPartitions").value
+    // the fixture has 25 nation partitions; ASIA selects 5
+    assert(read > 0 && read <= 5,
+      s"DPP read $read partitions — pruning did not engage")
+  }
+
   test("AQE splits a skewed join partition instead of straggling") {
     val ss = spark.newSession()
     import ss.implicits._
