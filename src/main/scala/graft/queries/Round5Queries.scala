@@ -128,6 +128,22 @@ object Round5Queries {
       pq.crossJoin(cs)
     },
 
+    // Small-file compaction under the oracle gate: a 32-writer tiny-file
+    // layout is compacted to ~target-size files and the read-back
+    // aggregate must be unchanged (CompactionSpec asserts the file-count
+    // and layout properties; this pins content).
+    "sink_compacted" -> { (s, dir) =>
+      val path = scratch("orders_compacted")
+      t(s, dir, "orders").filter(col("o_orderkey") <= 4000)
+        .repartition(32).write.mode("overwrite").parquet(path)
+      graft.operators.Compaction.compactParquet(s, path,
+        targetBytes = 8L * 1024 * 1024)
+      s.read.parquet(path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("total"))
+        .orderBy("o_orderpriority")
+    },
+
     // Runtime bloom-filter join pruning (reference: dynamic/sideways
     // filter pushdown through hash joins — physical-plan/src/joins/
     // hash_join.rs dynamic filters, dynamic_filter_pushdown_config.slt):
@@ -157,6 +173,12 @@ object Round5Queries {
         |  CAST(FLOOR((SUM(l_extendedprice) + 1.37e-4) * 100 + 0.5) AS DOUBLE) / 100 AS amt,
         |  CAST(SUM(l_quantity) AS BIGINT) AS qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "sink_compacted" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(FLOOR((SUM(o_totalprice) + 1.37e-4) * 100 + 0.5) AS DOUBLE) / 100 AS total
+        |FROM orders WHERE o_orderkey <= 4000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "sink_compression" ->
