@@ -35,10 +35,19 @@ object Scale {
   }
 
   /** Persist as a bucketed+sorted table (bucket pruning + shuffle-free
-    * joins/aggregations on the bucket key). */
+    * joins/aggregations on the bucket key).
+    *
+    * The input is pre-partitioned on the bucket column with exactly
+    * nBuckets tasks: Spark's writer emits one file per (task, bucket)
+    * pair, and the scan only trusts the bucket SORT order when each
+    * bucket is a single file — without this, downstream sort-merge joins
+    * still re-sort both sides (exchange-free but not sort-free).
+    * repartition(n, col) and bucketBy hash with the same Murmur3, so each
+    * task holds exactly one bucket. */
   def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
       nBuckets: Int): Unit =
-    df.write.mode("overwrite")
+    df.repartition(nBuckets, col(bucketCol))
+      .write.mode("overwrite")
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .option("path", s"${System.getProperty("java.io.tmpdir")}/graft_buckets/$tableName")
