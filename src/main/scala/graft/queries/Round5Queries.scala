@@ -128,6 +128,25 @@ object Round5Queries {
       pq.crossJoin(cs)
     },
 
+    // Approximate heavy hitters over the token stream (Spark's freqItems =
+    // single-pass Misra-Gries; the reference has no frequent-items sketch).
+    // Oracle contract: the sketch's guarantee is ZERO false negatives for
+    // any token with frequency > support×n — the query counts the exact
+    // hot set (engine-comparable) and the guarantee violations (always 0),
+    // all in one plan (no driver materialization of the sketch).
+    "text_heavy_hitters" -> { (s, dir) =>
+      val w = t(s, dir, "documents")
+        .select(explode(graft.functions.TextFunctions.words(col("text"))).as("w"))
+      val fi = w.stat.freqItems(Seq("w"), 0.02)
+      val counts = w.groupBy("w").agg(count(lit(1)).as("cnt"))
+      val tot = w.agg(count(lit(1)).as("n"))
+      counts.crossJoin(tot).crossJoin(fi)
+        .filter(col("cnt") > col("n") * 0.02)
+        .agg(count(lit(1)).as("n_hot"),
+          coalesce(sum(when(array_contains(col("w_freqItems"), col("w")), 0L)
+            .otherwise(1L)), lit(0L)).as("missed"))
+    },
+
     // Small-file compaction under the oracle gate: a 32-writer tiny-file
     // layout is compacted to ~target-size files and the read-back
     // aggregate must be unchanged (CompactionSpec asserts the file-count
@@ -174,6 +193,15 @@ object Round5Queries {
         |  CAST(SUM(l_quantity) AS BIGINT) AS qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "text_heavy_hitters" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+        |  FROM documents),
+        |c AS (SELECT w, COUNT(*) AS cnt FROM w GROUP BY w),
+        |t AS (SELECT COUNT(*) AS n FROM w)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_hot, CAST(0 AS BIGINT) AS missed
+        |FROM c, t WHERE cnt > n * 0.02""".stripMargin,
 
     "sink_compacted" ->
       """SELECT o_orderpriority, count(*) AS n,
