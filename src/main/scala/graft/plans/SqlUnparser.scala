@@ -104,9 +104,22 @@ object SqlUnparser {
       }
     // transformDown so InSubquery/Exists are seen before their child plan
     // wrappers (ListQuery would otherwise hit the catch-all first).
-    val rewritten = norm.transformDown {
+    def rewrite(e0: Expression): Expression = e0.transformDown {
       case OuterReference(a) => RawSql(resolve(a), a.dataType)
       case a: AttributeReference => RawSql(resolve(a), a.dataType)
+      // higher-order function bodies: `.sql` prints the unparseable
+      // "lambdafunction(...)" wrapper — render the SQL lambda form, with
+      // the body recursively rewritten (it may capture outer columns) and
+      // lambda variables printing by name
+      case lf: LambdaFunction =>
+        val args = lf.arguments.map(a => quoteIfNeeded(a.name))
+        val argTxt = if (args.size == 1) args.head
+                     else args.mkString("(", ", ", ")")
+        val body = rewrite(lf.function).transformDown {
+          case v: NamedLambdaVariable => RawSql(quoteIfNeeded(v.name), v.dataType)
+        }
+        RawSql(s"$argTxt -> ${body.sql}", lf.dataType)
+      case v: NamedLambdaVariable => RawSql(quoteIfNeeded(v.name), v.dataType)
       case s: ScalarSubquery =>
         RawSql("(" + render(s.plan, subCtx).sql + ")", s.dataType)
       case e: Exists =>
@@ -117,8 +130,20 @@ object SqlUnparser {
                    else values.mkString("(", ", ", ")")
         RawSql(s"$vtxt IN (${render(in.query.plan, subCtx).sql})", in.dataType)
       case s: SubqueryExpression => unsupported(s"subquery ${s.getClass.getSimpleName}")
+      // PIVOT analyzes into the internal PivotFirst aggregate, which has
+      // no SQL spelling — fail loudly rather than emit "pivotfirst(...)"
+      case p: org.apache.spark.sql.catalyst.expressions.aggregate.PivotFirst =>
+        unsupported("PIVOT (internal PivotFirst aggregate)")
+      // CreateNamedStruct.sql drops declared field names when it deems
+      // them derivable (struct(a, b)), which loses UNPIVOT's key labels
+      // on re-parse — always spell the named form
+      case cns: CreateNamedStruct =>
+        val parts = cns.children.grouped(2).map { case Seq(n, v) =>
+          s"${rewrite(n).sql}, ${rewrite(v).sql}"
+        }.mkString(", ")
+        RawSql(s"named_struct($parts)", cns.dataType)
     }
-    rewritten.sql
+    rewrite(norm).sql
   }
 
   /** Assign unique output names for a SELECT list. */

@@ -64,4 +64,12 @@ class SqlUnparserSweepSpec extends AnyFunSuite {
       "h2o_", "cb_", "job_", "sort_tpch_", "external_aggr_"),
       minRoundtripped = 30)
   }
+
+  test("relational families roundtrip through the unparser") {
+    sweep(Seq("win_", "agg_", "set_", "subq_", "sort_", "limit_",
+      "distinct_", "unnest_", "join_inner", "join_left", "join_right",
+      "join_full", "join_semi", "join_anti", "join_cross", "join_theta",
+      "values_", "pivot_", "unpivot_"),
+      minRoundtripped = 45)
+  }
 }
