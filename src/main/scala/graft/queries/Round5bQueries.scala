@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Q._
+
+/** Round-5 continuation: multi-dimensional clustering layout and mergeable
+  * sketch aggregates, all under the driver's DuckDB differential.
+  */
+object Round5bQueries {
+
+  private def scratch(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_scratch/$name"
+
+  val queries: Map[String, QueryFn] = Map(
+    // Z-order clustered rewrite under the oracle gate: lineitem re-laid
+    // out on the Morton key of (l_partkey, l_suppkey), read back through
+    // the clustered files — the aggregate must be byte-identical to the
+    // original table's. ZOrderSpec asserts the layout's payoff (row-group
+    // skipping on BOTH dimensions); this entry pins that the rewrite
+    // loses nothing. Reference analog: the row-group pruning machinery
+    // (pruning/src/pruning_predicate.rs) that such a layout feeds.
+    "layout_zorder" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+          col("l_extendedprice"))
+      val path = scratch("lineitem_zorder")
+      graft.operators.ZOrder.writeClustered(li, path,
+        Seq("l_partkey", "l_suppkey"), numFiles = 4)
+      s.read.parquet(path)
+        .groupBy((col("l_partkey") % 10).cast("long").as("pk_mod"))
+        .agg(count(lit(1)).as("n"),
+          r2(sum(col("l_extendedprice"))).as("amt"),
+          sum(col("l_quantity")).cast("long").as("qty"))
+        .orderBy("pk_mod")
+    },
+
+    // Mergeable HLL sketches (Spark's Apache DataSketches HllSketch
+    // surface; the reference's approx_distinct is its own HyperLogLog —
+    // functions-aggregate/src/approx_distinct.rs, hyperloglog.rs). The
+    // 100 TB pattern under test: per-group sketches built in one partial
+    // pass, then UNIONED across groups — a re-aggregation that never
+    // touches the raw data again. Contract oracle: the merged estimate
+    // must agree with the exact global distinct within the published
+    // bound (~1.04/sqrt(2^12) per-sketch, 5% with slack), emitted as an
+    // in-query boolean next to the exact count.
+    "agg_hll_merge" -> { (s, dir) =>
+      val od = t(s, dir, "orders")
+      val perGroup = od.groupBy("o_orderpriority")
+        .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+      val merged = perGroup
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      val exact = od.agg(countDistinct(col("o_custkey")).as("n_exact"))
+      merged.crossJoin(exact)
+        .select(col("n_exact").cast("long").as("n_exact"),
+          (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.05)
+            .as("within_bound"))
+    },
+
+    // Count-min sketch frequency estimation (Spark's builtin
+    // count_min_sketch aggregate; no reference equivalent — the
+    // Misra-Gries freqItems entry covers the heavy-hitter side). The
+    // sketch's one-sided guarantee IS the oracle contract: for every
+    // probed key, estimate >= exact, and estimate <= exact + eps*N.
+    // Both checks evaluate in-plan against exact per-key counts; the
+    // exact counts are the engine-comparable output.
+    "agg_countmin" -> { (s, dir) =>
+      val ss = t(s, dir, "orders").sparkSession
+      val cmsEstimate = udf { (b: Array[Byte], key: String) =>
+        org.apache.spark.util.sketch.CountMinSketch.readFrom(b)
+          .estimateCount(key)
+      }
+      val od = t(ss, dir, "orders")
+      val sk = od.agg(
+        expr("count_min_sketch(o_orderpriority, 0.001d, 0.99d, 42)").as("cms"),
+        count(lit(1)).as("n"))
+      val exact = od.groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+      exact.crossJoin(sk)
+        .select(col("o_orderpriority"), col("cnt"),
+          (cmsEstimate(col("cms"), col("o_orderpriority")) >= col("cnt"))
+            .as("no_undercount"),
+          (cmsEstimate(col("cms"), col("o_orderpriority")) <=
+            col("cnt") + ceil(col("n") * 0.001)).as("within_eps"))
+        .orderBy("o_orderpriority")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "layout_zorder" ->
+      """SELECT CAST(l_partkey % 10 AS BIGINT) AS pk_mod, count(*) AS n,
+        |  CAST(FLOOR((SUM(l_extendedprice) + 1.37e-4) * 100 + 0.5) AS DOUBLE) / 100 AS amt,
+        |  CAST(SUM(l_quantity) AS BIGINT) AS qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_hll_merge" ->
+      """SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+        |  TRUE AS within_bound FROM orders""".stripMargin,
+
+    "agg_countmin" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+        |  TRUE AS no_undercount, TRUE AS within_eps
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}
