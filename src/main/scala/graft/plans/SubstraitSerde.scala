@@ -592,7 +592,7 @@ object SubstraitSerde {
   import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
     AttributeReference, Expression => CExpr, Literal => CLit, SortOrder,
     Ascending, Descending, NullsFirst, NullsLast, Cast => CCast,
-    CaseWhen => CCaseWhen, In => CIn, IsNull => CIsNull,
+    CaseWhen => CCaseWhen, Coalesce => CCoalesce, In => CIn, IsNull => CIsNull,
     IsNotNull => CIsNotNull, Not => CNot, And => CAnd, Or => COr,
     EqualTo, LessThan, GreaterThan, LessThanOrEqual, GreaterThanOrEqual,
     Add => CAdd, Subtract => CSubtract, Multiply => CMultiply,
@@ -918,6 +918,16 @@ object SubstraitSerde {
               "then" -> emitExpr(v, input, reg, outer))
           }.toList),
           "else" -> elseValue.map(emitExpr(_, input, reg, outer)).getOrElse(JNothing)))
+      case CCoalesce(children) =>
+        // Substrait core has no first-class coalesce — lower to the
+        // equivalent if-then chain (the consumer rebuilds it as CASE WHEN;
+        // same null semantics: first non-null child wins)
+        JObject("ifThen" -> JObject(
+          "ifs" -> JArray(children.init.map { c =>
+            JObject("if" -> emitExpr(CIsNotNull(c), input, reg, outer),
+              "then" -> emitExpr(c, input, reg, outer))
+          }.toList),
+          "else" -> emitExpr(children.last, input, reg, outer)))
       case CIn(value, list) if list.forall(_.isInstanceOf[CLit]) =>
         JObject("singularOrList" -> JObject(
           "value" -> emitExpr(value, input, reg, outer),

@@ -46,14 +46,34 @@ object FunctionQueries3 {
 
     // TPC-H Q16 shape: distinct supplier counts per (brand, type) via the
     // lineitem relation (fixture has no partsupp).
-    "q16_suppcnt" -> { (s, dir) =>
-      t(s, dir, "part")
-        .filter(col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
-        .join(t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"))
-        .groupBy("p_brand", "p_type")
-        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
-        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
-        .limit(20)
+    // Reshape (stats-gated): the 8-value size filter keeps a footer-
+    // estimable fraction of part (8 / size-domain width); broadcast that
+    // slim projection so lineitem streams scan→probe→partial-distinct
+    // without a fact exchange. Without the explicit build side, Spark's
+    // file-size estimate of the FILTERED part stays above the auto
+    // threshold and plans an SMJ that sorts all of lineitem first — AQE
+    // only downgrades it after the fact shuffle is already written.
+    "q16_suppcnt" -> { (s0, dir) =>
+      import graft.plans.BroadcastAdvisor._
+      val p = tableStats(s0, s"$dir/part.parquet")
+      val sizeSel = p.cols.get("p_size")
+        .flatMap(c => c.minLong.zip(c.maxLong))
+        .collect { case (mn, mx) if mx > mn => 8.0 / (mx - mn + 1) }
+        .getOrElse(EqSelectivity)
+      val bc = shouldBroadcast(s0, estimateBytes(p, p.rows * sizeSel,
+        Seq("p_partkey", "p_brand", "p_type")))
+      val s = if (bc) staticPlanSession(s0) else s0
+      fixtureViews(s, dir)
+      val hint = if (bc) "/*+ BROADCAST(px) */ " else ""
+      s.sql(
+        s"""SELECT ${hint}p_brand, p_type,
+          |  count(DISTINCT l_suppkey) AS supplier_cnt
+          |FROM lineitem,
+          |  (SELECT p_partkey, p_brand, p_type FROM part
+          |   WHERE p_size IN (1, 5, 9, 13, 17, 21, 25, 29)) px
+          |WHERE l_partkey = px.p_partkey
+          |GROUP BY p_brand, p_type
+          |ORDER BY supplier_cnt DESC, p_brand, p_type LIMIT 20""".stripMargin)
     })
 
   val oracleSql: Map[String, String] = Map(

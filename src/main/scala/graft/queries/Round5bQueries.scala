@@ -65,21 +65,22 @@ object Round5bQueries {
     // Both checks evaluate in-plan against exact per-key counts; the
     // exact counts are the engine-comparable output.
     "agg_countmin" -> { (s, dir) =>
-      val ss = t(s, dir, "orders").sparkSession
-      val cmsEstimate = udf { (b: Array[Byte], key: String) =>
+      // registered by name (not an anonymous UDF object) so the plan
+      // survives the unparser sweep: `cms_estimate(...)` re-resolves when
+      // the unparsed SQL re-executes on the session
+      s.udf.register("cms_estimate", (b: Array[Byte], key: String) =>
         org.apache.spark.util.sketch.CountMinSketch.readFrom(b)
-          .estimateCount(key)
-      }
-      val od = t(ss, dir, "orders")
+          .estimateCount(key))
+      val od = t(s, dir, "orders")
       val sk = od.agg(
         expr("count_min_sketch(o_orderpriority, 0.001d, 0.99d, 42)").as("cms"),
         count(lit(1)).as("n"))
       val exact = od.groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
       exact.crossJoin(sk)
         .select(col("o_orderpriority"), col("cnt"),
-          (cmsEstimate(col("cms"), col("o_orderpriority")) >= col("cnt"))
+          (expr("cms_estimate(cms, o_orderpriority)") >= col("cnt"))
             .as("no_undercount"),
-          (cmsEstimate(col("cms"), col("o_orderpriority")) <=
+          (expr("cms_estimate(cms, o_orderpriority)") <=
             col("cnt") + ceil(col("n") * 0.001)).as("within_eps"))
         .orderBy("o_orderpriority")
     }
