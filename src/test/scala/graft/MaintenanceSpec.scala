@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Maintenance, ZOrder}
+
+/** `Maintenance.optimize` — compaction and Z-order clustering behind one
+  * call: a 32-writer tiny-file mess becomes a few right-sized files whose
+  * row-group stats prune on BOTH clustered columns, with content
+  * untouched.
+  */
+class MaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("optimize with zorderBy compacts AND clusters; content preserved") {
+    val s = spark
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_scratch/maint_opt"
+    val data = s.range(200000).select(
+      pmod(xxhash64(col("id")), lit(1000)).as("x"),
+      pmod(xxhash64(col("id"), lit(3)), lit(1000)).as("y"),
+      col("id").as("payload"))
+    data.repartition(32).write.mode("overwrite").parquet(path)
+
+    val (before, after) = Maintenance.optimize(s, path,
+      targetBytes = 2L * 1024 * 1024, zorderBy = Seq("x", "y"),
+      rowGroupBytes = 256L * 1024)
+    info(s"files: $before -> $after")
+    assert(before >= 32 && after < before && after <= 4)
+
+    val back = s.read.parquet(path)
+    assert(back.count() == 200000)
+    assert(back.agg(sum("payload")).collect()(0).getLong(0) ==
+      data.agg(sum("payload")).collect()(0).getLong(0))
+
+    // the rewrite clustered: a 5%-band predicate prunes on both dims
+    // (single-file row groups here, so measure via footer stats)
+    val zx = ZOrder.skippableFraction(s, path, "x", 500, 550)
+    val zy = ZOrder.skippableFraction(s, path, "y", 500, 550)
+    info(f"post-optimize skip: x=$zx%.2f y=$zy%.2f")
+    assert(zx > 0.2 && zy > 0.2,
+      f"optimize did not cluster: x=$zx%.2f y=$zy%.2f")
+  }
+}
