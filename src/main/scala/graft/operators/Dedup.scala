@@ -302,6 +302,33 @@ object Dedup {
     labels
   }
 
+  /** Cross-document repeated n-gram windows — the exact SUBSTRING-level
+    * dedup signal (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better": repeated ≥n-token spans across documents are the
+    * memorization drivers that document-level dedup misses; the paper's
+    * suffix-array pass distributes as this rolling-window form).
+    *
+    * Emits one row per (doc_id, win) token window. Downstream: group by
+    * window, keep those spanning >1 distinct doc, join back to locate the
+    * spans to cut. Scale design: windows are materialized per-partition
+    * from the token array (no shuffle to build them); when `hashed`, the
+    * group key is the window's xxhash64 so the shuffle carries 8-byte keys
+    * instead of n-token strings (collision probability ~N²/2⁶⁵ —
+    * negligible at any corpus size that fits a cluster; the fixture
+    * entries use exact strings so the DuckDB differential is
+    * collision-free by construction). */
+  def ngramWindows(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, hashed: Boolean = false): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.words(col(textCol)).as("a"))
+      .filter(size(col("a")) >= n)
+    val w = toks.select(col("doc_id"),
+      explode(expr(
+        s"transform(sequence(0, size(a) - $n), i -> concat_ws(' ', slice(a, i + 1, $n)))"))
+        .as("win"))
+    if (hashed) w.select(col("doc_id"), xxhash64(col("win")).as("win")) else w
+  }
+
   /** Secondary length band for the Jaccard bucket key: floor(log2(#words)).
     * A hot (source, lang) bucket is re-split by document size, capping its
     * quadratic within-bucket work; near-duplicates have near-equal token

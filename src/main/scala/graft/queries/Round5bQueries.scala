@@ -83,10 +83,41 @@ object Round5bQueries {
           (expr("cms_estimate(cms, o_orderpriority)") <=
             col("cnt") + ceil(col("n") * 0.001)).as("within_eps"))
         .orderBy("o_orderpriority")
+    },
+
+    // Cross-document repeated n-gram detection (exact substring-level
+    // dedup — the class document-level dedup misses; see
+    // Dedup.ngramWindows). Exact-string windows here so the DuckDB
+    // differential is collision-free; the operator's hashed mode is the
+    // 100 TB path (8-byte shuffle keys).
+    "text_repeated_ngrams" -> { (s, dir) =>
+      val w = graft.operators.Dedup.ngramWindows(
+        t(s, dir, "documents"), "doc_id", "text", n = 20)
+      val rep = w.groupBy("win")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1).select("win")
+      val hits = w.join(rep, "win")
+      rep.agg(count(lit(1)).as("n_rep_windows")).crossJoin(
+        hits.agg(countDistinct(col("doc_id")).as("n_docs_affected"),
+          count(lit(1)).as("n_hits")))
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+    "text_repeated_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS a
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(a) - 20 + 2),
+        |                          i -> array_to_string(a[i : i + 19], ' '))) AS win
+        |  FROM toks WHERE len(a) >= 20),
+        |rep AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) > 1)
+        |SELECT (SELECT count(*) FROM rep) AS n_rep_windows,
+        |       (SELECT count(DISTINCT doc_id) FROM w JOIN rep USING (win)) AS n_docs_affected,
+        |       (SELECT count(*) FROM w JOIN rep USING (win)) AS n_hits""".stripMargin,
+
     "layout_zorder" ->
       """SELECT CAST(l_partkey % 10 AS BIGINT) AS pk_mod, count(*) AS n,
         |  CAST(FLOOR((SUM(l_extendedprice) + 1.37e-4) * 100 + 0.5) AS DOUBLE) / 100 AS amt,

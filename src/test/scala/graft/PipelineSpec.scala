@@ -12,6 +12,21 @@ class PipelineSpec extends AnyFunSuite {
 
   lazy val emb = Tables.load(spark, sfDir, "embeddings").cache()
 
+  test("ngramWindows finds a planted cross-doc 20-gram; hashed mode agrees") {
+    val s = spark; import s.implicits._
+    val shared = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma"),
+      (2L, s"$shared delta"),
+      (3L, "unrelated words only here")).toDF("doc_id", "text")
+    def repeated(hashed: Boolean): Long =
+      Dedup.ngramWindows(docs, "doc_id", "text", 20, hashed)
+        .groupBy("win").agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") > 1).count()
+    assert(repeated(hashed = false) == 1) // exactly the planted window
+    assert(repeated(hashed = true) == 1)  // 8-byte-key mode agrees
+  }
+
   test("vector kernels: self-similarity invariants") {
     val row = emb.limit(1)
       .select(
