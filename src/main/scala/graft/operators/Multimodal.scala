@@ -48,6 +48,122 @@ object Multimodal {
     }
   }
 
+  /** REAL decoders for the self-describing uncompressed media formats —
+    * RIFF/WAVE PCM and BMP need no codec library, just byte-layout
+    * parsing, so these paths are genuine decode (header walk, chunk
+    * skipping, row-stride handling), not stubs. Compressed codecs
+    * (JPEG/MP3/H.264) remain the declared `FakeCodec` swap-in point. */
+  object RealCodecs {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    /** 44-byte canonical RIFF/WAVE header + 16-bit LE PCM mono square
+      * wave of the given amplitude (RMS of a square wave == amplitude,
+      * exactly — which makes decode results oracle-checkable). */
+    def synthesizeWav(sampleRate: Int, amplitude: Int, nSamples: Int): Array[Byte] = {
+      val dataLen = nSamples * 2
+      val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("ASCII")); buf.putInt(36 + dataLen)
+      buf.put("WAVE".getBytes("ASCII"))
+      buf.put("fmt ".getBytes("ASCII")); buf.putInt(16)
+      buf.putShort(1) // PCM
+      buf.putShort(1) // mono
+      buf.putInt(sampleRate)
+      buf.putInt(sampleRate * 2) // byte rate
+      buf.putShort(2)  // block align
+      buf.putShort(16) // bits per sample
+      buf.put("data".getBytes("ASCII")); buf.putInt(dataLen)
+      var i = 0
+      while (i < nSamples) {
+        buf.putShort((if (i % 2 == 0) amplitude else -amplitude).toShort)
+        i += 1
+      }
+      buf.array()
+    }
+
+    case class WavInfo(sampleRate: Int, channels: Int, bits: Int,
+        nSamples: Int, rms: Double)
+
+    /** Chunk-walking RIFF parser: tolerates unknown chunks between
+      * `fmt ` and `data` (LIST/INFO etc.), computes RMS over the PCM
+      * samples. */
+    def parseWav(b: Array[Byte]): WavInfo = {
+      val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val t = new Array[Byte](4); buf.get(t); new String(t, "ASCII")
+      }
+      require(tag() == "RIFF", "not a RIFF file")
+      buf.getInt // riff size
+      require(tag() == "WAVE", "not a WAVE file")
+      var (sr, ch, bits) = (0, 0, 0)
+      var nSamples = 0
+      var sumSq = 0.0
+      while (buf.remaining() >= 8) {
+        val t = tag()
+        val len = buf.getInt
+        t match {
+          case "fmt " =>
+            val start = buf.position()
+            buf.getShort // audio format
+            ch = buf.getShort.toInt
+            sr = buf.getInt
+            buf.getInt; buf.getShort
+            bits = buf.getShort.toInt
+            buf.position(start + len)
+          case "data" =>
+            nSamples = len / 2
+            var i = 0
+            while (i < nSamples) {
+              val s = buf.getShort.toDouble; sumSq += s * s; i += 1
+            }
+          case _ => buf.position(buf.position() + len) // skip unknown chunk
+        }
+      }
+      WavInfo(sr, ch, bits,
+        nSamples, if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples))
+    }
+
+    /** Minimal 24bpp BMP (BITMAPINFOHEADER, bottom-up, rows padded to 4
+      * bytes) filled with one luminance value. */
+    def synthesizeBmp(width: Int, height: Int, lum: Int): Array[Byte] = {
+      val stride = (width * 3 + 3) / 4 * 4
+      val dataLen = stride * height
+      val buf = ByteBuffer.allocate(54 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte); buf.put('M'.toByte)
+      buf.putInt(54 + dataLen); buf.putInt(0); buf.putInt(54)
+      buf.putInt(40); buf.putInt(width); buf.putInt(height)
+      buf.putShort(1); buf.putShort(24)
+      buf.putInt(0); buf.putInt(dataLen); buf.putInt(2835); buf.putInt(2835)
+      buf.putInt(0); buf.putInt(0)
+      for (_ <- 0 until height; x <- 0 until stride)
+        buf.put(if (x < width * 3) lum.toByte else 0.toByte)
+      buf.array()
+    }
+
+    case class BmpInfo(width: Int, height: Int, bpp: Int, meanPx: Double)
+
+    /** BMP header + pixel-plane parse; the row stride (4-byte padding)
+      * must be skipped or the mean is wrong — a real decode detail. */
+    def parseBmp(b: Array[Byte]): BmpInfo = {
+      val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      require(buf.get() == 'B'.toByte && buf.get() == 'M'.toByte, "not a BMP")
+      buf.getInt; buf.getInt
+      val dataOff = buf.getInt
+      buf.getInt // header size
+      val width = buf.getInt
+      val height = buf.getInt
+      buf.getShort
+      val bpp = buf.getShort.toInt
+      val stride = (width * (bpp / 8) + 3) / 4 * 4
+      var sum = 0L
+      var n = 0L
+      for (y <- 0 until height; x <- 0 until width * (bpp / 8)) {
+        sum += java.lang.Byte.toUnsignedInt(b(dataOff + y * stride + x))
+        n += 1
+      }
+      BmpInfo(width, height, bpp, if (n == 0) 0.0 else sum.toDouble / n)
+    }
+  }
+
   /** Build a deterministic media table from the documents fixture: payload =
     * utf-8 bytes of the text (an opaque blob as far as the pipeline cares),
     * metadata derived from doc stats. */

@@ -36,6 +36,47 @@ object MultimodalQueries {
       Multimodal.sampleFrames(media, 4, 2)
         .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
           r6(col("frame_mean")).as("frame_mean"))
+    },
+
+    // REAL audio decode: RIFF/WAVE PCM synthesized per doc (square wave —
+    // RMS == amplitude exactly), parsed back by the chunk-walking parser.
+    // Every output value flows THROUGH the binary round-trip, so a header
+    // mis-read (wrong chunk skip, wrong endianness, stride bug) breaks the
+    // hash against the oracle's closed-form values.
+    "multimodal_wav" -> { (s, dir) =>
+      import s.implicits._
+      val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      ids.mapPartitions { it =>
+        // a real codec would init once per partition here (same batching
+        // pattern as extractFeatures)
+        it.map { id =>
+          val sr = 8000 + (id % 3).toInt * 4000
+          val amp = 1000 + (id % 7).toInt * 100
+          val n = sr / 20 // 50 ms
+          val info = Multimodal.RealCodecs.parseWav(
+            Multimodal.RealCodecs.synthesizeWav(sr, amp, n))
+          (id, info.sampleRate.toLong, info.channels.toLong, info.bits.toLong,
+            info.nSamples.toLong, math.round(info.rms),
+            info.nSamples * 1000L / info.sampleRate)
+        }
+      }.toDF("media_id", "sample_rate", "channels", "bits", "n_samples",
+        "rms", "duration_ms")
+    },
+
+    // REAL image decode: 24bpp BMP with 4-byte row padding — the parser
+    // must honor the stride or the mean pixel is wrong.
+    "multimodal_bmp" -> { (s, dir) =>
+      import s.implicits._
+      val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      ids.mapPartitions { it =>
+        it.map { id =>
+          val (w, h, lum) = (4 + (id % 4).toInt, 2 + (id % 2).toInt, (id % 251).toInt)
+          val info = Multimodal.RealCodecs.parseBmp(
+            Multimodal.RealCodecs.synthesizeBmp(w, h, lum))
+          (id, info.width.toLong, info.height.toLong, info.bpp.toLong,
+            math.round(info.meanPx))
+        }
+      }.toDF("media_id", "width", "height", "bpp", "mean_px")
     })
 
   private val BytesCte =
@@ -67,6 +108,24 @@ object MultimodalQueries {
          |SELECT media_id,
          | floor((((n // len) * total + prefix) * 1.0 / n + 1.37e-8) * 1000000 + 0.5) / 1000000 AS mean_px
          |FROM c""".stripMargin,
+
+    "multimodal_wav" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(16 AS BIGINT) AS bits,
+        |  CAST((8000 + (doc_id % 3) * 4000) // 20 AS BIGINT) AS n_samples,
+        |  CAST(1000 + (doc_id % 7) * 100 AS BIGINT) AS rms,
+        |  CAST(50 AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
+
+    "multimodal_bmp" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(4 + (doc_id % 4) AS BIGINT) AS width,
+        |  CAST(2 + (doc_id % 2) AS BIGINT) AS height,
+        |  CAST(24 AS BIGINT) AS bpp,
+        |  CAST(doc_id % 251 AS BIGINT) AS mean_px
+        |FROM documents""".stripMargin,
 
     "multimodal_frames" ->
       s"""WITH $BytesCte,

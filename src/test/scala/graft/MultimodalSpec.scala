@@ -36,4 +36,35 @@ class MultimodalSpec extends AnyFunSuite {
     val perMedia = frames.groupBy("media_id").count().collect()
     assert(perMedia.forall(_.getLong(1) == 2)) // frames 0 and 2
   }
+
+  test("RIFF parser skips unknown chunks and survives padding (real decode)") {
+    import graft.operators.Multimodal.RealCodecs
+    import java.nio.{ByteBuffer, ByteOrder}
+    // take a canonical file and splice a LIST chunk between fmt and data —
+    // players emit these; a parser that assumes fmt+data adjacency misreads
+    val base = RealCodecs.synthesizeWav(16000, 1200, 800)
+    val listChunk = {
+      val b = ByteBuffer.allocate(8 + 6).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("LIST".getBytes("ASCII")); b.putInt(6); b.put("INFOab".getBytes("ASCII"))
+      b.array()
+    }
+    val spliced = base.slice(0, 36) ++ listChunk ++ base.slice(36, base.length)
+    // fix the RIFF size field for the inserted bytes
+    val bb = ByteBuffer.wrap(spliced).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8)
+    val info = RealCodecs.parseWav(spliced)
+    assert(info.sampleRate == 16000 && info.channels == 1 && info.bits == 16)
+    assert(info.nSamples == 800)
+    assert(math.abs(info.rms - 1200.0) < 1e-9)
+  }
+
+  test("BMP parser honors the 4-byte row stride") {
+    import graft.operators.Multimodal.RealCodecs
+    // width 5 -> 15 data bytes/row, stride 16: one padding byte per row
+    // that must NOT enter the mean
+    val bmp = RealCodecs.synthesizeBmp(5, 3, 200)
+    val info = RealCodecs.parseBmp(bmp)
+    assert(info.width == 5 && info.height == 3 && info.bpp == 24)
+    assert(math.abs(info.meanPx - 200.0) < 1e-9)
+  }
 }
