@@ -27,7 +27,9 @@ object Bench {
     // round 5 appended: the reference's remaining bench families
     // (external_aggr, ClickBench user x minute, sort_tpch) — totals remain
     // comparable across rounds on the shared prefix above
-    "external_aggr_hicard", "cb_user_minute_matrix", "sort_tpch_wide")
+    "external_aggr_hicard", "cb_user_minute_matrix", "sort_tpch_wide",
+    // round 5 (4th session): substring-level dedup sweep
+    "text_repeated_ngrams")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

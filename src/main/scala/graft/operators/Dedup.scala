@@ -323,10 +323,61 @@ object Dedup {
       TextFunctions.words(col(textCol)).as("a"))
       .filter(size(col("a")) >= n)
     val w = toks.select(col("doc_id"),
-      explode(expr(
+      posexplode(expr(
         s"transform(sequence(0, size(a) - $n), i -> concat_ws(' ', slice(a, i + 1, $n)))"))
-        .as("win"))
-    if (hashed) w.select(col("doc_id"), xxhash64(col("win")).as("win")) else w
+        .as(Seq("pos", "win")))
+    if (hashed)
+      w.select(col("doc_id"), col("pos"), xxhash64(col("win")).as("win"))
+    else w
+  }
+
+  /** Remove cross-document repeated n-gram SPANS, keeping one global
+    * occurrence per window (the paper's all-but-one cut): for every window
+    * that appears in >1 distinct doc, every occurrence except the globally
+    * first (min (doc_id, pos)) is cut; per doc, overlapping cut windows
+    * merge into maximal token spans (gaps-and-islands over a running-max
+    * window) and the text is rebuilt without them — all in-plan, the
+    * reconstruct is a codegen lambda over the token array.
+    *
+    * Returns (doc_id, text, n_tokens_before, n_tokens_after). Scale: one
+    * window-build pass, one groupBy on the window key (hashable — see
+    * [[ngramWindows]]), one per-doc sort of its CUT windows only (bounded
+    * by dup volume, not corpus size). */
+  def cutRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = ngramWindows(docs, idCol, textCol, n)
+    val stats = w.groupBy("win").agg(
+      countDistinct(col("doc_id")).as("nd"),
+      min(struct(col("doc_id"), col("pos"))).as("keep"))
+    val cuts = w.join(stats.filter(col("nd") > 1), "win")
+      .filter(!(col("doc_id") === col("keep.doc_id") &&
+        col("pos") === col("keep.pos")))
+      .select(col("doc_id"), col("pos"))
+    // gaps-and-islands: a window starts a new span iff it begins past the
+    // running max end of all earlier windows in the doc
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + n)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = cuts
+      .withColumn("new_span",
+        when(prevEnd.isNull || col("pos") >= prevEnd, 1).otherwise(0))
+      .withColumn("island", sum(col("new_span")).over(byDoc))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + n).as("e"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("cuts"))
+    docs.select(col(idCol).as("doc_id"),
+        TextFunctions.words(col(textCol)).as("a"))
+      .join(islands, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("a")).cast("long").as("n_tokens_before"),
+        when(col("cuts").isNull, col("a")).otherwise(expr(
+          "filter(a, (x, i) -> NOT exists(cuts, c -> i >= c.s AND i < c.e))"))
+          .as("kept"))
+      .select(col("doc_id"), concat_ws(" ", col("kept")).as("text"),
+        col("n_tokens_before"),
+        size(col("kept")).cast("long").as("n_tokens_after"))
   }
 
   /** Secondary length band for the Jaccard bucket key: floor(log2(#words)).

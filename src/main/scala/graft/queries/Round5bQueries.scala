@@ -100,10 +100,38 @@ object Round5bQueries {
       rep.agg(count(lit(1)).as("n_rep_windows")).crossJoin(
         hits.agg(countDistinct(col("doc_id")).as("n_docs_affected"),
           count(lit(1)).as("n_hits")))
+    },
+
+    // The span-removal transform completing the substring-dedup story
+    // (all-but-one cut, Lee et al.): contract oracle — every doc survives,
+    // token totals are exact on both engines, some tokens were actually
+    // removed, and re-running detection on the CLEANED corpus finds no
+    // cross-document repeated window left.
+    "text_cut_spans" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val cleaned =
+        graft.operators.Dedup.cutRepeatedSpans(docs, "doc_id", "text", 20)
+      val still = graft.operators.Dedup
+        .ngramWindows(cleaned, "doc_id", "text", 20)
+        .groupBy("win").agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1)
+      cleaned.agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens_before").as("tokens_before"),
+          (sum("n_tokens_before") > sum("n_tokens_after")).as("some_removed"))
+        .crossJoin(still.agg((count(lit(1)) === 0).as("no_crossdup_left")))
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+    "text_cut_spans" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x != '') AS a
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(len(a)) AS BIGINT) AS tokens_before,
+        |       TRUE AS some_removed, TRUE AS no_crossdup_left
+        |FROM toks""".stripMargin,
+
     "text_repeated_ngrams" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS a

@@ -27,6 +27,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(repeated(hashed = true) == 1)  // 8-byte-key mode agrees
   }
 
+  test("cutRepeatedSpans keeps one global occurrence, merges overlaps") {
+    val s = spark; import s.implicits._
+    // a 25-token shared run -> 6 overlapping repeated 20-windows that must
+    // merge into ONE cut span in the non-keeper doc
+    val run = (1 to 25).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $run gamma"),
+      (2L, s"pre1 pre2 pre3 $run post"),
+      (3L, "independent text with no duplication at all")).toDF("doc_id", "text")
+    val out = Dedup.cutRepeatedSpans(docs, "doc_id", "text", 20)
+      .orderBy("doc_id").collect()
+    // doc 1 holds the global first occurrence of every repeated window
+    assert(out(0).getString(1) == s"alpha beta $run gamma")
+    assert(out(0).getLong(2) == out(0).getLong(3))
+    // doc 2 loses exactly the 25-token run (one merged span)
+    assert(out(1).getString(1) == "pre1 pre2 pre3 post")
+    assert(out(1).getLong(2) - out(1).getLong(3) == 25)
+    // untouched doc
+    assert(out(2).getLong(2) == out(2).getLong(3))
+  }
+
   test("vector kernels: self-similarity invariants") {
     val row = emb.limit(1)
       .select(
