@@ -78,6 +78,53 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Scalar int8 quantization — the 4× memory/IO lever for a 100 TB
+    * embedding store (a 1536-dim float corpus drops from 6 KB to 1.5 KB
+    * per row; scan, shuffle and cache all shrink with it). Per-vector
+    * max-abs symmetric grid: q = round(127·x/s). Everything is plain
+    * codegen column math (transform / zip_with / aggregate — no UDF). */
+  def quantizeInt8(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val s = greatest(array_max(transform(emb, x => abs(x))), lit(1e-12f))
+    struct(
+      transform(emb, x => round(x / s * 127).cast("tinyint")).as("q"),
+      s.cast("float").as("scale"))
+  }
+
+  /** Dot product over two quantized vectors: int32 accumulation, one
+    * rescale at the end. */
+  def int8Dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(
+      zip_with(a.getField("q"), b.getField("q"),
+        (x, y) => x.cast("int") * y.cast("int")),
+      lit(0), (acc, x) => acc + x).cast("double") *
+      a.getField("scale") * b.getField("scale") / lit(127.0 * 127.0)
+
+  /** L2 norm of a quantized vector (for cosine from int8 dot). */
+  def int8Norm(a: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sqrt(aggregate(
+      transform(a.getField("q"), x => x.cast("int") * x.cast("int")),
+      lit(0), (acc, x) => acc + x).cast("double")) *
+      a.getField("scale") / lit(127.0)
+
+  /** Top-k cosine neighbors computed ENTIRELY in the quantized domain —
+    * same plan shape as [[bruteForceKnn]] (query broadcast, corpus never
+    * shuffled, partial WindowGroupLimit), but the corpus side carries
+    * int8 payloads. */
+  def quantizedKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("nid"),
+      quantizeInt8(col("embedding")).as("nq"))
+    val q = queries.select(col("vec_id").as("qid"),
+      quantizeInt8(col("embedding")).as("qq"))
+    val sim = (int8Dot(col("qq"), col("nq")) /
+      (int8Norm(col("qq")) * int8Norm(col("nq")))).as("sim")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(r6(col("sim")).desc, col("nid").asc)
+    c.join(broadcast(q), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), sim)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplanes (seeded), as literal arrays —
     * broadcast to every task, no shuffle. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Float]] = {

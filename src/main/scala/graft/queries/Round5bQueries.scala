@@ -119,10 +119,33 @@ object Round5bQueries {
           sum("n_tokens_before").as("tokens_before"),
           (sum("n_tokens_before") > sum("n_tokens_after")).as("some_removed"))
         .crossJoin(still.agg((count(lit(1)) === 0).as("no_crossdup_left")))
+    },
+
+    // Int8-quantized KNN (Similarity.quantizeInt8): the whole ranking runs
+    // in the quantized domain; contract oracle — recall@5 vs the exact
+    // float cosine top-5 must clear 0.8 (measured headroom: max-abs int8
+    // keeps cosine within ~1e-2, recall is typically 1.0).
+    "embed_knn_quantized" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val exact = graft.operators.Similarity.bruteForceKnn(e, q, 5)
+        .select(col("qid"), col("nid"))
+      val approx = graft.operators.Similarity.quantizedKnn(e, q, 5)
+        .select(col("qid").as("aqid"), col("nid").as("anid"))
+      val hits = exact.join(approx,
+        col("qid") === col("aqid") && col("nid") === col("anid"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      exact.agg(count(lit(1)).as("n_exact")).crossJoin(hits)
+        .select(col("n_exact"),
+          (col("n_hit").cast("double") / col("n_exact") >= 0.8).as("recall_ok"))
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+    "embed_knn_quantized" ->
+      """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
     "text_cut_spans" ->
       """WITH toks AS (
         |  SELECT list_filter(string_split(text, ' '), x -> x != '') AS a
