@@ -138,10 +138,50 @@ object Round5bQueries {
       exact.agg(count(lit(1)).as("n_exact")).crossJoin(hits)
         .select(col("n_exact"),
           (col("n_hit").cast("double") / col("n_exact") >= 0.8).as("recall_ok"))
+    },
+
+    // Statistics-answered aggregates (reference: optimizer/src/
+    // aggregate_statistics.rs — COUNT/MIN/MAX read from stats, zero data
+    // pages): Spark's DSv2 parquet reader pushes the whole aggregation
+    // into the scan (PushedAggregation in the plan — asserted by
+    // AggPushdownSpec); at 100 TB this answers from footers alone. The
+    // oracle pins the values through that path.
+    "agg_pushdown_stats" -> { (s, dir) =>
+      val ss = aggPushdownSession(s)
+      graft.Tables.load(ss, dir, "lineitem")
+        .agg(count(lit(1)).as("n"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"),
+          min(col("l_shipdate")).cast("date").cast("string").as("min_ship"),
+          max(col("l_shipdate")).cast("date").cast("string").as("max_ship"))
     }
   )
 
+  /** Child session with the DSv2 parquet path + aggregate pushdown on
+    * (v1 FileFormat has no aggregate-pushdown hook). */
+  private val apSessions = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession, org.apache.spark.sql.SparkSession]()
+  def aggPushdownSession(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    apSessions.synchronized {
+      val existing = apSessions.get(s)
+      if (existing != null) existing
+      else {
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        ss.conf.set("spark.sql.sources.useV1SourceList", "")
+        apSessions.put(s, ss)
+        ss
+      }
+    }
+
   val oracleSql: Map[String, String] = Map(
+    "agg_pushdown_stats" ->
+      """SELECT count(*) AS n,
+        |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+        |  CAST(CAST(min(l_shipdate) AS DATE) AS VARCHAR) AS min_ship,
+        |  CAST(CAST(max(l_shipdate) AS DATE) AS VARCHAR) AS max_ship
+        |FROM lineitem""".stripMargin,
+
     "embed_knn_quantized" ->
       """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
