@@ -143,7 +143,12 @@ object SltRunner {
       }
       if (cut < 0) return None
       val expr = inner.substring(0, cut).trim
-      val tpe = inner.substring(cut + 1).trim.stripPrefix("'").stripSuffix("'")
+      val tpe0 = inner.substring(cut + 1).trim.stripPrefix("'").stripSuffix("'")
+      // Dictionary(K, V) is an ENCODING of V, semantically transparent —
+      // cast to the value type (Spark has no dictionary type; its parquet
+      // reader consumes dictionary-encoded pages natively anyway)
+      val DictRe = """(?i)Dictionary\s*\(\s*\w+\s*,\s*(\w+)\s*\)""".r
+      val tpe = tpe0 match { case DictRe(v) => v; case other => other }
       arrowTypes.get(tpe) match {
         case Some(sparkT) =>
           val kw = if (fname == "try_cast_to_type") "TRY_CAST" else "CAST"
@@ -1312,7 +1317,10 @@ object SltRunner {
       .replaceAll("(?i)\\bUSING\\s+arrow\\b", "USING graft.sources.ArrowIpcTableProvider")
       // the reference's array_agg keeps IGNORE NULLS as a suffix; Spark's
       // collect_list-based array_agg skips nulls already
-      .replaceAll("(?i)(array_agg\\s*\\([^()]*\\))\\s+IGNORE\\s+NULLS", "$1")
+      .replaceAll( // inner args may nest two paren levels (e.g.
+        // arrow_cast(x, 'Dictionary(Int8, Int64)') before its own rewrite)
+        "(?i)(array_agg\\s*\\((?:[^()]|\\((?:[^()]|\\([^()]*\\))*\\))*\\))\\s+IGNORE\\s+NULLS",
+        "$1")
       // postgres-style type spellings in CAST: `t[]` array suffix, bare
       // VARCHAR (Spark demands a length parameter)
       .replaceAll("(?i)\\bAS\\s+VARCHAR\\s*\\[\\s*\\]", "AS ARRAY<STRING>")
@@ -2318,14 +2326,23 @@ object SltRunner {
           If(GreaterThanOrEqual(n, Literal(0)), Right(s0, n),
             Substring(s0, Subtract(Literal(1), n), Literal(Int.MaxValue))))
       }, "built-in")
-    // reference substr with start < 1 clamps to the string head
-    // (Postgres window semantics); Spark counts from the end
+    // reference substr clamps the character window to the string head
+    // (Postgres semantics): [start, start+len) ∩ [1, ∞). Spark instead
+    // counts negative starts from the END — both arities need the remap.
     reg.createOrReplaceTempFunction(
       "substr", es =>
         if (es.size == 2)
           If(LessThan(es(1), Literal(1)), Substring(es.head, Literal(1), Literal(Int.MaxValue)),
             Substring(es.head, es(1), Literal(Int.MaxValue)))
-        else Substring(es.head, es(1), es(2)), "built-in")
+        else {
+          val st = es(1); val ln = es(2)
+          val effStart = Greatest(Seq(st, Literal(1)))
+          val effLen = Greatest(Seq(Subtract(Add(st, ln), effStart), Literal(0)))
+          // Greatest SKIPS nulls — propagate a NULL start/len explicitly
+          If(Or(IsNull(st), IsNull(ln)),
+            Literal.create(null, StringType),
+            Substring(es.head, effStart, effLen))
+        }, "built-in")
     // reference trunc(x) is NUMERIC truncation toward zero; Spark's
     // 2-arg trunc stays the date builtin
     reg.createOrReplaceTempFunction(
