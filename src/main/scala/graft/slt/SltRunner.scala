@@ -2326,6 +2326,17 @@ object SltRunner {
           If(GreaterThanOrEqual(n, Literal(0)), Right(s0, n),
             Substring(s0, Subtract(Literal(1), n), Literal(Int.MaxValue))))
       }, "built-in")
+    // trivial reference-name aliases over native expressions
+    reg.createOrReplaceTempFunction("today", _ => CurrentDate(), "built-in")
+    reg.createOrReplaceTempFunction(
+      "starts_with", es => StartsWith(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("var",
+      es => org.apache.spark.sql.catalyst.expressions.aggregate
+        .VarianceSamp(dbl(es.head)), "built-in")
+    // (array_length stays unregistered: its dim form needs the CHILD TYPE
+    // to decide NULL-vs-nested-length — unavailable pre-analysis in a
+    // FunctionBuilder — and a partial registration would turn the mixed
+    // 1-arg/2-arg directives from printed skips into failures.)
     // reference substr clamps the character window to the string head
     // (Postgres semantics): [start, start+len) ∩ [1, ∞). Spark instead
     // counts negative starts from the END — both arities need the remap.
