@@ -19,6 +19,7 @@ class DFContext(val spark: SparkSession) {
 
   // engine function-gap layer available from SQL immediately
   graft.functions.VectorFunctions.register(spark)
+  graft.functions.TextFunctions.register(spark)
 
   /** Register a file-backed table; format inferred from the extension
     * (parquet/csv/json), mirroring CREATE EXTERNAL TABLE

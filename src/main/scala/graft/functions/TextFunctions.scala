@@ -90,4 +90,34 @@ object TextFunctions {
         i => concat_ws(" ",
           element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
   }
+
+  /** SQL names for the text-pipeline surface, so a pure-SQL user (spark.sql,
+    * the Repl, the slt front door) can run the corpus operators without the
+    * Column API: tokens / token_count / lang_id / quality_score /
+    * doc_fingerprint / scrub_pii / shingles3, plus minhash_sig(text, k)
+    * over the fused one-pass kernel (it shingles internally). Each
+    * resolves to the same expressions the operators use — no UDF layer. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expressionEager}
+    val reg = spark.sessionState.functionRegistry
+    def one(name: String)(f: Seq[Column] => Column): Unit =
+      reg.createOrReplaceTempFunction(name,
+        es => expressionEager(f(es.map(column))), "built-in")
+    one("tokens")(cs => words(cs.head))
+    one("token_count")(cs => tokenCount(cs.head))
+    one("lang_id")(cs => langId(cs.head))
+    one("quality_score")(cs => qualityScore(cs.head))
+    one("doc_fingerprint")(cs => fingerprint(cs.head))
+    one("scrub_pii")(cs => scrubPii(cs.head))
+    one("shingles3")(cs => shingles3(cs.head))
+    reg.createOrReplaceTempFunction("minhash_sig", es => {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val k = es(1) match {
+        case Literal(i: Int, org.apache.spark.sql.types.IntegerType) => i
+        case other => throw new IllegalArgumentException(
+          s"minhash_sig(shingles, k): k must be an integer literal, got ${other.sql}")
+      }
+      MinHashSig(es.head, k)
+    }, "built-in")
+  }
 }

@@ -147,6 +147,19 @@ object Round5bQueries {
           (col("n_hit").cast("double") / col("n_exact") >= 0.8).as("recall_ok"))
     },
 
+    // The text-pipeline surface through pure SQL (TextFunctions.register
+    // on DFContext): a SQL-only user runs the corpus operators with no
+    // Column API — the registered names resolve to the same codegen
+    // expressions the Column path uses, proven by the shared oracle.
+    "text_sql_surface" -> { (s, dir) =>
+      fixtureViews(s, dir)
+      val ctx = graft.DFContext(s)
+      ctx.sql(
+        """SELECT lang_id(text) AS lang, count(*) AS n,
+          |  CAST(SUM(token_count(text)) AS BIGINT) AS toks
+          |FROM documents GROUP BY lang_id(text) ORDER BY lang""".stripMargin)
+    },
+
     // Statistics-answered aggregates (reference: optimizer/src/
     // aggregate_statistics.rs — COUNT/MIN/MAX read from stats, zero data
     // pages): Spark's DSv2 parquet reader pushes the whole aggregation
@@ -182,6 +195,26 @@ object Round5bQueries {
     }
 
   val oracleSql: Map[String, String] = Map(
+    "text_sql_surface" ->
+      """WITH b AS (SELECT doc_id, text,
+        |   list_filter(string_split(lower(text), ' '), w -> w != '') AS ws FROM documents),
+        |c AS (SELECT doc_id, text,
+        |  len(list_filter(ws, w -> list_contains(['the','and','of','is','a','to','in'], w))) AS en,
+        |  len(list_filter(ws, w -> list_contains(['der','die','und','das','ist','ein'], w))) AS de,
+        |  len(list_filter(ws, w -> list_contains(['le','la','et','les','des','un'], w))) AS fr,
+        |  len(list_filter(ws, w -> list_contains(['el','los','y','una','que','en'], w))) AS es
+        | FROM b),
+        |p AS (SELECT CASE
+        |    WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+        |    WHEN en = greatest(en, de, fr, es) THEN 'en'
+        |    WHEN de = greatest(en, de, fr, es) THEN 'de'
+        |    WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+        |    ELSE 'es' END AS lang,
+        |  len(list_filter(string_split(text, ' '), w -> w != '')) AS tc
+        | FROM c)
+        |SELECT lang, count(*) AS n, CAST(SUM(tc) AS BIGINT) AS toks
+        |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
+
     "agg_pushdown_stats" ->
       """SELECT count(*) AS n,
         |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,

@@ -14,6 +14,16 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Full ColumnNode → catalyst conversion. `expression` wraps any
+    * non-trivial node (when/otherwise, functions.* builders) in a LAZY
+    * ColumnNodeExpression that the analyzer treats as resolved while its
+    * inside is not — fine inside Dataset ops, fatal when the result is
+    * injected into a FunctionRegistry builder. This converts eagerly to a
+    * plain (possibly Unresolved*) expression tree the analyzer then
+    * resolves normally. */
+  def expressionEager(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** DataFrame from a custom logical plan (classic Dataset.ofRows). */
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =

@@ -27,6 +27,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(repeated(hashed = true) == 1)  // 8-byte-key mode agrees
   }
 
+  test("SQL-registered text surface agrees with the Column path") {
+    val s = spark; import s.implicits._
+    graft.functions.TextFunctions.register(s)
+    import graft.functions.TextFunctions
+    val df = Seq((1L, "the cat and the hat is a cat"),
+      (2L, "der hund ist ein hund und das haus")).toDF("id", "text")
+    df.createOrReplaceTempView("tf_sql_t")
+    val viaSql = s.sql(
+      """SELECT id, lang_id(text) AS l, token_count(text) AS tc,
+        |  doc_fingerprint(text) AS fp,
+        |  concat_ws(',', minhash_sig(text, 4)) AS mh
+        |FROM tf_sql_t ORDER BY id""".stripMargin).collect()
+    val viaCol = df.select(col("id"),
+        TextFunctions.langId(col("text")).as("l"),
+        TextFunctions.tokenCount(col("text")).as("tc"),
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        concat_ws(",", org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.MinHashSig(
+            org.apache.spark.sql.GraftSqlBridge.expressionEager(col("text")),
+            4))).as("mh"))
+      .orderBy("id").collect()
+    assert(viaSql.map(_.toString).sameElements(viaCol.map(_.toString)))
+    assert(viaSql(0).getString(1) == "en" && viaSql(1).getString(1) == "de")
+  }
+
   test("cutRepeatedSpans keeps one global occurrence, merges overlaps") {
     val s = spark; import s.implicits._
     // a 25-token shared run -> 6 overlapping repeated 20-windows that must
