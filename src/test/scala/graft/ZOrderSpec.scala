@@ -27,6 +27,25 @@ class ZOrderSpec extends AnyFunSuite {
     assert(row.getLong(1) == 27L)
   }
 
+  test("interleave matches a reference implementation on random inputs") {
+    val r = new scala.util.Random(7)
+    def ref(x: Long, y: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 16) {
+        z |= ((x >> i) & 1L) << (2 * i)      // x bits at even positions
+        z |= ((y >> i) & 1L) << (2 * i + 1)  // y bits at odd positions
+      }
+      z
+    }
+    val cases = Seq.fill(64)((r.nextInt(65536).toLong, r.nextInt(65536).toLong))
+    val s = spark
+    import s.implicits._
+    val got = cases.toDF("x", "y")
+      .select(ZOrder.interleave(Seq(col("x"), col("y")), 16).as("z"))
+      .collect().map(_.getLong(0))
+    assert(got.sameElements(cases.map { case (x, y) => ref(x, y) }))
+  }
+
   test("z-values of nearby points share prefixes (locality)") {
     // points in the same quadrant must sort together: all of quadrant
     // (x<2^15, y<2^15) precedes any point with both coords >= 2^15
