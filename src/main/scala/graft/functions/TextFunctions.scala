@@ -97,27 +97,40 @@ object TextFunctions {
     * doc_fingerprint / scrub_pii / shingles3, plus minhash_sig(text, k)
     * over the fused one-pass kernel (it shingles internally). Each
     * resolves to the same expressions the operators use — no UDF layer. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+  /** (name, expression-builder) pairs — shared by per-session registration
+    * and `SparkSessionExtensions.injectFunction` (GraftExtensions), so the
+    * names exist in EVERY session built with the extension, DFContext or
+    * not. */
+  def builders: Seq[(String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = {
     import org.apache.spark.sql.GraftSqlBridge.{column, expressionEager}
+    def one(f: Seq[Column] => Column):
+        Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+          org.apache.spark.sql.catalyst.expressions.Expression =
+      es => expressionEager(f(es.map(column)))
+    Seq(
+      "tokens" -> one(cs => words(cs.head)),
+      "token_count" -> one(cs => tokenCount(cs.head)),
+      "lang_id" -> one(cs => langId(cs.head)),
+      "quality_score" -> one(cs => qualityScore(cs.head)),
+      "doc_fingerprint" -> one(cs => fingerprint(cs.head)),
+      "scrub_pii" -> one(cs => scrubPii(cs.head)),
+      "shingles3" -> one(cs => shingles3(cs.head)),
+      "minhash_sig" -> { es =>
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        val k = es(1) match {
+          case Literal(i: Int, org.apache.spark.sql.types.IntegerType) => i
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig(text, k): k must be an integer literal, got ${other.sql}")
+        }
+        MinHashSig(es.head, k)
+      })
+  }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    def one(name: String)(f: Seq[Column] => Column): Unit =
-      reg.createOrReplaceTempFunction(name,
-        es => expressionEager(f(es.map(column))), "built-in")
-    one("tokens")(cs => words(cs.head))
-    one("token_count")(cs => tokenCount(cs.head))
-    one("lang_id")(cs => langId(cs.head))
-    one("quality_score")(cs => qualityScore(cs.head))
-    one("doc_fingerprint")(cs => fingerprint(cs.head))
-    one("scrub_pii")(cs => scrubPii(cs.head))
-    one("shingles3")(cs => shingles3(cs.head))
-    reg.createOrReplaceTempFunction("minhash_sig", es => {
-      import org.apache.spark.sql.catalyst.expressions.Literal
-      val k = es(1) match {
-        case Literal(i: Int, org.apache.spark.sql.types.IntegerType) => i
-        case other => throw new IllegalArgumentException(
-          s"minhash_sig(shingles, k): k must be an integer literal, got ${other.sql}")
-      }
-      MinHashSig(es.head, k)
-    }, "built-in")
+    builders.foreach { case (n, b) =>
+      reg.createOrReplaceTempFunction(n, b, "built-in") }
   }
 }

@@ -224,11 +224,17 @@ object VectorFunctions {
   def cosine_distance(a: Column, b: Column): Column = c(CosineDistance(e(a), e(b)))
   def l2_distance(a: Column, b: Column): Column = c(L2Distance(e(a), e(b)))
 
+  /** (name, builder) pairs — shared by per-session registration and
+    * extension injection (see TextFunctions.builders). */
+  def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "inner_product" -> (es => InnerProduct(es.head, es(1))),
+    "cosine_distance" -> (es => CosineDistance(es.head, es(1))),
+    "l2_distance" -> (es => L2Distance(es.head, es(1))))
+
   /** Register as SQL functions on a session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("inner_product", es => InnerProduct(es.head, es(1)), "built-in")
-    reg.createOrReplaceTempFunction("cosine_distance", es => CosineDistance(es.head, es(1)), "built-in")
-    reg.createOrReplaceTempFunction("l2_distance", es => L2Distance(es.head, es(1)), "built-in")
+    builders.foreach { case (n, b) =>
+      reg.createOrReplaceTempFunction(n, b, "built-in") }
   }
 }

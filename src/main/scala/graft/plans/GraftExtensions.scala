@@ -83,5 +83,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => UnionsToFilter)
     GenerateSeriesTVF.register(e)
+    // the engine's SQL function surface (vector kernels + text pipeline) in
+    // EVERY session built with the extension — no DFContext needed; session
+    // temp functions (the slt dialect layers) still shadow these names
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    (graft.functions.VectorFunctions.builders ++
+        graft.functions.TextFunctions.builders).foreach { case (n, b) =>
+      e.injectFunction((FunctionIdentifier(n),
+        new ExpressionInfo("graft.functions", n), b))
+    }
   }
 }
