@@ -40,5 +40,13 @@ class MaintenanceSpec extends AnyFunSuite {
     info(f"post-optimize skip: x=$zx%.2f y=$zy%.2f")
     assert(zx > 0.2 && zy > 0.2,
       f"optimize did not cluster: x=$zx%.2f y=$zy%.2f")
+
+    // a nightly job must be safe to re-run: second pass is a no-op-shaped
+    // rewrite (same file count, same content)
+    val (b2, a2) = Maintenance.optimize(s, path,
+      targetBytes = 2L * 1024 * 1024, zorderBy = Seq("x", "y"),
+      rowGroupBytes = 256L * 1024)
+    assert(b2 == after && a2 == after, s"re-run changed layout: $b2 -> $a2")
+    assert(s.read.parquet(path).count() == 200000)
   }
 }
