@@ -118,12 +118,19 @@ object TextFunctions {
       "scrub_pii" -> one(cs => scrubPii(cs.head)),
       "shingles3" -> one(cs => shingles3(cs.head)),
       "minhash_sig" -> { es =>
-        import org.apache.spark.sql.catalyst.expressions.Literal
-        val k = es(1) match {
-          case Literal(i: Int, org.apache.spark.sql.types.IntegerType) => i
-          case other => throw new IllegalArgumentException(
-            s"minhash_sig(text, k): k must be an integer literal, got ${other.sql}")
-        }
+        if (es.size != 2) throw new IllegalArgumentException(
+          s"minhash_sig(text, k) takes exactly 2 arguments, got ${es.size}")
+        // Accept any foldable int expression (literal, CAST(4 AS INT), ...)
+        val kExpr = es(1)
+        val k =
+          if (kExpr.foldable && kExpr.dataType == org.apache.spark.sql.types.IntegerType)
+            kExpr.eval() match {
+              case i: Int => i
+              case _ => throw new IllegalArgumentException(
+                "minhash_sig(text, k): k must not be NULL")
+            }
+          else throw new IllegalArgumentException(
+            s"minhash_sig(text, k): k must be a foldable integer, got ${kExpr.sql}")
         MinHashSig(es.head, k)
       })
   }

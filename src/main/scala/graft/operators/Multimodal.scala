@@ -100,23 +100,26 @@ object Multimodal {
       while (buf.remaining() >= 8) {
         val t = tag()
         val len = buf.getInt
+        // RIFF chunks are 2-byte aligned: odd-length bodies carry a pad
+        // byte that is NOT counted in `len`, so every skip must advance
+        // len + (len & 1) or subsequent tag reads misalign.
+        val next = math.min(buf.position() + len + (len & 1), buf.limit())
         t match {
           case "fmt " =>
-            val start = buf.position()
             buf.getShort // audio format
             ch = buf.getShort.toInt
             sr = buf.getInt
             buf.getInt; buf.getShort
             bits = buf.getShort.toInt
-            buf.position(start + len)
           case "data" =>
             nSamples = len / 2
             var i = 0
             while (i < nSamples) {
               val s = buf.getShort.toDouble; sumSq += s * s; i += 1
             }
-          case _ => buf.position(buf.position() + len) // skip unknown chunk
+          case _ => // skip unknown chunk
         }
+        buf.position(next)
       }
       WavInfo(sr, ch, bits,
         nSamples, if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples))

@@ -31,7 +31,10 @@ object ZOrder {
     * be in [0, 2^bits); k*bits must fit a signed long. */
   def interleave(cols: Seq[Column], bits: Int): Column = {
     val k = cols.size
-    require(k >= 2, "z-order needs at least 2 columns")
+    // k == 1 degrades to a plain linear order (bit i stays at position i,
+    // the OR reassembles the masked value) — matching delta's OPTIMIZE
+    // ZORDER BY (single_col), which is a legal request.
+    require(k >= 1, "z-order needs at least 1 column")
     require(k * bits <= 62, s"k*bits = ${k * bits} exceeds long range")
     val terms = for {
       (c, j) <- cols.zipWithIndex

@@ -918,10 +918,14 @@ object SubstraitSerde {
               "then" -> emitExpr(v, input, reg, outer))
           }.toList),
           "else" -> elseValue.map(emitExpr(_, input, reg, outer)).getOrElse(JNothing)))
+      case CCoalesce(children) if children.size == 1 =>
+        emitExpr(children.head, input, reg, outer)
       case CCoalesce(children) =>
         // Substrait core has no first-class coalesce — lower to the
         // equivalent if-then chain (the consumer rebuilds it as CASE WHEN;
-        // same null semantics: first non-null child wins)
+        // same null semantics: first non-null child wins). Children are
+        // emitted twice (condition + branch): only valid because plan
+        // expressions here are deterministic.
         JObject("ifThen" -> JObject(
           "ifs" -> JArray(children.init.map { c =>
             JObject("if" -> emitExpr(CIsNotNull(c), input, reg, outer),

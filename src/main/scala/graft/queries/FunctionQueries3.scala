@@ -44,36 +44,14 @@ object FunctionQueries3 {
           n.as("n"))
     },
 
-    // TPC-H Q16 shape: distinct supplier counts per (brand, type) via the
-    // lineitem relation (fixture has no partsupp).
-    // Reshape (stats-gated): the 8-value size filter keeps a footer-
-    // estimable fraction of part (8 / size-domain width); broadcast that
-    // slim projection so lineitem streams scan→probe→partial-distinct
-    // without a fact exchange. Without the explicit build side, Spark's
-    // file-size estimate of the FILTERED part stays above the auto
-    // threshold and plans an SMJ that sorts all of lineitem first — AQE
-    // only downgrades it after the fact shuffle is already written.
-    "q16_suppcnt" -> { (s0, dir) =>
-      import graft.plans.BroadcastAdvisor._
-      val p = tableStats(s0, s"$dir/part.parquet")
-      val sizeSel = p.cols.get("p_size")
-        .flatMap(c => c.minLong.zip(c.maxLong))
-        .collect { case (mn, mx) if mx > mn => 8.0 / (mx - mn + 1) }
-        .getOrElse(EqSelectivity)
-      val bc = shouldBroadcast(s0, estimateBytes(p, p.rows * sizeSel,
-        Seq("p_partkey", "p_brand", "p_type")))
-      val s = if (bc) staticPlanSession(s0) else s0
+    // Real TPC-H Q16 over the partsupp table (file-backed in the scale
+    // fixtures — the reference's actual 800k-row input at SF1; derived at
+    // oracle scales). Negated brand/type predicates + 8-value size IN,
+    // distinct-supplier counts per (brand, type, size). partsupp and part
+    // are both sub-fact-sized: plain AQE picks the broadcast.
+    "q16_suppcnt" -> { (s, dir) =>
       fixtureViews(s, dir)
-      val hint = if (bc) "/*+ BROADCAST(px) */ " else ""
-      s.sql(
-        s"""SELECT ${hint}p_brand, p_type,
-          |  count(DISTINCT l_suppkey) AS supplier_cnt
-          |FROM lineitem,
-          |  (SELECT p_partkey, p_brand, p_type FROM part
-          |   WHERE p_size IN (1, 5, 9, 13, 17, 21, 25, 29)) px
-          |WHERE l_partkey = px.p_partkey
-          |GROUP BY p_brand, p_type
-          |ORDER BY supplier_cnt DESC, p_brand, p_type LIMIT 20""".stripMargin)
+      s.sql(TpchPartsuppSql.q16)
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -101,10 +79,5 @@ object FunctionQueries3 {
         | count(l_extendedprice) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
-    "q16_suppcnt" ->
-      """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
-        |FROM part JOIN lineitem ON p_partkey = l_partkey
-        |WHERE p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
-        |GROUP BY p_brand, p_type
-        |ORDER BY supplier_cnt DESC, p_brand, p_type LIMIT 20""".stripMargin)
+    "q16_suppcnt" -> TpchPartsuppSql.oracle(TpchPartsuppSql.q16))
 }

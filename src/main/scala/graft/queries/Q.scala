@@ -75,6 +75,8 @@ object Q {
       graft.Tables.names
         .filter(n => new java.io.File(s"$dir/$n.parquet").exists())
         .foreach(n => graft.Tables.load(s, dir, n).createOrReplaceTempView(n))
+      // partsupp: real file in the scale fixtures, derived elsewhere
+      graft.Tables.partsupp(s, dir).createOrReplaceTempView("partsupp")
       registeredDirs.put(s, dir)
     }
   }

@@ -23,33 +23,13 @@ object Round3Queries {
 
   val queries: Map[String, QueryFn] = Map(
 
+    // Real Q11 over the partsupp table (file-backed in the scale
+    // fixtures — 800k rows at SF1, the reference's actual input volume;
+    // derived at oracle scales, see Tables.partsupp). Decimal supplycost
+    // keeps the HAVING comparison exact under any summation order.
     "q11_partsupp" -> { (s, dir) =>
-      val supp = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
-      val nat  = t(s, dir, "nation").filter(col("n_name") === "NATION_3")
-        .select(col("n_nationkey"))
-      val scnt = t(s, dir, "supplier").agg(count(lit(1)).as("scnt"))
-      // Derived partsupp: 4 suppliers per part, round-robin over the supplier
-      // space; availqty/supplycost are pure functions of (partkey, i).
-      val ps = t(s, dir, "part").select(col("p_partkey"))
-        .crossJoin(broadcast(scnt))
-        .select(col("p_partkey"), col("scnt"),
-          explode(array((0 to 3).map(i => lit(i)): _*)).as("i"))
-        .select(
-          col("p_partkey").as("ps_partkey"),
-          ((col("p_partkey") * 7 + col("i") * 13) % col("scnt") + 1).as("ps_suppkey"),
-          ((col("p_partkey") * 31 + col("i") * 17) % 9999 + 1).as("ps_availqty"),
-          ((col("p_partkey") * 53 + col("i") * 29) % 100000 + 100).as("ps_cost_cents"))
-      val g = ps
-        .join(broadcast(supp), col("ps_suppkey") === col("s_suppkey"))
-        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
-        .groupBy("ps_partkey")
-        .agg(sum(col("ps_cost_cents") * col("ps_availqty")).as("value_cents"))
-      val tot = g.agg(sum(col("value_cents")).as("tot"))
-      g.crossJoin(broadcast(tot))
-        .filter(col("value_cents") * 10000 > col("tot"))
-        .select(col("ps_partkey"), col("value_cents"),
-          r2(col("value_cents") / 100.0).as("value"))
-        .orderBy(col("value_cents").desc, col("ps_partkey"))
+      fixtureViews(s, dir)
+      s.sql(TpchPartsuppSql.q11)
     },
 
     // Spark-compat-crate function batch (reference spark/src/function/):
@@ -237,25 +217,7 @@ object Round3Queries {
 
   val oracleSql: Map[String, String] = Map(
 
-    "q11_partsupp" ->
-      """WITH ps AS (
-        |  SELECT p_partkey AS ps_partkey,
-        |    (p_partkey*7 + i*13) % (SELECT count(*) FROM supplier) + 1 AS ps_suppkey,
-        |    (p_partkey*31 + i*17) % 9999 + 1 AS ps_availqty,
-        |    (p_partkey*53 + i*29) % 100000 + 100 AS ps_cost_cents
-        |  FROM part CROSS JOIN (SELECT unnest([0,1,2,3]) AS i)
-        |), g AS (
-        |  SELECT ps_partkey, CAST(sum(ps_cost_cents * ps_availqty) AS BIGINT) AS value_cents
-        |  FROM ps JOIN supplier ON ps_suppkey = s_suppkey
-        |          JOIN nation ON s_nationkey = n_nationkey
-        |  WHERE n_name = 'NATION_3'
-        |  GROUP BY ps_partkey
-        |)
-        |SELECT ps_partkey, value_cents,
-        |  floor((value_cents / 100.0 + 1.37e-4) * 100 + 0.5) / 100 AS value
-        |FROM g
-        |WHERE value_cents * 10000 > (SELECT sum(value_cents) FROM g)
-        |ORDER BY value_cents DESC, ps_partkey""".stripMargin,
+    "q11_partsupp" -> TpchPartsuppSql.oracle(TpchPartsuppSql.q11),
 
     "fn_map2" ->
       """WITH b AS (SELECT l_orderkey, l_linenumber, l_quantity,

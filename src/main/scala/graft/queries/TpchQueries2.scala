@@ -249,20 +249,13 @@ object TpchQueries2 {
         .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
     },
 
-    // Q20: nested IN subqueries (semi-join chain).
+    // Real Q20: nested IN chain over partsupp (file-backed in the scale
+    // fixtures; derived at oracle scales) with the correlated
+    // 0.5*sum(l_quantity) availability threshold — the reference's actual
+    // shape and input volume.
     "q20_nested_in" -> { (s, dir) =>
-      Tables.registerAll(s, dir)
-      s.sql("""
-        SELECT s_name, s_suppkey FROM supplier
-        WHERE s_suppkey IN (
-          SELECT l_suppkey FROM lineitem
-          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
-            AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-            AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-          GROUP BY l_suppkey
-          HAVING sum(l_quantity) > 300)
-        ORDER BY s_suppkey
-      """)
+      fixtureViews(s, dir)
+      s.sql(TpchPartsuppSql.q20)
     },
 
     // Q21: orders where a supplier is the only one with high quantity —
@@ -427,16 +420,7 @@ object TpchQueries2 {
         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
 
-    "q20_nested_in" ->
-      """SELECT s_name, s_suppkey FROM supplier
-        |WHERE s_suppkey IN (
-        |  SELECT l_suppkey FROM lineitem
-        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
-        |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-        |  GROUP BY l_suppkey
-        |  HAVING sum(l_quantity) > 300)
-        |ORDER BY s_suppkey""".stripMargin,
+    "q20_nested_in" -> TpchPartsuppSql.oracle(TpchPartsuppSql.q20),
 
     "q21_waiting" ->
       """SELECT s_name, count(*) AS numwait

@@ -36,21 +36,17 @@ object WindowQueries2 {
           r2(sum(col("o_totalprice")).over(groupsFrame)).as("sum_in_3_groups"))
     },
 
-    // TPC-H Q2 shape: min-cost supplier per region via correlated subquery
-    // (acctbal substitutes for ps_supplycost).
+    // TPC-H Q2 (real shape): min-cost supplier per part over partsupp —
+    // correlated scalar min subquery, 5-way dim join, top-100. partsupp is
+    // the real file in the scale fixtures (800k rows at SF1 — the
+    // reference's actual input volume), derived deterministically at the
+    // oracle scales (Tables.partsupp). Adapted to the reduced fixture
+    // schema: no p_mfgr/s_address/s_phone/s_comment; s_suppkey added as the
+    // unique LIMIT tiebreaker. Reference: sqllogictest/test_files/tpch/
+    // answers/q2.slt.part.
     "q2_mincost" -> { (s, dir) =>
-      Tables.registerAll(s, dir)
-      s.sql("""
-        SELECT s_suppkey, s_name, n_name,
-               floor((s_acctbal + 1.37e-4) * 100 + 0.5) / 100 AS s_acctbal
-        FROM supplier JOIN nation ON s_nationkey = n_nationkey
-          JOIN region ON n_regionkey = r_regionkey
-        WHERE r_name = 'ASIA'
-          AND s_acctbal = (SELECT min(s2.s_acctbal)
-                           FROM supplier s2 JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
-                           WHERE n2.n_regionkey = r_regionkey)
-        ORDER BY s_suppkey
-      """)
+      fixtureViews(s, dir)
+      s.sql(TpchPartsuppSql.q2)
     },
 
     // PIVOT (conditional-aggregation expansion; Spark-native API breadth).
@@ -75,16 +71,7 @@ object WindowQueries2 {
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY dr
         |  RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
 
-    "q2_mincost" ->
-      """SELECT s_suppkey, s_name, n_name,
-        | floor((s_acctbal + 1.37e-4) * 100 + 0.5) / 100 AS s_acctbal
-        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        | JOIN region ON n_regionkey = r_regionkey
-        |WHERE r_name = 'ASIA'
-        |  AND s_acctbal = (SELECT min(s2.s_acctbal)
-        |                   FROM supplier s2 JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
-        |                   WHERE n2.n_regionkey = r_regionkey)
-        |ORDER BY s_suppkey""".stripMargin,
+    "q2_mincost" -> TpchPartsuppSql.oracle(TpchPartsuppSql.q2),
 
     "pivot_status" ->
       """SELECT o_orderpriority,

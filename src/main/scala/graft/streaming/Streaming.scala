@@ -195,7 +195,10 @@ object Streaming {
       ts: java.sql.Timestamp)
   case class UserProfile(user_id: Long, n_events: Long, total_value: Double,
       span_ms: Long, n_types: Long)
-  private case class ProfileState(n: Long, sum: Double, minMs: Long, maxMs: Long)
+  // NOT private: a private case class gets a private constructor, which
+  // Spark's generated encoder code (janino) cannot invoke — the state
+  // encoder then silently falls back to interpreted eval per micro-batch.
+  case class ProfileState(n: Long, sum: Double, minMs: Long, maxMs: Long)
 
   /** Arbitrary stateful processing on the transformWithState API (the
     * successor to flatMapGroupsWithState: typed composite state — here a

@@ -49,4 +49,23 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(b2 == after && a2 == after, s"re-run changed layout: $b2 -> $a2")
     assert(s.read.parquet(path).count() == 200000)
   }
+
+  test("optimize with a single zorderBy column degrades to a linear sort") {
+    val s = spark
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_scratch/maint_opt_1col"
+    val data = s.range(100000).select(
+      pmod(xxhash64(col("id")), lit(1000)).as("x"), col("id").as("payload"))
+    data.repartition(16).write.mode("overwrite").parquet(path)
+
+    // delta's OPTIMIZE ZORDER BY accepts one column; must not throw
+    val (before, after) = Maintenance.optimize(s, path,
+      targetBytes = 2L * 1024 * 1024, zorderBy = Seq("x"),
+      rowGroupBytes = 256L * 1024)
+    assert(before >= 16 && after < before)
+    assert(s.read.parquet(path).count() == 100000)
+    val zx = ZOrder.skippableFraction(s, path, "x", 500, 550)
+    info(f"single-col post-optimize skip: x=$zx%.2f")
+    assert(zx > 0.5, f"single-col cluster did not sort: x=$zx%.2f")
+  }
 }

@@ -58,6 +58,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(info.rms - 1200.0) < 1e-9)
   }
 
+  test("RIFF parser honors 2-byte chunk alignment for odd-length chunks") {
+    import graft.operators.Multimodal.RealCodecs
+    import java.nio.{ByteBuffer, ByteOrder}
+    // splice an ODD-length LIST chunk (len=7, so a pad byte follows per the
+    // RIFF spec) — a parser that skips exactly `len` bytes misreads every
+    // later tag by one byte
+    val base = RealCodecs.synthesizeWav(8000, 900, 400)
+    val oddChunk = {
+      val b = ByteBuffer.allocate(8 + 7 + 1).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("LIST".getBytes("ASCII")); b.putInt(7)
+      b.put("INFOabc".getBytes("ASCII")); b.put(0.toByte) // pad to even
+      b.array()
+    }
+    val spliced = base.slice(0, 36) ++ oddChunk ++ base.slice(36, base.length)
+    val bb = ByteBuffer.wrap(spliced).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8)
+    val info = RealCodecs.parseWav(spliced)
+    assert(info.sampleRate == 8000 && info.nSamples == 400)
+    assert(math.abs(info.rms - 900.0) < 1e-9)
+  }
+
   test("BMP parser honors the 4-byte row stride") {
     import graft.operators.Multimodal.RealCodecs
     // width 5 -> 15 data bytes/row, stride 16: one padding byte per row

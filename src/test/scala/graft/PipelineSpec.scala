@@ -50,6 +50,15 @@ class PipelineSpec extends AnyFunSuite {
       .orderBy("id").collect()
     assert(viaSql.map(_.toString).sameElements(viaCol.map(_.toString)))
     assert(viaSql(0).getString(1) == "en" && viaSql(1).getString(1) == "de")
+
+    // arity and foldable-k handling: wrong arity is a descriptive error
+    // (not IndexOutOfBounds); CAST(4 AS INT) is accepted like a literal
+    val e = intercept[Exception](s.sql("SELECT minhash_sig(text) FROM tf_sql_t"))
+    assert(e.getMessage.contains("exactly 2 arguments"), e.getMessage)
+    val cast = s.sql(
+      "SELECT concat_ws(',', minhash_sig(text, CAST(4 AS INT))) AS mh " +
+        "FROM tf_sql_t ORDER BY id").collect()
+    assert(cast.map(_.getString(0)).sameElements(viaSql.map(_.getString(4))))
   }
 
   test("cutRepeatedSpans keeps one global occurrence, merges overlaps") {

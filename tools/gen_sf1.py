@@ -107,6 +107,43 @@ def main():
         SELECT event_id + i*{ek} AS event_id, ts,
                user_id + i*{uk} AS user_id, event_type, value, props
         FROM '{SRC}/events.parquet', {rep}""")
+    # partsupp: real TPC-H volume (4 suppliers/part — 800k rows at SF1, the
+    # reference's actual q2/q11/q16/q20 input) derived deterministically from
+    # the GENERATED part x supplier with the exact formula graft.Tables
+    # derives when the file is absent, so file mode == derived mode and the
+    # DuckDB oracle (which always derives) checks both.
+    ps_dst = f"{out}/partsupp.parquet"
+    if os.path.isdir(ps_dst):
+        shutil.rmtree(ps_dst)
+    elif os.path.exists(ps_dst):
+        os.remove(ps_dst)
+    os.makedirs(ps_dst)
+    ps_files = 8
+    for c in range(ps_files):
+        con.execute(f"""
+            COPY (
+              WITH supp AS (
+                SELECT s_suppkey FROM '{out}/supplier.parquet/*.parquet'),
+              snum AS (
+                SELECT s_suppkey, row_number() OVER (ORDER BY s_suppkey) AS rn,
+                       (SELECT count(*) FROM supp) AS scnt
+                FROM supp)
+              SELECT p_partkey AS ps_partkey, sn.s_suppkey AS ps_suppkey,
+                     CAST((p_partkey*31 + seq.i*17) % 9999 + 1 AS INT)
+                       AS ps_availqty,
+                     CAST(((p_partkey*53 + seq.i*29) % 100000 + 100) / 100.0
+                          AS DECIMAL(12,2)) AS ps_supplycost
+              FROM '{out}/part.parquet/*.parquet'
+              CROSS JOIN (VALUES (0),(1),(2),(3)) seq(i)
+              JOIN snum sn ON sn.rn = (p_partkey*7 + seq.i*13) % sn.scnt + 1
+              WHERE p_partkey % {ps_files} = {c}
+              ORDER BY ps_partkey
+            ) TO '{ps_dst}/chunk_{c:02d}.parquet'
+              (FORMAT PARQUET, ROW_GROUP_SIZE 250000)""")
+    ps_rows = con.execute(
+        f"SELECT count(*) FROM '{ps_dst}/*.parquet'").fetchone()[0]
+    print(f"partsupp: {ps_rows} rows -> {ps_dst} ({ps_files} files)")
+
     for small in ("nation", "region"):
         dst = f"{out}/{small}.parquet"
         if os.path.isdir(dst):
