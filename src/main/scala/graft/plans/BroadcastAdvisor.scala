@@ -161,6 +161,17 @@ object BroadcastAdvisor {
   def shouldBroadcast(spark: SparkSession, estBytes: Long): Boolean =
     estBytes <= threshold(spark)
 
+  /** Gate for a SHUFFLE_HASH hint on a big-big join: the hash build is
+    * per-shuffle-partition, so it is safe (and beats SMJ's two sorts)
+    * exactly when estBytes / shufflePartitions fits comfortably in an
+    * executor's task memory. Past that, plain AQE text (SMJ, spillable)
+    * is the 100×-scale answer. */
+  def shouldShuffleHash(spark: SparkSession, estBytes: Long): Boolean = {
+    val parts = spark.conf.getOption("spark.sql.shuffle.partitions")
+      .flatMap(p => scala.util.Try(p.toInt).toOption).getOrElse(200).max(1)
+    estBytes / parts <= threshold(spark)
+  }
+
   private def epochMs(date: String): Long =
     java.time.LocalDate.parse(date).atStartOfDay(java.time.ZoneOffset.UTC)
       .toInstant.toEpochMilli

@@ -178,24 +178,33 @@ object TpchQueries {
     },
 
     // TPC-H Q12-style: join + conditional aggregation (CASE inside SUM).
-    // Reshape: both sides project to the join key plus ONE payload column
-    // before the exchange (the old DataFrame form shuffled every orders
-    // column). A/B at SF1 (tools study, 3 passes each): slim text under
-    // plain AQE 0.58-0.63 s; forced SHUFFLE_HASH 0.64; forced 24 MB
-    // BROADCAST build 1.02-1.04; old unprojected shape 1.06-1.10. A
-    // big-big join of two same-magnitude slim sides is exactly where
-    // AQE's runtime selection IS the right mechanism — no hint, no
-    // static session.
-    "q12_shipmode" -> { (s, dir) =>
+    // Reshape (r6): the priority predicate folds to ONE boolean below the
+    // orders exchange (the r5 form shuffled the dictionary string), and
+    // the join runs as SHUFFLE_HASH when the per-partition orders build
+    // fits task memory (stats-gated via shouldShuffleHash — past the
+    // threshold the plain AQE text plans the spillable SMJ). A/B at SF1
+    // (Profile, steady state): gated SHUFFLE_HASH+bool 0.686 s; r5 plain
+    // AQE 0.711; runtime bloom filter 1.30 (extra fact pass + 1-task
+    // bloom merge buys only 12→5 MB on a join that was never
+    // scan-bound); bool payload under plain AQE 1.16 (AQE flips to a
+    // LOSING 1.5M-row broadcast — driver-side build hides ~0.7 s). The
+    // residual vs the reference is exchange materialization itself — the
+    // component-floor study in BENCH_NOTES pins it.
+    "q12_shipmode" -> { (s0, dir) =>
+      import graft.plans.BroadcastAdvisor._
+      val o = tableStats(s0, s"$dir/orders.parquet")
+      val sh = shouldShuffleHash(s0,
+        estimateBytes(o, o.rows.toDouble, Seq("o_orderkey")))
+      val s = s0
       fixtureViews(s, dir)
+      val hint = if (sh) "/*+ SHUFFLE_HASH(os) */ " else ""
       s.sql(
-        """SELECT l_linestatus,
-          |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-          |      THEN 1 ELSE 0 END) AS high_line_count,
-          |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-          |      THEN 1 ELSE 0 END) AS low_line_count
+        s"""SELECT ${hint}l_linestatus,
+          |  sum(CASE WHEN os.hi THEN 1 ELSE 0 END) AS high_line_count,
+          |  sum(CASE WHEN os.hi THEN 0 ELSE 1 END) AS low_line_count
           |FROM lineitem,
-          |  (SELECT o_orderkey, o_orderpriority FROM orders) os
+          |  (SELECT o_orderkey,
+          |     o_orderpriority IN ('1-URGENT', '2-HIGH') AS hi FROM orders) os
           |WHERE l_orderkey = os.o_orderkey
           |  AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
           |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)

@@ -41,6 +41,31 @@ class Round5Spec extends AnyFunSuite {
     assert(planSh.contains("SortMergeJoin") || planSh.contains("ShuffledHashJoin"))
   }
 
+  test("q12 shuffle-hash gate flips to plain AQE text past the threshold") {
+    val sSh = spark.newSession()
+    sSh.conf.set("spark.sql.adaptive.enabled", "false") // inspect static plan
+    val planSh = graft.queries.TpchQueries.queries("q12_shipmode")(sSh, dir)
+      .queryExecution.executedPlan.toString
+    assert(planSh.contains("ShuffledHashJoin"),
+      s"expected gated SHUFFLE_HASH plan, got:\n$planSh")
+
+    val sPlain = spark.newSession()
+    sPlain.conf.set("spark.sql.adaptive.enabled", "false")
+    sPlain.conf.set(BroadcastAdvisor.ThresholdConf, "1")
+    val planPlain = graft.queries.TpchQueries.queries("q12_shipmode")(sPlain, dir)
+      .queryExecution.executedPlan.toString
+    assert(!planPlain.contains("ShuffledHashJoin"),
+      s"expected hint-free plan past threshold, got:\n$planPlain")
+    // both forms agree on rows
+    val a = graft.queries.TpchQueries.queries("q12_shipmode")(spark.newSession(), dir)
+      .collect().map(_.toString).toSeq
+    val sFlip = spark.newSession()
+    sFlip.conf.set(BroadcastAdvisor.ThresholdConf, "1")
+    val b = graft.queries.TpchQueries.queries("q12_shipmode")(sFlip, dir)
+      .collect().map(_.toString).toSeq
+    assert(a == b, "q12 rows differ between shuffle-hash and plain forms")
+  }
+
   test("q5/q10 accept the gate on both sides and stay correct") {
     // tiny fixture → gates all pass → broadcast form; past-threshold
     // session → hint-free form; both must return identical rows
