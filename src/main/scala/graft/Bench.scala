@@ -31,6 +31,16 @@ object Bench {
     // round 5 (4th session): substring-level dedup sweep
     "text_repeated_ngrams")
 
+  /** The full TPC-H 22 (r6): carried at matched scale every round so
+    * regressions in the untuned shapes surface automatically (VERDICT r5
+    * next-step #10). */
+  val tpch22: Seq[String] = Seq(
+    "q1_agg", "q2_mincost", "q3_join_topk", "q4_priority", "q5_multijoin",
+    "q6_filter", "q7_volume", "q8_share", "q9_profit", "q10_returns",
+    "q11_partsupp", "q12_shipmode", "q13_custdist", "q14_promo",
+    "q15_topsupplier", "q16_suppcnt", "q17_smallqty", "q18_bigorders",
+    "q19_disjunct", "q20_nested_in", "q21_waiting", "q22_global")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // optional comma-separated subset (e.g. matched-scale TPC-H runs)
@@ -94,7 +104,43 @@ object Bench {
       "\"" + n + "\":" + all.getOrElse(n, Vector.empty).map(r3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_times":$passDetail,"sf":"$sfDir","passes":$passes,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter}""")
+
+    // Matched-scale full-22 TPC-H: self-contained (the SF1 fixture is
+    // (re)built from the bench dir if absent — per-table, so a fixture
+    // already generated by tools/gen_sf1.py is reused, never clobbered).
+    // Runs when benching the sf0.1 driver fixture; opt out with
+    // SPARK_GRAFT_TPCH22=false, opt in elsewhere with =true.
+    val runT22 = sys.env.get("SPARK_GRAFT_TPCH22")
+      .map(_.toBoolean).getOrElse(sfDir.contains("sf0.1"))
+    val t22Json = if (!runT22) "" else {
+      val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+      ScaleFixture.ensure(spark, sfDir, sf1Dir)
+      val t22Passes =
+        sys.env.get("SPARK_GRAFT_TPCH22_PASSES").map(_.toInt).getOrElse(2)
+      def runT(name: String): Double = {
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sf1Dir)
+          .write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] tpch22 $name failed: ${e.getMessage}")
+          return -1.0
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t22All = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+      for (_ <- 1 to t22Passes; nm <- tpch22)
+        t22All(nm) = t22All.getOrElse(nm, Vector.empty) :+ runT(nm)
+      val t22Min = tpch22.map(nm => nm -> minOf(t22All(nm)))
+      val t22Total = t22Min.map(_._2).filter(_ >= 0).sum
+      val t22Qs = t22Min.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+      val t22Pass = tpch22.map { nm =>
+        "\"" + nm + "\":" + t22All(nm).map(r3).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      s""","tpch22_sf1":{"total":${r3(t22Total)},"queries":$t22Qs,"pass_times":$t22Pass,"passes":$t22Passes,"dir":"$sf1Dir"}"""
+    }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_times":$passDetail,"sf":"$sfDir","passes":$passes,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter$t22Json}""")
     spark.stop()
   }
 }

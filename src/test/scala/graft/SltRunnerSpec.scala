@@ -313,20 +313,9 @@ class SltRunnerSpec extends AnyFunSuite {
 
   // ---- round-5 closure of the remaining top-level files ----
 
-  /** Like check(), but a file whose remaining mismatches all share one
-    * documented engine-divergence CLASS reports them as printed skips
-    * (the pass floor still guards against regressions). */
-  private def checkDivergent(file: String, minPassed: Int, reason: String): Unit = {
-    assume(available, s"$sltDir not present")
-    val r = SltRunner.runFile(spark.newSession(), s"$sltDir/$file")
-    info(r.summary)
-    r.skipped.groupBy(_._2).foreach { case (why, xs) =>
-      info(s"  skipped ${xs.size}: $why") }
-    if (r.failures.nonEmpty)
-      info(s"  divergent x${r.failures.size}: $reason " +
-        s"(lines ${r.failures.map(_.line).mkString(",")})")
-    assert(r.passed >= minPassed, s"only ${r.passed} passed in $file")
-  }
+  // (The r5 blanket `checkDivergent` waiver is gone: every divergent file
+  // now pins its exact lines via check()'s knownDivergent map, so a NEW
+  // failure in those files can no longer hide under a prose reason.)
 
   test("aggregate_memory_spill.slt") { check("aggregate_memory_spill.slt", 18) }
   test("aggregate_skip_partial.slt") {
@@ -471,28 +460,32 @@ class SltRunnerSpec extends AnyFunSuite {
   test("datetime/current_date_timezone.slt") { check("datetime/current_date_timezone.slt", 9) }
   test("datetime/current_time_timezone.slt") { check("datetime/current_time_timezone.slt", 15) }
   test("datetime/interval.slt") {
-    checkDivergent("datetime/interval.slt", 35,
-      "compact duration suffix literal ('1s'::interval) parses in the reference only")
+    check("datetime/interval.slt", 35, knownDivergent = Map(
+      478 -> "compact duration suffix literal ('1s'::interval) parses in the reference only"))
   }
   test("datetime/interval_mysql.slt") { check("datetime/interval_mysql.slt", 3) }
   test("datetime/date_part.slt") {
-    checkDivergent("datetime/date_part.slt", 105,
-      "sub-second extract fields carry ns precision in the reference (Spark timestamps are µs; ms/µs/ns fields unsupported)")
+    val ns = "sub-second extract fields carry ns precision in the reference (Spark timestamps are µs; ms/µs/ns fields unsupported)"
+    check("datetime/date_part.slt", 105, knownDivergent =
+      Seq(458,463,468,474,479,484,489,494,520,525,530,535,540,545,550,555,560,570,856,864,908,913,918,923,928,933,938,943,948,953,958,963,1078,1083,1088,1093,1258,1263,1268,1699).map(_ -> ns).toMap)
   }
   test("datetime/dates.slt") {
-    checkDivergent("datetime/dates.slt", 32,
-      "chrono %-format parse lists, flexible undelimited date parse, and BCE/5-digit-year rendering")
+    val chrono = "chrono %-format parse lists, flexible undelimited date parse, and BCE/5-digit-year rendering"
+    check("datetime/dates.slt", 32, knownDivergent =
+      Seq(137,158,180,258,282,288,353,362,371,381,390,399,413,422,431).map(_ -> chrono).toMap)
   }
   test("datetime/timestamps.slt") {
-    checkDivergent("datetime/timestamps.slt", 250,
-      "nanosecond-precision timestamp surface (Spark timestamps are µs), tz-argument from_unixtime, ns date_bin strides")
+    val ns = "nanosecond-precision timestamp surface (Spark timestamps are µs), tz-argument from_unixtime, ns date_bin strides"
+    check("datetime/timestamps.slt", 250, knownDivergent =
+      Seq(442,448,456,552,557,567,572,578,930,1176,1280,1305,1824,1903,1912,1921,1930,1939,1948,2610,2616,2687,2772,2781,2790,3002,3176,3181,3186,3191,3196,3201,3206,3211,3216,3221,3226,3231,3236,3241,3266,3271,3276,3281,3286,3291,3296,3301,3306,3324,3330,3336,3342,3348,3354,3360,3369,3384,3393,3451,3456,3461,3466,3473,3478,3485,3490,3495,3502,3522,3534,3575,3582,3589,3594,3599,3606,3611,3616,3621,3628,3635,3650,3657,3672,3677,3803,5506,5512).map(_ -> ns).toMap)
   }
 
   test("min_max/fixed_size_list.slt") { check("min_max/fixed_size_list.slt", 0) }
   test("min_max/large_list.slt") { check("min_max/large_list.slt", 14) }
   test("min_max/list.slt") {
-    checkDivergent("min_max/list.slt", 35,
-      "MIN/MAX over array columns: NULL-element comparison rank differs between engines")
+    val nulls = "MIN/MAX over array columns: NULL-element comparison rank differs between engines"
+    check("min_max/list.slt", 35, knownDivergent =
+      Seq(38, 44, 56, 62, 91, 99).map(_ -> nulls).toMap)
   }
 
   test("pg_compat/pg_compat_simple.slt") { check("pg_compat/pg_compat_simple.slt", 7) }
@@ -504,24 +497,23 @@ class SltRunnerSpec extends AnyFunSuite {
 
   test("string/dictionary_utf8.slt") { check("string/dictionary_utf8.slt", 6) }
   test("string/large_string.slt") {
-    checkDivergent("string/large_string.slt", 88,
-      "LargeUtf8 coercion corners (same two lines as string.slt)")
+    check("string/large_string.slt", 88, knownDivergent = Map(
+      621 -> "LargeUtf8 coercion corner (same line as string.slt)"))
   }
   test("string/string.slt") {
-    checkDivergent("string/string.slt", 87,
-      "starts_with/ends_with NULL-propagation corner differs")
+    check("string/string.slt", 87, knownDivergent = Map(
+      621 -> "starts_with/ends_with NULL-propagation corner differs"))
   }
   test("string/string_literal.slt") {
-    checkDivergent("string/string_literal.slt", 145,
-      "escape-dialect corners: quoted-quote inside LIKE patterns and unicode escape spellings")
+    val esc = "escape-dialect corners: quoted-quote inside LIKE patterns and unicode escape spellings"
+    check("string/string_literal.slt", 145, knownDivergent =
+      Seq(970, 1238, 1249, 1290).map(_ -> esc).toMap)
   }
-  test("string/string_view.slt") {
-    checkDivergent("string/string_view.slt", 29,
-      "Utf8View coercion corner (same class as string.slt)")
-  }
+  test("string/string_view.slt") { check("string/string_view.slt", 29) }
   test("string/concat.slt") {
-    checkDivergent("string/concat.slt", 7,
-      "concat of array||string mixed-type coercion differs")
+    val coerce = "concat of array||string mixed-type coercion differs"
+    check("string/concat.slt", 7, knownDivergent =
+      Seq(126, 132).map(_ -> coerce).toMap)
   }
 
   test("tpch/tpch.slt") { check("tpch/tpch.slt", 4) }
