@@ -57,10 +57,60 @@ object BroadcastAdvisor {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[String, TableStats]
 
+  /** Stats for a parquet file/dir: prefers the catalog's CBO statistics
+    * (ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS over an external
+    * table at this location — the numbers a cluster's metastore serves
+    * without touching storage), falling back to a direct footer read. */
+  def tableStats(spark: SparkSession, path: String): TableStats =
+    cache.getOrElseUpdate(path,
+      catalogStats(spark, path).getOrElse(footerStats(spark, path)))
+
+  /** CBO stats of a catalog table whose location is `path`, if one exists
+    * and has been ANALYZEd (rowCount present). Column min/max come from
+    * the external string form, interpreted per the table schema's type in
+    * the same stored units the footer path uses (DATE → days,
+    * TIMESTAMP → µs with microsPerUnit=1). */
+  def catalogStats(spark: SparkSession, path: String): Option[TableStats] =
+    scala.util.Try {
+      import org.apache.spark.sql.types._
+      val cat = spark.sessionState.catalog
+      val want = new java.io.File(path).getCanonicalPath
+      cat.listTables(cat.getCurrentDatabase)
+        .flatMap(id => scala.util.Try(cat.getTableMetadata(id)).toOption)
+        .find(m => m.stats.exists(_.rowCount.isDefined) &&
+          m.storage.locationUri.exists(u =>
+            scala.util.Try(new java.io.File(u.getPath).getCanonicalPath == want)
+              .getOrElse(false)))
+        .map { m =>
+          val st = m.stats.get
+          val types = m.schema.fields.map(f => f.name -> f.dataType).toMap
+          val cols = st.colStats.flatMap { case (name, cs) =>
+            types.get(name).map { dt =>
+              def asLong(s: String): Option[Long] = scala.util.Try(dt match {
+                case ByteType | ShortType | IntegerType | LongType => s.toLong
+                case DateType => java.time.LocalDate.parse(s).toEpochDay
+                case _: TimestampType | TimestampNTZType =>
+                  java.sql.Timestamp.valueOf(s).getTime * 1000L
+                case _ => throw new IllegalArgumentException("non-long")
+              }).toOption
+              val unit = dt match {
+                case DateType => Some(86400.0 * 1000000.0)
+                case _: TimestampType | TimestampNTZType => Some(1.0)
+                case _ => None
+              }
+              val width = cs.avgLen.map(_.toDouble).getOrElse(8.0)
+              name -> ColStats(width, cs.min.flatMap(asLong),
+                cs.max.flatMap(asLong), unit)
+            }
+          }
+          TableStats(st.rowCount.get.toLong, cols.toMap)
+        }
+    }.toOption.flatten
+
   /** Footer-only stats for a parquet file/dir: row count, per-column
     * average uncompressed width, INT64 min/max (timestamps included). */
-  def tableStats(spark: SparkSession, path: String): TableStats =
-    cache.getOrElseUpdate(path, {
+  private def footerStats(spark: SparkSession, path: String): TableStats =
+    {
       import scala.jdk.CollectionConverters._
       val conf = spark.sparkContext.hadoopConfiguration
       val p = new org.apache.hadoop.fs.Path(path)
@@ -121,7 +171,7 @@ object BroadcastAdvisor {
         n -> ColStats(if (rows == 0) 0.0 else colBytes(n).toDouble / rows,
           colMin.get(n), colMax.get(n), colUnit.get(n))
       }.toMap)
-    })
+    }
 
   /** Range selectivity of `lo <= col < hi` with bounds in the COLUMN's own
     * stored units (see [[dateBound]]), by linear interpolation over the

@@ -109,6 +109,24 @@ object Round5bQueries {
           .agg(countDistinct(col("doc_id")).as("n_docs_affected")))
     },
 
+    // The production (100 TB) mode of the same detection: 8-byte hashed
+    // window keys in the shuffle instead of n-token strings. Contract
+    // oracle (VERDICT r5 next-step #7): all three counts must equal the
+    // exact-string mode's — the DuckDB oracle is the exact-mode SQL, so a
+    // hash collision or a hashed-path bug breaks the differential.
+    "text_repeated_ngrams_hashed" -> { (s, dir) =>
+      val wd = graft.operators.Dedup.ngramWindows(
+          t(s, dir, "documents"), "doc_id", "text", n = 20, hashed = true)
+        .groupBy("win", "doc_id").agg(count(lit(1)).as("occ"))
+      val stats = wd.groupBy("win")
+        .agg(count(lit(1)).as("nd"), sum("occ").as("n_occ"))
+      val rep = stats.filter(col("nd") > 1)
+      rep.agg(count(lit(1)).as("n_rep_windows"),
+          coalesce(sum("n_occ"), lit(0L)).cast("long").as("n_hits"))
+        .crossJoin(wd.join(rep.select("win"), "win")
+          .agg(countDistinct(col("doc_id")).as("n_docs_affected")))
+    },
+
     // The span-removal transform completing the substring-dedup story
     // (all-but-one cut, Lee et al.): contract oracle — every doc survives,
     // token totals are exact on both engines, some tokens were actually
@@ -236,6 +254,21 @@ object Round5bQueries {
         |FROM toks""".stripMargin,
 
     "text_repeated_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS a
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(a) - 20 + 2),
+        |                          i -> array_to_string(a[i : i + 19], ' '))) AS win
+        |  FROM toks WHERE len(a) >= 20),
+        |rep AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) > 1)
+        |SELECT (SELECT count(*) FROM rep) AS n_rep_windows,
+        |       (SELECT count(DISTINCT doc_id) FROM w JOIN rep USING (win)) AS n_docs_affected,
+        |       (SELECT count(*) FROM w JOIN rep USING (win)) AS n_hits""".stripMargin,
+
+    // hashed production mode must reproduce the exact-mode counts
+    "text_repeated_ngrams_hashed" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS a
         |  FROM documents),

@@ -58,4 +58,38 @@ class CboReorderSpec extends AnyFunSuite {
       withoutCbo.collect().map(_.toString).sorted.toSeq)
     ss.sql("DROP DATABASE cbo_spec CASCADE")
   }
+
+  test("BroadcastAdvisor prefers catalog stats; footers never touched") {
+    import graft.plans.BroadcastAdvisor
+    val ss = spark.newSession()
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_scratch/adv_catstats"
+    graft.Tables.load(ss, dir, "orders").write.mode("overwrite").parquet(path)
+    ss.sql("DROP TABLE IF EXISTS adv_orders")
+    ss.sql(s"CREATE TABLE adv_orders USING parquet LOCATION '$path'")
+    ss.sql("ANALYZE TABLE adv_orders COMPUTE STATISTICS FOR ALL COLUMNS")
+    val expectRows = ss.table("adv_orders").count()
+
+    // delete the files: any footer read now throws, so a passing lookup
+    // PROVES the advisor served the metastore numbers (the cluster path —
+    // stats without touching storage)
+    val d = new java.io.File(path)
+    d.listFiles().foreach(_.delete())
+
+    val st = BroadcastAdvisor.catalogStats(ss, path)
+      .getOrElse(fail("catalogStats found no ANALYZEd table for the path"))
+    assert(st.rows == expectRows, s"rows ${st.rows} != $expectRows")
+    val ok = st.cols.get("o_orderkey")
+      .getOrElse(fail("no o_orderkey column stats"))
+    assert(ok.minLong.isDefined && ok.maxLong.isDefined)
+    assert(ok.maxLong.get > ok.minLong.get)
+    // temporal columns carry stored-unit bounds like the footer path does
+    st.cols.get("o_orderdate").foreach { odc =>
+      assert(odc.microsPerUnit.isDefined,
+        "o_orderdate catalog stats missing unit annotation")
+    }
+    // and the public entry point resolves through the catalog too
+    val viaEntry = BroadcastAdvisor.tableStats(ss, path)
+    assert(viaEntry.rows == expectRows)
+    ss.sql("DROP TABLE adv_orders")
+  }
 }
