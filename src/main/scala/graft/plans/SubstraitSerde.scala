@@ -131,6 +131,20 @@ object SubstraitSerde {
     }
 
     j match {
+      case _ if j \ "read" != JNothing &&
+          (j \ "read" \ "virtualTable") != JNothing =>
+        // VirtualTable: inline literal rows (the lowering target for
+        // explode-of-literal-array Generates — see the emitter)
+        val r = j \ "read"
+        val names = arr(r \ "baseSchema" \ "names").flatMap(str)
+        val rows = arr(r \ "virtualTable" \ "values").map { row =>
+          val fields = arr(row \ "fields").map(literal)
+          ctx.spark.range(1).select(positional(fields, level): _*)
+        }
+        val df = rows.reduceOption(_.unionAll(_)).getOrElse(
+          throw new IllegalArgumentException("substrait: empty virtualTable"))
+        applyEmit(RelOut(df, names.size), r)
+
       case _ if j \ "read" != JNothing =>
         val r = j \ "read"
         val names = arr(r \ "baseSchema" \ "names").flatMap(str)
@@ -842,6 +856,35 @@ object SubstraitSerde {
     case Deduplicate(keys, child) if keys.size == child.output.size &&
         keys.forall(k => child.output.exists(_.semanticEquals(k))) =>
       emitRel(Distinct(child), reg, outer)
+    // temp-view references wrap their plan in View — transparent on the wire
+    case v: View => emitRel(v.child, reg, outer)
+    // Generate/unnest: substrait core has no unnest rel. The foldable case
+    // (explode of a literal array — TVF-style row multipliers) lowers
+    // EXACTLY to CROSS JOIN with a VirtualTable of the elements; the
+    // data-dependent case stays a documented unsupported node (the
+    // reference's consumer reads unnest via its own extension space —
+    // substrait/src/logical_plan/consumer/).
+    case g: Generate if g.unrequiredChildIndex.isEmpty && !g.outer &&
+        g.generator.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Explode] &&
+        g.generator.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Explode].child.foldable =>
+      val gen = g.generator.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Explode]
+      val elemType = gen.child.dataType.asInstanceOf[ArrayType].elementType
+      val elems = gen.child.eval()
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(elemType)
+      val outAttr = g.generatorOutput.head
+      JObject("cross" -> JObject(
+        "common" -> JObject("direct" -> JObject()),
+        "left" -> emitRel(g.child, reg, outer),
+        "right" -> JObject("read" -> JObject(
+          "common" -> JObject("direct" -> JObject()),
+          "baseSchema" -> JObject(
+            "names" -> JArray(List(JString(outAttr.name))),
+            "struct" -> JObject("types" -> JArray(List(
+              typeJson(elemType, outAttr.nullable))))),
+          "virtualTable" -> JObject("values" -> JArray(elems.map(v =>
+            JObject("fields" -> JArray(List(
+              literalJson(CLit(v, elemType)))))).toList))))))
     case other => throw new IllegalArgumentException(
       s"substrait emit: unsupported node ${other.nodeName}")
   }
