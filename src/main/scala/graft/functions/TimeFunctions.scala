@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** The reference's timestamp-precision family and the TIME-of-day
+  * convention layer (SURVEY §1.2: Spark timestamps are µs; TIME-of-day is
+  * a µs-of-day LongType).
+  *
+  * - `to_timestamp_{seconds,millis,micros,nanos}(x)` (reference:
+  *   functions/src/datetime/to_timestamp.rs): integer input = epoch count
+  *   in that unit; string/timestamp/date input = parse then TRUNCATE to
+  *   the unit. Nanos truncate to µs — the engine's declared convention.
+  * - `to_unixtime(x)` (to_unixtime.rs): epoch seconds as BIGINT.
+  * - `to_local_time(x)` (to_local_time.rs): strip the timezone — the same
+  *   instant as session-zone wall time without tz (TIMESTAMP_NTZ).
+  * - `make_time(h, m, s)` (make_time.rs): µs-of-day long; `time_format`
+  *   renders it HH:MM:SS[.ffffff]; `time_part('hour'|'minute'|'second',
+  *   t)` extracts components.
+  *
+  * Everything is a pure catalyst tree (codegen'd, no UDFs). The
+  * integer-vs-datetime dispatch normalizes through a string cast and a
+  * TRY_CAST probe, which keeps one registry builder type-agnostic (the
+  * registry resolves before input types are known).
+  */
+object TimeFunctions {
+
+  private def tryLong(e: Expression): Expression =
+    Cast(e, LongType, None, EvalMode.TRY)
+  private def asTs(e: Expression): Expression = Cast(e, TimestampType)
+
+  /** numeric-epoch vs datetime-string dispatch. Longs probe first (exact
+    * for epoch-nanos magnitudes beyond 2^53), then doubles (CAST(1.0 AS
+    * TIMESTAMP(0)) is epoch-seconds in the reference), then datetime
+    * parse. */
+  private def dispatch(e: Expression, numeric: Expression => Expression,
+      datetime: Expression => Expression): Expression = {
+    val s = Cast(e, StringType)
+    val nL = tryLong(s)
+    val nD = Cast(s, DoubleType, None, EvalMode.TRY)
+    If(IsNotNull(nL), numeric(nL),
+      If(IsNotNull(nD), numeric(Cast(nD, LongType)), datetime(asTs(s))))
+  }
+
+  def toTimestampSeconds(e: Expression): Expression =
+    dispatch(e, SecondsToTimestamp, ts => TruncTimestamp(Literal("second"), ts))
+  def toTimestampMillis(e: Expression): Expression =
+    dispatch(e, MillisToTimestamp,
+      ts => TruncTimestamp(Literal("millisecond"), ts))
+  def toTimestampMicros(e: Expression): Expression =
+    dispatch(e, MicrosToTimestamp, identity)
+  def toTimestampNanos(e: Expression): Expression =
+    dispatch(e, n => MicrosToTimestamp(IntegralDivide(n, Literal(1000L))),
+      identity)
+  def toUnixtime(e: Expression): Expression =
+    dispatch(e, identity, ts => Cast(ts, LongType))
+  def toLocalTime(e: Expression): Expression =
+    Cast(asTs(e), TimestampNTZType)
+
+  /** to_time(x) → µs of day: time-of-day of a timestamp, or a parsed
+    * 'HH:MM[:SS[.f]]' string (µs truncation per the convention). */
+  def toTimeUs(e: Expression): Expression = {
+    val s = Cast(e, StringType)
+    val direct = Cast(s, TimestampType, None, EvalMode.TRY)
+    val timeOnly = Cast(Concat(Seq(Literal("1970-01-01 "), s)),
+      TimestampType, None, EvalMode.TRY)
+    val ts = Coalesce(Seq(direct, timeOnly))
+    Pmod(UnixMicros(ts), Literal(86400000000L))
+  }
+
+  /** make_time(h, m, s) → µs of day (s may be fractional). */
+  def makeTime(h: Expression, m: Expression, s: Expression): Expression =
+    Add(
+      Add(Multiply(Cast(h, LongType), Literal(3600000000L)),
+        Multiply(Cast(m, LongType), Literal(60000000L))),
+      Cast(Multiply(Cast(s, DoubleType), Literal(1000000.0d)), LongType))
+
+  /** µs-of-day → 'HH:MM:SS[.ffffff]' (fraction trimmed, reference/DuckDB
+    * TIME rendering). */
+  def timeFormat(us: Expression): Expression = {
+    val t = Cast(us, LongType)
+    val h = IntegralDivide(t, Literal(3600000000L))
+    val m = Pmod(IntegralDivide(t, Literal(60000000L)), Literal(60L))
+    val sec = Pmod(IntegralDivide(t, Literal(1000000L)), Literal(60L))
+    val frac = Pmod(t, Literal(1000000L))
+    val base = FormatString(Literal("%02d:%02d:%02d"), h, m, sec)
+    val fracStr = RegExpReplace(
+      StringLPad(Cast(frac, StringType), Literal(6), Literal("0")),
+      Literal("0+$"), Literal(""))
+    If(EqualTo(frac, Literal(0L)), base,
+      Concat(Seq(base, Literal("."), fracStr)))
+  }
+
+  /** time_part('hour'|'minute'|'second', µs-of-day). */
+  def timePart(field: String, us: Expression): Expression = {
+    val t = Cast(us, LongType)
+    field.toLowerCase match {
+      case "hour" => IntegralDivide(t, Literal(3600000000L))
+      case "minute" => Pmod(IntegralDivide(t, Literal(60000000L)), Literal(60L))
+      case "second" => // fractional seconds, like EXTRACT(SECOND)
+        Divide(Cast(Pmod(t, Literal(60000000L)), DoubleType), Literal(1e6))
+      case other => throw new IllegalArgumentException(
+        s"time_part: unsupported field '$other' (hour/minute/second)")
+    }
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = {
+    def one(name: String)(f: Expression => Expression):
+        (String, Seq[Expression] => Expression) =
+      name -> { es =>
+        if (es.size != 1) throw new IllegalArgumentException(
+          s"$name takes exactly 1 argument, got ${es.size}")
+        f(es.head)
+      }
+    Seq(
+      one("to_timestamp_seconds")(toTimestampSeconds),
+      one("to_timestamp_millis")(toTimestampMillis),
+      one("to_timestamp_micros")(toTimestampMicros),
+      one("to_timestamp_nanos")(toTimestampNanos),
+      one("to_unixtime")(toUnixtime),
+      one("to_local_time")(toLocalTime),
+      one("to_time")(toTimeUs),
+      "make_time" -> { es =>
+        if (es.size != 3) throw new IllegalArgumentException(
+          s"make_time(h, m, s) takes 3 arguments, got ${es.size}")
+        makeTime(es(0), es(1), es(2))
+      },
+      one("time_format")(timeFormat),
+      "time_part" -> { es =>
+        if (es.size != 2) throw new IllegalArgumentException(
+          s"time_part(field, t) takes 2 arguments, got ${es.size}")
+        val field = es.head match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+            s.toString
+          case other => throw new IllegalArgumentException(
+            s"time_part: field must be a string literal, got ${other.sql}")
+        }
+        timePart(field, es(1))
+      })
+  }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (n, b) =>
+      reg.createOrReplaceTempFunction(n, b, "built-in") }
+  }
+}

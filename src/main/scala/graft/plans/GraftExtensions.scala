@@ -89,7 +89,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
     (graft.functions.VectorFunctions.builders ++
-        graft.functions.TextFunctions.builders).foreach { case (n, b) =>
+        graft.functions.TextFunctions.builders ++
+        graft.functions.TimeFunctions.builders).foreach { case (n, b) =>
       e.injectFunction((FunctionIdentifier(n),
         new ExpressionInfo("graft.functions", n), b))
     }

@@ -149,11 +149,83 @@ object SltRunner {
       // reader consumes dictionary-encoded pages natively anyway)
       val DictRe = """(?i)Dictionary\s*\(\s*\w+\s*,\s*(\w+)\s*\)""".r
       val tpe = tpe0 match { case DictRe(v) => v; case other => other }
-      arrowTypes.get(tpe) match {
-        case Some(sparkT) =>
-          val kw = if (fname == "try_cast_to_type") "TRY_CAST" else "CAST"
-          s = s.substring(0, idx) + s"$kw($expr AS $sparkT)" + s.substring(close + 1)
-        case None => return None
+      // Timestamp(unit[, None]) reinterprets ints as epoch counts in that
+      // unit and re-precisions datetimes — exactly the registered
+      // to_timestamp_<unit> family (ns truncate to µs per SURVEY §1.2).
+      // A concrete tz (Some("...")) changes the DISPLAY zone, which the
+      // µs convention does not model → unmappable as before.
+      val TsUnitRe =
+        """(?i)Timestamp\s*\(\s*(Nanosecond|Microsecond|Millisecond|Second|ns|µs|us|ms|s)\s*(?:,\s*None\s*)?\)""".r
+      tpe match {
+        case TsUnitRe(u) =>
+          val fn = u.toLowerCase match {
+            case "nanosecond" | "ns" => "to_timestamp_nanos"
+            case "microsecond" | "µs" | "us" => "to_timestamp_micros"
+            case "millisecond" | "ms" => "to_timestamp_millis"
+            case _ => "to_timestamp_seconds"
+          }
+          // tz=None is arrow's NAIVE timestamp: stays wall-clock (no
+          // offset suffix) even when the file sets an execution zone
+          s = s.substring(0, idx) +
+            s"CAST($fn($expr) AS TIMESTAMP_NTZ)" + s.substring(close + 1)
+        case _ => arrowTypes.get(tpe) match {
+          case Some(sparkT) =>
+            val kw = if (fname == "try_cast_to_type") "TRY_CAST" else "CAST"
+            s = s.substring(0, idx) + s"$kw($expr AS $sparkT)" + s.substring(close + 1)
+          case None => return None
+        }
+      }
+    }
+    Some(s)
+  }
+
+  /** `CAST/TRY_CAST(x AS TIMESTAMP_S_|_MS_|_US_)` placeholders (installed
+    * by translate's precision-suffix pass for TIMESTAMP(0|3|6)) become the
+    * matching to_timestamp_* call — the µs convention's truncating
+    * precision casts. Returns None if a marker survives unresolved. */
+  private def rewritePrecisionCasts(sql: String): Option[String] = {
+    val markers = Seq("TIMESTAMP_S_" -> "to_timestamp_seconds",
+      "TIMESTAMP_MS_" -> "to_timestamp_millis",
+      "TIMESTAMP_US_" -> "to_timestamp_micros")
+    var s = sql
+    var guard = 0
+    def next: Option[(String, String, Int)] =
+      markers.flatMap { case (mk, fn) =>
+        val i = s.indexOf(mk); if (i >= 0) Some((mk, fn, i)) else None
+      }.sortBy(_._3).headOption
+    while (next.isDefined && guard < 50) {
+      guard += 1
+      val (mk, fn, mAt) = next.get
+      val lower = s.toLowerCase
+      var from = mAt
+      var done = false
+      while (!done) {
+        val c1 = lower.lastIndexOf("cast(", math.max(0, from - 1))
+        if (c1 < 0) return None
+        val isTry = c1 >= 4 && lower.regionMatches(c1 - 4, "try_", 0, 4)
+        val nameStart = if (isTry) c1 - 4 else c1
+        val wordOk = nameStart == 0 || {
+          val p = s(nameStart - 1); !p.isLetterOrDigit && p != '_'
+        }
+        val open = c1 + 4
+        var depth = 0; var j = open; var close = -1
+        while (j < s.length && close < 0) {
+          s(j) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = j
+            case _ =>
+          }
+          j += 1
+        }
+        if (wordOk && close > mAt) {
+          val inner = s.substring(open + 1, close)
+          val asIdx = inner.toUpperCase.lastIndexOf("AS " + mk)
+          if (asIdx >= 0 && inner.substring(asIdx + 3 + mk.length).trim.isEmpty) {
+            val expr = inner.substring(0, asIdx).trim
+            s = s.substring(0, nameStart) + s"$fn($expr)" + s.substring(close + 1)
+            done = true
+          } else from = c1
+        } else from = c1
       }
     }
     Some(s)
@@ -1272,6 +1344,54 @@ object SltRunner {
     if ("(?i)::\\s*time\\b".r.findFirstIn(pre0).isDefined ||
         "(?i)\\bAS\\s+TIME\\s*\\)".r.findFirstIn(pre0).isDefined ||
         "(?i)\\bTIME\\s+'".r.findFirstIn(pre0).isDefined) return None
+    // multi-argument to_timestamp_*/to_unixtime carry chrono %-format
+    // parse LISTS — the documented chrono divergence class; 1-arg forms
+    // are the registered TimeFunctions
+    for (fn <- Seq("to_timestamp_seconds", "to_timestamp_millis",
+        "to_timestamp_micros", "to_timestamp_nanos", "to_unixtime",
+        "to_local_time", "to_time", "to_timestamp")) {
+      // to_timestamp itself allows Spark's 2-arg (value, format) form;
+      // 3+ args is the chrono format-LIST surface
+      val maxCommas = if (fn == "to_timestamp") 1 else 0
+      var i = pre0.toLowerCase.indexOf(fn + "(")
+      while (i >= 0) {
+        val standalone = (i == 0 || {
+          val p = pre0(i - 1); !p.isLetterOrDigit && p != '_'
+        })
+        var depth = 0; var j = i + fn.length; var commas = 0; var done = false
+        var fmtArgsLiteral = true
+        while (j < pre0.length && !done) {
+          pre0(j) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) done = true
+            case ',' if depth == 1 =>
+              commas += 1
+              // format args must be string LITERALS — a column-carried
+              // chrono format can't be statically translated
+              val rest = pre0.substring(j + 1).dropWhile(_.isWhitespace)
+              if (!rest.startsWith("'") &&
+                  !rest.toLowerCase.startsWith("null")) fmtArgsLiteral = false
+            case _ =>
+          }
+          j += 1
+        }
+        if (standalone && (commas > maxCommas ||
+            (commas > 0 && !fmtArgsLiteral))) return None
+        i = pre0.toLowerCase.indexOf(fn + "(", i + 1)
+      }
+    }
+    // TIMESTAMPTZ is Spark's (tz-aware) TIMESTAMP; precision suffixes map
+    // onto the µs convention: (0)=second, (3)=milli, (6)=micro truncation
+    // via the to_timestamp_* family. (9) keeps its honest skip — the
+    // reference's ns-RANGE overflow semantics (TRY_CAST year-3000 → NULL)
+    // have no µs analog.
+    val preTz = pre0
+      .replaceAll("(?i)\\bTIMESTAMPTZ\\b", "TIMESTAMP")
+      .replaceAll("(?i)\\bAS\\s+TIMESTAMP\\s*\\(\\s*0\\s*\\)", "AS TIMESTAMP_S_")
+      .replaceAll("(?i)\\bAS\\s+TIMESTAMP\\s*\\(\\s*3\\s*\\)", "AS TIMESTAMP_MS_")
+      .replaceAll("(?i)\\bAS\\s+TIMESTAMP\\s*\\(\\s*6\\s*\\)", "AS TIMESTAMP_US_")
+    val pre0b = if (preTz == pre0) pre0 else rewritePrecisionCasts(preTz)
+      .getOrElse(return None)
     // Reference literals are standard SQL: backslash is a plain character
     // and '' is an escaped quote. Spark's default lexer handles '' right
     // but treats backslash as an escape — double raw backslashes inside
@@ -1281,7 +1401,7 @@ object SltRunner {
     // semantics (and re-escape when emitting Spark SQL) — don't pre-double
     val ownOptions = "(?is)^\\s*(CREATE\\s+(UNBOUNDED\\s+)?EXTERNAL|COPY)\\b"
       .r.findFirstIn(pre0).isDefined
-    val pre0a0 = if (ownOptions) pre0 else doubleBackslashesInLiterals(pre0)
+    val pre0a0 = if (ownOptions) pre0b else doubleBackslashesInLiterals(pre0b)
     val pre0a = if (!sparkDialect) pre0a0 else {
       // -0.0 typed ::double must keep its sign: Spark parses the bare
       // literal as DECIMAL (no negative zero) before the cast applies;
@@ -1595,6 +1715,13 @@ object SltRunner {
     // DataFusion timestamp display: ISO-8601 with 'T', fraction trimmed;
     // when the file set an execution time zone, instants render in that
     // zone WITH the offset suffix (the reference's timestamptz display)
+    // java.sql.Date.toString truncates 5+-digit years; the reference pads
+    // to 4 digits and prefixes '+' past year 9999 (arrow Date32 Display)
+    case d: java.sql.Date =>
+      val ld = d.toLocalDate
+      val y = ld.getYear
+      val prefix = if (y > 9999) "+" else ""
+      f"$prefix$y%04d-${ld.getMonthValue}%02d-${ld.getDayOfMonth}%02d"
     case ts: java.sql.Timestamp =>
       renderZone match {
         case Some(z) =>
@@ -1775,7 +1902,7 @@ object SltRunner {
     // reference session time zone (to_timestamp_timezone.slt): SET maps to
     // Spark's session tz; tz-aware results then render with the offset
     val TzRe =
-      """(?is)^\s*SET\s+datafusion\.execution\.time_zone\s*=\s*'([^']+)'\s*;?\s*$""".r
+      """(?is)^\s*SET\s+(?:datafusion\.execution\.time_zone|TIME\s+ZONE|timezone)\s*(?:=|TO)\s*'([^']+)'\s*;?\s*$""".r
     val TzResetRe =
       """(?is)^\s*RESET\s+datafusion\.execution\.time_zone\s*;?\s*$""".r
     val NullOrderRe =
@@ -1996,8 +2123,14 @@ object SltRunner {
         case Some(t) => skipped += ((rec.line, s"references skipped table $t"))
         case None if TzRe.findFirstMatchIn(rec.sql).isDefined =>
           val tz = TzRe.findFirstMatchIn(rec.sql).get.group(1)
-          spark.conf.set("spark.sql.session.timeZone", tz)
-          renderZone = Some(java.time.ZoneId.of(tz))
+          // the reference accepts any SET value and only errors when the
+          // zone is USED; Spark validates eagerly — a rejected zone leaves
+          // the previous setting in place (the follow-up query then skips
+          // as an engine-specific error divergence)
+          try {
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            renderZone = Some(java.time.ZoneId.of(tz))
+          } catch { case _: Exception => }
           passed += 1
         case None if TzResetRe.findFirstMatchIn(rec.sql).isDefined =>
           spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -2261,6 +2394,32 @@ object SltRunner {
 
   private def registerCompat(spark: SparkSession): Unit = {
     graft.functions.GraftMath.register(spark)
+    graft.functions.TimeFunctions.register(spark)
+    // slt display shim: the engine's TIME-of-day convention is a µs-long
+    // (TimeFunctions.makeTime); the reference renders TIME as HH:MM:SS —
+    // in the dialect layer make_time returns the formatted string so the
+    // canonical-text compare sees the reference's display form
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "make_time", { es =>
+        import org.apache.spark.sql.catalyst.expressions.{If, IsNull, Literal}
+        if (es.size != 3) throw new IllegalArgumentException(
+          s"make_time(h, m, s) takes 3 arguments, got ${es.size}")
+        val us = graft.functions.TimeFunctions.makeTime(es(0), es(1), es(2))
+        If(IsNull(us),
+          Literal.create(null, org.apache.spark.sql.types.StringType),
+          graft.functions.TimeFunctions.timeFormat(us))
+      }, "built-in")
+    // same display shim for to_time (engine convention: µs-long)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "to_time", { es =>
+        import org.apache.spark.sql.catalyst.expressions.{If, IsNull, Literal}
+        if (es.size != 1) throw new IllegalArgumentException(
+          s"to_time(x) takes 1 argument here, got ${es.size}")
+        val us = graft.functions.TimeFunctions.toTimeUs(es.head)
+        If(IsNull(us),
+          Literal.create(null, org.apache.spark.sql.types.StringType),
+          graft.functions.TimeFunctions.timeFormat(us))
+      }, "built-in")
     graft.functions.VectorFunctions.register(spark)
     graft.functions.ArrayMathFunctions.register(spark)
     graft.functions.CryptoFunctions.register(spark)
@@ -2367,7 +2526,7 @@ object SltRunner {
     // (GraftFunctions.dateBin) generalized to an expression stride:
     // stride micros = epoch + stride interval, pure integer arithmetic
     reg.createOrReplaceTempFunction("date_bin", es => {
-      import org.apache.spark.sql.types.{CalendarIntervalType, TimestampType, IntegerType, LongType}
+      import org.apache.spark.sql.types.{CalendarIntervalType, TimestampType, IntegerType, LongType, DateType}
       val epoch = Cast(Literal("1970-01-01 00:00:00"), TimestampType)
       // a bare string stride ('15 minutes') coerces to an interval
       val stride = es.head match {
@@ -2394,27 +2553,70 @@ object SltRunner {
         case _ => 0L
       }
       if (strideMonths != 0) {
-        // months-since-origin, floored to the stride, added back — calendar
-        // binning, not a fixed microsecond width
+        // calendar-month binning: month-index difference, adjusted down when
+        // origin+k months overshoots (months_between can't be used — it
+        // ignores time-of-day when the day-of-month matches), floored to the
+        // stride, added back
         val x = Cast(es(1), TimestampType)
-        val mb = Cast(MonthsBetween(x, origin, Literal(false)), LongType)
-        val bin = Subtract(mb, Pmod(mb, Literal(strideMonths)))
+        def monthIndex(t: Expression): Expression =
+          Add(Multiply(Cast(Year(Cast(t, DateType)), LongType), Literal(12L)),
+            Cast(Month(Cast(t, DateType)), LongType))
+        val mdiff = Subtract(monthIndex(x), monthIndex(origin))
+        val k = If(GreaterThan(TimestampAdd("MONTH", mdiff, origin), x),
+          Subtract(mdiff, Literal(1L)), mdiff)
+        val bin = Subtract(k, Pmod(k, Literal(strideMonths)))
         TimestampAdd("MONTH", bin, origin)
       } else {
         val o = UnixMicros(origin)
         val x = UnixMicros(Cast(es(1), TimestampType))
-        val strideUs = UnixMicros(Cast(TimestampAddInterval(epoch, stride), TimestampType))
+        // stride width = micros(epoch+stride) - micros(epoch): the epoch
+        // literal parses in SESSION tz, so the naked first term is only the
+        // width under UTC (caught by the +07 sections of timestamps.slt)
+        val strideUs = Subtract(
+          UnixMicros(Cast(TimestampAddInterval(epoch, stride), TimestampType)),
+          UnixMicros(epoch))
         MicrosToTimestamp(Subtract(x, Pmod(Subtract(x, o), strideUs)))
       }
     }, "built-in")
-    // reference from_unixtime(secs) returns a TIMESTAMP (Spark's returns a
-    // formatted STRING — same instant, different render); the 2-arg
-    // timezone form stays Spark-native
+    // reference from_unixtime(secs[, timezone]) returns a TIMESTAMP
+    // (Spark's 1-arg returns a formatted STRING — same instant, different
+    // render). The 2-arg form's second argument is a TIMEZONE (not a
+    // format): render the instant in that zone with its offset suffix
+    // ('Z' for UTC) as a string — per-value display zones can't ride on
+    // java.sql.Timestamp results.
     reg.createOrReplaceTempFunction("from_unixtime", es =>
       if (es.size == 1)
         Cast(FromUnixTime(es.head, Literal("yyyy-MM-dd HH:mm:ss")),
           org.apache.spark.sql.types.TimestampType)
-      else FromUnixTime(es(0), es(1)), "built-in")
+      else {
+        import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
+        val ts = Cast(FromUnixTime(es(0), Literal("yyyy-MM-dd HH:mm:ss")),
+          TimestampType)
+        val wall = FromUTCTimestamp(ts, es(1))
+        val off = Subtract(Cast(wall, LongType), Cast(ts, LongType))
+        val offStr = If(EqualTo(off, Literal(0L)), Literal("Z"),
+          FormatString(Literal("%s%02d:%02d"),
+            If(LessThan(off, Literal(0L)), Literal("-"), Literal("+")),
+            IntegralDivide(Abs(off), Literal(3600L)),
+            Pmod(IntegralDivide(Abs(off), Literal(60L)), Literal(60L))))
+        If(IsNull(ts), Literal.create(null, StringType),
+          Concat(Seq(
+            DateFormatClass(wall, Literal("yyyy-MM-dd'T'HH:mm:ss")),
+            offStr)))
+      }, "built-in")
+    // to_char(NULL, fmt) is NULL in the reference; Spark resolves untyped
+    // NULL to the numeric to_char and rejects the datetime format string
+    // at analysis. Guard the null-literal first arg; delegate the rest.
+    locally {
+      import org.apache.spark.sql.catalyst.FunctionIdentifier
+      val builtin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+        .builtin.lookupFunctionBuilder(FunctionIdentifier("to_char")).get
+      reg.createOrReplaceTempFunction("to_char", es => es.headOption match {
+        case Some(Literal(null, _)) =>
+          Literal.create(null, org.apache.spark.sql.types.StringType)
+        case _ => builtin(es)
+      }, "built-in")
+    }
     // lambda helper for higher-order compat rewrites
     def lam(body: Expression => Expression): Expression = {
       val v = UnresolvedNamedLambdaVariable(Seq("x"))

@@ -52,9 +52,11 @@ class SltRunnerSpec extends AnyFunSuite {
   test("union.slt")    { check("union.slt", 20, knownDivergent = Map(
     771 -> "ORDER BY over a UNION with duplicate output column names (reference resolves to the first)")) }
   test("joins.slt") {
+    val tsBigint = "timestamp::bigint is the epoch count in the timestamp's unit (ns) in the reference; Spark casts to epoch seconds — plus ns-digit rendering"
     check("joins.slt", 360, knownDivergent = Map(
       833 -> "nanosecond timestamps (Spark timestamps are microsecond)",
       855 -> "nanosecond timestamps (Spark timestamps are microsecond)",
+      2556 -> tsBigint, 2576 -> tsBigint, 2592 -> tsBigint, 2608 -> tsBigint,
       4740 -> "LATERAL correlation to a sibling FROM item through extra nesting (Spark scoping)",
       6193 -> "DISTINCT ON inside a subquery (rewriter handles top level only)"))
   }
@@ -185,7 +187,8 @@ class SltRunnerSpec extends AnyFunSuite {
     397 -> "decimal division scale: reference truncates to 10 fractional digits, Spark keeps max scale",
     1221 -> "large decimal literal: reference parses through f64 (lossy), Spark parses exactly")) }
   test("encoding.slt")    { check("encoding.slt", 12) }
-  test("to_timestamp_timezone.slt") { check("to_timestamp_timezone.slt", 16) }
+  test("to_timestamp_timezone.slt") { check("to_timestamp_timezone.slt", 16,
+    knownDivergent = Map(171 -> "sub-microsecond digits: the engine's declared µs convention truncates the reference's ns surface")) }
   test("truncate.slt")     { check("truncate.slt", 4) }
   test("count_star_rule.slt") { check("count_star_rule.slt", 6) }
   test("update.slt")       { check("update.slt", 9) }
@@ -293,7 +296,10 @@ class SltRunnerSpec extends AnyFunSuite {
   test("cast_to_type.slt")   { check("cast_to_type.slt", 11) }
   test("dictionary.slt")     { check("dictionary.slt", 3) }
   test("listing_table_partitions.slt") { check("listing_table_partitions.slt", 2) }
-  test("parquet_filter_pushdown.slt") { check("parquet_filter_pushdown.slt", 55) }
+  test("parquet_filter_pushdown.slt") { check("parquet_filter_pushdown.slt", 55,
+    knownDivergent = Map(
+      799 -> "sub-microsecond filter bounds (to_timestamp_nanos data): µs truncation collapses the ns-distinct keys",
+      818 -> "sub-microsecond filter bounds (to_timestamp_nanos data): µs truncation collapses the ns-distinct keys")) }
   test("parquet_statistics.slt") { check("parquet_statistics.slt", 11) }
   test("insert_to_external.slt") { check("insert_to_external.slt", 3) }
   test("dynamic_file.slt") {
@@ -475,9 +481,15 @@ class SltRunnerSpec extends AnyFunSuite {
       Seq(137,158,180,258,282,288,353,362,371,381,390,399,413,422,431).map(_ -> chrono).toMap)
   }
   test("datetime/timestamps.slt") {
-    val ns = "nanosecond-precision timestamp surface (Spark timestamps are µs), tz-argument from_unixtime, ns date_bin strides"
-    check("datetime/timestamps.slt", 250, knownDivergent =
-      Seq(442,448,456,552,557,567,572,578,930,1176,1280,1305,1824,1903,1912,1921,1930,1939,1948,2610,2616,2687,2772,2781,2790,3002,3176,3181,3186,3191,3196,3201,3206,3211,3216,3221,3226,3231,3236,3241,3266,3271,3276,3281,3286,3291,3296,3301,3306,3324,3330,3336,3342,3348,3354,3360,3369,3384,3393,3451,3456,3461,3466,3473,3478,3485,3490,3495,3502,3522,3534,3575,3582,3589,3594,3599,3606,3611,3616,3621,3628,3635,3650,3657,3672,3677,3803,5506,5512).map(_ -> ns).toMap)
+    val ns = "sub-microsecond digits: the engine's declared µs convention truncates the reference's ns surface"
+    val coerce = "naive->tz coercion: the reference coerces a naive origin as UTC, Spark as session-local time"
+    val coltz = "Arrow column-embedded timezone (Timestamp(ns, tz)) survives RESET; Spark timestamps carry no per-column tz"
+    val d64 = "Date64 keeps sub-day milliseconds; DATE is day-granular"
+    check("datetime/timestamps.slt", 490, knownDivergent =
+      Seq(552, 557, 567, 572, 578, 642, 679, 770, 788, 930, 1824, 1903,
+        1912, 1921, 1930, 1939, 1948, 3478, 3616, 4448, 4477, 4966, 4990,
+        5377, 5383, 5400).map(_ -> ns).toMap ++
+      Map(2053 -> coerce, 2396 -> coltz, 2490 -> coltz, 3888 -> d64))
   }
 
   test("min_max/fixed_size_list.slt") { check("min_max/fixed_size_list.slt", 0) }

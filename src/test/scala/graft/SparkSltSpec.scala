@@ -31,14 +31,16 @@ class SparkSltSpec extends AnyFunSuite {
     * expectations encode the reference crate's behavior rather than
     * Spark's — RNG streams, literal typing widths, its own formats). */
   private def runCategory(cat: String, minPassed: Int,
-      fileDivergent: Map[String, String] = Map.empty): Unit = {
+      fileDivergent: Map[String, String] = Map.empty,
+      lineDivergent: Map[String, Map[Int, String]] = Map.empty): Unit = {
     assume(available, s"$base not present")
     var passed, skipped = 0
     val failures = scala.collection.mutable.ListBuffer[String]()
     val skipReasons = scala.collection.mutable.Map[String, Int]()
     for (f <- files(cat)) {
       val key = s"$cat/$f"
-      val r = SltRunner.runFile(spark.newSession(), s"$base/$cat/$f")
+      val r = SltRunner.runFile(spark.newSession(), s"$base/$cat/$f",
+        lineDivergent.getOrElse(f, Map.empty))
       passed += r.passed
       skipped += r.skipped.size
       r.skipped.foreach { case (_, why) =>
@@ -73,7 +75,10 @@ class SparkSltSpec extends AnyFunSuite {
   test("spark/datetime")    { runCategory("datetime", 270, fileDivergent = Map(
     "date_add.slt" -> "date+int overflow past the date range: reference wraps the i32, Spark (non-ANSI) yields NULL",
     "date_sub.slt" -> "date-int overflow past the date range: reference wraps the i32, Spark (non-ANSI) yields NULL",
-    "make_interval.slt" -> "make_interval component overflow: reference yields NULL, Spark computes the carried interval")) }
+    "make_interval.slt" -> "make_interval component overflow: reference yields NULL, Spark computes the carried interval"),
+    lineDivergent = Map(
+      "date_trunc.slt" -> Map(158 -> ("date_trunc re-tags naive input as session-zone (Spark's returns TIMESTAMP); " +
+        "the reference keeps Timestamp(µs, None) naive")))) }
   test("spark/hash")        { runCategory("hash", 69, fileDivergent = Map(
     "xxhash64.slt" -> "bare numeric literals type Int64/Decimal in the reference vs INT in Spark — the hashed byte width differs; Spark's own hash is canonical here")) }
   test("spark/json")        { runCategory("json", 4, fileDivergent = Map(
@@ -86,7 +91,8 @@ class SparkSltSpec extends AnyFunSuite {
   test("spark/misc")        { runCategory("misc", 0) }
   test("spark/predicate")   { runCategory("predicate", 22) }
   test("spark/string")      { runCategory("string", 520, fileDivergent = Map(
-    "format_string.slt" -> "%f/%e/%g over unmarked decimal literals: Spark passes Decimal to java.lang.String.format (runtime error), reference coerces to f64")) }
+    "format_string.slt" -> "%f/%e/%g over unmarked decimal literals: Spark passes Decimal to java.lang.String.format (runtime error), reference coerces to f64",
+    "quote.slt" -> "quote(timestamp) stringifies via Spark's CAST ('yyyy-MM-dd HH:mm:ss', space); the reference uses arrow's ISO 'T' display")) }
   test("spark/struct")      { runCategory("struct", 0) }
   test("spark/url")         { runCategory("url", 140) }
   test("spark/xml")         { runCategory("xml", 0) }
