@@ -54,6 +54,13 @@ object Bench {
     // experiment knob: SPARK_GRAFT_AQE=false to measure AQE's latency tax
     sys.env.get("SPARK_GRAFT_AQE").foreach(v =>
       spark.conf.set("spark.sql.adaptive.enabled", v))
+    // experiment knob: arbitrary session confs, "k=v;k2=v2" (e.g. force
+    // spark.graft.broadcastReshape.threshold=1 to bench the past-threshold
+    // shuffle fallback at scale)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
