@@ -1349,10 +1349,10 @@ object SltRunner {
     // are the registered TimeFunctions
     for (fn <- Seq("to_timestamp_seconds", "to_timestamp_millis",
         "to_timestamp_micros", "to_timestamp_nanos", "to_unixtime",
-        "to_local_time", "to_time", "to_timestamp")) {
-      // to_timestamp itself allows Spark's 2-arg (value, format) form;
+        "to_local_time", "to_time", "to_timestamp", "to_date")) {
+      // to_timestamp/to_date allow Spark's 2-arg (value, format) form;
       // 3+ args is the chrono format-LIST surface
-      val maxCommas = if (fn == "to_timestamp") 1 else 0
+      val maxCommas = if (fn == "to_timestamp" || fn == "to_date") 1 else 0
       var i = pre0.toLowerCase.indexOf(fn + "(")
       while (i >= 0) {
         val standalone = (i == 0 || {
@@ -1715,13 +1715,16 @@ object SltRunner {
     // DataFusion timestamp display: ISO-8601 with 'T', fraction trimmed;
     // when the file set an execution time zone, instants render in that
     // zone WITH the offset suffix (the reference's timestamptz display)
-    // java.sql.Date.toString truncates 5+-digit years; the reference pads
-    // to 4 digits and prefixes '+' past year 9999 (arrow Date32 Display)
+    // java.sql.Date.toString truncates 5+-digit years and its legacy
+    // calendar fields lose the BCE era; rebase through Spark's proleptic
+    // day count, pad to 4 digits, '+' past year 9999, '-' for BCE
+    // (arrow Date32 Display)
     case d: java.sql.Date =>
-      val ld = d.toLocalDate
+      val days = org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d)
+      val ld = java.time.LocalDate.ofEpochDay(days.toLong)
       val y = ld.getYear
-      val prefix = if (y > 9999) "+" else ""
-      f"$prefix$y%04d-${ld.getMonthValue}%02d-${ld.getDayOfMonth}%02d"
+      val prefix = if (y > 9999) "+" else if (y < 0) "-" else ""
+      f"$prefix${math.abs(y)}%04d-${ld.getMonthValue}%02d-${ld.getDayOfMonth}%02d"
     case ts: java.sql.Timestamp =>
       renderZone match {
         case Some(z) =>
@@ -2604,6 +2607,47 @@ object SltRunner {
             DateFormatClass(wall, Literal("yyyy-MM-dd'T'HH:mm:ss")),
             offStr)))
       }, "built-in")
+    // Sub-second EXTRACT/date_part fields (reference date_part.rs):
+    // second truncates, millisecond = s*1e3+ms, microsecond = s*1e6+µs,
+    // nanosecond = that *1000 (µs convention), epoch = fractional f64
+    // seconds. Spark supports none of these fields (INVALID_EXTRACT_FIELD)
+    // and its own EXTRACT(SECOND) yields DECIMAL(8,6); other fields
+    // delegate to the builtin. Interval-source extracts in the corpus all
+    // arrive via arrow_cast Interval types (untranslatable) so the
+    // timestamp cast here never sees one.
+    locally {
+      import org.apache.spark.sql.catalyst.FunctionIdentifier
+      import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
+      def subSecond(field: String, src: Expression): Option[Expression] = {
+        val ts = Cast(src, TimestampType)
+        def us = Pmod(UnixMicros(ts), Literal(60000000L))
+        field match {
+          case "second" | "seconds" =>
+            Some(IntegralDivide(us, Literal(1000000L)))
+          case "millisecond" | "milliseconds" =>
+            Some(IntegralDivide(us, Literal(1000L)))
+          case "microsecond" | "microseconds" => Some(us)
+          case "nanosecond" | "nanoseconds" =>
+            Some(Multiply(Cast(us, LongType), Literal(1000L)))
+          case "epoch" =>
+            Some(Divide(Cast(UnixMicros(ts), DoubleType), Literal(1e6)))
+          case _ => None
+        }
+      }
+      for (fn <- Seq("extract", "date_part")) {
+        val builtin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+          .builtin.lookupFunctionBuilder(FunctionIdentifier(fn)).get
+        reg.createOrReplaceTempFunction(fn, es => {
+          val shimmed = es match {
+            case Seq(Literal(f: org.apache.spark.unsafe.types.UTF8String,
+                org.apache.spark.sql.types.StringType), src) =>
+              subSecond(f.toString.toLowerCase, src)
+            case _ => None
+          }
+          shimmed.getOrElse(builtin(es))
+        }, "built-in")
+      }
+    }
     // to_char(NULL, fmt) is NULL in the reference; Spark resolves untyped
     // NULL to the numeric to_char and rejects the datetime format string
     // at analysis. Guard the null-literal first arg; delegate the rest.
@@ -2710,7 +2754,13 @@ object SltRunner {
           Cast(es.head, org.apache.spark.sql.types.IntegerType))
       else if (es.size >= 2)
         new ParseToDate(es(0), es(1))
-      else new ParseToDate(es.head)
+      else
+        // the reference's flexible parser also accepts undelimited
+        // 'yyyyMMdd' digit strings ('21311111' -> 2131-11-11)
+        Coalesce(Seq(new ParseToDate(es.head),
+          If(RLike(Cast(es.head, StringType), Literal("^[0-9]{8}$")),
+            new ParseToDate(es.head, Literal("yyyyMMdd")),
+            Literal.create(null, org.apache.spark.sql.types.DateType))))
     }, "built-in")
     // reference string literals are standard SQL (no backslash escapes);
     // translate() doubles raw backslashes inside literals instead of the

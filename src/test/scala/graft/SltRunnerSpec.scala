@@ -471,14 +471,16 @@ class SltRunnerSpec extends AnyFunSuite {
   }
   test("datetime/interval_mysql.slt") { check("datetime/interval_mysql.slt", 3) }
   test("datetime/date_part.slt") {
-    val ns = "sub-second extract fields carry ns precision in the reference (Spark timestamps are µs; ms/µs/ns fields unsupported)"
-    check("datetime/date_part.slt", 105, knownDivergent =
-      Seq(458,463,468,474,479,484,489,494,520,525,530,535,540,545,550,555,560,570,856,864,908,913,918,923,928,933,938,943,948,953,958,963,1078,1083,1088,1093,1258,1263,1268,1699).map(_ -> ns).toMap)
+    // second/ms/µs/epoch fields are shimmed (registerCompat extract/
+    // date_part); what remains divergent is only the true sub-µs surface
+    val ns = "nanosecond field carries sub-µs digits in the reference; the engine's µs convention truncates"
+    check("datetime/date_part.slt", 140, knownDivergent =
+      Seq(474, 494, 535, 555, 560, 570, 1699).map(_ -> ns).toMap)
   }
   test("datetime/dates.slt") {
-    val chrono = "chrono %-format parse lists, flexible undelimited date parse, and BCE/5-digit-year rendering"
-    check("datetime/dates.slt", 32, knownDivergent =
-      Seq(137,158,180,258,282,288,353,362,371,381,390,399,413,422,431).map(_ -> chrono).toMap)
+    // r6: zero divergences — undelimited yyyyMMdd parse + BCE/5-digit-year
+    // rendering fixed; chrono %-format LISTS skip as dialect surface
+    check("datetime/dates.slt", 33)
   }
   test("datetime/timestamps.slt") {
     val ns = "sub-microsecond digits: the engine's declared µs convention truncates the reference's ns surface"
