@@ -54,18 +54,48 @@ object TimeFunctions {
       identity)
   def toUnixtime(e: Expression): Expression =
     dispatch(e, identity, ts => Cast(ts, LongType))
-  def toLocalTime(e: Expression): Expression =
-    Cast(asTs(e), TimestampNTZType)
+  /** to_local_time: strip the timezone LABEL, keep the wall clock
+    * (reference to_local_time.rs: the value never converts). Extracted
+    * textually so zone-labeled display strings ('…T00:00:20+05:00') keep
+    * their labeled wall; plain timestamps render (and keep) their
+    * session-zone wall. */
+  def toLocalTime(e: Expression): Expression = {
+    val s = Cast(e, StringType)
+    val wall = RegExpExtract(s, Literal(
+      "^([0-9]{1,5}-[0-9]{2}-[0-9]{2}[T ][0-9]{2}:[0-9]{2}:[0-9]{2}(?:\\.[0-9]+)?)"),
+      Literal(1))
+    val dateOnly = RegExpExtract(s,
+      Literal("^([0-9]{1,5}-[0-9]{2}-[0-9]{2})"), Literal(1))
+    val best = If(Not(EqualTo(wall, Literal(""))), wall,
+      If(Not(EqualTo(dateOnly, Literal(""))),
+        Concat(Seq(dateOnly, Literal(" 00:00:00"))),
+        Literal.create(null, StringType)))
+    Cast(best, TimestampNTZType, None, EvalMode.TRY)
+  }
 
-  /** to_time(x) → µs of day: time-of-day of a timestamp, or a parsed
-    * 'HH:MM[:SS[.f]]' string (µs truncation per the convention). */
+  /** to_time(x) → µs of day: the WALL-clock time component, extracted
+    * textually (timestamps render their session wall; zone-labeled strings
+    * keep the labeled wall — reference to_local_time.rs/to_time semantics:
+    * the label never converts the value). µs truncation per the
+    * convention; out-of-range components yield NULL. */
   def toTimeUs(e: Expression): Expression = {
     val s = Cast(e, StringType)
-    val direct = Cast(s, TimestampType, None, EvalMode.TRY)
-    val timeOnly = Cast(Concat(Seq(Literal("1970-01-01 "), s)),
-      TimestampType, None, EvalMode.TRY)
-    val ts = Coalesce(Seq(direct, timeOnly))
-    Pmod(UnixMicros(ts), Literal(86400000000L))
+    def ex(p: String) = RegExpExtract(s, Literal(p), Literal(1))
+    def orNull(x: Expression) =
+      Cast(x, DoubleType, None, EvalMode.TRY)
+    val h = orNull(ex("(?:^|[ T])([0-9]{1,2}):[0-9]{2}"))
+    val m = orNull(ex("(?:^|[ T])[0-9]{1,2}:([0-9]{2})"))
+    val sec = Coalesce(Seq(
+      orNull(ex("(?:^|[ T])[0-9]{1,2}:[0-9]{2}:([0-9]{2}(?:\\.[0-9]+)?)")),
+      Literal(0.0d)))
+    val valid = And(And(
+      And(GreaterThanOrEqual(h, Literal(0.0d)), LessThan(h, Literal(24.0d))),
+      LessThan(m, Literal(60.0d))), LessThan(sec, Literal(60.0d)))
+    val us = Add(
+      Add(Multiply(Cast(h, LongType), Literal(3600000000L)),
+        Multiply(Cast(m, LongType), Literal(60000000L))),
+      Cast(Multiply(sec, Literal(1000000.0d)), LongType))
+    If(valid, us, Literal.create(null, LongType))
   }
 
   /** make_time(h, m, s) → µs of day (s may be fractional). */

@@ -662,7 +662,9 @@ object SltRunner {
         !"""(?i)to_timestamp|to_date|to_char|date_format""".r.findFirstIn(sql).isDefined) sql
     else sql.replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
       .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
-      .replace("%z", "Z").replace("%Z", "VV").replace("%f", "SSSSSSSSS")
+      .replace("%z", "Z").replace("%Z", "VV")
+      .replace("%3f", "SSS").replace("%6f", "SSSSSS")
+      .replace("%9f", "SSSSSSSSS").replace("%f", "SSSSSSSSS")
 
   /** Anonymous `( VALUES … )` derived tables: the reference names columns
     * column1..N; Spark says col1..N. Append/extend an alias so the
@@ -1380,12 +1382,29 @@ object SltRunner {
         i = pre0.toLowerCase.indexOf(fn + "(", i + 1)
       }
     }
+    // `<literal>[::timestamp] AT TIME ZONE 'Z'` (postgres clause): the
+    // reference LABELS a naive operand with Z (wall kept, offset shown)
+    // and CONVERTS an instant operand (explicit offset, un-cast) into Z.
+    // Spark has no AT TIME ZONE; graft_at_tz (registerCompat) renders the
+    // zone-labeled display string. Which semantics apply is static text:
+    // a trailing Z/±hh:mm marks an instant unless ::timestamp strips it.
+    val preAtTz = {
+      val AtTzRe =
+        """(?is)('(?:[^']|'')*')(\s*::\s*timestamp\b)?\s+AT\s+TIME\s+ZONE\s+('(?:[^']|'')*')""".r
+      AtTzRe.replaceAllIn(pre0, m => {
+        val lit = m.group(1)
+        val isInstant = m.group(2) == null &&
+          """(?i)(Z|[+-]\d{2}:?\d{2})'$""".r.findFirstIn(lit).isDefined
+        java.util.regex.Matcher.quoteReplacement(
+          s"graft_at_tz($lit, ${isInstant}, ${m.group(3)})")
+      })
+    }
     // TIMESTAMPTZ is Spark's (tz-aware) TIMESTAMP; precision suffixes map
     // onto the µs convention: (0)=second, (3)=milli, (6)=micro truncation
     // via the to_timestamp_* family. (9) keeps its honest skip — the
     // reference's ns-RANGE overflow semantics (TRY_CAST year-3000 → NULL)
     // have no µs analog.
-    val preTz = pre0
+    val preTz = preAtTz
       .replaceAll("(?i)\\bTIMESTAMPTZ\\b", "TIMESTAMP")
       .replaceAll("(?i)\\bAS\\s+TIMESTAMP\\s*\\(\\s*0\\s*\\)", "AS TIMESTAMP_S_")
       .replaceAll("(?i)\\bAS\\s+TIMESTAMP\\s*\\(\\s*3\\s*\\)", "AS TIMESTAMP_MS_")
@@ -2648,6 +2667,43 @@ object SltRunner {
         }, "built-in")
       }
     }
+    // graft_at_tz(operand, isInstant, zone): AT TIME ZONE display string.
+    // Naive operands keep their wall and get Z's offset attached; instant
+    // operands convert into Z. Session-robust: walls are normalized
+    // through to/from_utc_timestamp against current_timezone() so the
+    // date_format render is the intended wall under any SET time zone.
+    reg.createOrReplaceTempFunction("graft_at_tz", { es =>
+      import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
+      if (es.size != 3) throw new IllegalArgumentException(
+        s"graft_at_tz takes 3 arguments, got ${es.size}")
+      val i = Cast(es.head, TimestampType)
+      val z = es(2)
+      val sess = CurrentTimeZone()
+      def secs(e: Expression) = Cast(e, LongType)
+      // instant: u = wall-of-i-in-Z held as UTC micros
+      val u = FromUTCTimestamp(i, z)
+      val dispI = ToUTCTimestamp(u, sess)
+      val offI = Subtract(secs(u), secs(i))
+      // naive: w = session wall held as UTC micros
+      val w = ToUTCTimestamp(i, sess)
+      val offN = Subtract(secs(w), secs(ToUTCTimestamp(w, z)))
+      val inst = Cast(es(1), org.apache.spark.sql.types.BooleanType)
+      val disp = If(inst, dispI, i)
+      val off = If(inst, offI, offN)
+      val offStr = If(EqualTo(off, Literal(0L)), Literal("Z"),
+        FormatString(Literal("%s%02d:%02d"),
+          If(LessThan(off, Literal(0L)), Literal("-"), Literal("+")),
+          IntegralDivide(Abs(off), Literal(3600L)),
+          Pmod(IntegralDivide(Abs(off), Literal(60L)), Literal(60L))))
+      val frac = Pmod(UnixMicros(disp), Literal(1000000L))
+      val fracStr = If(EqualTo(frac, Literal(0L)), Literal(""),
+        Concat(Seq(Literal("."), RegExpReplace(
+          StringLPad(Cast(frac, StringType), Literal(6), Literal("0")),
+          Literal("0+$"), Literal("")))))
+      If(IsNull(i), Literal.create(null, StringType),
+        Concat(Seq(DateFormatClass(disp, Literal("yyyy-MM-dd'T'HH:mm:ss")),
+          fracStr, offStr)))
+    }, "built-in")
     // to_char(NULL, fmt) is NULL in the reference; Spark resolves untyped
     // NULL to the numeric to_char and rejects the datetime format string
     // at analysis. Guard the null-literal first arg; delegate the rest.
@@ -2658,6 +2714,17 @@ object SltRunner {
       reg.createOrReplaceTempFunction("to_char", es => es.headOption match {
         case Some(Literal(null, _)) =>
           Literal.create(null, org.apache.spark.sql.types.StringType)
+        // datetime formats route through the WALL (zone-labeled display
+        // strings keep their labeled wall — graft_at_tz results are
+        // strings); numeric formats (9/0/,/.) delegate
+        case _ if es.size == 2 && (es(1) match {
+          case Literal(f: org.apache.spark.unsafe.types.UTF8String,
+              org.apache.spark.sql.types.StringType) =>
+            f.toString.exists(c => "yMdHmsSE".contains(c))
+          case _ => false
+        }) =>
+          DateFormatClass(
+            graft.functions.TimeFunctions.toLocalTime(es.head), es(1))
         case _ => builtin(es)
       }, "built-in")
     }
