@@ -1339,10 +1339,56 @@ object SltRunner {
 
   private[slt] def translate(sqlRaw: String,
       nullOrdering: String = "nulls_max"): Option[String] = {
-    val pre0 = stripComments(sqlRaw).trim.replaceAll(";+\\s*$", "")
+    val pre0raw = stripComments(sqlRaw).trim.replaceAll(";+\\s*$", "")
     // the TIME-of-day type has no Spark equivalent ('\btime\b' does not
     // match 'timestamp': word boundary; the CAST form requires the closing
     // paren so `x AS time` column aliases stay untouched)
+    // TIME-of-day surface (SURVEY §1.2 µs-long convention): TIME literals
+    // and ::time casts anchor at the epoch day (graft_time_anchor);
+    // date_bin/date_trunc calls that carry them get their result rendered
+    // back as HH:MM:SS (graft_time_display). Residual TIME syntax the
+    // rewrite can't reach (CAST(x AS TIME), TIME columns) stays a skip.
+    // Scope: TIME-of-day anchoring applies to the date_bin/date_trunc
+    // binning surface (where the wrapped display restores TIME rendering).
+    // The wider TIME arithmetic/coercion surface (time±interval wrap,
+    // time-time intervals, string-column coercion) has no faithful
+    // anchor analog and keeps its honest skip below.
+    val pre0 = if ("(?i)\\b(date_bin|date_trunc)\\s*\\(".r
+        .findFirstIn(pre0raw).isEmpty) pre0raw
+    else {
+      var s2 = pre0raw
+      val timeArgRe = "(?i)\\bTIME\\s+'|::\\s*time\\b".r
+      for (fn <- Seq("date_bin", "date_trunc")) {
+        var from = 0
+        var continue = true
+        while (continue) {
+          val i = s2.toLowerCase.indexOf(fn + "(", from)
+          if (i < 0) continue = false
+          else if (i > 0 && (s2(i - 1).isLetterOrDigit || s2(i - 1) == '_'))
+            from = i + 1
+          else {
+            val open = i + fn.length
+            val close = matchParen(s2, open)
+            if (close < 0) continue = false
+            else {
+              val args = s2.substring(open, close + 1)
+              if (timeArgRe.findFirstIn(args).isDefined) {
+                s2 = s2.substring(0, i) + "graft_time_display(" + fn + args +
+                  ")" + s2.substring(close + 1)
+                from = close + "graft_time_display()".length + 1
+              } else from = close + 1
+            }
+          }
+        }
+      }
+      s2 = """(?i)\bTIME\s+('(?:[^']|'')*')""".r.replaceAllIn(s2, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          s"graft_time_anchor(${m.group(1)})"))
+      s2 = """(?i)('(?:[^']|'')*'|[A-Za-z_]\w*)\s*::\s*time\b""".r
+        .replaceAllIn(s2, m => java.util.regex.Matcher.quoteReplacement(
+          s"graft_time_anchor(${m.group(1)})"))
+      s2
+    }
     if ("(?i)::\\s*time\\b".r.findFirstIn(pre0).isDefined ||
         "(?i)\\bAS\\s+TIME\\s*\\)".r.findFirstIn(pre0).isDefined ||
         "(?i)\\bTIME\\s+'".r.findFirstIn(pre0).isDefined) return None
@@ -2667,6 +2713,32 @@ object SltRunner {
         }, "built-in")
       }
     }
+    // reference initcap (functions/src/string/initcap.rs) starts a new
+    // word after ANY non-alphanumeric (underscores included); Spark's only
+    // after whitespace. Split keeping the '_' terminator, initcap each
+    // piece, rejoin.
+    reg.createOrReplaceTempFunction("initcap", { es =>
+      val pieces = StringSplit(Cast(es.head, StringType),
+        Literal("(?<=_)"), Literal(-1))
+      val v = UnresolvedNamedLambdaVariable(Seq("p"))
+      ArrayJoin(ArrayTransform(pieces,
+        LambdaFunction(InitCap(v), Seq(v))), Literal(""), None)
+    }, "built-in")
+    // TIME-of-day literal support: anchor at the epoch day as a timestamp
+    // (date_bin/comparison arithmetic then works unchanged on µs), and
+    // render results that are TIME-typed in the reference back to
+    // HH:MM:SS[.ffffff] text
+    reg.createOrReplaceTempFunction("graft_time_anchor", { es =>
+      MicrosToTimestamp(graft.functions.TimeFunctions.toTimeUs(es.head))
+    }, "built-in")
+    reg.createOrReplaceTempFunction("graft_time_display", { es =>
+      import org.apache.spark.sql.types.TimestampType
+      val us = Pmod(UnixMicros(Cast(es.head, TimestampType)),
+        Literal(86400000000L))
+      If(IsNull(es.head),
+        Literal.create(null, org.apache.spark.sql.types.StringType),
+        graft.functions.TimeFunctions.timeFormat(us))
+    }, "built-in")
     // graft_at_tz(operand, isInstant, zone): AT TIME ZONE display string.
     // Naive operands keep their wall and get Z's offset attached; instant
     // operands convert into Z. Session-robust: walls are normalized

@@ -487,10 +487,10 @@ class SltRunnerSpec extends AnyFunSuite {
     val coerce = "naive->tz coercion: the reference coerces a naive origin as UTC, Spark as session-local time"
     val coltz = "Arrow column-embedded timezone (Timestamp(ns, tz)) survives RESET; Spark timestamps carry no per-column tz"
     val d64 = "Date64 keeps sub-day milliseconds; DATE is day-granular"
-    check("datetime/timestamps.slt", 505, knownDivergent =
-      Seq(552, 557, 567, 572, 578, 642, 679, 770, 788, 930, 1824, 1903,
-        1912, 1921, 1930, 1939, 1948, 3478, 3616, 4448, 4477, 4966, 4990,
-        5377, 5383, 5400).map(_ -> ns).toMap ++
+    check("datetime/timestamps.slt", 525, knownDivergent =
+      Seq(552, 557, 567, 572, 578, 642, 679, 770, 788, 855, 930,
+        1824, 1903, 1912, 1921, 1930, 1939, 1948, 3478, 3616, 4448, 4477,
+        4966, 4990, 5377, 5383, 5400).map(_ -> ns).toMap ++
       Map(2053 -> coerce, 2396 -> coltz, 2490 -> coltz, 3888 -> d64,
         4347 -> coltz, 4355 -> coltz))
   }
