@@ -185,9 +185,16 @@ object SubstraitSerde {
       case _ if j \ "aggregate" != JNothing =>
         val a = j \ "aggregate"
         val in = recurse(a \ "input")
-        val groupExprs = arr(a \ "groupings").headOption
-          .map(g => arr(g \ "groupingExpressions").map(expression))
-          .getOrElse(Nil)
+        // modern form: rel-level groupingExpressions + per-grouping
+        // expressionReferences (multiple groupings = GROUPING SETS);
+        // legacy form: one grouping with inline expressions
+        val relGroupExprs = arr(a \ "groupingExpressions").map(expression)
+        val groupings = arr(a \ "groupings")
+        val groupExprs =
+          if (relGroupExprs.nonEmpty) relGroupExprs
+          else groupings.headOption
+            .map(g => arr(g \ "groupingExpressions").map(expression))
+            .getOrElse(Nil)
         val measures = arr(a \ "measures").map { m =>
           val me = m \ "measure"
           val name = fns.getOrElse(long(me \ "functionReference").getOrElse(0L),
@@ -199,6 +206,37 @@ object SubstraitSerde {
         }
         val nK = groupExprs.size
         val agged =
+          if (relGroupExprs.nonEmpty && groupings.size > 1) {
+            // GROUPING SETS: Dataset.groupingSets over the materialized
+            // key columns; the rel's output is keys ++ measures ++ an i32
+            // grouping-set ordinal (substrait AggregateRel spec), the
+            // ordinal recovered from grouping_id() via the per-set mask
+            val sets: Seq[Seq[Int]] = groupings.map(g =>
+              arr(g \ "expressionReferences").flatMap(x => long(x).map(_.toInt)))
+            val keyed = in.df.select(
+              ((0 until in.width).map(i => col(s"_q${level}_s$i")) ++
+                groupExprs.zipWithIndex.map { case (e, i) =>
+                  e.as(s"_q${level}_g$i") }): _*)
+            val keys = (0 until nK).map(i => col(s"_q${level}_g$i"))
+            val ms = measures.zipWithIndex.map { case (m, i) =>
+              m.as(s"_q${level}_m$i") } :+
+              grouping_id(keys: _*).as(s"_q${level}_gid")
+            val gs = keyed.groupingSets(
+                sets.map(s0 => s0.map(i => keys(i))), keys: _*)
+              .agg(ms.head, ms.tail: _*)
+            val masks = sets.map(s0 =>
+              (0 until nK).filterNot(s0.contains)
+                .map(i => 1L << (nK - 1 - i)).sum)
+            val ord = masks.zipWithIndex.tail.foldLeft(
+              when(col(s"_q${level}_gid") === masks.head, lit(0))) {
+                case (acc, (m, k)) =>
+                  acc.when(col(s"_q${level}_gid") === m, lit(k))
+              }.cast("int")
+            val outCols = keys ++
+              measures.indices.map(i => col(s"_q${level}_m$i")) :+ ord
+            gs.select(positional(outCols, level): _*)
+          }
+          else
           if (measures.isEmpty)
             // DISTINCT form; Dataset.distinct resolves eagerly — fine at
             // the outer level, unsupported under a lazy subquery body
@@ -224,7 +262,9 @@ object SubstraitSerde {
                 (0 until nK).map(i => col(s"_q${level}_g$i")) ++
                   measures.indices.map(i => col(s"_q${level}_m$i")), level): _*)
           }
-        applyEmit(RelOut(agged, nK + measures.size), a)
+        val ordWidth =
+          if (relGroupExprs.nonEmpty && groupings.size > 1) 1 else 0
+        applyEmit(RelOut(agged, nK + measures.size + ordWidth), a)
 
       case _ if j \ "sort" != JNothing =>
         val s = j \ "sort"
@@ -538,6 +578,9 @@ object SubstraitSerde {
     case "multiply" => args(0) * args(1)
     case "divide" => args(0) / args(1)
     case "modulus" => args(0) % args(1)
+    case "bitwise_and" => args(0).bitwiseAND(args(1))
+    case "shift_right" =>
+      org.apache.spark.sql.functions.call_function("shiftright", args(0), args(1))
     case "negate" => -args.head
     case "abs" => abs(args.head)
     case "like" => call_function("like", args: _*)
@@ -767,6 +810,94 @@ object SubstraitSerde {
       val pure = Aggregate(g, keyAliases ++ aggAliases.values.toSeq, child)
       emitRel(Project(rewritten, pure), reg, outer)
 
+    // GROUPING SETS (Spark: Aggregate over Expand with a
+    // spark_grouping_id key) → substrait's modern multi-grouping
+    // AggregateRel: rel-level groupingExpressions + per-grouping
+    // expressionReferences; output keys ++ measures ++ i32 set ordinal.
+    // grouping()/grouping_id() projections lower to a CASE over the
+    // ordinal (each set's spark_grouping_id is a per-set constant).
+    case Aggregate(gExprs, aggExprs,
+        expand @ org.apache.spark.sql.catalyst.plans.logical.Expand(
+          projections, expOut, pchild), _)
+        if gExprs.exists {
+          case a: Attribute => a.name == "spark_grouping_id"; case _ => false
+        } =>
+      val gidAttr = gExprs.collectFirst {
+        case a: Attribute if a.name == "spark_grouping_id" => a }.get
+      val keyAttrs2 = gExprs.collect {
+        case a: Attribute if a.name != "spark_grouping_id" => a }
+      val nG = keyAttrs2.size
+      val baseWidth = pchild.output.size - nG
+      // per-set membership + spark_grouping_id constants from the Expand
+      // projection rows (null literal at a key slot = key absent)
+      val sets = projections.map { row =>
+        (0 until nG).filter(i => row(baseWidth + i) match {
+          case CLit(null, _) => false
+          case _ => true
+        })
+      }
+      val gidLits = projections.map(row => row.last match {
+        case l: CLit => l
+        case other => throw new IllegalArgumentException(
+          s"substrait emit: non-literal grouping id in Expand: ${other.sql}")
+      })
+      // measures: collected in output order; their attr refs live in the
+      // Expand output space — re-anchor base columns onto the Expand child
+      val aggList = scala.collection.mutable.ListBuffer[AggregateExpression]()
+      aggExprs.foreach(_.foreach {
+        case ae: AggregateExpression if !aggList.exists(_ eq ae) =>
+          aggList += ae
+        case _ =>
+      })
+      val measures2 = aggList.map { ae =>
+        val fixed = ae.transform {
+          case at: Attribute =>
+            val i = expOut.indexWhere(_.exprId == at.exprId)
+            if (i >= 0 && i < baseWidth) pchild.output(i)
+            else if (i >= 0) throw new IllegalArgumentException(
+              "substrait emit: measure over a grouping-set key")
+            else at
+        }.asInstanceOf[AggregateExpression]
+        emitMeasure(fixed, pchild.output, reg, outer)
+      }
+      val aggJson = JObject("aggregate" -> JObject(
+        "common" -> JObject("direct" -> JObject()),
+        "input" -> emitRel(pchild, reg, outer),
+        "groupingExpressions" -> JArray(
+          (0 until nG).map(i => emitExpr(pchild.output(baseWidth + i),
+            pchild.output, reg, outer)).toList),
+        "groupings" -> JArray(sets.map(s0 => JObject(
+          "expressionReferences" -> JArray(s0.map(JInt(_)).toList))).toList),
+        "measures" -> JArray(measures2.toList)))
+      // project the Aggregate's own output shape over the rel's
+      // [keys, measures, ordinal] space
+      val mAttrs = aggList.map(ae =>
+        AttributeReference("_m", ae.dataType, ae.nullable)()).toSeq
+      val ordAttr = AttributeReference("_ord",
+        org.apache.spark.sql.types.IntegerType, nullable = false)()
+      val gidCase = CCaseWhen(
+        gidLits.zipWithIndex.map { case (l, k) =>
+          (EqualTo(ordAttr, CLit(k, org.apache.spark.sql.types.IntegerType)),
+            l: CExpr)
+        }, None)
+      val space = keyAttrs2 ++ mAttrs :+ ordAttr
+      val outExprs = aggExprs.map { ne =>
+        val stripped = ne match { case Alias(c, _) => c; case x => x }
+        stripped.transformDown {
+          case ae: AggregateExpression =>
+            mAttrs(aggList.indexWhere(_ eq ae))
+          case at: Attribute if at.exprId == gidAttr.exprId => gidCase
+        }
+      }
+      val width = nG + aggList.size + 1
+      JObject("project" -> JObject(
+        "common" -> JObject("emit" -> JObject(
+          "outputMapping" -> JArray(
+            outExprs.indices.map(i => JInt(width + i)).toList))),
+        "input" -> aggJson,
+        "expressions" -> JArray(
+          outExprs.map(emitExpr(_, space, reg, outer)).toList)))
+
     case Aggregate(groupingExpressions, aggregateExpressions, child, _) =>
       val childOut = child.output
       val groups = groupingExpressions.map(emitExpr(_, childOut, reg, outer))
@@ -946,6 +1077,10 @@ object SubstraitSerde {
       case CMultiply(l, r, _) => fn("multiply", Seq(l, r))
       case CDivide(l, r, _) => fn("divide", Seq(l, r))
       case CRemainder(l, r, _) => fn("modulus", Seq(l, r))
+      case org.apache.spark.sql.catalyst.expressions.BitwiseAnd(l, r) =>
+        fn("bitwise_and", Seq(l, r))
+      case org.apache.spark.sql.catalyst.expressions.ShiftRight(l, r) =>
+        fn("shift_right", Seq(l, r))
       case CLike(l, r, _) => fn("like", Seq(l, r))
       case CIsNull(c) => fn("is_null", Seq(c))
       case CIsNotNull(c) => fn("is_not_null", Seq(c))

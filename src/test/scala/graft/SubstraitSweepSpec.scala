@@ -19,7 +19,9 @@ class SubstraitSweepSpec extends AnyFunSuite {
     "q10_returns", "q12_shipmode", "q13_custdist", "q14_promo",
     "q15_topsupplier", "q17_smallqty", "q18_bigorders", "q19_disjunct",
     "q20_nested_in", "q21_waiting", "q22_global", "q11_partsupp",
-    "q2_mincost", "q16_suppcnt")
+    "q2_mincost", "q16_suppcnt",
+    // r6: grouping-set relations (multi-grouping AggregateRel emit+consume)
+    "agg_groupingsets", "agg_rollup", "agg_cube", "agg_grouping_id")
 
   test("TPC-H inventory round-trips through Substrait emit/consume") {
     val present = names.filter(SparkEntry.queries.contains)
@@ -48,8 +50,10 @@ class SubstraitSweepSpec extends AnyFunSuite {
     skipped.foreach(x => info(s"  skipped $x"))
     failures.foreach(x => info(s"  MISMATCH $x"))
     assert(failures.isEmpty, s"${failures.size} substrait roundtrip mismatches")
-    // r6: all 22 — View/Window/Generate(foldable explode → virtualTable
-    // cross) closed the last emit gaps; no declared skips remain
-    assert(ok >= 22, s"only $ok roundtripped — emit support regressed")
+    // r6: all 22 TPC-H — View/Window/Generate(foldable explode →
+    // virtualTable cross) closed the last emit gaps — plus the four
+    // grouping-set shapes (multi-grouping AggregateRel, set-ordinal
+    // lowering of grouping()/grouping_id()); no declared skips remain
+    assert(ok >= 26, s"only $ok roundtripped — emit support regressed")
   }
 }
