@@ -81,29 +81,34 @@ object TimeFunctions {
   def toTimeUs(e: Expression): Expression = {
     val s = Cast(e, StringType)
     def ex(p: String) = RegExpExtract(s, Literal(p), Literal(1))
-    def orNull(x: Expression) =
-      Cast(x, DoubleType, None, EvalMode.TRY)
-    val h = orNull(ex("(?:^|[ T])([0-9]{1,2}):[0-9]{2}"))
-    val m = orNull(ex("(?:^|[ T])[0-9]{1,2}:([0-9]{2})"))
-    val sec = Coalesce(Seq(
-      orNull(ex("(?:^|[ T])[0-9]{1,2}:[0-9]{2}:([0-9]{2}(?:\\.[0-9]+)?)")),
-      Literal(0.0d)))
+    def lng(x: Expression) = Cast(x, LongType, None, EvalMode.TRY)
+    val h = lng(ex("(?:^|[ T])([0-9]{1,2}):[0-9]{2}"))
+    val m = lng(ex("(?:^|[ T])[0-9]{1,2}:([0-9]{2})"))
+    val si = lng(ex("(?:^|[ T])[0-9]{1,2}:[0-9]{2}:([0-9]{2})"))
+    // fraction parsed TEXTUALLY (first ≤6 digits, right-padded) — exact
+    // µs truncation, no float round-trip error
+    val frUs = Coalesce(Seq(lng(StringRPad(
+      ex("(?:^|[ T])[0-9]{1,2}:[0-9]{2}:[0-9]{2}\\.([0-9]{1,6})"),
+      Literal(6), Literal("0"))), Literal(0L)))
+    val sec = Coalesce(Seq(si, Literal(0L)))
     val valid = And(And(
-      And(GreaterThanOrEqual(h, Literal(0.0d)), LessThan(h, Literal(24.0d))),
-      LessThan(m, Literal(60.0d))), LessThan(sec, Literal(60.0d)))
+      And(GreaterThanOrEqual(h, Literal(0L)), LessThan(h, Literal(24L))),
+      LessThan(m, Literal(60L))), LessThan(sec, Literal(60L)))
     val us = Add(
-      Add(Multiply(Cast(h, LongType), Literal(3600000000L)),
-        Multiply(Cast(m, LongType), Literal(60000000L))),
-      Cast(Multiply(sec, Literal(1000000.0d)), LongType))
+      Add(Multiply(h, Literal(3600000000L)),
+        Multiply(m, Literal(60000000L))),
+      Add(Multiply(sec, Literal(1000000L)), frUs))
     If(valid, us, Literal.create(null, LongType))
   }
 
-  /** make_time(h, m, s) → µs of day (s may be fractional). */
+  /** make_time(h, m, s) → µs of day (s may be fractional; rounded to µs
+    * so binary-double representation error never shifts the value). */
   def makeTime(h: Expression, m: Expression, s: Expression): Expression =
     Add(
       Add(Multiply(Cast(h, LongType), Literal(3600000000L)),
         Multiply(Cast(m, LongType), Literal(60000000L))),
-      Cast(Multiply(Cast(s, DoubleType), Literal(1000000.0d)), LongType))
+      Cast(Round(Multiply(Cast(s, DoubleType), Literal(1000000.0d)),
+        Literal(0)), LongType))
 
   /** µs-of-day → 'HH:MM:SS[.ffffff]' (fraction trimmed, reference/DuckDB
     * TIME rendering). */

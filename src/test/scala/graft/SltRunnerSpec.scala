@@ -53,12 +53,12 @@ class SltRunnerSpec extends AnyFunSuite {
     771 -> "ORDER BY over a UNION with duplicate output column names (reference resolves to the first)")) }
   test("joins.slt") {
     val tsBigint = "timestamp::bigint is the epoch count in the timestamp's unit (ns) in the reference; Spark casts to epoch seconds — plus ns-digit rendering"
+    // r6: 855 now passes (NTZ arrow_cast mapping), 6193 skips as its own
+    // class — both unpinned so a pin never masks a passing/skipped line
     check("joins.slt", 360, knownDivergent = Map(
       833 -> "nanosecond timestamps (Spark timestamps are microsecond)",
-      855 -> "nanosecond timestamps (Spark timestamps are microsecond)",
       2556 -> tsBigint, 2576 -> tsBigint, 2592 -> tsBigint, 2608 -> tsBigint,
-      4740 -> "LATERAL correlation to a sibling FROM item through extra nesting (Spark scoping)",
-      6193 -> "DISTINCT ON inside a subquery (rewriter handles top level only)"))
+      4740 -> "LATERAL correlation to a sibling FROM item through extra nesting (Spark scoping)"))
   }
   test("expr.slt")      {
     check("expr.slt", 280, knownDivergent = Map(
