@@ -1337,6 +1337,97 @@ object SltRunner {
     s
   }
 
+  /** True when a top-level SELECT list uses unnest in a shape Spark's
+    * generator model cannot express: two-or-more zipped unnests, or an
+    * unnest embedded inside a larger expression (`unnest(c) + 1`). */
+  private[slt] def unnestSelectUnsupported(sql: String): Boolean = {
+    val lower = sql.toLowerCase
+    if (!lower.contains("unnest")) return false
+    // first top-level SELECT ... [FROM] — quote- and depth-aware scan
+    var i = 0; var depth = 0; var inQ = false
+    var selStart = -1; var selEnd = -1
+    while (i < sql.length && selEnd < 0) {
+      val c = sql(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => inQ = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 =>
+          def word(w: String): Boolean =
+            lower.regionMatches(i, w, 0, w.length) &&
+              (i == 0 || !lower(i - 1).isLetterOrDigit) &&
+              (i + w.length >= sql.length || !lower(i + w.length).isLetterOrDigit)
+          if (selStart < 0 && word("select")) selStart = i + 6
+          else if (selStart >= 0 && word("from")) selEnd = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (selStart < 0) return false
+    val list = sql.substring(selStart, if (selEnd < 0) sql.length else selEnd)
+    // split the select list on top-level commas
+    val items = scala.collection.mutable.ListBuffer[String]()
+    var start = 0; depth = 0; inQ = false
+    for (j <- 0 until list.length) {
+      val c = list(j)
+      if (inQ) { if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => inQ = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => items += list.substring(start, j); start = j + 1
+        case _ =>
+      }
+    }
+    items += list.substring(start)
+    var unnestItems = 0
+    for (it <- items.map(_.trim) if it.toLowerCase.contains("unnest")) {
+      val m = "(?i)^unnest\\s*\\(".r.findFirstMatchIn(it)
+      m match {
+        case None => return true // embedded in a larger expression
+        case Some(mm) =>
+          val open = it.indexOf('(', mm.start)
+          val close = matchParen(it, open)
+          if (close < 0) return true
+          val rest = it.substring(close + 1).trim
+          if (!(rest.isEmpty ||
+              "(?i)^(as\\s+)?[a-z_]\\w*$".r.findFirstIn(rest).isDefined))
+            return true // trailing operators → embedded
+          // an inner unnest is only expressible as the well-nested
+          // unnest(unnest(<paren-free>)) → explode(flatten(..)) shape
+          val inner = it.substring(open + 1, close)
+          if (inner.toLowerCase.contains("unnest") &&
+              !"(?is)^\\s*unnest\\s*\\([^()]*\\)\\s*$".r
+                .findFirstIn(inner).isDefined)
+            return true
+          unnestItems += 1
+      }
+    }
+    if (unnestItems == 0) return false
+    if (unnestItems >= 2) return true
+    // grouping over a generator output needs the reference's implicit
+    // pre-projection — not expressible as one Spark select
+    var k2 = if (selEnd < 0) sql.length else selEnd
+    var depth2 = 0; var inQ2 = false
+    val low2 = sql.toLowerCase
+    while (k2 < sql.length) {
+      val c = sql(k2)
+      if (inQ2) { if (c == '\'') inQ2 = false }
+      else c match {
+        case '\'' => inQ2 = true
+        case '(' => depth2 += 1
+        case ')' => depth2 -= 1
+        case _ if depth2 == 0 && low2.regionMatches(k2, "group", 0, 5) &&
+            (k2 == 0 || !low2(k2 - 1).isLetterOrDigit) =>
+          return true
+        case _ =>
+      }
+      k2 += 1
+    }
+    false
+  }
+
   private[slt] def translate(sqlRaw: String,
       nullOrdering: String = "nulls_max"): Option[String] = {
     val pre0raw = stripComments(sqlRaw).trim.replaceAll(";+\\s*$", "")
@@ -1353,7 +1444,7 @@ object SltRunner {
     // The wider TIME arithmetic/coercion surface (time±interval wrap,
     // time-time intervals, string-column coercion) has no faithful
     // anchor analog and keeps its honest skip below.
-    val pre0 = if ("(?i)\\b(date_bin|date_trunc)\\s*\\(".r
+    val pre0time = if ("(?i)\\b(date_bin|date_trunc)\\s*\\(".r
         .findFirstIn(pre0raw).isEmpty) pre0raw
     else {
       var s2 = pre0raw
@@ -1387,6 +1478,64 @@ object SltRunner {
       s2 = """(?i)('(?:[^']|'')*'|[A-Za-z_]\w*)\s*::\s*time\b""".r
         .replaceAllIn(s2, m => java.util.regex.Matcher.quoteReplacement(
           s"graft_time_anchor(${m.group(1)})"))
+      s2
+    }
+    // SELECT-position unnest (reference: unnest as a row-producing select
+    // expression). Arrays resolve via the registered unnest→Explode
+    // generator; depth-2 flattens; literal struct unnest maps to Spark's
+    // inline (struct fields → columns). The reference ZIPS multiple
+    // select-position unnests and allows them inside expressions — Spark
+    // generators are top-level and multi-generator plans cross-join, so
+    // those shapes keep an honest skip.
+    if (unnestSelectUnsupported(pre0time)) return None
+    val pre0 = {
+      var s2 = pre0time
+      // unnest(unnest(X)) → explode(flatten(X)) — only when the closers
+      // are adjacent (an inner result that is subscripted/transformed
+      // before the outer unnest is NOT this shape)
+      locally {
+        val re2 = "(?i)\\bunnest\\s*\\(\\s*unnest\\s*\\(".r
+        var m2 = re2.findFirstMatchIn(s2)
+        var guard2 = 0
+        var from2 = 0
+        while (m2.isDefined && guard2 < 20) {
+          guard2 += 1
+          val mm = m2.get
+          val start = from2 + mm.start
+          val outerOpen = s2.indexOf('(', start)
+          val innerOpen = s2.indexOf('(', outerOpen + 1)
+          val innerClose = matchParen(s2, innerOpen)
+          var k = innerClose + 1
+          while (k < s2.length && s2(k).isWhitespace) k += 1
+          if (innerClose > 0 && k < s2.length && s2(k) == ')') {
+            s2 = s2.substring(0, start) + "explode(flatten(" +
+              s2.substring(innerOpen + 1, innerClose) + "))" +
+              s2.substring(k + 1)
+            from2 = 0
+          } else from2 = start + 6
+          m2 = re2.findFirstMatchIn(s2.substring(from2))
+        }
+      }
+      val re = "(?i)\\bunnest\\s*\\(\\s*(?=struct\\s*\\(|named_struct\\s*\\()".r
+      var m = re.findFirstMatchIn(s2)
+      var guard = 0
+      while (m.isDefined && guard < 20) {
+        guard += 1
+        val start = m.get.start
+        val open = s2.indexOf('(', start)
+        val close = matchParen(s2, open)
+        if (close < 0) m = None
+        else {
+          // the reference IGNORES an alias on struct unnest (the struct's
+          // own field names win) — drop it so inline's multi-column
+          // output doesn't trip the single-alias arity check
+          val after = "(?is)^\\s+as\\s+[a-z_]\\w*(?=\\s*,|\\s+from\\b|\\s*$)".r
+            .replaceFirstIn(s2.substring(close + 1), "")
+          s2 = s2.substring(0, start) + "inline(array(" +
+            s2.substring(open + 1, close).trim + "))" + after
+          m = re.findFirstMatchIn(s2)
+        }
+      }
       s2
     }
     if ("(?i)::\\s*time\\b".r.findFirstIn(pre0).isDefined ||
@@ -2713,6 +2862,11 @@ object SltRunner {
         }, "built-in")
       }
     }
+    // SELECT-position unnest over arrays = Spark's explode generator
+    // (FROM-position unnest resolves via the injected table function; the
+    // scalar registry and table registry are separate namespaces)
+    reg.createOrReplaceTempFunction("unnest",
+      es => Explode(es.head), "built-in")
     // reference initcap (functions/src/string/initcap.rs) starts a new
     // word after ANY non-alphanumeric (underscores included); Spark's only
     // after whitespace. Split keeping the '_' terminator, initcap each

@@ -182,7 +182,7 @@ class SltRunnerSpec extends AnyFunSuite {
   }
   test("union_by_name.slt") { check("union_by_name.slt", 7) }
   test("table_functions.slt") { check("table_functions.slt", 55) }
-  test("unnest.slt")      { check("unnest.slt", 17) }
+  test("unnest.slt")      { check("unnest.slt", 65) }
   test("decimal.slt")     { check("decimal.slt", 68, knownDivergent = Map(
     397 -> "decimal division scale: reference truncates to 10 fractional digits, Spark keeps max scale",
     1221 -> "large decimal literal: reference parses through f64 (lossy), Spark parses exactly")) }
@@ -394,7 +394,7 @@ class SltRunnerSpec extends AnyFunSuite {
   test("projection_pushdown.slt") { check("projection_pushdown.slt", 170) }
   test("push_down_filter_parquet.slt") { check("push_down_filter_parquet.slt", 150) }
   test("push_down_filter_regression.slt") { check("push_down_filter_regression.slt", 70) }
-  test("push_down_filter_unnest.slt") { check("push_down_filter_unnest.slt", 8) }
+  test("push_down_filter_unnest.slt") { check("push_down_filter_unnest.slt", 17) }
   test("pwmj.slt") {
     val order = "reference emission order contradicts the query's ORDER BY (PWMJ row order); values identical as a set"
     check("pwmj.slt", 23, knownDivergent = Map(141 -> order, 232 -> order))
