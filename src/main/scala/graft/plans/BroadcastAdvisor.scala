@@ -260,4 +260,28 @@ object BroadcastAdvisor {
       Some(dateBound(o, "o_orderdate", "1997-01-01")))
     estimateBytes(o, windowRows, Seq("o_orderkey", "o_custkey"))
   }
+
+  /** q2: p = σ(p_size = k ∧ p_type LIKE …) part projected to its key.
+    * p_size equality gets range selectivity from the footer's min/max
+    * (p_size is dense-integer, so (1 value)/(max−min+1) is exact); the
+    * LIKE's extra cut is ignored — conservative (over-estimates). */
+  def q2PartBytes(spark: SparkSession, dir: String): Long = {
+    val p = tableStats(spark, s"$dir/part.parquet")
+    val sizeSel = p.cols.get("p_size")
+      .flatMap(c => c.minLong.zip(c.maxLong))
+      .collect { case (mn, mx) if mx >= mn => 1.0 / (mx - mn + 1) }
+      .getOrElse(EqSelectivity)
+    estimateBytes(p, p.rows * sizeSel, Seq("p_partkey"))
+  }
+
+  /** q2/q11: the one-nation / one-region supplier complex — supplier rows ×
+    * the region (or nation) membership fraction from the dim footer row
+    * counts, projected to the join key + output columns. */
+  def supplierComplexBytes(spark: SparkSession, dir: String,
+      memberTable: String, cols: Seq[String]): Long = {
+    val s = tableStats(spark, s"$dir/supplier.parquet")
+    val m = tableStats(spark, s"$dir/$memberTable.parquet")
+    val sel = if (m.rows > 0) 1.0 / m.rows else 1.0
+    estimateBytes(s, s.rows * sel, cols)
+  }
 }

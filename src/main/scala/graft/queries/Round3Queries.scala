@@ -27,9 +27,39 @@ object Round3Queries {
     // fixtures — 800k rows at SF1, the reference's actual input volume;
     // derived at oracle scales, see Tables.partsupp). Decimal supplycost
     // keeps the HAVING comparison exact under any summation order.
-    "q11_partsupp" -> { (s, dir) =>
+    //
+    // Reshape (r6, stats-gated): the textbook decorrelation runs the
+    // partsupp ⋈ supplier ⋈ nation tree TWICE — once grouped by part,
+    // once for the scalar grand total. But the per-part groups PARTITION
+    // the filtered rows, so the grand total is exactly the sum of the
+    // group sums (decimal arithmetic — order-independent): re-aggregating
+    // the grouped result costs one KB-scale pass instead of a second
+    // 800k-row scan+join. The CTE is referenced twice, but both references
+    // share the identical aggregate subtree, so the shuffle materializes
+    // once (ReusedExchange — plan-asserted in TpchReshapePlanSpec). The
+    // supplier-complex broadcast is footer-gated; past threshold the
+    // reference-shaped text runs on the AQE session. 0.0001 parses as
+    // DECIMAL(4,4) in both engines, so the HAVING comparison stays exact.
+    "q11_partsupp" -> { (s0, dir) =>
+      import graft.plans.BroadcastAdvisor._
+      val supOk = shouldBroadcast(s0,
+        supplierComplexBytes(s0, dir, "nation", Seq("s_suppkey")))
+      val s = if (supOk) staticPlanSession(s0) else s0
       fixtureViews(s, dir)
-      s.sql(TpchPartsuppSql.q11)
+      if (!supOk) s.sql(TpchPartsuppSql.q11)
+      else s.sql(
+        """WITH g AS (
+          |  SELECT /*+ BROADCAST(sup) */ ps_partkey,
+          |    sum(ps_supplycost * ps_availqty) AS v
+          |  FROM partsupp
+          |  JOIN (SELECT s_suppkey FROM supplier, nation
+          |        WHERE s_nationkey = n_nationkey AND n_name = 'NATION_3') sup
+          |    ON ps_suppkey = s_suppkey
+          |  GROUP BY ps_partkey)
+          |SELECT ps_partkey, CAST(v AS DOUBLE) AS value
+          |FROM g, (SELECT sum(v) * 0.0001 AS thresh FROM g) t
+          |WHERE v > thresh
+          |ORDER BY value DESC, ps_partkey""".stripMargin)
     },
 
     // Spark-compat-crate function batch (reference spark/src/function/):

@@ -4,7 +4,9 @@ package graft.queries
   * the same text runs on Spark (against the `partsupp` view: real file in
   * the scale fixtures, derived at oracle scales — see
   * [[graft.Tables.partsupp]]) and on DuckDB with the deriving CTE prepended
-  * ([[oracle]]). Adapted to the reduced fixture schema (no p_mfgr /
+  * ([[oracle]]). Q16/Q20 run this text directly on Spark; Q2/Q11 run a
+  * stats-gated single-scan reshape (see their query entries) with this text
+  * as both the past-threshold fallback and, always, the oracle. Adapted to the reduced fixture schema (no p_mfgr /
   * s_address / s_phone / s_comment) but carrying the reference's real
   * structural shape AND input volume: 4 suppliers/part, 800k partsupp rows
   * at SF1. Reference: sqllogictest/test_files/tpch/answers/

@@ -44,9 +44,46 @@ object WindowQueries2 {
     // schema: no p_mfgr/s_address/s_phone/s_comment; s_suppkey added as the
     // unique LIMIT tiebreaker. Reference: sqllogictest/test_files/tpch/
     // answers/q2.slt.part.
-    "q2_mincost" -> { (s, dir) =>
+    //
+    // Reshape (r6, stats-gated): the textbook decorrelation scans partsupp
+    // TWICE — once for the outer join tree, once for the per-part min — and
+    // shuffles the whole EUROPE slice to aggregate it. But the correlation
+    // key is p_partkey, so only parts surviving the σ(p_size ∧ p_type)
+    // filter can reach the output: semi-joining partsupp against the
+    // filtered part keys FIRST shrinks the min's input by the part filter's
+    // selectivity (~1/50 · LIKE) before any exchange, and the per-part min
+    // becomes a window over that residue — ONE partsupp scan, one KB-scale
+    // shuffle. Same values per surviving key, so semantics are identical
+    // (the oracle runs the un-reshaped reference text). This is the
+    // filter-pushdown-through-correlation a CBO derives from the equi-join;
+    // both broadcasts are footer-gated (BroadcastAdvisor) — past threshold
+    // the reference-shaped text runs on the AQE session instead.
+    "q2_mincost" -> { (s0, dir) =>
+      import graft.plans.BroadcastAdvisor._
+      val pOk = shouldBroadcast(s0, q2PartBytes(s0, dir))
+      val euOk = shouldBroadcast(s0, supplierComplexBytes(s0, dir, "region",
+        Seq("s_suppkey", "s_name", "s_acctbal")))
+      val s = if (pOk && euOk) staticPlanSession(s0) else s0
       fixtureViews(s, dir)
-      s.sql(TpchPartsuppSql.q2)
+      if (!(pOk && euOk)) s.sql(TpchPartsuppSql.q2)
+      else s.sql(
+        """SELECT s_acctbal, s_name, n_name, p_partkey, s_suppkey
+          |FROM (
+          |  SELECT /*+ BROADCAST(p), BROADCAST(eu) */
+          |    s_acctbal, s_name, n_name, p_partkey, s_suppkey, ps_supplycost,
+          |    min(ps_supplycost) OVER (PARTITION BY ps_partkey) AS mc
+          |  FROM partsupp
+          |  JOIN (SELECT p_partkey FROM part
+          |        WHERE p_size = 15 AND p_type LIKE '%STAND%') p
+          |    ON p_partkey = ps_partkey
+          |  JOIN (SELECT s_suppkey, s_name, s_acctbal, n_name
+          |        FROM supplier, nation, region
+          |        WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          |          AND r_name = 'EUROPE') eu
+          |    ON s_suppkey = ps_suppkey)
+          |WHERE ps_supplycost = mc
+          |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+          |LIMIT 100""".stripMargin)
     },
 
     // PIVOT (conditional-aggregation expansion; Spark-native API breadth).

@@ -70,6 +70,20 @@ class TpchReshapePlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("q2: single-scan window form — partsupp semi-joined before any exchange") {
+    val p = plan("q2_mincost")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert(p.contains("Window"), s"q2 reshape lost the window min form:\n${p.take(800)}")
+  }
+
+  test("q11: grand total re-aggregates the grouped exchange (ReusedExchange)") {
+    val p = plan("q11_partsupp")
+    assert(p.contains("ReusedExchange"),
+      s"q11 recomputes the partsupp aggregate for the grand total:\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
   test("q22: anti join runs as broadcast, customer unexchanged") {
     val p = plan("q22_global")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
