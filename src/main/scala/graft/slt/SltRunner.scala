@@ -106,7 +106,22 @@ object SltRunner {
     * name literal; the latter two are the reference's user-facing spellings
     * (try_* yields NULL on failure = Spark's TRY_CAST). */
   private val ArrowCastNames = Seq("try_cast_to_type", "cast_to_type", "arrow_cast")
+  /** Zone equivalence class for the mixed-zone gate: fixed offset at the
+    * epoch ("UTC"/"+00:00"/"Z" collapse to Z). */
+  private def zoneKey(tz: String): String =
+    scala.util.Try(java.time.ZoneId.of(tz).getRules
+      .getOffset(java.time.Instant.EPOCH).getId).getOrElse(tz)
+
   private[slt] def translateArrowCast(sql: String): Option[String] = {
+    // Timestamp(_, Some(tz)) casts translate via the session zone, so TWO
+    // distinct zones in one statement have no faithful mapping (the
+    // source_ts table of date_part.slt carries UTC and -05:00 columns
+    // side by side) — keep those untranslatable/poisoned as before
+    locally {
+      val zones = """(?i)Timestamp\s*\(\s*\w+\s*,\s*Some\s*\(\s*"([^"]+)"\s*\)\s*\)"""
+        .r.findAllMatchIn(sql).map(m => zoneKey(m.group(1))).toSeq.distinct
+      if (zones.size > 1) return None
+    }
     var s = sql
     var guard = 0
     def nextCall: Option[(String, Int)] =
@@ -152,12 +167,18 @@ object SltRunner {
       // Timestamp(unit[, None]) reinterprets ints as epoch counts in that
       // unit and re-precisions datetimes — exactly the registered
       // to_timestamp_<unit> family (ns truncate to µs per SURVEY §1.2).
-      // A concrete tz (Some("...")) changes the DISPLAY zone, which the
-      // µs convention does not model → unmappable as before.
+      // A concrete tz (Some("...")) over a NAIVE operand reads the wall in
+      // that zone (graft_tz_instant); tz-tagged VIEW creation routes
+      // through maybeEmulateTzView instead (type-probed, so instant and
+      // numeric sources are not re-interpreted).
       val TsUnitRe =
-        """(?i)Timestamp\s*\(\s*(Nanosecond|Microsecond|Millisecond|Second|ns|µs|us|ms|s)\s*(?:,\s*None\s*)?\)""".r
+        """(?i)Timestamp\s*\(\s*(Nanosecond|Microsecond|Millisecond|Second|ns|µs|us|ms|s)\s*(?:,\s*(?:None|Some\s*\(\s*"([^"]+)"\s*\))\s*)?\)""".r
+      // Time32/Time64 over a numeric count-of-day operand: scale to the
+      // µs-of-day convention and render as the canonical HH:MM:SS[.f] text
+      val TimeUnitRe =
+        """(?i)Time(?:32|64)\s*\(\s*(Nanosecond|Microsecond|Millisecond|Second|ns|µs|us|ms|s)\s*\)""".r
       tpe match {
-        case TsUnitRe(u) =>
+        case TsUnitRe(u, tz) =>
           val fn = u.toLowerCase match {
             case "nanosecond" | "ns" => "to_timestamp_nanos"
             case "microsecond" | "µs" | "us" => "to_timestamp_micros"
@@ -166,8 +187,38 @@ object SltRunner {
           }
           // tz=None is arrow's NAIVE timestamp: stays wall-clock (no
           // offset suffix) even when the file sets an execution zone
+          val rewritten =
+            if (tz == null) s"CAST($fn($expr) AS TIMESTAMP_NTZ)"
+            else {
+              // select-POSITION casts render per-column (wall + zone
+              // offset — graft_at_tz's display string); nested operands
+              // (function args, arithmetic) need the instant value
+              var depth0 = 0; var inStr = false
+              for (k <- 0 until idx) s(k) match {
+                case '\'' => inStr = !inStr
+                case '(' if !inStr => depth0 += 1
+                case ')' if !inStr => depth0 -= 1
+                case _ =>
+              }
+              val after = s.substring(close + 1).trim
+              val afterWord = after.takeWhile(_.isLetter).toLowerCase
+              val displayPos = depth0 == 0 && (after.isEmpty ||
+                after.startsWith(",") || after.startsWith(";") ||
+                Seq("from", "as", "order", "limit", "group").contains(afterWord))
+              if (displayPos) s"graft_at_tz($fn($expr), false, '$tz')"
+              else s"graft_tz_instant($fn($expr), '$tz')"
+            }
+          s = s.substring(0, idx) + rewritten + s.substring(close + 1)
+        case TimeUnitRe(u) =>
+          val unit = u.toLowerCase match {
+            case "nanosecond" | "ns" => "ns"
+            case "microsecond" | "µs" | "us" => "us"
+            case "millisecond" | "ms" => "ms"
+            case _ => "s"
+          }
           s = s.substring(0, idx) +
-            s"CAST($fn($expr) AS TIMESTAMP_NTZ)" + s.substring(close + 1)
+            s"graft_time_unit($expr, '$unit')" +
+            s.substring(close + 1)
         case _ => arrowTypes.get(tpe) match {
           case Some(sparkT) =>
             val kw = if (fname == "try_cast_to_type") "TRY_CAST" else "CAST"
@@ -660,9 +711,14 @@ object SltRunner {
   private[slt] def translateChronoFormats(sql: String): String =
     if (!sql.contains("%") ||
         !"""(?i)to_timestamp|to_date|to_char|date_format""".r.findFirstIn(sql).isDefined) sql
-    else sql.replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
+    // literal T must be quoted in java patterns; '' = escaped quote inside
+    // the surrounding SQL string literal
+    else sql.replace("%dT%H", "dd''T''HH")
+      .replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
       .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
       .replace("%z", "Z").replace("%Z", "VV")
+      .replace("%.3f", ".SSS").replace("%.6f", ".SSSSSS")
+      .replace("%.9f", ".SSSSSSSSS").replace("%.f", ".SSSSSSSSS")
       .replace("%3f", "SSS").replace("%6f", "SSSSSS")
       .replace("%9f", "SSSSSSSSS").replace("%f", "SSSSSSSSS")
 
@@ -1255,8 +1311,9 @@ object SltRunner {
     val trimmed = t.trim.replaceAll("(?i)\\s+NULL$", "")
     trimmed.toUpperCase match {
       case "TEXT" | "VARCHAR" | "CHAR" => "STRING"
-      // Spark has no TIME column type in DDL; the canonical HH:MM:SS text
-      // form is totally ordered the same way
+      // plain CREATE TABLE + INSERT path: TIME stays canonical HH:MM:SS
+      // text (totally ordered, renders as the reference displays TIME);
+      // typed-CTAS values anchor instead (see CreateSchemaValuesRe)
       case "TIME" => "STRING"
       // unsigned widening convention (SURVEY §1.2): each unsigned type maps
       // to the narrowest signed Spark type that holds its full range
@@ -1480,6 +1537,32 @@ object SltRunner {
           s"graft_time_anchor(${m.group(1)})"))
       s2
     }
+    val pre0cast = {
+      var s2 = pre0time
+      // unsigned cast suffixes: the SURVEY §1.2 widening convention the
+      // DDL path (sparkType) already applies, for the ::cast spelling
+      s2 = """(?i)::\s*(tinyint|smallint|int|integer|bigint)\s+unsigned\b"""
+        .r.replaceAllIn(s2, m => m.group(1).toLowerCase match {
+          case "tinyint"         => "::smallint"
+          case "smallint"        => "::int"
+          case "int" | "integer" => "::bigint"
+          case _                 => "::decimal(20,0)"
+        })
+      // TIME-of-day values outside the binning surface: anchored at the
+      // epoch day as a TIMESTAMP (the µs-long convention's timestamp
+      // form). Arithmetic then just works — time ± interval wraps via the
+      // day window, time − time is a day-time interval — comparisons and
+      // to_char see the wall, and directives the reference types as TIME
+      // ('D') render back to HH:MM:SS via the epoch-window display shim
+      // in runFile's result compare.
+      s2 = """(?i)('(?:[^']|'')*'|[A-Za-z_][\w.]*)\s*::\s*time\b""".r
+        .replaceAllIn(s2, m => java.util.regex.Matcher.quoteReplacement(
+          s"graft_time_anchor(${m.group(1)})"))
+      s2 = """(?i)\bTIME\s+('(?:[^']|'')*')""".r
+        .replaceAllIn(s2, m => java.util.regex.Matcher.quoteReplacement(
+          s"graft_time_anchor(${m.group(1)})"))
+      s2
+    }
     // SELECT-position unnest (reference: unnest as a row-producing select
     // expression). Arrays resolve via the registered unnest→Explode
     // generator; depth-2 flattens; literal struct unnest maps to Spark's
@@ -1487,9 +1570,9 @@ object SltRunner {
     // select-position unnests and allows them inside expressions — Spark
     // generators are top-level and multi-generator plans cross-join, so
     // those shapes keep an honest skip.
-    if (unnestSelectUnsupported(pre0time)) return None
+    if (unnestSelectUnsupported(pre0cast)) return None
     val pre0 = {
-      var s2 = pre0time
+      var s2 = pre0cast
       // unnest(unnest(X)) → explode(flatten(X)) — only when the closers
       // are adjacent (an inner result that is subscripted/transformed
       // before the outer unnest is NOT this shape)
@@ -1594,12 +1677,50 @@ object SltRunner {
           s"graft_at_tz($lit, ${isInstant}, ${m.group(3)})")
       })
     }
+    // `<call-expr> AT TIME ZONE 'Z'` (non-literal operand, e.g.
+    // date_bin(...) / to_local_time(...)): the operand is naive, so the
+    // clause LABELS its wall with Z — same display semantics as the
+    // literal pass above, via the same graft_at_tz expression (which is
+    // vectorized: it builds a catalyst tree over any operand).
+    val preAtTzCall = {
+      var s2 = preAtTz
+      val ClauseRe = """(?is)\)\s+AT\s+TIME\s+ZONE\s+('(?:[^']|'')*')""".r
+      var m2 = ClauseRe.findFirstMatchIn(s2)
+      var guard = 0
+      while (m2.isDefined && guard < 20) {
+        guard += 1
+        val mm = m2.get
+        val closeParen = mm.start
+        var depth = 0; var j = closeParen; var open = -1
+        while (j >= 0 && open < 0) {
+          s2(j) match {
+            case ')' => depth += 1
+            case '(' => depth -= 1; if (depth == 0) open = j
+            case _ =>
+          }
+          j -= 1
+        }
+        if (open < 0) m2 = None
+        else {
+          var k = open - 1
+          while (k >= 0 && (s2(k).isLetterOrDigit || s2(k) == '_')) k -= 1
+          val start = k + 1
+          val operand = s2.substring(start, closeParen + 1)
+          s2 = s2.substring(0, start) +
+            s"graft_at_tz($operand, false, ${mm.group(1)})" +
+            s2.substring(mm.end)
+          m2 = ClauseRe.findFirstMatchIn(s2)
+        }
+      }
+      s2
+    }
     // TIMESTAMPTZ is Spark's (tz-aware) TIMESTAMP; precision suffixes map
     // onto the µs convention: (0)=second, (3)=milli, (6)=micro truncation
     // via the to_timestamp_* family. (9) keeps its honest skip — the
     // reference's ns-RANGE overflow semantics (TRY_CAST year-3000 → NULL)
     // have no µs analog.
-    val preTz = preAtTz
+    val preTz = preAtTzCall
+      .replaceAll("(?is)\\bIN\\s*\\(\\s*graft_at_tz\\(", "IN (graft_at_tz_ts(")
       .replaceAll("(?i)\\bTIMESTAMPTZ\\b", "TIMESTAMP")
       .replaceAll("(?i)\\bAS\\s+TIMESTAMP\\s*\\(\\s*0\\s*\\)", "AS TIMESTAMP_S_")
       .replaceAll("(?i)\\bAS\\s+TIMESTAMP\\s*\\(\\s*3\\s*\\)", "AS TIMESTAMP_MS_")
@@ -1660,7 +1781,7 @@ object SltRunner {
       .replaceAll("(?i)\\bAS\\s+VARCHAR\\s*\\[\\s*\\]", "AS ARRAY<STRING>")
       .replaceAll("(?i)\\bAS\\s+(\\w+)\\s*\\[\\s*\\]", "AS ARRAY<$1>")
       .replaceAll("(?i)\\bAS\\s+VARCHAR\\b(?!\\s*\\()", "AS STRING")
-      .replaceAll("(?i)\\bAS\\s+TEXT\\b", "AS STRING")
+      .replaceAll("(?i)\\bAS\\s+TEXT\\s*(?=\\))", "AS STRING ")  // CAST(x AS TEXT) only — `AS text` is a legal ALIAS (group_by.slt)
       // generate_series/range need no rewrite: GenerateSeriesTVF registers
       // both as native table functions with the reference's semantics
 
@@ -1779,12 +1900,18 @@ object SltRunner {
       case CreateSchemaValuesRe(name, cols, body) =>
         val colDefs = splitTopLevel(cols).map(_.trim).filter(_.nonEmpty).map { cd =>
           val sp = cd.split("\\s+", 2)
-          (sp(0), sparkType(if (sp.length > 1) sp(1) else "STRING"))
+          (sp(0), if (sp.length > 1) sp(1) else "STRING")
         }
         // positional column alias on the derived table, so the body's own
         // naming (col1 vs column1 vs select aliases) never matters
         val alias = colDefs.map(_._1).mkString("_t(", ", ", ")")
-        val casts = colDefs.map { case (n, t) => s"CAST($n AS $t) AS $n" }.mkString(", ")
+        val casts = colDefs.map { case (n, raw) =>
+          // a declared TIME column keeps the anchored-timestamp form its
+          // ::time values already carry (a cast would re-stringify)
+          if (raw.trim.replaceAll("(?i)\\s+NULL$", "").equalsIgnoreCase("TIME"))
+            s"graft_time_anchor($n) AS $n"
+          else s"CAST($n AS ${sparkType(raw)}) AS $n"
+        }.mkString(", ")
         s"CREATE OR REPLACE TEMPORARY VIEW $name AS SELECT $casts FROM ($body) AS $alias"
       case CreateAsRe(name, body) =>
         // DataFusion names anonymous VALUES columns column1..N; Spark says
@@ -1805,7 +1932,58 @@ object SltRunner {
         }
         s"$head (${defs.mkString(", ")})"
       case other => other
-    }
+    }.map(timeArithPass)
+  }
+
+  /** Late pass over the fully-rewritten text: TIME arithmetic on the
+    * anchored representation. time − time → an interval rendered in the
+    * reference's MonthDayNano form (graft_time_diff — a timestamp
+    * difference would render as a full-form Duration); date ± time → a
+    * naive timestamp (graft_date_time_add — DATE cannot add a TIMESTAMP
+    * directly). TIME operands appear as graft_time_anchor/graft_time_unit
+    * calls here, arrow date casts as CAST(… AS DATE). */
+  private val TimeCallPat =
+    """graft_time_(?:anchor|unit)\s*\((?:[^()]|\([^()]*\))*\)"""
+  private val DatePat =
+    """CAST\s*\((?:[^()]|\([^()]*\))*AS\s+DATE\s*\)|'[^']*'\s*::\s*date\b|[\w.]+\s*::\s*date\b"""
+  private def timeArithPass(sql: String): String = {
+    def q(s: String) = java.util.regex.Matcher.quoteReplacement(s)
+    var s = sql
+    s = s"(?i)($TimeCallPat)\\s*-\\s*($TimeCallPat)".r.replaceAllIn(s, m =>
+      q(s"graft_time_diff(${m.group(1)}, ${m.group(2)})"))
+    s = s"(?i)($DatePat)\\s*([+-])\\s*($TimeCallPat)".r.replaceAllIn(s, m =>
+      q(s"graft_date_time_add(${m.group(1)}, ${m.group(3)}, '${m.group(2)}')"))
+    s = s"(?i)($TimeCallPat)\\s*\\+\\s*($DatePat)".r.replaceAllIn(s, m =>
+      q(s"graft_date_time_add(${m.group(2)}, ${m.group(1)}, '+')"))
+    // time ⋈ 'HH:MM:SS' literal: anchor the literal side too (a bare
+    // dateless string casts to a NULL timestamp in Spark)
+    val timeLit = """'(\d{1,2}:\d{2}(?::\d{2}(?:\.\d+)?)?)'"""
+    val timeLitCast = s"CAST\\s*\\(\\s*$timeLit\\s+AS\\s+STRING\\s*\\)"
+    s = s"(?i)($TimeCallPat)\\s*(==|!=|<=|>=|=|<|>)\\s*(?:$timeLitCast|$timeLit)"
+      .r.replaceAllIn(s, m => {
+        val lit = Option(m.group(3)).getOrElse(m.group(4))
+        q(s"${m.group(1)} ${m.group(2)} graft_time_anchor('$lit')")
+      })
+    // a `time` COLUMN compared to a seconds-ful HH:MM:SS literal: Time32/
+    // Time64 columns (anchored timestamps here) need the literal anchored
+    // too — a bare dateless string casts to a NULL timestamp. Scoped to
+    // columns literally named `time` (the corpus's Time-typed columns —
+    // select.slt/group.slt); a general identifier match would capture
+    // STRING columns holding time-shaped text (string/*.slt).
+    s = ("""(?i)\b((?:[\w.]+\.)?time)\s*(==|!=|<=|>=|=|<|>)\s*""" +
+      """'(\d{1,2}:\d{2}:\d{2}(?:\.\d+)?)'""").r.replaceAllIn(s, m =>
+      q(s"${m.group(1)} ${m.group(2)} graft_time_anchor('${m.group(3)}')"))
+    // a COLUMN compared against an anchored TIME value: anchor the column
+    // too — a Utf8 column holding '12:13:14' coerces to TIME in the
+    // reference (string/*.slt), and anchoring an already-anchored
+    // timestamp is the identity on its wall
+    s = s"(?i)(?<![\\w.'])([\\w.]+)\\s*(==|!=|<=|>=|=|<|>)\\s*($TimeCallPat)"
+      .r.replaceAllIn(s, m =>
+        q(s"graft_time_anchor(${m.group(1)}) ${m.group(2)} ${m.group(3)}"))
+    s = s"(?i)($TimeCallPat)\\s*(==|!=|<=|>=|=|<|>)\\s*([\\w.]+)(?![\\w.(])"
+      .r.replaceAllIn(s, m =>
+        q(s"${m.group(1)} ${m.group(2)} graft_time_anchor(${m.group(3)})"))
+    s
   }
 
   /** Arity of the first parenthesized row of a VALUES body (0 if none). */
@@ -1845,14 +2023,17 @@ object SltRunner {
     * different print — compare timestamp-shaped cells with the Z stripped
     * and the fraction's trailing zeros trimmed. */
   private val tsShape =
-    """\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?Z?""".r
+    """(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})(\.\d+)?(Z|[+-]\d{2}:\d{2})?""".r
   private def tsEqual(g: String, w: String): Boolean = {
     def norm(s: String): Option[String] = s match {
-      case tsShape(_*) =>
-        val base = s.stripSuffix("Z")
-        Some(if (base.contains('.'))
-          base.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
-        else base)
+      case tsShape(base, frac, off) =>
+        val f = Option(frac)
+          .map(_.reverse.dropWhile(_ == '0').reverse.stripSuffix("."))
+          .getOrElse("")
+        // 'Z' ≡ naive (spark/ conversion files); a concrete offset is
+        // part of the value and must match
+        val o = Option(off).filter(_ != "Z").getOrElse("")
+        Some(base + f + o)
       case _ => None
     }
     def tokEq(a: String, b: String): Boolean = a == b ||
@@ -2113,6 +2294,12 @@ object SltRunner {
     // Tables whose CREATE was skipped (unsupported syntax): every record
     // that mentions one would fail for the wrong reason — skip those too.
     val poisoned = mutable.Set[String]()
+    // Views carrying a PER-COLUMN timezone in the reference (arrow
+    // Timestamp(_, Some(tz)) columns, AT TIME ZONE view bodies): Spark
+    // timestamps are session-zoned, so the emulation (maybeEmulateTzView)
+    // records the tag here and each query over a tagged view evaluates
+    // and renders under that zone as its session zone.
+    val viewTz = mutable.Map[String, java.time.ZoneId]()
 
     // session default null ordering, settable by the file (order.slt)
     var nullOrdering = "nulls_max"
@@ -2365,11 +2552,33 @@ object SltRunner {
           spark.conf.set("spark.sql.mapKeyDedupPolicy",
             MapDedupRe.findFirstMatchIn(rec.sql).get.group(1).toUpperCase)
           passed += 1
+        case None if isTzViewCreate(rec.sql) =>
+          emulateTzView(spark, rec.sql, viewTz, nullOrdering) match {
+            case Right(nm) => poisoned -= nm; passed += 1
+            case Left(reason) => poison(rec.sql); skipped += ((rec.line, reason))
+          }
         case None => translate(rec.sql, nullOrdering) match {
           case None =>
             poison(rec.sql)
             skipped += ((rec.line, "untranslatable (Arrow-only surface)"))
           case Some(sql) =>
+            // per-column-timezone emulation: a query over ONE tz-tagged
+            // view evaluates and renders under that zone; two different
+            // tags in one query have no session-zone mapping → honest skip
+            val colZones = viewTz.collect {
+              case (n, z) if mentionsName(rec.sql, n) => z }.toSeq.distinct
+            if (colZones.size > 1) {
+              skipped += ((rec.line,
+                "mixed per-column time zones in one query (Spark timestamps are session-zoned)"))
+            } else {
+            val prevTzConf = spark.conf.get("spark.sql.session.timeZone")
+            val prevRender = renderZone
+            colZones.headOption.foreach { z =>
+              if (sys.env.contains("GRAFT_SLT_DEBUG"))
+                System.err.println(s"[tzctx] l${rec.line} zone=${z.getId}")
+              spark.conf.set("spark.sql.session.timeZone", z.getId)
+              renderZone = Some(z)
+            }
             try {
               // plain CREATE TABLE t(...) lands as a managed table; clear a
               // leftover from a previous run of the same file first
@@ -2451,9 +2660,20 @@ object SltRunner {
               else {
                 val rows = collectRendered(df)
                 val sortMode = d.split("\\s+").drop(2).headOption.getOrElse("")
+                // TIME display shim: the dialect anchors TIME-of-day values
+                // at the epoch day as timestamps; when the reference types
+                // a result column as TIME ('D'), an epoch-window timestamp
+                // renders back to its HH:MM:SS wall (the ±1-day window is
+                // the wrap range of time ± interval before the mod)
+                val types = d.split("\\s+").drop(1).headOption.getOrElse("")
+                val epochTime =
+                  """\b(?:1969-12-3[01]|1970-01-\d{2})T(\d{2}:\d{2}:\d{2}(?:\.\d+)?)\b""".r
+                def timeShim(s: String): String =
+                  if (!types.contains("D")) s
+                  else epochTime.replaceAllIn(s, m => m.group(1))
                 // sqllogictest convention: trailing whitespace on a result
                 // line is not significant (editors strip it from the files)
-                val gotT = rows.map(_.replaceAll("\\s+$", ""))
+                val gotT = rows.map(r => timeShim(r.replaceAll("\\s+$", "")))
                 val wantT = rec.expected.map(_.replaceAll("\\s+$", ""))
                 val (got, want) =
                   if (sortMode == "rowsort") (gotT.sorted, wantT.sorted)
@@ -2548,6 +2768,20 @@ object SltRunner {
                 while (root.getCause != null && root.getCause != root) root = root.getCause
                 val rootNote = if (root eq e) "" else s" [root: ${root.toString.take(200)}]"
                 failures += Failure(rec.line, sql, e.toString.take(300) + rootNote)
+            } finally {
+              colZones.headOption.foreach { _ =>
+                spark.conf.set("spark.sql.session.timeZone", prevTzConf)
+                renderZone = prevRender
+              }
+              // a generic re-CREATE or a DROP of a tagged name untags it
+              if (d.startsWith("statement")) {
+                CreateNameRe.findFirstMatchIn(rec.sql)
+                  .foreach(m => viewTz -= m.group(1).toLowerCase)
+                """(?is)^\s*DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?([\w.]+)""".r
+                  .findFirstMatchIn(rec.sql)
+                  .foreach(m => viewTz -= m.group(1).toLowerCase)
+              }
+            }
             }
         }
       }
@@ -2583,6 +2817,127 @@ object SltRunner {
   private def firstLine(s: String): String =
     Option(s).flatMap(_.linesIterator.map(_.trim).find(_.nonEmpty))
       .getOrElse("").take(120)
+
+  // ---------------------------------------------- per-column-timezone views
+
+  /** `name` mentioned outside string literals (word-boundary match). */
+  private def mentionsName(sql: String, name: String): Boolean = {
+    val b = new StringBuilder(sql.length)
+    var inLit = false
+    sql.foreach { c =>
+      if (c == '\'') { inLit = !inLit; b += ' ' }
+      else b += (if (inLit) ' ' else c)
+    }
+    ("""(?i)\b""" + java.util.regex.Pattern.quote(name) + """\b""").r
+      .findFirstIn(b.toString).isDefined
+  }
+
+  private val CreateTzHeadRe =
+    """(?is)^\s*create\s+(?:or\s+replace\s+)?(?:view|table)\s+([\w.]+)\s+as\s+(select\b.*)$""".r
+  private val ArrowTzCallRe =
+    ("""(?is)arrow_cast\s*\(\s*(.+?)\s*,\s*'Timestamp\s*\(\s*""" +
+      """(Nanosecond|Microsecond|Millisecond|Second|ns|µs|us|ms|s)\s*,\s*""" +
+      """Some\s*\(\s*"([^"]+)"\s*\)\s*\)'\s*\)""").r
+  private val AtTzClauseRe = """(?is)\s+AT\s+TIME\s+ZONE\s+'([^']+)'""".r
+
+  private[slt] def isTzViewCreate(raw: String): Boolean = {
+    val s = stripComments(raw)
+    CreateTzHeadRe.findFirstMatchIn(s).exists(m =>
+      ArrowTzCallRe.findFirstIn(m.group(2)).isDefined ||
+      AtTzClauseRe.findFirstIn(m.group(2)).isDefined)
+  }
+
+  /** Emulate `CREATE VIEW v AS SELECT … arrow_cast(x, 'Timestamp(u,
+    * Some("tz"))') …` / `… x AT TIME ZONE 'tz' …` — the reference's
+    * per-COLUMN-timezone views. Spark timestamps are instants rendered in
+    * the session zone, so the column tag becomes: (1) the view body reads
+    * a NAIVE operand's wall in the target zone (the arrow cast semantics —
+    * achieved by creating the view with the session zone set to the tag,
+    * so the stored analyzed plan captures it), passes an INSTANT operand
+    * through unchanged (type-probed: re-interpreting would shift the value
+    * and collapse DST-ambiguous walls — the reason the reference files
+    * convert to UTC before Berlin/São Paulo), and treats a NUMERIC operand
+    * as an epoch count (to_timestamp_*); (2) the tag is recorded in
+    * `viewTz`, and runFile evaluates+renders any query over the view under
+    * that zone. Reference: common/src/scalar/mod.rs timestamp-with-tz
+    * semantics; datetime/timestamps.slt DST sections. */
+  private def emulateTzView(spark: SparkSession, raw: String,
+      viewTz: mutable.Map[String, java.time.ZoneId],
+      nullOrdering: String): Either[String, String] = {
+    val s = stripComments(raw).trim.replaceAll(";+\\s*$", "")
+    val m = CreateTzHeadRe.findFirstMatchIn(s).getOrElse(
+      return Left("untranslatable (Arrow-only surface)"))
+    val name = m.group(1)
+    val body = m.group(2)
+    // a body carrying DISTINCT per-column zones (source_ts-style) has no
+    // session-zone mapping — leave it to the generic path, which rejects it
+    if (ArrowTzCallRe.findAllMatchIn(body)
+          .map(m => zoneKey(m.group(3))).toSeq.distinct.size > 1)
+      return Left("untranslatable (Arrow-only surface)")
+    val (tzStr, body2) = ArrowTzCallRe.findFirstMatchIn(body) match {
+      case Some(c) =>
+        val (expr, unit, tz) = (c.group(1), c.group(2), c.group(3))
+        val fn = unit.toLowerCase match {
+          case "nanosecond" | "ns" => "to_timestamp_nanos"
+          case "microsecond" | "µs" | "us" => "to_timestamp_micros"
+          case "millisecond" | "ms" => "to_timestamp_millis"
+          case _ => "to_timestamp_seconds"
+        }
+        val fromIdx = "(?i)\\bfrom\\b".r.findAllMatchIn(body).toSeq.lastOption
+          .map(_.start).getOrElse(
+            return Left("untranslatable (Arrow-only surface)"))
+        val probe =
+          s"SELECT ($expr) AS __graft_probe ${body.substring(fromIdx)}"
+        val ptype = translate(probe, nullOrdering).flatMap { t =>
+          scala.util.Try(spark.sql(t).schema("__graft_probe").dataType).toOption
+        }.getOrElse(return Left("tz view operand type unresolvable"))
+        val call = ptype match {
+          case org.apache.spark.sql.types.TimestampType => s"($expr)"
+          case _ => s"$fn($expr)"
+        }
+        (tz, body.substring(0, c.start) + call + body.substring(c.end))
+      case None =>
+        // `expr AT TIME ZONE 'tz'` view body: the reference's ::timestamp
+        // first strips any zone suffix to a naive WALL, then the clause
+        // re-reads that wall in tz. Spark's cast would respect an explicit
+        // 'Z'/offset in the source string, so extract the wall textually
+        // (to_local_time) before the session-zone (= tz) cast.
+        val c = AtTzClauseRe.findFirstMatchIn(body).get
+        // operand = the expression immediately before the clause: back up
+        // over one select item (to the previous ',' / 'select' keyword)
+        val head = body.substring(0, c.start)
+        val itemStart = math.max(head.lastIndexOf(','),
+          "(?i)\\bselect\\b".r.findAllMatchIn(head).toSeq.lastOption
+            .map(_.end).getOrElse(-1))
+        // strip a trailing ::timestamp — Spark's cast would CONVERT an
+        // explicit Z/offset suffix; to_local_time over the raw operand
+        // extracts the wall text the same way the reference's naive cast
+        // does (UTC wall, suffix dropped)
+        val operand = head.substring(itemStart + 1).trim
+          .replaceAll("(?i)::\\s*timestamp\\s*$", "")
+        (c.group(1),
+          head.substring(0, itemStart + 1) +
+            s" CAST(to_local_time($operand) AS TIMESTAMP)" +
+            body.substring(c.end))
+    }
+    val zone = scala.util.Try(java.time.ZoneId.of(tzStr)).getOrElse(
+      return Left(s"unknown time zone $tzStr"))
+    val translated = translate(body2, nullOrdering).getOrElse(
+      return Left("untranslatable (Arrow-only surface)"))
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", zone.getId)
+    try {
+      spark.sql(
+        s"CREATE OR REPLACE TEMPORARY VIEW $name AS $translated").collect()
+      viewTz(name.toLowerCase) = zone
+      if (sys.env.contains("GRAFT_SLT_DEBUG"))
+        System.err.println(s"[tzview] registered $name -> ${zone.getId}")
+      Right(name)
+    } catch {
+      case e: Exception =>
+        Left(s"tz view create failed: ${firstLine(e.getMessage)}")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 
   /** The engine's own SQL-function compat layer (the same packs the
     * oracle inventory exercises), plus `iszero` (math/iszero.rs). */
@@ -2784,15 +3139,26 @@ object SltRunner {
         val bin = Subtract(k, Pmod(k, Literal(strideMonths)))
         TimestampAdd("MONTH", bin, origin)
       } else {
-        val o = UnixMicros(origin)
-        val x = UnixMicros(Cast(es(1), TimestampType))
-        // stride width = micros(epoch+stride) - micros(epoch): the epoch
-        // literal parses in SESSION tz, so the naked first term is only the
-        // width under UTC (caught by the +07 sections of timestamps.slt)
+        // Bin in SESSION-WALL space: wall micros = the session rendering of
+        // the operand held as UTC micros (same construction graft_at_tz
+        // uses). For naive operands this is the reference's wall binning
+        // (a day bin of 2024-04-01T00:00 wall stays on that wall under any
+        // session zone — previously the session-parsed origin shifted the
+        // boundaries); for zoned operands under a fixed-offset session zone
+        // (the +07/Kolkata sections) it is identical to instant binning
+        // with the session-parsed origin.
+        val sess = CurrentTimeZone()
+        def wallUs(e: Expression) =
+          UnixMicros(FromUTCTimestamp(Cast(e, TimestampType), sess))
+        val o = wallUs(origin)
+        val x = wallUs(es(1))
+        // stride width = micros(epoch+stride) - micros(epoch): both terms
+        // parse in the same session, so the width is offset-free
         val strideUs = Subtract(
           UnixMicros(Cast(TimestampAddInterval(epoch, stride), TimestampType)),
           UnixMicros(epoch))
-        MicrosToTimestamp(Subtract(x, Pmod(Subtract(x, o), strideUs)))
+        ToUTCTimestamp(
+          MicrosToTimestamp(Subtract(x, Pmod(Subtract(x, o), strideUs))), sess)
       }
     }, "built-in")
     // reference from_unixtime(secs[, timezone]) returns a TIMESTAMP
@@ -2836,12 +3202,12 @@ object SltRunner {
         val ts = Cast(src, TimestampType)
         def us = Pmod(UnixMicros(ts), Literal(60000000L))
         field match {
-          case "second" | "seconds" =>
+          case "second" | "seconds" | "s" =>
             Some(IntegralDivide(us, Literal(1000000L)))
-          case "millisecond" | "milliseconds" =>
+          case "millisecond" | "milliseconds" | "ms" =>
             Some(IntegralDivide(us, Literal(1000L)))
-          case "microsecond" | "microseconds" => Some(us)
-          case "nanosecond" | "nanoseconds" =>
+          case "microsecond" | "microseconds" | "us" => Some(us)
+          case "nanosecond" | "nanoseconds" | "ns" =>
             Some(Multiply(Cast(us, LongType), Literal(1000L)))
           case "epoch" =>
             Some(Divide(Cast(UnixMicros(ts), DoubleType), Literal(1e6)))
@@ -2885,6 +3251,66 @@ object SltRunner {
     reg.createOrReplaceTempFunction("graft_time_anchor", { es =>
       MicrosToTimestamp(graft.functions.TimeFunctions.toTimeUs(es.head))
     }, "built-in")
+    // time − time: the reference yields Interval(MonthDayNano), rendered
+    // with zero components omitted ("2 hours") — a plain timestamp
+    // difference would be a Duration rendered full-form
+    reg.createOrReplaceTempFunction("graft_time_diff", { es =>
+      import org.apache.spark.sql.types.{DecimalType, DoubleType, TimestampType}
+      val us = Subtract(UnixMicros(Cast(es(0), TimestampType)),
+        UnixMicros(Cast(es(1), TimestampType)))
+      MakeInterval(Literal(0), Literal(0), Literal(0), Literal(0),
+        Literal(0), Literal(0),
+        Cast(Divide(Cast(us, DoubleType), Literal(1000000.0)),
+          DecimalType(18, 6)))
+    }, "built-in")
+    // date ± time → naive timestamp at that date's wall time
+    reg.createOrReplaceTempFunction("graft_date_time_add", { es =>
+      import org.apache.spark.sql.types.{StringType, TimestampNTZType, TimestampType}
+      val sign = es(2) match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+          s.toString
+        case _ => "+"
+      }
+      val us = UnixMicros(Cast(es(1), TimestampType))
+      val signed = if (sign == "-") UnaryMinus(us) else us
+      TimestampAdd("MICROSECOND", signed, Cast(es(0), TimestampNTZType))
+    }, "built-in")
+    // graft_time_unit(x, unit): arrow Time32/Time64 cast — a string/time
+    // operand parses as a wall time (anchored at the epoch day), a numeric
+    // operand is a count-of-day in `unit`; either way the anchor is floored
+    // to the unit's resolution (Time32(s) keeps whole seconds).
+    reg.createOrReplaceTempFunction("graft_time_unit", { es =>
+      import org.apache.spark.sql.types.{LongType, StringType}
+      if (es.size != 2) throw new IllegalArgumentException(
+        s"graft_time_unit takes 2 arguments, got ${es.size}")
+      val unit = es(1) match {
+        case Literal(u: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+          u.toString
+        case other => throw new IllegalArgumentException(
+          s"graft_time_unit: unit must be a string literal, got ${other.sql}")
+      }
+      val parsed = graft.functions.TimeFunctions.toTimeUs(es.head)
+      // numeric operands may arrive as DOUBLE (non-ANSI int division) —
+      // probe long first, then double (same dispatch TimeFunctions uses)
+      val str = Cast(es.head, StringType)
+      val n = Coalesce(Seq(
+        Cast(str, LongType, None, EvalMode.TRY),
+        Cast(Cast(str, org.apache.spark.sql.types.DoubleType, None,
+          EvalMode.TRY), LongType, None, EvalMode.TRY)))
+      val numericUs = unit match {
+        case "ns" => IntegralDivide(n, Literal(1000L))
+        case "us" => n
+        case "ms" => Multiply(n, Literal(1000L))
+        case _    => Multiply(n, Literal(1000000L))
+      }
+      val us = Coalesce(Seq(parsed, numericUs))
+      val floored = unit match {
+        case "s"  => Multiply(IntegralDivide(us, Literal(1000000L)), Literal(1000000L))
+        case "ms" => Multiply(IntegralDivide(us, Literal(1000L)), Literal(1000L))
+        case _    => us
+      }
+      MicrosToTimestamp(floored)
+    }, "built-in")
     reg.createOrReplaceTempFunction("graft_time_display", { es =>
       import org.apache.spark.sql.types.TimestampType
       val us = Pmod(UnixMicros(Cast(es.head, TimestampType)),
@@ -2898,7 +3324,7 @@ object SltRunner {
     // operands convert into Z. Session-robust: walls are normalized
     // through to/from_utc_timestamp against current_timezone() so the
     // date_format render is the intended wall under any SET time zone.
-    reg.createOrReplaceTempFunction("graft_at_tz", { es =>
+    def atTzDisplay(es: Seq[Expression]): Expression = {
       import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
       if (es.size != 3) throw new IllegalArgumentException(
         s"graft_at_tz takes 3 arguments, got ${es.size}")
@@ -2929,30 +3355,89 @@ object SltRunner {
       If(IsNull(i), Literal.create(null, StringType),
         Concat(Seq(DateFormatClass(disp, Literal("yyyy-MM-dd'T'HH:mm:ss")),
           fracStr, offStr)))
+    }
+    reg.createOrReplaceTempFunction("graft_at_tz",
+      es => atTzDisplay(es), "built-in")
+    // timestamp-typed variant for IN-lists: Spark's IN coercion widens a
+    // string element to STRING (a BinaryComparison would cast it to the
+    // timestamp side), so the display string's offset would never apply
+    reg.createOrReplaceTempFunction("graft_at_tz_ts", es =>
+      Cast(atTzDisplay(es), org.apache.spark.sql.types.TimestampType),
+      "built-in")
+    // graft_tz_instant(x, zone): the instant whose wall clock IN `zone`
+    // equals x's naive wall — the reference's naive→Timestamp(_, Some(z))
+    // interpretation (arrow casts a zone-less operand by reading its wall
+    // in the target zone). Session-robust: the same w/offN construction
+    // graft_at_tz uses for its naive branch (w = session wall held as UTC
+    // micros; ToUTCTimestamp(w, z) subtracts z's offset at that wall).
+    reg.createOrReplaceTempFunction("graft_tz_instant", { es =>
+      import org.apache.spark.sql.types.TimestampType
+      if (es.size != 2) throw new IllegalArgumentException(
+        s"graft_tz_instant takes 2 arguments, got ${es.size}")
+      val i = Cast(es.head, TimestampType)
+      // w = session wall of i, held as UTC micros (from_utc ADDS the
+      // session offset); the instant whose wall-in-tz is w subtracts tz's
+      // offset at that wall (to_utc)
+      val w = FromUTCTimestamp(i, CurrentTimeZone())
+      ToUTCTimestamp(w, es(1))
     }, "built-in")
     // to_char(NULL, fmt) is NULL in the reference; Spark resolves untyped
     // NULL to the numeric to_char and rejects the datetime format string
     // at analysis. Guard the null-literal first arg; delegate the rest.
     locally {
       import org.apache.spark.sql.catalyst.FunctionIdentifier
+      import org.apache.spark.sql.types.{StringType, TimestampNTZType}
       val builtin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry
         .builtin.lookupFunctionBuilder(FunctionIdentifier("to_char")).get
+      // the wall to format: datetime-looking strings/timestamps via
+      // to_local_time; TIME-of-day values (the dialect's HH:MM:SS[.f]
+      // strings) anchor at the epoch day
+      def wallOf(x: Expression): Expression =
+        Coalesce(Seq(graft.functions.TimeFunctions.toLocalTime(x),
+          Cast(Concat(Seq(Literal("1970-01-01 "), Cast(x, StringType))),
+            TimestampNTZType, None, EvalMode.TRY)))
+      // runtime chrono→java conversion for format strings that arrive as
+      // DATA (a format column): same table as translateChronoFormats.
+      // Literal formats are converted in the SQL text and never get here.
+      def chronoToJava(f: Expression): Expression =
+        Seq("%Y" -> "yyyy", "%m" -> "MM", "%d" -> "dd", "%H" -> "HH",
+          "%M" -> "mm", "%S" -> "ss", "%z" -> "Z", "%Z" -> "VV",
+          "%3f" -> "SSS", "%6f" -> "SSSSSS", "%9f" -> "SSSSSSSSS",
+          "%f" -> "SSSSSSSSS")
+          .foldLeft(Cast(f, StringType): Expression) { case (e, (a, b)) =>
+            StringReplace(e, Literal(a), Literal(b)) }
+      def nullStr = Literal.create(null, StringType)
       reg.createOrReplaceTempFunction("to_char", es => es.headOption match {
-        case Some(Literal(null, _)) =>
-          Literal.create(null, org.apache.spark.sql.types.StringType)
+        case Some(Literal(null, _)) => nullStr
+        case _ if es.size == 2 && (es(1) match {
+          case Literal(null, _) => true; case _ => false }) => nullStr
         // datetime formats route through the WALL (zone-labeled display
         // strings keep their labeled wall — graft_at_tz results are
         // strings); numeric formats (9/0/,/.) delegate
         case _ if es.size == 2 && (es(1) match {
           case Literal(f: org.apache.spark.unsafe.types.UTF8String,
-              org.apache.spark.sql.types.StringType) =>
+              StringType) =>
             f.toString.exists(c => "yMdHmsSE".contains(c))
           case _ => false
         }) =>
-          DateFormatClass(
-            graft.functions.TimeFunctions.toLocalTime(es.head), es(1))
+          DateFormatClass(wallOf(es.head), es(1))
+        // non-literal format (a format COLUMN): the reference's to_char
+        // with array formats is datetime-only; convert chrono→java per row
+        case _ if es.size == 2 && !es(1).isInstanceOf[Literal] =>
+          If(Or(IsNull(es(1)), IsNull(es.head)), nullStr,
+            DateFormatClass(wallOf(es.head), chronoToJava(es(1))))
         case _ => builtin(es)
       }, "built-in")
+      // date_format with a format COLUMN needs the same runtime
+      // conversion; literal-format calls keep builtin semantics over the
+      // same wall (session wall == to_local_time wall)
+      val dfBuiltin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+        .builtin.lookupFunctionBuilder(FunctionIdentifier("date_format")).get
+      reg.createOrReplaceTempFunction("date_format", es =>
+        if (es.size == 2 && !es(1).isInstanceOf[Literal])
+          If(Or(IsNull(es(1)), IsNull(es.head)), nullStr,
+            DateFormatClass(wallOf(es.head), chronoToJava(es(1))))
+        else dfBuiltin(es), "built-in")
     }
     // lambda helper for higher-order compat rewrites
     def lam(body: Expression => Expression): Expression = {
