@@ -1548,6 +1548,49 @@ object SltRunner {
           case "int" | "integer" => "::bigint"
           case _                 => "::decimal(20,0)"
         })
+      // STRING_AGG: Spark's listagg without WITHIN GROUP emits in task
+      // completion order (nondeterministic under local[N]); the reference
+      // emits input order, which equals value order for the corpus's
+      // sorted fixtures. Pin the order explicitly — the ORDER BY-inside
+      // form maps directly, the bare form orders by its own argument.
+      // null-as-largest (the reference's default null ordering): asc keys
+      // sort NULLS LAST, desc keys NULLS FIRST
+      def nullsMax(keys: String): String = keys.split(",").map(_.trim).map { k =>
+        if ("(?i)\\bdesc\\b".r.findFirstIn(k).isDefined) s"$k NULLS FIRST"
+        else s"$k NULLS LAST"
+      }.mkString(", ")
+      s2 = """(?i)\bSTRING_AGG\s*\(\s*(DISTINCT\s+)?([\w.]+)\s*,\s*('(?:[^']|'')*')\s+ORDER\s+BY\s+([^()]+?)\s*\)"""
+        .r.replaceAllIn(s2, m => java.util.regex.Matcher.quoteReplacement(
+          s"listagg(${Option(m.group(1)).getOrElse("")}${m.group(2)}, ${m.group(3)}) WITHIN GROUP (ORDER BY ${nullsMax(m.group(4))})"))
+      // (not when used as a WINDOW function — the frame defines the order)
+      s2 = """(?i)\bSTRING_AGG\s*\(\s*(DISTINCT\s+)?([\w.]+)\s*,\s*('(?:[^']|'')*')\s*\)(?!\s*(?:OVER|WITHIN)\b)"""
+        .r.replaceAllIn(s2, m => java.util.regex.Matcher.quoteReplacement(
+          s"listagg(${Option(m.group(1)).getOrElse("")}${m.group(2)}, ${m.group(3)}) WITHIN GROUP (ORDER BY ${m.group(2)} NULLS LAST)"))
+      // Percentile family: APPROX_PERCENTILE_CONT ↦ Spark's
+      // approx_percentile (both sketch-based; exact on the corpus's small
+      // inputs), QUANTILE_CONT ↦ percentile (exact interpolation), with a
+      // DESC order key flipping p to 1−p. approx_median(x) ↦
+      // approx_percentile(x, 0.5) (the reference's own implementation
+      // identity). The WITH_WEIGHT variant stays an honest skip.
+      def dirP(p: String, key: String): String =
+        if ("(?i)\\bdesc\\b".r.findFirstIn(key).isDefined) s"1 - ($p)" else p
+      def keyCol(key: String): String =
+        key.trim.replaceAll("(?i)\\s+(asc|desc)\\s*$", "")
+      s2 = """(?i)\bAPPROX_PERCENTILE_CONT\s*\(\s*([^()]+?)\s*\)\s*WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\s+([^()]+?)\s*\)"""
+        .r.replaceAllIn(s2, m => java.util.regex.Matcher.quoteReplacement(
+          s"approx_percentile(${keyCol(m.group(2))}, ${dirP(m.group(1), m.group(2))})"))
+      s2 = """(?i)\bQUANTILE_CONT\s*\(\s*([\w.]+)\s*,\s*([^()\s]+)\s+ORDER\s+BY\s+([^()]+?)\s*\)"""
+        .r.replaceAllIn(s2, m => java.util.regex.Matcher.quoteReplacement(
+          s"percentile(${m.group(1)}, ${dirP(m.group(2), m.group(3))})"))
+      s2 = """(?i)\bQUANTILE_CONT\s*\(\s*([^()\s]+)\s+ORDER\s+BY\s+([^()]+?)\s*\)"""
+        .r.replaceAllIn(s2, m => java.util.regex.Matcher.quoteReplacement(
+          s"percentile(${keyCol(m.group(2))}, ${dirP(m.group(1), m.group(2))})"))
+      s2 = """(?i)\bQUANTILE_CONT\s*\(\s*([^()]+?)\s*\)\s*WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\s+([^()]+?)\s*\)"""
+        .r.replaceAllIn(s2, m => java.util.regex.Matcher.quoteReplacement(
+          s"percentile(${keyCol(m.group(2))}, ${dirP(m.group(1), m.group(2))})"))
+      s2 = """(?i)\bAPPROX_MEDIAN\s*\(\s*(?!distinct\b)([^()]+?)\s*\)"""
+        .r.replaceAllIn(s2, m => java.util.regex.Matcher.quoteReplacement(
+          s"approx_percentile(${m.group(1)}, 0.5)"))
       // TIME-of-day values outside the binning surface: anchored at the
       // epoch day as a TIMESTAMP (the µs-long convention's timestamp
       // form). Arithmetic then just works — time ± interval wraps via the
@@ -2151,7 +2194,15 @@ object SltRunner {
       if (sparkDialect)
         f"$sign$days%d days $sign$hours%d hours $sign$mins%d mins " +
           f"$sign${secs / 1000000000L}%d.${secs / 1000L % 1000000L}%06d secs"
-      else {
+      else if (nested) {
+        // arrow's array formatter prints Durations full-form with the
+        // fraction's trailing zeros trimmed (aggregate.slt timestamp-diff
+        // arrays: "0 days 0 hours 0 mins 0.011 secs")
+        val frac = f"${secs % 1000000000L}%09d".reverse.dropWhile(_ == '0').reverse
+        val fracStr = if (frac.isEmpty) "" else s".$frac"
+        f"$sign$days%d days $sign$hours%d hours $sign$mins%d mins " +
+          f"$sign${secs / 1000000000L}%d$fracStr secs"
+      } else {
         val parts = Seq(
           if (days != 0) Some(s"$sign$days days") else None,
           if (hours != 0) Some(s"$sign$hours hours") else None,
@@ -2834,8 +2885,13 @@ object SltRunner {
 
   private val CreateTzHeadRe =
     """(?is)^\s*create\s+(?:or\s+replace\s+)?(?:view|table)\s+([\w.]+)\s+as\s+(select\b.*)$""".r
+  // expr may not contain quotes or TOP-LEVEL commas/parens (one nested
+  // paren level allowed) — a greedy any-char match would swallow across
+  // SIBLING casts in multi-column view bodies (aggregate.slt's `t`)
+  // NOTE: single-char alternation (no nested +) — a nested quantifier here
+  // backtracks exponentially on long non-matching create bodies
   private val ArrowTzCallRe =
-    ("""(?is)arrow_cast\s*\(\s*(.+?)\s*,\s*'Timestamp\s*\(\s*""" +
+    ("""(?is)arrow_cast\s*\(\s*((?:[^'(),]|\([^()]*\))*?)\s*,\s*'Timestamp\s*\(\s*""" +
       """(Nanosecond|Microsecond|Millisecond|Second|ns|µs|us|ms|s)\s*,\s*""" +
       """Some\s*\(\s*"([^"]+)"\s*\)\s*\)'\s*\)""").r
   private val AtTzClauseRe = """(?is)\s+AT\s+TIME\s+ZONE\s+'([^']+)'""".r

@@ -173,7 +173,18 @@ class SltRunnerSpec extends AnyFunSuite {
     val med = "median preserves the input type in the reference (decimal scale, f32, i64-extreme interpolation); Spark computes in double"
     val dwin = "DISTINCT inside a window aggregate (Spark unsupported)"
     val uhits = "clickbench UInt16-backed date column: parquet unsigned logical type reads as NULL in Spark"
-    check("aggregate.slt", 670, knownDivergent = Map(
+    val ns = "sub-microsecond digits: the engine's declared µs convention truncates the reference's ns surface"
+    val d64 = "Date64 keeps sub-day milliseconds; DATE is day-granular"
+    // r6: the timestamp/date/time aggregation tables (multi-column
+    // Some("UTC") + naive casts) now CREATE — 751 → ~870 passed; the
+    // residual divergences are the declared µs/Date64 classes
+    check("aggregate.slt", 850, knownDivergent =
+      Seq(5680, 5726, 5887, 5916, 5921, 5928, 5933).map(_ -> ns).toMap ++
+      Seq(5789, 5818, 5823, 5830, 5835).map(_ -> d64).toMap ++
+      Map(
+      6354 -> "FILTER clause on a window aggregate (Spark unsupported)",
+      6360 -> "FILTER clause on a window aggregate (Spark unsupported)",
+      825 -> "approx_median over NaN inputs: the reference's t-digest propagates NaN, Spark's sketch skips them",
       443 -> nancorr, 465 -> nancorr, 475 -> nancorr, 497 -> nancorr,
       777 -> med, 1308 -> med, 1495 -> med,
       8409 -> med, 8444 -> med, 8465 -> med, 8472 -> med,
@@ -331,8 +342,12 @@ class SltRunnerSpec extends AnyFunSuite {
   test("aggregate_skip_partial.slt") {
     val med = "median over f32: reference computes/displays in f32, Spark in double"
     val hll = "approx_count_distinct HLL estimate: sketch implementations differ"
+    val tdig = "approx_median/percentile sketches differ: the reference's t-digest interpolates, Spark's picks data points"
     check("aggregate_skip_partial.slt", 70, knownDivergent = Map(
-      311 -> med, 392 -> med, 678 -> med, 331 -> hll, 349 -> hll, 412 -> hll))
+      311 -> med, 392 -> med, 678 -> med, 331 -> hll, 349 -> hll, 412 -> hll,
+      // r6: approx_median now maps to approx_percentile — the even-count
+      // groups expose the interpolation difference
+      321 -> tdig, 402 -> tdig, 519 -> tdig, 703 -> tdig, 716 -> tdig))
   }
   test("arrow_field.slt")     { check("arrow_field.slt", 2) }
   test("arrow_files.slt")     { check("arrow_files.slt", 35) }
