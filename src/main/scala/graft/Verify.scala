@@ -43,8 +43,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Always dump the FULL oracle map — the `only` filter is for debug
+    // re-runs of a few queries' parquet outputs, and a filtered oracle
+    // file would clobber the full one a prior run left in outDir.
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

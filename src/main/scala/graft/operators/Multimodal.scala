@@ -10,11 +10,14 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing — schema, partition-parallel batched iteration
   * (`mapPartitions`, the Scala analogue of `mapInPandas`), output shapes —
-  * is real and tested. The actual codec calls are STUBBED with a
-  * deterministic fake (this container has no image/audio libraries): decode
-  * derives pseudo-pixels from the bytes themselves, so every downstream
-  * stage is reproducible and assertable. Swapping `FakeCodec` for a real
-  * JNI/library decoder changes no plumbing.
+  * is real and tested. Decode is REAL for every format the JDK can handle
+  * without external libraries: RIFF/WAVE PCM and BMP (hand-written parsers
+  * in [[RealCodecs]]) and JPEG (`javax.imageio`'s baseline codec —
+  * [[RealCodecs.parseJpeg]]). Formats with no JDK decoder (MP3/H.264) are
+  * STUBBED with a deterministic fake: decode derives pseudo-pixels from the
+  * bytes themselves, so every downstream stage is reproducible and
+  * assertable; swapping `FakeCodec` for a JNI/library decoder changes no
+  * plumbing.
   */
 object Multimodal {
 
@@ -48,13 +51,82 @@ object Multimodal {
     }
   }
 
-  /** REAL decoders for the self-describing uncompressed media formats —
-    * RIFF/WAVE PCM and BMP need no codec library, just byte-layout
-    * parsing, so these paths are genuine decode (header walk, chunk
-    * skipping, row-stride handling), not stubs. Compressed codecs
-    * (JPEG/MP3/H.264) remain the declared `FakeCodec` swap-in point. */
+  /** REAL decoders for the media formats the JDK can handle without any
+    * external library: RIFF/WAVE PCM and BMP by hand-written byte-layout
+    * parsing (header walk, chunk skipping, row-stride handling), and JPEG
+    * through `javax.imageio` (the JDK ships a full baseline-JPEG
+    * huffman+IDCT codec). Remaining compressed codecs with no JDK decoder
+    * (MP3/H.264) are the declared `FakeCodec` swap-in point. */
   object RealCodecs {
     import java.nio.{ByteBuffer, ByteOrder}
+
+    /** Synthesize a baseline JPEG: two vertical half-planes of solid
+      * luminance (left `lumLeft`, right `lumRight`). Both halves are
+      * 8-pixel aligned (width a multiple of 16, height of 8), so every
+      * 8×8 JPEG block is a solid tone — after quantization the decoded
+      * block mean stays within ±0.5 of the source value at quality 0.95
+      * (verified exhaustively for all 256 luminances), which makes the
+      * decode oracle-exact after rounding while still exercising the full
+      * entropy-decode + dequantize + IDCT + color-convert pipeline. */
+    def synthesizeJpeg(width: Int, height: Int,
+        lumLeft: Int, lumRight: Int): Array[Byte] = {
+      require(width % 16 == 0 && height % 8 == 0,
+        "halves must be 8px-block aligned")
+      import java.awt.image.BufferedImage
+      import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+      import javax.imageio.stream.MemoryCacheImageOutputStream
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val l = if (x < width / 2) lumLeft else lumRight
+          img.setRGB(x, y, (l << 16) | (l << 8) | l)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val wr = ImageIO.getImageWritersByFormatName("jpeg").next()
+      val p = wr.getDefaultWriteParam
+      p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(0.95f)
+      val out = new MemoryCacheImageOutputStream(bos)
+      wr.setOutput(out)
+      wr.write(null, new IIOImage(img, null, null), p)
+      wr.dispose(); out.close()
+      bos.toByteArray
+    }
+
+    case class JpegInfo(width: Int, height: Int,
+        meanLeft: Double, meanRight: Double)
+
+    /** REAL JPEG decode via the JDK's ImageIO codec: entropy decode,
+      * dequantize, IDCT, YCbCr→RGB. Emits per-half mean pixel values (mean
+      * of R,G,B over each vertical half) so solid-half fixtures round back
+      * to their source luminance exactly. */
+    def parseJpeg(b: Array[Byte]): JpegInfo = {
+      import javax.imageio.ImageIO
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(b))
+      require(img != null, "not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sumL, sumR) = (0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val s = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          if (x < w / 2) sumL += s else sumR += s
+          x += 1
+        }
+        y += 1
+      }
+      val nHalf = (w / 2).toLong * h * 3
+      JpegInfo(w, h,
+        if (nHalf == 0) 0.0 else sumL.toDouble / nHalf,
+        if (nHalf == 0) 0.0 else sumR.toDouble / nHalf)
+    }
 
     /** 44-byte canonical RIFF/WAVE header + 16-bit LE PCM mono square
       * wave of the given amplitude (RMS of a square wave == amplitude,

@@ -77,6 +77,31 @@ object MultimodalQueries {
             math.round(info.meanPx))
         }
       }.toDF("media_id", "width", "height", "bpp", "mean_px")
+    },
+
+    // REAL compressed-image decode: baseline JPEG through the JDK's
+    // javax.imageio codec (huffman entropy decode + dequantize + IDCT +
+    // YCbCr→RGB — nothing external). Fixture: two solid block-aligned
+    // half-planes per doc, encoded at q=0.95 in the executor, decoded back
+    // by the full codec path; per-half means round to the source
+    // luminances exactly, so the oracle is closed-form over doc_id. A
+    // wrong huffman table, quant table, or color transform breaks the hash.
+    "multimodal_jpeg" -> { (s, dir) =>
+      import s.implicits._
+      val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      ids.mapPartitions { it =>
+        // ImageIO writer/reader instances are per-call; the JVM-wide codec
+        // registry init is the once-per-executor cost this batch amortizes
+        it.map { id =>
+          val w = 16 * ((id % 4).toInt + 1)
+          val h = 8 * ((id % 3).toInt + 1)
+          val (l1, l2) = ((id % 256).toInt, ((id * 7 + 13) % 256).toInt)
+          val info = Multimodal.RealCodecs.parseJpeg(
+            Multimodal.RealCodecs.synthesizeJpeg(w, h, l1, l2))
+          (id, info.width.toLong, info.height.toLong,
+            math.round(info.meanLeft), math.round(info.meanRight))
+        }
+      }.toDF("media_id", "width", "height", "lum_left", "lum_right")
     })
 
   private val BytesCte =
@@ -125,6 +150,14 @@ object MultimodalQueries {
         |  CAST(2 + (doc_id % 2) AS BIGINT) AS height,
         |  CAST(24 AS BIGINT) AS bpp,
         |  CAST(doc_id % 251 AS BIGINT) AS mean_px
+        |FROM documents""".stripMargin,
+
+    "multimodal_jpeg" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(16 * (doc_id % 4 + 1) AS BIGINT) AS width,
+        |  CAST(8 * (doc_id % 3 + 1) AS BIGINT) AS height,
+        |  CAST(doc_id % 256 AS BIGINT) AS lum_left,
+        |  CAST((doc_id * 7 + 13) % 256 AS BIGINT) AS lum_right
         |FROM documents""".stripMargin,
 
     "multimodal_frames" ->

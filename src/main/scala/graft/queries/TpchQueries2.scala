@@ -131,37 +131,52 @@ object TpchQueries2 {
           |GROUP BY o_year""".stripMargin)
     },
 
-    // Q9: profit per nation/year; supplycost substituted with a
-    // deterministic column formula (no partsupp in the fixture).
-    // Reshape: the small dims (filtered part 2-col projection,
-    // supplier→nation lookup) broadcast (stats-gated); the orders side is
-    // fact-sized, so that join is a SHUFFLE_HASH of two slim projections
-    // — scale-safe (no build-size ceiling, no sort of either side).
-    // A/B at SF1 (3 passes each): dims-bc + shuffle-hash 0.67-0.84 s,
-    // all-broadcast (36 MB ox build) 1.7-3.5 s, plain AQE 0.96-1.9 s.
+    // Q9: profit per nation/year over the REAL partsupp join — the
+    // reference's exact shape (benchmarks/queries/q9.sql): amount =
+    // l_extendedprice*(1-l_discount) - ps_supplycost*l_quantity, partsupp
+    // matched on BOTH (l_partkey, l_suppkey). The name predicate is the
+    // fixture analog of '%green%': one of the 8 uniformly-assigned color
+    // words (~1/8 of parts vs the reference's ~1/17 — if anything MORE
+    // input). Reshape (stats-gated): psx = σ(name) part ⋈ partsupp
+    // projected to (ps_partkey, ps_suppkey, ps_supplycost) — 4 rows/part ×
+    // word selectivity — broadcasts with the supplier→nation lookup;
+    // lineitem streams through both; the orders side is fact-sized, so
+    // that join is a SHUFFLE_HASH of two slim projections — scale-safe
+    // (no build-size ceiling, no sort of either side). Past the psx
+    // threshold the plain reference text runs under AQE (spillable SMJ).
     "q9_profit" -> { (s0, dir) =>
       import graft.plans.BroadcastAdvisor._
       val p = tableStats(s0, s"$dir/part.parquet")
       val sup = tableStats(s0, s"$dir/supplier.parquet")
+      // psx rows = |part| × name-word selectivity × 4 suppliers/part;
+      // EqSelectivity (0.2) over-estimates the measured 1/8, so the gate
+      // errs toward the shuffle plan. Widths: two int64 keys + decimal cost
+      // ≈ the part key width ×3.
+      val psxRows = p.rows * EqSelectivity * 4.0
       val bc = shouldBroadcast(s0,
-        estimateBytes(p, p.rows.toDouble, Seq("p_partkey", "p_retailprice"))) &&
+        estimateBytes(p, psxRows,
+          Seq("p_partkey", "p_partkey", "p_retailprice"))) &&
         shouldBroadcast(s0,
           estimateBytes(sup, sup.rows.toDouble, Seq("s_suppkey")))
       fixtureViews(s0, dir)
       val hint =
-        if (bc) "/*+ BROADCAST(px), BROADCAST(sn), SHUFFLE_HASH(ox) */ " else ""
+        if (bc) "/*+ BROADCAST(psx), BROADCAST(sn), SHUFFLE_HASH(ox) */ " else ""
+      val innerHint = if (bc) "/*+ BROADCAST(pn) */ " else ""
       s0.sql(
         s"""SELECT ${hint}n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
           |  CAST(FLOOR((sum(l_extendedprice * (1 - l_discount)
-          |    - p_retailprice * l_quantity * 0.1) + 1.37e-4) * 100 + 0.5) AS DOUBLE) / 100 AS profit
+          |    - ps_supplycost * l_quantity) + 1.37e-4) * 100 + 0.5) AS DOUBLE) / 100 AS profit
           |FROM lineitem,
-          |  (SELECT p_partkey, p_retailprice FROM part
-          |   WHERE contains(p_name, 'a')) px,
+          |  (SELECT ${innerHint}ps_partkey, ps_suppkey,
+          |     CAST(ps_supplycost AS DOUBLE) AS ps_supplycost
+          |   FROM partsupp,
+          |     (SELECT p_partkey FROM part WHERE contains(p_name, 'red')) pn
+          |   WHERE ps_partkey = pn.p_partkey) psx,
           |  (SELECT s_suppkey, n_name FROM supplier, nation
           |   WHERE s_nationkey = n_nationkey) sn,
           |  (SELECT o_orderkey, o_orderdate FROM orders) ox
-          |WHERE l_partkey = px.p_partkey AND l_suppkey = sn.s_suppkey
-          |  AND l_orderkey = ox.o_orderkey
+          |WHERE l_partkey = psx.ps_partkey AND l_suppkey = psx.ps_suppkey
+          |  AND l_suppkey = sn.s_suppkey AND l_orderkey = ox.o_orderkey
           |GROUP BY n_name, o_year""".stripMargin)
     },
 
@@ -373,17 +388,18 @@ object TpchQueries2 {
         |WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
         |GROUP BY 1""".stripMargin,
 
-    "q9_profit" ->
+    "q9_profit" -> TpchPartsuppSql.oracle(
       """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
         | floor((sum(l_extendedprice * (1 - l_discount)
-        |   - p_retailprice * l_quantity * 0.1) + 1.37e-4) * 100 + 0.5) / 100 AS profit
+        |   - CAST(ps_supplycost AS DOUBLE) * l_quantity) + 1.37e-4) * 100 + 0.5) / 100 AS profit
         |FROM lineitem
         | JOIN part ON l_partkey = p_partkey
+        | JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
         | JOIN supplier ON l_suppkey = s_suppkey
         | JOIN orders ON l_orderkey = o_orderkey
         | JOIN nation ON s_nationkey = n_nationkey
-        |WHERE contains(p_name, 'a')
-        |GROUP BY 1, 2""".stripMargin,
+        |WHERE contains(p_name, 'red')
+        |GROUP BY 1, 2""".stripMargin),
 
     "q13_custdist" ->
       """SELECT c_count, count(*) AS custdist FROM (

@@ -88,4 +88,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(info.width == 5 && info.height == 3 && info.bpp == 24)
     assert(math.abs(info.meanPx - 200.0) < 1e-9)
   }
+
+  test("JPEG roundtrip is a real codec and rounds back exactly (all 256 lums)") {
+    import graft.operators.Multimodal.RealCodecs
+    // the payload must be genuine JFIF — SOI marker + huffman-coded scan,
+    // not a FakeCodec byte echo
+    val bytes = RealCodecs.synthesizeJpeg(32, 16, 40, 200)
+    assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8, "missing SOI")
+    // quantization moves the stored DC coefficients: a compressed JPEG of a
+    // two-tone 32x16 plane is far smaller than the raw pixels
+    assert(bytes.length < 32 * 16 * 3)
+    val info = RealCodecs.parseJpeg(bytes)
+    assert(info.width == 32 && info.height == 16)
+    assert(math.round(info.meanLeft) == 40L && math.round(info.meanRight) == 200L)
+    // exhaustive DC-accuracy sweep: every luminance rounds back exactly
+    (0 until 256).foreach { lum =>
+      val i = RealCodecs.parseJpeg(RealCodecs.synthesizeJpeg(16, 8, lum, lum))
+      assert(math.round(i.meanLeft) == lum.toLong && math.round(i.meanRight) == lum.toLong,
+        s"lum=$lum decoded to ${i.meanLeft}/${i.meanRight}")
+    }
+  }
 }
