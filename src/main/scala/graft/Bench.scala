@@ -122,8 +122,11 @@ object Bench {
     val t22Json = if (!runT22) "" else {
       val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
       ScaleFixture.ensure(spark, sfDir, sf1Dir)
+      // ≥8 interleaved passes by default: the min-of-passes statistic is
+      // only load-robust when ambient spikes can't touch every pass of a
+      // query; 2-pass artifacts (r7) were dominated by machine noise.
       val t22Passes =
-        sys.env.get("SPARK_GRAFT_TPCH22_PASSES").map(_.toInt).getOrElse(2)
+        sys.env.get("SPARK_GRAFT_TPCH22_PASSES").map(_.toInt).getOrElse(8)
       def runT(name: String): Double = {
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sf1Dir)

@@ -67,6 +67,14 @@ object GraftSession {
       // unpruned fact. RuntimeFilterSpec asserts partitions-read ≤ the
       // selected dim keys.
       .config("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+      // Whole-stage-codegen source→class cache (static conf, default 100
+      // entries). A mixed workload re-running tens of distinct queries
+      // (the 22-query TPC-H loop alone compiles ~8 codegen units each)
+      // evicts and re-janino-compiles every iteration — measured as the
+      // gap between a 3-query interleave (q3 min 0.43 s) and the 22-query
+      // interleave (q3 min 0.98 s) on identical plans. A compiled class is
+      // a few KB; 5000 entries is still MB-scale driver memory.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
 
   /** builder + context-creation-time experiment knobs (these cannot be set
