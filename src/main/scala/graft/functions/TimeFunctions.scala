@@ -126,6 +126,145 @@ object TimeFunctions {
       Concat(Seq(base, Literal("."), fracStr)))
   }
 
+  // ---------------------------------------------------------------- ns
+  // Epoch-nanosecond convention (SURVEY §1.2 addendum): Spark timestamps
+  // are µs, so values needing the reference's full Timestamp(Nanosecond)
+  // precision are carried as BIGINT epoch-ns + rendered by the functions
+  // below — the exact mirror of the µs-long TIME-of-day layer.
+  // Reference: common/src/scalar/mod.rs:358-475 (ns scalar semantics),
+  // functions/src/datetime/to_timestamp.rs (ns parse truncation).
+
+  /** Parse a datetime string (or anything rendering as one) to BIGINT
+    * epoch-nanoseconds: wall clock read as UTC (the raw stored value of a
+    * NAIVE Arrow Timestamp(ns)), fraction truncated at 9 digits — the
+    * reference's `'…'::timestamp::bigint`. Zone-independent (pure date
+    * arithmetic, no session-zone cast). */
+  def toEpochNanos(e: Expression): Expression = {
+    val s = Cast(e, StringType)
+    def ex(p: String) = RegExpExtract(s, Literal(p), Literal(1))
+    def lng(x: Expression) = Cast(x, LongType, None, EvalMode.TRY)
+    val days = Cast(
+      UnixDate(Cast(ex("^([0-9]{1,5}-[0-9]{2}-[0-9]{2})"), DateType,
+        None, EvalMode.TRY)), LongType)
+    def zero(x: Expression) = Coalesce(Seq(x, Literal(0L)))
+    val h = zero(lng(ex("[T ]([0-9]{1,2}):[0-9]{2}")))
+    val m = zero(lng(ex("[T ][0-9]{1,2}:([0-9]{2})")))
+    val sec = zero(lng(ex("[T ][0-9]{1,2}:[0-9]{2}:([0-9]{2})")))
+    // fraction TEXTUALLY truncated to 9 digits then right-padded — exact
+    // ns semantics, no float roundtrip
+    val fracNs = zero(lng(StringRPad(
+      ex("[T ][0-9]{1,2}:[0-9]{2}:[0-9]{2}\\.([0-9]{1,9})"),
+      Literal(9), Literal("0"))))
+    val secs = Add(Multiply(days, Literal(86400L)),
+      Add(Add(Multiply(h, Literal(3600L)), Multiply(m, Literal(60L))), sec))
+    If(IsNull(days), Literal.create(null, LongType),
+      Add(Multiply(secs, Literal(1000000000L)), fracNs))
+  }
+
+  /** Arrow-style fraction text for a nonneg sub-second ns count: trailing
+    * zeros trimmed in 3-digit groups (.432 / .123450 / .011375885), empty
+    * when zero. */
+  private def nsFracText(frac: Expression): Expression = {
+    def padded(v: Expression, w: Int) =
+      StringLPad(Cast(v, StringType), Literal(w), Literal("0"))
+    def dot(x: Expression) = Concat(Seq(Literal("."), x))
+    CaseWhen(Seq(
+      (EqualTo(frac, Literal(0L)), Literal("")),
+      (EqualTo(Pmod(frac, Literal(1000000L)), Literal(0L)),
+        dot(padded(IntegralDivide(frac, Literal(1000000L)), 3))),
+      (EqualTo(Pmod(frac, Literal(1000L)), Literal(0L)),
+        dot(padded(IntegralDivide(frac, Literal(1000L)), 6)))),
+      dot(padded(frac, 9)))
+  }
+
+  private def nsParts(e: Expression): (Expression, Expression, Expression) = {
+    val ns = Cast(e, LongType)
+    val frac = Pmod(ns, Literal(1000000000L)) // nonneg, floor-mod
+    // ns - frac is exactly divisible, so truncating division == floor
+    val secs = IntegralDivide(Subtract(ns, frac), Literal(1000000000L))
+    (ns, secs, frac)
+  }
+
+  /** Render BIGINT epoch-ns as the reference's NAIVE Timestamp(ns) text:
+    * UTC wall, 'T' separator, group-trimmed fraction. */
+  def nanosText(e: Expression): Expression = {
+    val (ns, secs, frac) = nsParts(e)
+    val base = DateFormatClass(SecondsToTimestamp(secs),
+      Literal("yyyy-MM-dd'T'HH:mm:ss"), Some("UTC"))
+    If(IsNull(ns), Literal.create(null, StringType),
+      Concat(Seq(base, nsFracText(frac))))
+  }
+
+  /** Render BIGINT epoch-ns as a zone-tagged Timestamp(ns, tz): wall at
+    * `zone`, group-trimmed fraction, offset suffix ('Z' at UTC). */
+  def nanosTextTz(e: Expression, zone: String): Expression = {
+    val (ns, secs, frac) = nsParts(e)
+    val ts = SecondsToTimestamp(secs)
+    val base = DateFormatClass(ts,
+      Literal("yyyy-MM-dd'T'HH:mm:ss"), Some(zone))
+    val suffix = DateFormatClass(ts, Literal("XXX"), Some(zone))
+    If(IsNull(ns), Literal.create(null, StringType),
+      Concat(Seq(base, nsFracText(frac), suffix)))
+  }
+
+  /** Full ns-precision render with numeric-vs-datetime dispatch (the
+    * shape of [[toTimestampNanos]], minus the µs truncation): integers of
+    * any width are epoch-ns counts, fractional numerics truncate toward
+    * zero to a ns count (the reference's numeric→Timestamp(ns) cast), and
+    * datetime-ish operands (strings, timestamps — probed through a string
+    * render) parse at full ns precision. */
+  def nsDisplay(e: Expression): Expression = {
+    val s = Cast(e, StringType)
+    val nL = tryLong(s)
+    val nD = Cast(s, DoubleType, None, EvalMode.TRY)
+    If(IsNotNull(nL), nanosText(nL),
+      If(IsNotNull(nD), nanosText(Cast(nD, LongType)),
+        nanosText(toEpochNanos(s))))
+  }
+
+  /** [[nsDisplay]] with a zone tag. A NUMERIC operand is raw epoch-ns
+    * storage → rendered at `zone` with its offset. A DATETIME operand's
+    * WALL is preserved and the zone's offset suffixed — the reference's
+    * naive→tz cast reads the wall in the target zone (its display shows
+    * the same wall; arrow_typeof.slt:330-338). */
+  def nsDisplayTz(e: Expression, zone: String): Expression = {
+    val s = Cast(e, StringType)
+    val nL = tryLong(s)
+    val nD = Cast(s, DoubleType, None, EvalMode.TRY)
+    If(IsNotNull(nL), nanosTextTz(nL, zone),
+      If(IsNotNull(nD), nanosTextTz(Cast(nD, LongType), zone),
+        nsWallTagged(s, zone)))
+  }
+
+  /** Wall-preserving zone tag: the datetime text's wall stays as-is; the
+    * suffix is `zone`'s offset at that wall ('Z' at UTC). */
+  private def nsWallTagged(s: Expression, zone: String): Expression = {
+    val txt = nanosText(toEpochNanos(s))
+    // instant whose wall-in-zone equals the text's wall (µs-truncated —
+    // only the offset is derived from it)
+    val ntz = Cast(Cast(txt, TimestampNTZType, None, EvalMode.TRY),
+      TimestampType)
+    val instant = ToUTCTimestamp(ntz, Literal(zone))
+    val suffix = DateFormatClass(instant, Literal("XXX"), Some(zone))
+    If(IsNull(txt), Literal.create(null, StringType),
+      Concat(Seq(txt, Coalesce(Seq(suffix, Literal(""))))))
+  }
+
+  /** [[nsDisplay]] plus the SESSION zone's offset suffix at that wall —
+    * the render of the reference's to_timestamp_nanos under `SET TIME
+    * ZONE` (its to_timestamp_* family yields session-tagged values, while
+    * a None-tz arrow_cast stays naive). Under UTC the suffix is 'Z'. */
+  def nsDisplaySessionTagged(e: Expression): Expression = {
+    val txt = nsDisplay(e)
+    // offset at the wall: parse the wall (µs-truncated — only the offset
+    // is derived from it) in the session zone, format its offset
+    val wallTs = Cast(Cast(txt, TimestampNTZType, None, EvalMode.TRY),
+      TimestampType)
+    val suffix = DateFormatClass(wallTs, Literal("XXX"), None)
+    If(IsNull(txt), Literal.create(null, StringType),
+      Concat(Seq(txt, Coalesce(Seq(suffix, Literal(""))))))
+  }
+
   /** time_part('hour'|'minute'|'second', µs-of-day). */
   def timePart(field: String, us: Expression): Expression = {
     val t = Cast(us, LongType)
@@ -161,6 +300,31 @@ object TimeFunctions {
         makeTime(es(0), es(1), es(2))
       },
       one("time_format")(timeFormat),
+      one("graft_ns_epoch")(toEpochNanos),
+      one("graft_ns_text")(nanosText),
+      one("graft_ns_display")(nsDisplay),
+      "graft_ns_display_tz" -> { es =>
+        if (es.size != 2) throw new IllegalArgumentException(
+          s"graft_ns_display_tz(x, zone) takes 2 arguments, got ${es.size}")
+        val zone = es(1) match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+            s.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_ns_display_tz: zone must be a string literal, got ${other.sql}")
+        }
+        nsDisplayTz(es.head, zone)
+      },
+      "graft_ns_text_tz" -> { es =>
+        if (es.size != 2) throw new IllegalArgumentException(
+          s"graft_ns_text_tz(ns, zone) takes 2 arguments, got ${es.size}")
+        val zone = es(1) match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+            s.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_ns_text_tz: zone must be a string literal, got ${other.sql}")
+        }
+        nanosTextTz(es.head, zone)
+      },
       "time_part" -> { es =>
         if (es.size != 2) throw new IllegalArgumentException(
           s"time_part(field, t) takes 2 arguments, got ${es.size}")

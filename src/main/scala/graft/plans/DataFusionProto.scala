@@ -1,0 +1,479 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And => CAnd, Attribute, AttributeReference, BinaryOperator, Cast => CCast, EqualTo, Expression => CExpr, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal => CLiteral, Not, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** datafusion-proto BINARY plan exchange: the reference's own protobuf
+  * wire format for logical plans (`datafusion-proto` crate), emitted and
+  * consumed directly as length-delimited protobuf bytes — no generated
+  * stubs, just the wire encoding (varint tags, length-delimited nested
+  * messages) against the field numbers of the reference's checked-in
+  * schema. This closes the plan-exchange triple: Substrait protobuf-JSON
+  * (SubstraitSerde), the engine-native JSON IR (PlanSerde), and now the
+  * reference's binary wire.
+  *
+  * Schema ground truth (field numbers cited per message below):
+  *  - datafusion/proto-models/proto/datafusion.proto:31-67 LogicalPlanNode
+  *  - datafusion/proto-common/proto/datafusion_common.proto:280 ScalarValue,
+  *    :367 ArrowType, :27 Column, :106 Schema/Field
+  *  - BinaryExprNode.op carries the operator's Rust Debug name ("Eq",
+  *    "Plus", …): datafusion/proto/src/logical_plan/to_proto.rs:268.
+  *
+  * Covered subset — the relational core the roundtrip query exercises,
+  * mirroring what the reference's own logical-plan roundtrip tests pin:
+  * ListingTableScan(parquet) / Projection / Selection / Aggregate / Sort /
+  * Limit, with column/alias/literal/binary/cast/is-null/in-list/aggregate
+  * expressions. Consume re-plans on the receiving session (same contract
+  * as the Substrait consumer): the scan resolves by TABLE NAME through
+  * `tableFor`, so the bytes are portable across clusters whose catalogs
+  * hold the same logical tables — paths in the message are advisory.
+  */
+object DataFusionProto {
+
+  // ------------------------------------------------------------ wire codec
+
+  /** Minimal proto3 writer: varints + length-delimited submessages. */
+  final class W {
+    private val buf = new java.io.ByteArrayOutputStream()
+    def bytes: Array[Byte] = buf.toByteArray
+    def varint(v: Long): this.type = {
+      var x = v
+      while ((x & ~0x7fL) != 0) { buf.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+      buf.write(x.toInt); this
+    }
+    private def tag(field: Int, wire: Int): this.type = varint((field.toLong << 3) | wire)
+    def int64(field: Int, v: Long): this.type = { tag(field, 0); varint(v) }
+    def int32(field: Int, v: Int): this.type = int64(field, v.toLong)
+    def bool(field: Int, v: Boolean): this.type = int64(field, if (v) 1L else 0L)
+    def dbl(field: Int, v: Double): this.type = {
+      tag(field, 1)
+      val b = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(v)
+      buf.write(b.array()); this
+    }
+    def flt(field: Int, v: Float): this.type = {
+      tag(field, 5)
+      val b = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putFloat(v)
+      buf.write(b.array()); this
+    }
+    def str(field: Int, v: String): this.type =
+      raw(field, v.getBytes("UTF-8"))
+    def raw(field: Int, v: Array[Byte]): this.type = {
+      tag(field, 2); varint(v.length.toLong); buf.write(v); this
+    }
+    def msg(field: Int)(f: W => Unit): this.type = {
+      val w = new W; f(w); raw(field, w.bytes)
+    }
+  }
+
+  /** Minimal proto3 reader: returns the fields of one message as
+    * (fieldNumber, value) pairs in order; nested messages stay bytes. */
+  sealed trait PV
+  case class PVarint(v: Long) extends PV
+  case class PBytes(v: Array[Byte]) extends PV
+  case class PFixed64(v: Long) extends PV
+  case class PFixed32(v: Int) extends PV
+
+  def fields(b: Array[Byte]): Seq[(Int, PV)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(Int, PV)]()
+    var i = 0
+    def varint(): Long = {
+      var shift = 0; var v = 0L; var more = true
+      while (more) {
+        val x = b(i) & 0xff; i += 1
+        v |= (x & 0x7fL) << shift; shift += 7; more = (x & 0x80) != 0
+      }
+      v
+    }
+    while (i < b.length) {
+      val key = varint()
+      val field = (key >>> 3).toInt
+      (key & 7) match {
+        case 0 => out += field -> PVarint(varint())
+        case 1 =>
+          val v = java.nio.ByteBuffer.wrap(b, i, 8)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+          i += 8; out += field -> PFixed64(v)
+        case 2 =>
+          val len = varint().toInt
+          out += field -> PBytes(java.util.Arrays.copyOfRange(b, i, i + len))
+          i += len
+        case 5 =>
+          val v = java.nio.ByteBuffer.wrap(b, i, 4)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+          i += 4; out += field -> PFixed32(v)
+        case w => throw new IllegalArgumentException(s"dfproto: wire type $w")
+      }
+    }
+    out.toSeq
+  }
+
+  private def sub(b: Array[Byte], field: Int): Option[Array[Byte]] =
+    fields(b).collectFirst { case (`field`, PBytes(v)) => v }
+  private def subs(b: Array[Byte], field: Int): Seq[Array[Byte]] =
+    fields(b).collect { case (`field`, PBytes(v)) => v }
+  private def vint(b: Array[Byte], field: Int): Option[Long] =
+    fields(b).collectFirst { case (`field`, PVarint(v)) => v }
+  private def strOf(b: Array[Byte]): String = new String(b, "UTF-8")
+
+  // ------------------------------------------------------------------ emit
+
+  /** DataFrame analyzed plan → LogicalPlanNode bytes
+    * (datafusion.proto:31). */
+  def emit(df: DataFrame): Array[Byte] = {
+    val analyzed = org.apache.spark.sql.catalyst.optimizer
+      .InlineCTE(alwaysInline = true)(df.queryExecution.analyzed)
+    val w = new W; emitPlan(analyzed, w); w.bytes
+  }
+
+  private def emitPlan(plan: LogicalPlan, w: W): Unit = plan match {
+    case SubqueryAlias(_, child) => emitPlan(child, w)
+    case h: ResolvedHint => emitPlan(h.child, w)
+    case v: View => emitPlan(v.child, w)
+    case lr: LogicalRelation =>
+      // ListingTableScanNode (datafusion.proto:86-105): table_name=14
+      // (TableReference:851/BareTableReference:836), paths=2,
+      // file_extension=3, schema=5, parquet=11(ParquetFormat, empty opts)
+      val (name, path) = lr.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          val p = fs.location.rootPaths.headOption.map(_.toString).getOrElse("")
+          val base = fs.location.rootPaths.headOption.map(_.getName).getOrElse("t")
+          val n = lr.catalogTable.map(_.identifier.table).getOrElse(
+            if (base.contains('.')) base.substring(0, base.lastIndexOf('.')) else base)
+          (n, p)
+        case _ => throw new IllegalArgumentException("dfproto: non-file relation")
+      }
+      w.msg(1) { scan =>
+        scan.msg(14)(tr => tr.msg(1)(_.str(1, name)))
+        scan.str(2, path)
+        scan.str(3, ".parquet")
+        scan.msg(5) { schema => // Schema (datafusion_common.proto:106)
+          lr.output.foreach { a =>
+            schema.msg(1) { f => // Field (:111)
+              f.str(1, a.name)
+              f.msg(2)(arrowType(a.dataType, _))
+              f.bool(3, a.nullable)
+            }
+          }
+        }
+        scan.msg(11)(_ => ()) // ParquetFormat{} — options omitted
+      }
+    case Project(exprs, child) =>
+      w.msg(3) { p => // ProjectionNode (datafusion.proto:126)
+        p.msg(1)(emitPlan(child, _))
+        exprs.foreach(e => p.msg(2)(emitExpr(e, _)))
+      }
+    case Filter(cond, child) =>
+      w.msg(4) { s => // SelectionNode (:134)
+        s.msg(1)(emitPlan(child, _))
+        s.msg(2)(emitExpr(cond, _))
+      }
+    case Aggregate(groups, aggs, child, _) =>
+      w.msg(6) { a => // AggregateNode (:256)
+        a.msg(1)(emitPlan(child, _))
+        groups.foreach(g => a.msg(2)(emitExpr(g, _)))
+        // aggr_expr carries only the non-key output expressions (the
+        // reference's AggregateNode keys are not repeated there)
+        aggs.filterNot(e => groups.exists(_.semanticEquals(stripAlias(e))))
+          .foreach(e => a.msg(3)(emitExpr(e, _)))
+      }
+    case Sort(order, true, child, _) =>
+      w.msg(8) { s => // SortNode (:139)
+        s.msg(1)(emitPlan(child, _))
+        order.foreach { so =>
+          s.msg(2) { se => // SortExprNode (:750)
+            se.msg(1)(emitExpr(so.child, _))
+            se.bool(2, so.direction == org.apache.spark.sql.catalyst.expressions.Ascending)
+            se.bool(3, so.nullOrdering == org.apache.spark.sql.catalyst.expressions.NullsFirst)
+          }
+        }
+        s.int64(3, -1L)
+      }
+    case GlobalLimit(CLiteral(n: Int, IntegerType), LocalLimit(_, child)) =>
+      w.msg(5) { l => // LimitNode (:440)
+        l.msg(1)(emitPlan(child, _))
+        l.int64(2, 0L); l.int64(3, n.toLong)
+      }
+    case other => throw new IllegalArgumentException(
+      s"dfproto emit: unsupported plan node ${other.nodeName}")
+  }
+
+  private def stripAlias(e: CExpr): CExpr = e match {
+    case Alias(c, _) => c; case x => x
+  }
+
+  private def opName(b: BinaryOperator): String = b match {
+    // BinaryExprNode.op = the operator's Debug name (to_proto.rs:268)
+    case _: EqualTo => "Eq"
+    case _: LessThan => "Lt"
+    case _: LessThanOrEqual => "LtEq"
+    case _: GreaterThan => "Gt"
+    case _: GreaterThanOrEqual => "GtEq"
+    case _: CAnd => "And"
+    case _: org.apache.spark.sql.catalyst.expressions.Or => "Or"
+    case _: org.apache.spark.sql.catalyst.expressions.Add => "Plus"
+    case _: org.apache.spark.sql.catalyst.expressions.Subtract => "Minus"
+    case _: org.apache.spark.sql.catalyst.expressions.Multiply => "Multiply"
+    case _: org.apache.spark.sql.catalyst.expressions.Divide => "Divide"
+    case other => throw new IllegalArgumentException(
+      s"dfproto emit: unsupported operator ${other.nodeName}")
+  }
+
+  /** LogicalExprNode (datafusion.proto:459-524). */
+  private def emitExpr(e: CExpr, w: W): Unit = e match {
+    case a: AttributeReference =>
+      w.msg(1)(_.str(1, a.name)) // Column (common:27) — name only
+    case Alias(child, name) =>
+      w.msg(2) { al => // AliasNode (:615)
+        al.msg(1)(emitExpr(child, _)); al.str(2, name)
+      }
+    case l: CLiteral => w.msg(3)(scalarValue(l, _))
+    case b: BinaryOperator =>
+      w.msg(4) { be => // BinaryExprNode (:622): operands=1, op=3
+        be.msg(1)(emitExpr(b.left, _))
+        be.msg(1)(emitExpr(b.right, _))
+        be.str(3, opName(b))
+      }
+    case IsNull(c) => w.msg(6)(m => m.msg(1)(emitExpr(c, _)))
+    case IsNotNull(c) => w.msg(7)(m => m.msg(1)(emitExpr(c, _)))
+    case Not(c) => w.msg(8)(m => m.msg(1)(emitExpr(c, _)))
+    case CCast(c, t, _, _) =>
+      w.msg(11) { cn => // CastNode (:736)
+        cn.msg(1)(emitExpr(c, _)); cn.msg(2)(arrowType(t, _))
+      }
+    case In(v, list) if list.forall(_.isInstanceOf[CLiteral]) =>
+      w.msg(14) { il => // InListNode: expr=1, list=2, negated=3
+        il.msg(1)(emitExpr(v, _))
+        list.foreach(x => il.msg(2)(emitExpr(x, _)))
+        il.bool(3, false)
+      }
+    case ae: AggregateExpression =>
+      // AggregateUDFExprNode (:648) — the reference models every agg
+      // (sum/count/min/max/avg) as a UDAF on the wire
+      val (name, args) = ae.aggregateFunction match {
+        case Sum(c, _) => ("sum", Seq(c))
+        case Count(cs) if cs.isEmpty ||
+          cs == Seq(CLiteral(1, IntegerType)) => ("count", Seq(CLiteral(1L, LongType)))
+        case Count(cs) => ("count", cs)
+        case Min(c) => ("min", Seq(c))
+        case Max(c) => ("max", Seq(c))
+        case Average(c, _) => ("avg", Seq(c))
+        case other => throw new IllegalArgumentException(
+          s"dfproto emit: unsupported aggregate ${other.nodeName}")
+      }
+      w.msg(19) { an =>
+        an.str(1, name)
+        args.foreach(a => an.msg(2)(emitExpr(a, _)))
+        if (ae.isDistinct) an.bool(5, true)
+      }
+    case other => throw new IllegalArgumentException(
+      s"dfproto emit: unsupported expression ${other.nodeName}")
+  }
+
+  /** ScalarValue (datafusion_common.proto:280). */
+  private def scalarValue(l: CLiteral, w: W): Unit = (l.value, l.dataType) match {
+    case (null, t) => w.msg(33)(arrowType(t, _)) // typed null
+    case (v: Boolean, _) => w.bool(1, v)
+    case (v: org.apache.spark.unsafe.types.UTF8String, _) => w.str(2, v.toString)
+    case (v: Int, DateType) => w.int32(14, v) // date_32_value
+    case (v: Int, _) => w.int32(6, v)
+    case (v: Long, TimestampType) =>
+      // ScalarTimestampValue (common:229): time_microsecond_value=1,
+      // timezone=5
+      w.msg(26)(m => { m.int64(1, v); m.str(5, "UTC") })
+    case (v: Long, _) => w.int64(7, v)
+    case (v: Float, _) => w.flt(12, v)
+    case (v: Double, _) => w.dbl(13, v)
+    case (v: Decimal, dt: DecimalType) =>
+      w.msg(20) { d => // Decimal128 (common:354): value(be-bytes)=1, p=2, s=3
+        d.raw(1, v.toJavaBigDecimal.unscaledValue.toByteArray)
+        d.int64(2, dt.precision.toLong); d.int64(3, dt.scale.toLong)
+      }
+    case (v, t) => throw new IllegalArgumentException(
+      s"dfproto emit: unsupported literal $v: $t")
+  }
+
+  /** ArrowType (datafusion_common.proto:367). */
+  private def arrowType(t: DataType, w: W): Unit = t match {
+    case BooleanType => w.msg(2)(_ => ())
+    case ByteType => w.msg(4)(_ => ())
+    case ShortType => w.msg(6)(_ => ())
+    case IntegerType => w.msg(8)(_ => ())
+    case LongType => w.msg(10)(_ => ())
+    case FloatType => w.msg(12)(_ => ())
+    case DoubleType => w.msg(13)(_ => ())
+    case StringType => w.msg(14)(_ => ())
+    case BinaryType => w.msg(15)(_ => ())
+    case DateType => w.msg(17)(_ => ())
+    case TimestampType => w.msg(20)(ts => { ts.int64(1, 2L); ts.str(2, "UTC") })
+    case TimestampNTZType => w.msg(20)(_.int64(1, 2L))
+    case dt: DecimalType =>
+      w.msg(24)(d => { d.int64(3, dt.precision.toLong); d.int64(4, dt.scale.toLong) })
+    case other => throw new IllegalArgumentException(
+      s"dfproto emit: unsupported type $other")
+  }
+
+  // --------------------------------------------------------------- consume
+
+  /** LogicalPlanNode bytes → executable DataFrame; `tableFor` resolves a
+    * scan's table name (the plan-exchange contract: re-plan locally). */
+  def consume(spark: SparkSession, bytes: Array[Byte],
+      tableFor: String => Option[DataFrame]): DataFrame = {
+    val fs = fields(bytes)
+    require(fs.size == 1, s"dfproto: expected one plan variant, got ${fs.size}")
+    val (field, PBytes(node)) = (fs.head._1, fs.head._2): @unchecked
+    field match {
+      case 1 => // ListingTableScanNode
+        val name = sub(node, 14).flatMap(tr => sub(tr, 1)).flatMap(b => sub(b, 1))
+          .map(strOf).getOrElse(
+            throw new IllegalArgumentException("dfproto: scan without table name"))
+        tableFor(name.toLowerCase).getOrElse(
+          throw new IllegalArgumentException(s"dfproto: unknown table $name"))
+      case 3 => // ProjectionNode
+        val input = consume(spark, sub(node, 1).get, tableFor)
+        input.select(subs(node, 2).map(e => consumeExpr(e)): _*)
+      case 4 => // SelectionNode
+        val input = consume(spark, sub(node, 1).get, tableFor)
+        input.filter(consumeExpr(sub(node, 2).get))
+      case 6 => // AggregateNode
+        val input = consume(spark, sub(node, 1).get, tableFor)
+        val keys = subs(node, 2).map(e => consumeExpr(e))
+        val aggs = subs(node, 3).map(e => consumeExpr(e))
+        if (keys.isEmpty) input.agg(aggs.head, aggs.tail: _*)
+        else input.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+      case 8 => // SortNode
+        val input = consume(spark, sub(node, 1).get, tableFor)
+        val order = subs(node, 2).map { se =>
+          val c = consumeExpr(sub(se, 1).get)
+          val asc = vint(se, 2).contains(1L)
+          val nullsFirst = vint(se, 3).contains(1L)
+          (asc, nullsFirst) match {
+            case (true, true) => c.asc_nulls_first
+            case (true, false) => c.asc_nulls_last
+            case (false, true) => c.desc_nulls_first
+            case (false, false) => c.desc_nulls_last
+          }
+        }
+        input.orderBy(order: _*)
+      case 5 => // LimitNode
+        val input = consume(spark, sub(node, 1).get, tableFor)
+        val skip = vint(node, 2).getOrElse(0L)
+        val fetch = vint(node, 3).getOrElse(-1L)
+        val after = if (skip > 0) input.offset(skip.toInt) else input
+        if (fetch >= 0) after.limit(fetch.toInt) else after
+      case other => throw new IllegalArgumentException(
+        s"dfproto consume: unsupported plan variant $other")
+    }
+  }
+
+  private def consumeExpr(b: Array[Byte]): Column = {
+    val fs = fields(b)
+    require(fs.size == 1, "dfproto: expected one expr variant")
+    val (field, PBytes(node)) = (fs.head._1, fs.head._2): @unchecked
+    field match {
+      case 1 => col(sub(node, 1).map(strOf).getOrElse(
+        throw new IllegalArgumentException("dfproto: column without name")))
+      case 2 => consumeExpr(sub(node, 1).get)
+        .as(sub(node, 2).map(strOf).getOrElse("c"))
+      case 3 => consumeLiteral(node)
+      case 4 =>
+        val operands = subs(node, 1).map(consumeExpr)
+        val op = fields(node).collectFirst {
+          case (3, PBytes(v)) => strOf(v) }.getOrElse("")
+        operands.reduceLeft((l, r) => op match {
+          case "Eq" => l === r
+          case "NotEq" => l =!= r
+          case "Lt" => l < r
+          case "LtEq" => l <= r
+          case "Gt" => l > r
+          case "GtEq" => l >= r
+          case "And" => l && r
+          case "Or" => l || r
+          case "Plus" => l + r
+          case "Minus" => l - r
+          case "Multiply" => l * r
+          case "Divide" => l / r
+          case other => throw new IllegalArgumentException(
+            s"dfproto consume: unsupported op $other")
+        })
+      case 6 => consumeExpr(sub(node, 1).get).isNull
+      case 7 => consumeExpr(sub(node, 1).get).isNotNull
+      case 8 => !consumeExpr(sub(node, 1).get)
+      case 11 => consumeExpr(sub(node, 1).get)
+        .cast(consumeType(sub(node, 2).get))
+      case 14 =>
+        val v = consumeExpr(sub(node, 1).get)
+        val list = subs(node, 2).map(consumeExpr)
+        val in = v.isin(list: _*)
+        if (vint(node, 3).contains(1L)) !in else in
+      case 19 =>
+        val name = sub(node, 1).map(strOf).getOrElse("")
+        val args = subs(node, 2).map(consumeExpr)
+        val distinct = vint(node, 5).contains(1L)
+        name match {
+          case "sum" => sum(args.head)
+          case "count" if distinct => countDistinct(args.head, args.tail: _*)
+          case "count" => count(args.head)
+          case "min" => min(args.head)
+          case "max" => max(args.head)
+          case "avg" => avg(args.head)
+          case other => throw new IllegalArgumentException(
+            s"dfproto consume: unsupported aggregate $other")
+        }
+      case other => throw new IllegalArgumentException(
+        s"dfproto consume: unsupported expr variant $other")
+    }
+  }
+
+  private def consumeLiteral(b: Array[Byte]): Column = {
+    val (field, v) = fields(b).head
+    (field, v) match {
+      case (1, PVarint(x)) => lit(x == 1L)
+      case (2, PBytes(s)) => lit(strOf(s))
+      case (6, PVarint(x)) => lit(x.toInt)
+      case (7, PVarint(x)) => lit(x)
+      case (12, PFixed32(x)) => lit(java.lang.Float.intBitsToFloat(x))
+      case (13, PFixed64(x)) => lit(java.lang.Double.longBitsToDouble(x))
+      case (14, PVarint(x)) => lit(java.time.LocalDate.ofEpochDay(x))
+      case (26, PBytes(ts)) =>
+        // ScalarTimestampValue: µs=1, ns=2, s=3, ms=4 (common:229-235)
+        val micros = vint(ts, 1).orElse(vint(ts, 2).map(_ / 1000))
+          .orElse(vint(ts, 3).map(_ * 1000000L))
+          .orElse(vint(ts, 4).map(_ * 1000L)).getOrElse(0L)
+        lit(java.sql.Timestamp.from(
+          java.time.Instant.EPOCH.plusNanos(micros * 1000)))
+      case (20, PBytes(d)) =>
+        val unscaled = new java.math.BigInteger(sub(d, 1).get)
+        val scale = vint(d, 3).getOrElse(0L).toInt
+        lit(new java.math.BigDecimal(unscaled, scale))
+      case (33, PBytes(t)) => lit(null).cast(consumeType(t))
+      case (f, x) => throw new IllegalArgumentException(
+        s"dfproto consume: unsupported scalar field $f ($x)")
+    }
+  }
+
+  private def consumeType(b: Array[Byte]): DataType = fields(b).head match {
+    case (2, _) => BooleanType
+    case (4, _) => ByteType
+    case (6, _) => ShortType
+    case (8, _) => IntegerType
+    case (10, _) => LongType
+    case (12, _) => FloatType
+    case (13, _) => DoubleType
+    case (14, _) => StringType
+    case (15, _) => BinaryType
+    case (17, _) => DateType
+    case (20, PBytes(ts)) =>
+      if (sub(ts, 2).isDefined) TimestampType else TimestampNTZType
+    case (24, PBytes(d)) =>
+      DecimalType(vint(d, 3).getOrElse(10L).toInt, vint(d, 4).getOrElse(0L).toInt)
+    case (f, _) => throw new IllegalArgumentException(
+      s"dfproto consume: unsupported arrow type field $f")
+  }
+}

@@ -177,8 +177,13 @@ object SltRunner {
       // µs-of-day convention and render as the canonical HH:MM:SS[.f] text
       val TimeUnitRe =
         """(?i)Time(?:32|64)\s*\(\s*(Nanosecond|Microsecond|Millisecond|Second|ns|µs|us|ms|s)\s*\)""".r
+      // Decimal128/Decimal256(p, s): precision clamps to Spark's 38 (the
+      // Decimal256 partial surface — exact whenever the VALUE fits)
+      val DecimalRe =
+        """(?i)Decimal(?:128|256)?\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
       tpe match {
         case TsUnitRe(u, tz) =>
+          val isNs = u.toLowerCase == "nanosecond" || u.toLowerCase == "ns"
           val fn = u.toLowerCase match {
             case "nanosecond" | "ns" => "to_timestamp_nanos"
             case "microsecond" | "µs" | "us" => "to_timestamp_micros"
@@ -186,10 +191,20 @@ object SltRunner {
             case _ => "to_timestamp_seconds"
           }
           // tz=None is arrow's NAIVE timestamp: stays wall-clock (no
-          // offset suffix) even when the file sets an execution zone
+          // offset suffix) even when the file sets an execution zone.
+          // The ns unit keeps FULL precision: the dialect's
+          // to_timestamp_nanos (registerCompat shim → epoch-ns convention
+          // layer) yields the canonical Arrow ns TEXT — totally ordered,
+          // equality-joinable, naive under any render zone — so no
+          // TIMESTAMP_NTZ wrap (a µs cast would truncate the ns digits).
           val rewritten =
-            if (tz == null) s"CAST($fn($expr) AS TIMESTAMP_NTZ)"
-            else {
+            if (tz == null) {
+              // ns: pure NAIVE text (no offset suffix even under a set
+              // execution zone — arrow None-tz semantics); the bare
+              // to_timestamp_nanos shim would session-tag it
+              if (isNs) s"graft_ns_display($expr)"
+              else s"CAST($fn($expr) AS TIMESTAMP_NTZ)"
+            } else {
               // select-POSITION casts render per-column (wall + zone
               // offset — graft_at_tz's display string); nested operands
               // (function args, arithmetic) need the instant value
@@ -205,7 +220,17 @@ object SltRunner {
               val displayPos = depth0 == 0 && (after.isEmpty ||
                 after.startsWith(",") || after.startsWith(";") ||
                 Seq("from", "as", "order", "limit", "group").contains(afterWord))
-              if (displayPos) s"graft_at_tz($fn($expr), false, '$tz')"
+              val numericLit = expr.matches("\\s*[-+]?[0-9]+(\\.[0-9]+)?\\s*")
+              if (isNs && (displayPos || numericLit))
+                // display position, or a nested epoch-count literal whose
+                // consumer re-parses text (VALUES rows) — ns text keeps
+                // the sub-µs digits an instant cast would truncate
+                s"graft_ns_display_tz($expr, '$tz')"
+              else if (displayPos) s"graft_at_tz($fn($expr), false, '$tz')"
+              // nested operands need an INSTANT (arithmetic, comparisons);
+              // for ns the shimmed to_timestamp_nanos yields the ns text
+              // and the instant cast truncates to µs — the declared
+              // convention for non-display ns use
               else s"graft_tz_instant($fn($expr), '$tz')"
             }
           s = s.substring(0, idx) + rewritten + s.substring(close + 1)
@@ -219,6 +244,12 @@ object SltRunner {
           s = s.substring(0, idx) +
             s"graft_time_unit($expr, '$unit')" +
             s.substring(close + 1)
+        case DecimalRe(p, sc) =>
+          val pc = math.min(p.toInt, 38)
+          val scc = math.min(sc.toInt, math.min(pc, 37))
+          val kw = if (fname == "try_cast_to_type") "TRY_CAST" else "CAST"
+          s = s.substring(0, idx) +
+            s"$kw($expr AS DECIMAL($pc, $scc))" + s.substring(close + 1)
         case _ => arrowTypes.get(tpe) match {
           case Some(sparkT) =>
             val kw = if (fname == "try_cast_to_type") "TRY_CAST" else "CAST"
@@ -1321,6 +1352,19 @@ object SltRunner {
       case "SMALLINT UNSIGNED" => "INT"
       case "INT UNSIGNED" | "INTEGER UNSIGNED" => "BIGINT"
       case "BIGINT UNSIGNED"   => "DECIMAL(20,0)"
+      // Decimal256 partial surface: a declared precision beyond Spark's
+      // 38 clamps to DECIMAL(38, s) — exact for every value whose digits
+      // fit (the reference's decimal256 fixtures are micro-scale values
+      // with huge DECLARED headroom); true >38-digit values overflow at
+      // runtime and fall into the documented p>38 skip. Scale is capped
+      // at 37 so at least one integer digit survives.
+      case up if up.startsWith("DECIMAL(") || up.startsWith("NUMERIC(") =>
+        """(?i)(DECIMAL|NUMERIC)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+          .findFirstMatchIn(trimmed) match {
+            case Some(m) if m.group(2).toInt > 38 =>
+              s"DECIMAL(38, ${math.min(m.group(3).toInt, 37)})"
+            case _ => trimmed
+          }
       case _ => trimmed // preserve case: struct<...> field names are case-sensitive
     }
   }
@@ -1764,6 +1808,25 @@ object SltRunner {
     // have no µs analog.
     val preTz = preAtTzCall
       .replaceAll("(?is)\\bIN\\s*\\(\\s*graft_at_tz\\(", "IN (graft_at_tz_ts(")
+      // `x::timestamp::bigint`: the reference's default timestamp unit is
+      // NANOSECOND, so the bigint is an epoch-ns count; Spark's chained
+      // cast would yield epoch SECONDS. graft_ns_epoch parses the string
+      // operand directly (wall-as-UTC, fraction truncated at 9 digits) —
+      // the epoch-ns convention layer (TimeFunctions, SURVEY §1.2).
+      .replaceAll("(?i)([A-Za-z_][\\w.]*)\\s*::\\s*timestamp\\s*::\\s*bigint",
+        "graft_ns_epoch($1)")
+      // numeric→TIMESTAMP casts REINTERPRET the number as an epoch-ns
+      // count in the reference (Timestamp(ns) is the default unit):
+      // CAST(1.1 AS TIMESTAMP) is 1 NANOSECOND, not 1.1 seconds. Scoped
+      // to fractional numeric LITERALS (a column operand's type isn't
+      // known textually); graft_ns_display truncates toward zero like the
+      // reference's cast.
+      .replaceAll("(?i)\\bCAST\\s*\\(\\s*([-+]?[0-9]+\\.[0-9]+)\\s+AS\\s+TIMESTAMP\\s*\\)",
+        "graft_ns_display($1)")
+      .replaceAll("(?i)\\(\\s*([-+]?[0-9]+\\.[0-9]+)\\s*\\)\\s*::\\s*timestamp\\b",
+        "graft_ns_display($1)")
+      .replaceAll("(?i)(?<![\\w.])([-+]?[0-9]+\\.[0-9]+)\\s*::\\s*timestamp\\b",
+        "graft_ns_display($1)")
       .replaceAll("(?i)\\bTIMESTAMPTZ\\b", "TIMESTAMP")
       .replaceAll("(?i)\\bAS\\s+TIMESTAMP\\s*\\(\\s*0\\s*\\)", "AS TIMESTAMP_S_")
       .replaceAll("(?i)\\bAS\\s+TIMESTAMP\\s*\\(\\s*3\\s*\\)", "AS TIMESTAMP_MS_")
@@ -1811,6 +1874,21 @@ object SltRunner {
       .replaceAll("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?VIEW\\b",
         "CREATE OR REPLACE TEMPORARY VIEW")
       .replaceAll("(?i)\\bapprox_distinct\\s*\\(", "approx_count_distinct(")
+      // ns-field extraction over a TIMESTAMP literal: drop the keyword so
+      // the raw string (with its sub-µs digits, which Spark's µs literal
+      // parse would truncate) reaches the date_part shim's ns-text parse
+      .replaceAll("(?i)\\b(date_part|extract)\\s*\\(\\s*'(nanosecond|nanoseconds|ns)'\\s*,\\s*timestamp\\s+'",
+        "$1('$2', '")
+      .replaceAll("(?i)\\bEXTRACT\\s*\\(\\s*[`\"]?(nanosecond|nanoseconds|ns)[`\"]?\\s+FROM\\s+timestamp\\s+'",
+        "date_part('$1', '")
+      // a TIMESTAMP literal with sub-µs digits: Spark's µs literal parse
+      // would silently truncate — keep it as a STRING so ns-aware
+      // consumers (date_part shim, ns-text equality) see the full digits;
+      // timestamp consumers coerce it back (µs) exactly as before
+      .replaceAll("(?i)\\btimestamp\\s+('\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}:\\d{2}\\.\\d{7,9}[^']*')",
+        "$1")
+      .replaceAll("(?i)('\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}:\\d{2}\\.\\d{7,9}[^']*')\\s*::\\s*timestamp\\b(?!\\s*::)",
+        "graft_ns_display($1)")
       .replaceAll("(?i)\\bCOUNT\\s*\\(\\s*\\)", "COUNT(*)")
       .replaceAll("(?i)\\bUSING\\s+arrow\\b", "USING graft.sources.ArrowIpcTableProvider")
       // the reference's array_agg keeps IGNORE NULLS as a suffix; Spark's
@@ -1847,7 +1925,17 @@ object SltRunner {
           // supplies the replace semantics on name conflict
           .replaceAll("(?is)^\\s*CREATE\\s+OR\\s+REPLACE\\s+TABLE\\b", "CREATE TABLE")
       else pre2
-    translateArrowCast(MakeArrayRe.replaceAllIn(sql, "array(")).flatMap {
+    translateArrowCast(MakeArrayRe.replaceAllIn(sql, "array("))
+      // POST-arrow-cast ns rules: a numeric→TIMESTAMP cast REINTERPRETS
+      // the (truncated) number as an epoch-ns count in the reference.
+      // After DecimalRe these operands are textual `CAST(x AS DECIMAL…)`,
+      // so the shapes are statically recognizable here.
+      .map(_
+        .replaceAll("(?i)(CAST\\s*\\([^()]*\\bAS\\s+DECIMAL\\s*\\(\\s*\\d+\\s*,\\s*\\d+\\s*\\)\\s*\\))\\s*::\\s*timestamp\\b(?!\\s*::)",
+          "graft_ns_display($1)")
+        .replaceAll("(?i)\\bCAST\\s*\\(\\s*(CAST\\s*\\([^()]*\\bAS\\s+DECIMAL\\s*\\(\\s*\\d+\\s*,\\s*\\d+\\s*\\)\\s*\\))\\s+AS\\s+TIMESTAMP\\s*\\)",
+          "graft_ns_display($1)"))
+      .flatMap {
       case CreateExternal(name, schemaInner, format, location0, tail, unbounded) =>
         val location = redirectScratch(location0)
         val resolved0 = if (location.startsWith("/")) location
@@ -1948,11 +2036,55 @@ object SltRunner {
         // positional column alias on the derived table, so the body's own
         // naming (col1 vs column1 vs select aliases) never matters
         val alias = colDefs.map(_._1).mkString("_t(", ", ", ")")
-        val casts = colDefs.map { case (n, raw) =>
+        // VALUES rows, for per-column literal-shape dispatch (first
+        // non-NULL element per column — a leading all-NULL row is common)
+        val valueRows: Seq[Seq[String]] = {
+          val b = body.trim
+          if (!b.toUpperCase.startsWith("VALUES")) Seq.empty
+          else {
+            val rows = scala.collection.mutable.Buffer[Seq[String]]()
+            var j = 0; var depth = 0; var inStr = false; var open = -1
+            while (j < b.length) {
+              val c = b(j)
+              if (inStr) { if (c == '\'') inStr = false }
+              else c match {
+                case '\'' => inStr = true
+                case '(' => if (depth == 0) open = j; depth += 1
+                case ')' =>
+                  depth -= 1
+                  if (depth == 0 && open >= 0) {
+                    rows += splitTopLevel(b.substring(open + 1, j)).map(_.trim)
+                    open = -1
+                  }
+                case _ =>
+              }
+              j += 1
+            }
+            rows.toSeq
+          }
+        }
+        def firstNonNull(i: Int): Option[String] =
+          valueRows.iterator.flatMap(_.lift(i))
+            .find(v => !v.equalsIgnoreCase("NULL"))
+        val casts = colDefs.zipWithIndex.map { case ((n, raw), i) =>
+          val t = raw.trim.replaceAll("(?i)\\s+NULL$", "")
           // a declared TIME column keeps the anchored-timestamp form its
           // ::time values already carry (a cast would re-stringify)
-          if (raw.trim.replaceAll("(?i)\\s+NULL$", "").equalsIgnoreCase("TIME"))
+          if (t.equalsIgnoreCase("TIME"))
             s"graft_time_anchor($n) AS $n"
+          // a declared TIMESTAMP column over INTEGER literals: the
+          // reference coerces int → Timestamp(ns) (epoch-NS count). Keep
+          // full ns precision through the epoch-ns convention layer —
+          // to_timestamp_nanos would truncate sub-µs digits.
+          else if (t.equalsIgnoreCase("TIMESTAMP") &&
+              firstNonNull(i).exists(_.matches("-?[0-9]+")))
+            s"graft_ns_text(CAST($n AS BIGINT)) AS $n"
+          // values already in the ns-text domain (sub-µs '…'::timestamp
+          // literals rewritten by translate): a TIMESTAMP cast would
+          // truncate them back to µs — pass through
+          else if (t.equalsIgnoreCase("TIMESTAMP") &&
+              firstNonNull(i).exists(_.contains("graft_ns_")))
+            s"$n AS $n"
           else s"CAST($n AS ${sparkType(raw)}) AS $n"
         }.mkString(", ")
         s"CREATE OR REPLACE TEMPORARY VIEW $name AS SELECT $casts FROM ($body) AS $alias"
@@ -2947,8 +3079,21 @@ object SltRunner {
         val ptype = translate(probe, nullOrdering).flatMap { t =>
           scala.util.Try(spark.sql(t).schema("__graft_probe").dataType).toOption
         }.getOrElse(return Left("tz view operand type unresolvable"))
+        val isNs = Seq("nanosecond", "ns").contains(unit.toLowerCase)
+        val numericProbe = ptype match {
+          case _: org.apache.spark.sql.types.NumericType => true
+          case _ => false
+        }
         val call = ptype match {
+          // ns unit over an epoch-COUNT operand: keep full ns precision
+          // via the epoch-ns convention layer's zone-tagged render
+          case _ if isNs && numericProbe => s"graft_ns_display_tz($expr, '$tz')"
           case org.apache.spark.sql.types.TimestampType => s"($expr)"
+          // ns unit over a datetime STRING operand: the dialect's
+          // to_timestamp_nanos yields the ns TEXT — cast back to a µs
+          // timestamp so the view column stays zone-renderable
+          // (date_trunc etc.); sub-µs digits truncate per the old path
+          case _ if isNs => s"CAST(to_timestamp_nanos($expr) AS TIMESTAMP)"
           case _ => s"$fn($expr)"
         }
         (tz, body.substring(0, c.start) + call + body.substring(c.end))
@@ -3037,6 +3182,57 @@ object SltRunner {
           Literal.create(null, org.apache.spark.sql.types.StringType),
           graft.functions.TimeFunctions.timeFormat(us))
       }, "built-in")
+    // ns display shim: in the reference, to_timestamp_nanos (and every
+    // naive Timestamp(ns) arrow_cast, which the translator routes here)
+    // yields a FULL-ns-precision value. Spark timestamps are µs, so the
+    // dialect carries ns values as their canonical Arrow text (epoch-ns
+    // convention layer): totally ordered, equality-joinable, and the slt
+    // compare normalizes fraction digits (tsEqual). The engine-facing
+    // to_timestamp_nanos (TimeFunctions) keeps the documented µs
+    // truncation; only the slt dialect re-binds it.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "to_timestamp_nanos", { es =>
+        if (es.size != 1) throw new IllegalArgumentException(
+          s"to_timestamp_nanos takes 1 argument here, got ${es.size}")
+        // session-tagged like the reference's to_timestamp_* family: the
+        // offset suffix is 'Z' under UTC (normalized away by tsEqual) and
+        // the set zone's offset under SET TIME ZONE
+        graft.functions.TimeFunctions.nsDisplaySessionTagged(es.head)
+      }, "built-in")
+    // to_timestamp(NUMERIC) is SECONDS scaled to Timestamp(ns) in the
+    // reference — integers scale exactly in long math, fractional
+    // operands through f64-with-round (the reference's own expected
+    // output carries the f64 artifact: timestamps.slt 123456789.123…784).
+    // Type-aware: Spark resolves function builders only after children
+    // resolve, so dataType is available; non-numeric (string/timestamp)
+    // and 2-arg format forms delegate to the builtin.
+    locally {
+      import org.apache.spark.sql.catalyst.FunctionIdentifier
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Multiply, Round}
+      import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, NumericType, ShortType}
+      val builtin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+        .builtin.lookupFunctionBuilder(FunctionIdentifier("to_timestamp")).get
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "to_timestamp", { es =>
+          val numericTy = es.size == 1 &&
+            scala.util.Try(es.head.dataType).toOption.exists {
+              case _: NumericType => true
+              case _ => false
+            }
+          if (!numericTy) builtin(es)
+          else {
+            val e = es.head
+            val ns = e.dataType match {
+              case ByteType | ShortType | IntegerType | LongType =>
+                Multiply(Cast(e, LongType), Literal(1000000000L))
+              case _ =>
+                Cast(Round(Multiply(Cast(e, DoubleType), Literal(1e9)),
+                  Literal(0)), LongType)
+            }
+            graft.functions.TimeFunctions.nanosText(ns)
+          }
+        }, "built-in")
+    }
     // same display shim for to_time (engine convention: µs-long)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "to_time", { es =>
@@ -3264,7 +3460,14 @@ object SltRunner {
             Some(IntegralDivide(us, Literal(1000L)))
           case "microsecond" | "microseconds" | "us" => Some(us)
           case "nanosecond" | "nanoseconds" | "ns" =>
-            Some(Multiply(Cast(us, LongType), Literal(1000L)))
+            // full ns when the source carries sub-µs text (ns-convention
+            // strings, raw datetime literals routed here by translate);
+            // µs×1000 fallback for true timestamps (their render has µs)
+            val nsFull = graft.functions.TimeFunctions.toEpochNanos(
+              Cast(src, org.apache.spark.sql.types.StringType))
+            Some(Coalesce(Seq(
+              Pmod(nsFull, Literal(60000000000L)),
+              Multiply(Cast(us, LongType), Literal(1000L)))))
           case "epoch" =>
             Some(Divide(Cast(UnixMicros(ts), DoubleType), Literal(1e6)))
           case _ => None

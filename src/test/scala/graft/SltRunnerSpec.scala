@@ -52,15 +52,10 @@ class SltRunnerSpec extends AnyFunSuite {
   test("union.slt")    { check("union.slt", 20, knownDivergent = Map(
     771 -> "ORDER BY over a UNION with duplicate output column names (reference resolves to the first)")) }
   test("joins.slt") {
-    val tsBigint = "timestamp::bigint is the epoch count in the timestamp's unit (ns) in the reference; Spark casts to epoch seconds — plus ns-digit rendering"
-    // r6: 855 now passes (NTZ arrow_cast mapping), 6193 skips as its own
-    // class — both unpinned so a pin never masks a passing/skipped line
+    // r8: the 9 ns pins (timestamp::bigint epoch-ns, int-VALUES Timestamp
+    // coercion, ns-digit rendering) all pass via the epoch-ns convention
+    // layer (graft_ns_epoch/graft_ns_text — TimeFunctions)
     check("joins.slt", 360, knownDivergent = Map(
-      833 -> "nanosecond timestamps (Spark timestamps are microsecond)",
-      2556 -> tsBigint, 2576 -> tsBigint, 2592 -> tsBigint, 2608 -> tsBigint,
-      // r6: the tz-table twin now CREATES (single-zone Some("UTC") casts
-      // are translatable) and hits the same class on the same shapes
-      2566 -> tsBigint, 2584 -> tsBigint, 2600 -> tsBigint, 2616 -> tsBigint,
       4740 -> "LATERAL correlation to a sibling FROM item through extra nesting (Spark scoping)"))
   }
   test("expr.slt")      {
@@ -172,38 +167,39 @@ class SltRunnerSpec extends AnyFunSuite {
     val nancorr = "corr/covar over NaN inputs: reference propagates NaN, Spark yields NULL"
     val med = "median preserves the input type in the reference (decimal scale, f32, i64-extreme interpolation); Spark computes in double"
     val dwin = "DISTINCT inside a window aggregate (Spark unsupported)"
-    val uhits = "clickbench UInt16-backed date column: parquet unsigned logical type reads as NULL in Spark"
-    val ns = "sub-microsecond digits: the engine's declared µs convention truncates the reference's ns surface"
+    val ns = "ns-timestamp aggregation output inside arrays/structs: nested renders bypass the epoch-ns text layer"
     val d64 = "Date64 keeps sub-day milliseconds; DATE is day-granular"
-    // r6: the timestamp/date/time aggregation tables (multi-column
-    // Some("UTC") + naive casts) now CREATE — 751 → ~870 passed; the
-    // residual divergences are the declared µs/Date64 classes
-    check("aggregate.slt", 850, knownDivergent =
-      Seq(5680, 5726, 5887, 5916, 5921, 5928, 5933).map(_ -> ns).toMap ++
+    // r8: the epoch-ns convention layer converted 5726 + the 9250-family
+    // + 777/8409/8500 to passes (probe-verified) — unpinned so pins never
+    // mask passing lines; remaining ns pins are nested-render shapes
+    check("aggregate.slt", 860, knownDivergent =
+      Seq(5680, 5887, 5916, 5921, 5928, 5933).map(_ -> ns).toMap ++
       Seq(5789, 5818, 5823, 5830, 5835).map(_ -> d64).toMap ++
       Map(
       6354 -> "FILTER clause on a window aggregate (Spark unsupported)",
       6360 -> "FILTER clause on a window aggregate (Spark unsupported)",
       825 -> "approx_median over NaN inputs: the reference's t-digest propagates NaN, Spark's sketch skips them",
       443 -> nancorr, 465 -> nancorr, 475 -> nancorr, 497 -> nancorr,
-      777 -> med, 1308 -> med, 1495 -> med,
-      8409 -> med, 8444 -> med, 8465 -> med, 8472 -> med,
-      8500 -> med, 8535 -> med, 8556 -> med, 8563 -> med,
+      1308 -> med, 1495 -> med,
+      8444 -> med, 8465 -> med, 8472 -> med,
+      8535 -> med, 8556 -> med, 8563 -> med,
       1080 -> dwin, 1122 -> dwin, 1162 -> dwin,
       2013 -> "approx_count_distinct HLL estimate: sketch implementations differ",
       4473 -> "percentile_cont interpolation: reference shows the f64 rounding artifact (21.999…), Spark prints 22",
-      7986 -> "nth_value as a plain aggregate (Spark: window-only)",
-      9250 -> uhits, 9255 -> uhits, 9264 -> uhits))
+      7986 -> "nth_value as a plain aggregate (Spark: window-only)"))
   }
   test("union_by_name.slt") { check("union_by_name.slt", 7) }
   test("table_functions.slt") { check("table_functions.slt", 55) }
   test("unnest.slt")      { check("unnest.slt", 65) }
-  test("decimal.slt")     { check("decimal.slt", 68, knownDivergent = Map(
-    397 -> "decimal division scale: reference truncates to 10 fractional digits, Spark keeps max scale",
-    1221 -> "large decimal literal: reference parses through f64 (lossy), Spark parses exactly")) }
+  // r8: Decimal256 partial surface — declared p>38 clamps to DECIMAL(38,s)
+  // (exact whenever the value fits: the decimal256_simple table + its 15
+  // query lines now pass); true >38-digit values and negative scales stay
+  // honest skips. The two r6 pins (division scale, f64 literal) now pass
+  // unpinned — probe-verified zero failures.
+  test("decimal.slt")     { check("decimal.slt", 88) }
   test("encoding.slt")    { check("encoding.slt", 12) }
-  test("to_timestamp_timezone.slt") { check("to_timestamp_timezone.slt", 16,
-    knownDivergent = Map(171 -> "sub-microsecond digits: the engine's declared µs convention truncates the reference's ns surface")) }
+  // r8: the 171 ns pin passes via the session-tagged ns render
+  test("to_timestamp_timezone.slt") { check("to_timestamp_timezone.slt", 25) }
   test("truncate.slt")     { check("truncate.slt", 4) }
   test("count_star_rule.slt") { check("count_star_rule.slt", 6) }
   test("update.slt")       { check("update.slt", 9) }
@@ -311,10 +307,9 @@ class SltRunnerSpec extends AnyFunSuite {
   test("cast_to_type.slt")   { check("cast_to_type.slt", 11) }
   test("dictionary.slt")     { check("dictionary.slt", 3) }
   test("listing_table_partitions.slt") { check("listing_table_partitions.slt", 2) }
-  test("parquet_filter_pushdown.slt") { check("parquet_filter_pushdown.slt", 55,
-    knownDivergent = Map(
-      799 -> "sub-microsecond filter bounds (to_timestamp_nanos data): µs truncation collapses the ns-distinct keys",
-      818 -> "sub-microsecond filter bounds (to_timestamp_nanos data): µs truncation collapses the ns-distinct keys")) }
+  // r8: the two ns-filter pins pass via the epoch-ns text layer (the
+  // ns-distinct keys no longer collapse at µs)
+  test("parquet_filter_pushdown.slt") { check("parquet_filter_pushdown.slt", 85) }
   test("parquet_statistics.slt") { check("parquet_statistics.slt", 11) }
   test("insert_to_external.slt") { check("insert_to_external.slt", 3) }
   test("dynamic_file.slt") {
@@ -494,11 +489,11 @@ class SltRunnerSpec extends AnyFunSuite {
   }
   test("datetime/interval_mysql.slt") { check("datetime/interval_mysql.slt", 3) }
   test("datetime/date_part.slt") {
-    // second/ms/µs/epoch fields are shimmed (registerCompat extract/
-    // date_part); what remains divergent is only the true sub-µs surface
-    val ns = "nanosecond field carries sub-µs digits in the reference; the engine's µs convention truncates"
-    check("datetime/date_part.slt", 140, knownDivergent =
-      Seq(474, 494, 535, 555, 560, 570, 891, 1699).map(_ -> ns).toMap)
+    // r8: the epoch-ns layer's full-ns parse in the date_part shim (plus
+    // sub-µs literal routing) converted 7 of the 8 r6 ns pins to passes;
+    // the last is Time64(ns) — the TIME layer stays µs-of-day
+    check("datetime/date_part.slt", 195, knownDivergent = Map(
+      891 -> "sub-µs TIME-of-day digits: the TIME layer is a µs-of-day anchor"))
   }
   test("datetime/dates.slt") {
     // r6: zero divergences — undelimited yyyyMMdd parse + BCE/5-digit-year
@@ -506,18 +501,24 @@ class SltRunnerSpec extends AnyFunSuite {
     check("datetime/dates.slt", 33)
   }
   test("datetime/timestamps.slt") {
-    val ns = "sub-microsecond digits: the engine's declared µs convention truncates the reference's ns surface"
+    val timeNs = "sub-µs TIME-of-day digits: the TIME layer is a µs-of-day anchor (the epoch-ns layer covers timestamps, not Time64(ns))"
+    val durNs = "Duration/interval arithmetic at ns precision: Spark intervals are µs"
+    val colTy = "numeric-COLUMN::timestamp: the reinterpret-as-ns cast needs the operand type, unknown to the textual dialect layer"
     val coerce = "naive->tz coercion: the reference coerces a naive origin as UTC, Spark as session-local time"
     val coltz = "Arrow column-embedded timezone (Timestamp(ns, tz)) survives RESET; Spark timestamps carry no per-column tz"
     val d64 = "Date64 keeps sub-day milliseconds; DATE is day-granular"
-    // r6 3rd session: per-column-tz views emulated (creates + queries run
-    // under the column zone), formats/TIME columns, Time32/64 casts,
-    // unsigned ::casts, inline Some-tz arrow_casts — 529 → ~580 passed
-    check("datetime/timestamps.slt", 570, knownDivergent =
-      Seq(552, 557, 567, 572, 578, 642, 679, 725, 770, 788, 855, 930,
-        1824, 1903, 1912, 1921, 1930, 1939, 1948, 3478, 3616, 4448, 4477,
-        4568, 4600, 4966, 4990, 5377, 5383, 5400).map(_ -> ns).toMap ++
-      Map(2053 -> coerce, 2396 -> coltz, 2490 -> coltz, 3888 -> d64,
+    // r8: the epoch-ns convention layer (graft_ns_epoch/text/display —
+    // TimeFunctions) converted 16 of the 30 r6 ns pins to passes
+    // (552/557/567/572/642/679/770/788/1824/4448/4477/4568/4600/4966/
+    // 4990/5377/5383/5400); what remains is the TIME-of-day and
+    // Duration ns surface plus the declared tz classes
+    check("datetime/timestamps.slt", 590, knownDivergent =
+      Map(578 -> colTy,
+        725 -> timeNs, 855 -> timeNs, 930 -> timeNs,
+        3478 -> timeNs, 3616 -> timeNs,
+        1903 -> durNs, 1912 -> durNs, 1921 -> durNs,
+        1930 -> durNs, 1939 -> durNs, 1948 -> durNs,
+        2053 -> coerce, 2396 -> coltz, 2490 -> coltz, 3888 -> d64,
         4347 -> coltz, 4355 -> coltz,
         4301 -> "tz-to-tz comparison: the reference wall-shifts the literal into the column's zone (applies the target-zone offset to storage); Spark compares instants"))
   }
