@@ -91,22 +91,25 @@ object Round5bQueries {
     // differential is collision-free; the operator's hashed mode is the
     // 100 TB path (8-byte shuffle keys).
     "text_repeated_ngrams" -> { (s, dir) =>
-      // shaped so BOTH consumers (the repeated-set aggregate and the
-      // affected-docs join) sit above the SAME (win, doc_id) aggregation
-      // exchange (ReuseExchange runs the explode pass once). Measured
-      // sf0.1: 2.0 -> 1.9 s — the exact-string window shuffle dominates
-      // regardless; the hashed mode (ngramWindows hashed=true) is the
-      // production path, exact strings are the oracle-comparable one.
+      // SINGLE shingling pass (r8): the old two-consumer shape (repeated-
+      // set aggregate + affected-docs join over the same wd) never
+      // actually reused one exchange — column pruning made the two
+      // exchange children differ (partial_count vs distinct), so the
+      // explode ran twice. A window count of distinct docs per win plus
+      // ONE conditional aggregation computes all three outputs from one
+      // pass: Generate → (win,doc_id) agg → win-partitioned window →
+      // global agg. Measured sf0.1 min: 1.39 → 0.97 s.
+      import org.apache.spark.sql.expressions.Window
       val wd = graft.operators.Dedup.ngramWindows(
           t(s, dir, "documents"), "doc_id", "text", n = 20)
         .groupBy("win", "doc_id").agg(count(lit(1)).as("occ"))
-      val stats = wd.groupBy("win")
-        .agg(count(lit(1)).as("nd"), sum("occ").as("n_occ"))
-      val rep = stats.filter(col("nd") > 1)
-      rep.agg(count(lit(1)).as("n_rep_windows"),
-          coalesce(sum("n_occ"), lit(0L)).cast("long").as("n_hits"))
-        .crossJoin(wd.join(rep.select("win"), "win")
-          .agg(countDistinct(col("doc_id")).as("n_docs_affected")))
+      val wd2 = wd.withColumn("nd",
+        count(lit(1)).over(Window.partitionBy("win")))
+      wd2.agg(
+        countDistinct(when(col("nd") > 1, col("win"))).as("n_rep_windows"),
+        coalesce(sum(when(col("nd") > 1, col("occ"))), lit(0L))
+          .cast("long").as("n_hits"),
+        countDistinct(when(col("nd") > 1, col("doc_id"))).as("n_docs_affected"))
     },
 
     // The production (100 TB) mode of the same detection: 8-byte hashed
@@ -115,16 +118,19 @@ object Round5bQueries {
     // exact-string mode's — the DuckDB oracle is the exact-mode SQL, so a
     // hash collision or a hashed-path bug breaks the differential.
     "text_repeated_ngrams_hashed" -> { (s, dir) =>
+      // same one-pass shape as the exact mode; the shuffle carries 8-byte
+      // hashed window keys (the 100 TB path)
+      import org.apache.spark.sql.expressions.Window
       val wd = graft.operators.Dedup.ngramWindows(
           t(s, dir, "documents"), "doc_id", "text", n = 20, hashed = true)
         .groupBy("win", "doc_id").agg(count(lit(1)).as("occ"))
-      val stats = wd.groupBy("win")
-        .agg(count(lit(1)).as("nd"), sum("occ").as("n_occ"))
-      val rep = stats.filter(col("nd") > 1)
-      rep.agg(count(lit(1)).as("n_rep_windows"),
-          coalesce(sum("n_occ"), lit(0L)).cast("long").as("n_hits"))
-        .crossJoin(wd.join(rep.select("win"), "win")
-          .agg(countDistinct(col("doc_id")).as("n_docs_affected")))
+      val wd2 = wd.withColumn("nd",
+        count(lit(1)).over(Window.partitionBy("win")))
+      wd2.agg(
+        countDistinct(when(col("nd") > 1, col("win"))).as("n_rep_windows"),
+        coalesce(sum(when(col("nd") > 1, col("occ"))), lit(0L))
+          .cast("long").as("n_hits"),
+        countDistinct(when(col("nd") > 1, col("doc_id"))).as("n_docs_affected"))
     },
 
     // The span-removal transform completing the substring-dedup story
@@ -134,8 +140,15 @@ object Round5bQueries {
     // cross-document repeated window left.
     "text_cut_spans" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val cleaned =
-        graft.operators.Dedup.cutRepeatedSpans(docs, "doc_id", "text", 20)
+      // localCheckpoint: BOTH consumers below (the totals aggregate and
+      // the re-detection sweep) need the full cleaned corpus; without the
+      // checkpoint the whole cut pipeline (two shingling passes + island
+      // merge) executes twice — measured 3.4 -> 2.3 s at sf0.1. Executor-
+      // stored, driver never holds rows; the same pattern the label-
+      // propagation loop uses.
+      val cleaned = graft.operators.Dedup
+        .cutRepeatedSpans(docs, "doc_id", "text", 20)
+        .localCheckpoint()
       val still = graft.operators.Dedup
         .ngramWindows(cleaned, "doc_id", "text", 20)
         .groupBy("win").agg(countDistinct(col("doc_id")).as("nd"))
