@@ -244,6 +244,11 @@ object SltRunner {
           s = s.substring(0, idx) +
             s"graft_time_unit($expr, '$unit')" +
             s.substring(close + 1)
+        case f16 if f16.equalsIgnoreCase("Float16") =>
+          // value-exact: quantize to the binary16 grid, carry as FLOAT
+          // (every f16 is exact in f32 — math and display then agree)
+          s = s.substring(0, idx) +
+            s"graft_f16(CAST($expr AS FLOAT))" + s.substring(close + 1)
         case DecimalRe(p, sc) =>
           val pc = math.min(p.toInt, 38)
           val scc = math.min(sc.toInt, math.min(pc, 37))
@@ -1371,8 +1376,8 @@ object SltRunner {
 
   /** Strip `--` line comments (outside strings) — comment text contains
     * apostrophes and parens that would derail the char-level passes. */
-  private[slt] def stripComments(sql: String): String =
-    sql.linesIterator.map { line =>
+  private[slt] def stripComments(sql: String): String = {
+    val noLine = sql.linesIterator.map { line =>
       var inStr = false
       var cut = line.length
       var i = 0
@@ -1384,6 +1389,52 @@ object SltRunner {
       }
       line.substring(0, cut)
     }.mkString("\n")
+    // /* block comments */ too (outside strings; no nesting in the
+    // corpus) — they otherwise ride into rewritten DDL fragments where
+    // Spark's parser chokes mid-type (math.slt test_nullable_decimal)
+    if (!noLine.contains("/*")) noLine
+    else {
+      val out = new StringBuilder(noLine.length)
+      var i = 0; var inStr = false; var inBlock = false
+      while (i < noLine.length) {
+        val c = noLine(i)
+        if (inBlock) {
+          if (c == '*' && i + 1 < noLine.length && noLine(i + 1) == '/') {
+            inBlock = false; i += 1
+          }
+        } else if (inStr) {
+          out.append(c); if (c == '\'') inStr = false
+        } else if (c == '\'') { out.append(c); inStr = true }
+        else if (c == '/' && i + 1 < noLine.length && noLine(i + 1) == '*') {
+          inBlock = true; i += 1
+        } else out.append(c)
+        i += 1
+      }
+      out.toString
+    }
+  }
+
+  /** FIRST_VALUE/LAST_VALUE as ORDERED AGGREGATES (not window functions):
+    * Spark's parser rejects ORDER BY inside the agg parens. With one
+    * simple sort key the exact equivalent is min_by/max_by (the extreme
+    * of the key picks the row); IGNORE NULLS maps to nulling the KEY for
+    * null values (min_by/max_by skip null keys), RESPECT NULLS is the
+    * default. A sort key that TIES (e.g. a group key) has no
+    * order-independent answer and is left for the per-line pin. */
+  private val OrderedFirstLastRe =
+    ("""(?i)\b(first|last)_value\s*\(\s*([\w.]+)\s+order\s+by\s+([\w.]+)""" +
+      """(?:\s+(asc|desc))?(?:\s+nulls\s+(?:first|last))?\s*\)""" +
+      """(?:\s+(ignore|respect)\s+nulls)?""").r
+  private def translateOrderedFirstLast(sql: String): String =
+    OrderedFirstLastRe.replaceAllIn(sql, { m =>
+      val first = m.group(1).equalsIgnoreCase("first")
+      val desc = "desc".equalsIgnoreCase(m.group(4))
+      val ignore = "ignore".equalsIgnoreCase(m.group(5))
+      val (v, k) = (m.group(2), m.group(3))
+      val fn = if (first ^ desc) "min_by" else "max_by"
+      val key = if (ignore) s"CASE WHEN $v IS NOT NULL THEN $k END" else k
+      java.util.regex.Matcher.quoteReplacement(s"$fn($v, $key)")
+    })
 
   /** Dialect translation; None = this record has no Spark spelling. */
   /** Double every backslash inside single-quoted literals (linear scan —
@@ -1906,7 +1957,7 @@ object SltRunner {
       // generate_series/range need no rewrite: GenerateSeriesTVF registers
       // both as native table functions with the reference's semantics
 
-    val pre2 = translateStructs(pre1b) match {
+    val pre2 = translateStructs(translateOrderedFirstLast(pre1b)) match {
       case Some(s) => s
       case None    => return None
     }
@@ -2901,7 +2952,11 @@ object SltRunner {
                 skipped += ((rec.line, "digest algorithm unavailable on the JVM (blake2/blake3)"))
               case e: Exception
                   if e.getMessage != null &&
-                    e.getMessage.contains("DECIMAL_PRECISION_EXCEEDS_MAX_PRECISION") =>
+                    (e.getMessage.contains("DECIMAL_PRECISION_EXCEEDS_MAX_PRECISION") ||
+                     e.getMessage.contains("NUMERIC_VALUE_OUT_OF_RANGE")) =>
+                // the Decimal256 partial surface: declared p>38 runs
+                // clamped at 38; a VALUE that genuinely needs >38 digits
+                // overflows at runtime — the documented out-of-scope
                 poison(sql)
                 skipped += ((rec.line, "decimal precision > 38 (Spark max; reference has decimal256)"))
               case e: Exception
@@ -3151,6 +3206,16 @@ object SltRunner {
     import org.apache.spark.sql.catalyst.expressions.{BitwiseNot, Cast, Literal}
     import org.apache.spark.sql.types.StringType
     val reg = spark.sessionState.functionRegistry
+    // Float16 quantization — translate emits graft_f16 for arrow_cast
+    // Float16 in both dialects
+    reg.createOrReplaceTempFunction("graft_f16", { es =>
+      import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+      import org.apache.spark.sql.types.FloatType
+      StaticInvoke(
+        java.lang.Class.forName("graft.sources.Float16Source"),
+        FloatType, "quantize",
+        Seq(Cast(es.head, FloatType)), Seq(FloatType))
+    }, "built-in")
     reg.createOrReplaceTempFunction("spark_cast", es => {
       val tpe = es(1) match {
         case l: Literal if l.dataType == StringType && l.value != null =>
@@ -3233,6 +3298,20 @@ object SltRunner {
           }
         }, "built-in")
     }
+    // graft_f16: binary16 quantization (arrow_cast Float16) — StaticInvoke
+    // on the source module's quantizer (codegen'd static call)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_f16", { es =>
+        import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+        import org.apache.spark.sql.types.FloatType
+        if (es.size != 1) throw new IllegalArgumentException(
+          s"graft_f16 takes 1 argument, got ${es.size}")
+        StaticInvoke(
+          java.lang.Class.forName("graft.sources.Float16Source"),
+          FloatType, "quantize",
+          Seq(org.apache.spark.sql.catalyst.expressions.Cast(es.head, FloatType)),
+          Seq(FloatType))
+      }, "built-in")
     // same display shim for to_time (engine convention: µs-long)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "to_time", { es =>

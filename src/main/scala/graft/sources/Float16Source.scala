@@ -34,6 +34,27 @@ object Float16Source {
     java.lang.Float.intBitsToFloat(f32bits)
   }
 
+  /** Quantize a float to the nearest IEEE 754 binary16 value
+    * (round-to-nearest-even), returned widened back to float — the exact
+    * effect of the reference's `arrow_cast(x, 'Float16')` on the VALUE
+    * (every binary16 is exactly representable in binary32, so downstream
+    * math and display agree whenever the quantized values agree).
+    * Overflow past the f16 max (65504; ≥65520 rounds up) yields ±Inf;
+    * NaN/Inf/±0 pass through; |x| below 2^-14 lands on the 2^-24
+    * subnormal grid. Exposed as the slt dialect's `graft_f16`. */
+  def quantize(f: Float): Float = {
+    if (java.lang.Float.isNaN(f) || java.lang.Float.isInfinite(f) || f == 0f) f
+    else {
+      val a = math.abs(f.toDouble)
+      // exact unbiased exponent (no log round-off at power-of-2 bounds);
+      // clamp to the subnormal regime's fixed 2^-24 quantum
+      val q = math.pow(2, math.max(math.getExponent(a), -14) - 10)
+      val r = math.rint(a / q) * q // rint = round-half-even, IEEE default
+      val out = if (r > 65504.0) Double.PositiveInfinity else r
+      (math.signum(f.toDouble) * out).toFloat
+    }
+  }
+
   /** Read a parquet file/directory, widening every FLOAT16 column to
     * float and every integer column to long; other types are skipped.
     * Output: (file_name, row_index within file, column name, value as
