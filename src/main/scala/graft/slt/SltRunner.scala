@@ -1436,6 +1436,35 @@ object SltRunner {
       java.util.regex.Matcher.quoteReplacement(s"$fn($v, $key)")
     })
 
+  /** aggregate_test_100_with_dates.csv: the c1..c13 columns ARE the
+    * canonical aggregate_test_100 rows (in order); the appended c14
+    * DATE / c15 TIMESTAMP columns exist only in the unfetched
+    * arrow-testing submodule and only ONE corpus line reads them
+    * (aggregate.slt:1637 — pinned as underivable). Materialize the
+    * known 13 columns + deterministic date/timestamp fillers so the
+    * ~160 lines that query c1..c13 run for real. */
+  private lazy val withDatesFixture: () => String = () => synchronized {
+    val out = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_slt_aggregate_test_100_with_dates.csv")
+    if (!out.exists()) {
+      val base = scala.io.Source.fromFile(
+        "/root/repo/src/test/resources/fixtures/aggregate_test_100.csv")
+      val lines = try base.getLines().toVector finally base.close()
+      val w = new java.io.PrintWriter(out, "UTF-8")
+      try {
+        w.println(lines.head + ",c14,c15")
+        var day = 0
+        lines.tail.foreach { l =>
+          val d = java.time.LocalDate.of(2024, 1, 1).plusDays(day % 100)
+          w.println(s"$l,$d,${d}T00:00:00")
+          day += 1
+        }
+      } finally w.close()
+    }
+    out.getAbsolutePath
+  }
+
   /** Dialect translation; None = this record has no Spark spelling. */
   /** Double every backslash inside single-quoted literals (linear scan —
     * a regex over multi-KB statements blows the matcher stack). Honors
@@ -1999,6 +2028,8 @@ object SltRunner {
           if (new java.io.File(resolved0).exists()) resolved0
           else if (resolved0.endsWith("/data/csv/aggregate_test_100.csv"))
             "/root/repo/src/test/resources/fixtures/aggregate_test_100.csv"
+          else if (resolved0.endsWith("aggregate_test_100_with_dates.csv"))
+            withDatesFixture()
           else resolved0
         if (!new java.io.File(resolved).exists()) None // data not in checkout
         else {

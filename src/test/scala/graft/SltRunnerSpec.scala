@@ -178,13 +178,22 @@ class SltRunnerSpec extends AnyFunSuite {
     val dwin = "DISTINCT inside a window aggregate (Spark unsupported)"
     val ns = "ns-timestamp aggregation output inside arrays/structs: nested renders bypass the epoch-ns text layer"
     val d64 = "Date64 keeps sub-day milliseconds; DATE is day-granular"
+    val sketch = "approx_percentile/approx_count_distinct estimate: sketch implementations (t-digest/HLL) differ"
+    val f32disp = "percentile over f32 columns computed in f64 here (display digits differ)"
     // r8: the epoch-ns convention layer converted 5726 + the 9250-family
-    // + 777/8409/8500 to passes (probe-verified) — unpinned so pins never
-    // mask passing lines; remaining ns pins are nested-render shapes
-    check("aggregate.slt", 860, knownDivergent =
+    // + 777/8409/8500 to passes; the with_dates fixture reconstruction
+    // (c1..c13 = the canonical rows) converted ~135 more — the sketch/
+    // f32-digit lines it exposed pin to their existing classes, and 1636
+    // reads the c14/c15 columns only the unfetched submodule defines
+    check("aggregate.slt", 1040, knownDivergent =
       Seq(5680, 5887, 5916, 5921, 5928, 5933).map(_ -> ns).toMap ++
       Seq(5789, 5818, 5823, 5830, 5835).map(_ -> d64).toMap ++
+      Seq(697, 703, 1630, 2170, 2181, 2186, 2277, 2293,
+        2612, 2654, 2693).map(_ -> sketch).toMap ++
+      Seq(4233, 4248, 4308).map(_ -> f32disp).toMap ++
       Map(
+      1636 -> "c14/c15 of the with_dates fixture exist only in the unfetched arrow-testing submodule (underivable values)",
+      6955 -> "LIMIT without ORDER BY over rollup: row selection is engine-dependent",
       6354 -> "FILTER clause on a window aggregate (Spark unsupported)",
       6360 -> "FILTER clause on a window aggregate (Spark unsupported)",
       825 -> "approx_median over NaN inputs: the reference's t-digest propagates NaN, Spark's sketch skips them",
@@ -222,7 +231,8 @@ class SltRunnerSpec extends AnyFunSuite {
     check("string_numeric_coercion.slt", 40,
       knownDivergent = Map(250 -> mixedIn, 257 -> mixedIn))
   }
-  test("array_agg.slt")    { check("array_agg.slt", 33) }
+  // r8: with_dates fixture reconstruction — 52 passed, 0 failed
+  test("array_agg.slt")    { check("array_agg.slt", 50) }
   test("regexp_like.slt")  { check("regexp/regexp_like.slt", 22) }
   test("regexp_match.slt") { check("regexp/regexp_match.slt", 12) }
   test("regexp_replace.slt") { check("regexp/regexp_replace.slt", 20) }
@@ -267,7 +277,7 @@ class SltRunnerSpec extends AnyFunSuite {
     check("null_aware_anti_join.slt", 79, knownDivergent = Map(
       174 -> "NULL NOT IN (empty subquery): reference applies the empty-set rule (TRUE), Spark yields NULL"))
   }
-  test("window_limits.slt") { check("window_limits.slt", 30) }
+  test("window_limits.slt") { check("window_limits.slt", 70) }
   test("window_topn.slt")   { check("window_topn.slt", 76) }
   test("aggregates_topk.slt") { check("aggregates_topk.slt", 82) }
   test("lateral_join.slt")  { check("lateral_join.slt", 60) }
@@ -299,7 +309,7 @@ class SltRunnerSpec extends AnyFunSuite {
   test("join_limit_pushdown.slt") { check("join_limit_pushdown.slt", 22) }
   test("push_down_topk_through_join.slt") { check("push_down_topk_through_join.slt", 43) }
   test("sort_pushdown.slt")  { check("sort_pushdown.slt", 370) }
-  test("window_topk_pushdown.slt") { check("window_topk_pushdown.slt", 7) }
+  test("window_topk_pushdown.slt") { check("window_topk_pushdown.slt", 12) }
   test("aggregate_repartition.slt") { check("aggregate_repartition.slt", 8) }
   test("aggregates_simplify.slt") {
     check("aggregates_simplify.slt", 19, knownDivergent = Map(
