@@ -1970,6 +1970,14 @@ object SltRunner {
       .replaceAll("(?i)('\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}:\\d{2}\\.\\d{7,9}[^']*')\\s*::\\s*timestamp\\b(?!\\s*::)",
         "graft_ns_display($1)")
       .replaceAll("(?i)\\bCOUNT\\s*\\(\\s*\\)", "COUNT(*)")
+      // median(DISTINCT x): the type-preserving median shim must build the
+      // AggregateExpression itself (a Cast above the raw AggregateFunction
+      // hides it from DISTINCT resolution) — make the flag explicit here
+      .replaceAll("(?i)\\bmedian\\s*\\(\\s*distinct\\s+", "graft_median_distinct(")
+      // `SELECT … INTO t FROM …` (Postgres/T-SQL select-into, which the
+      // reference treats as CTAS) — Spark has no SELECT INTO
+      .replaceAll("(?is)^\\s*SELECT\\s+(.*?)\\s+INTO\\s+([\\w.]+)\\s+(FROM\\b.*)$",
+        "CREATE OR REPLACE TEMPORARY VIEW $2 AS SELECT $1 $3")
       .replaceAll("(?i)\\bUSING\\s+arrow\\b", "USING graft.sources.ArrowIpcTableProvider")
       // the reference's array_agg keeps IGNORE NULLS as a suffix; Spark's
       // collect_list-based array_agg skips nulls already
@@ -3343,6 +3351,43 @@ object SltRunner {
           Seq(org.apache.spark.sql.catalyst.expressions.Cast(es.head, FloatType)),
           Seq(FloatType))
       }, "built-in")
+    // median preserves the INPUT type in the reference (median.rs): a
+    // Float32 column yields Float32. Spark's median computes in double,
+    // which widens f32 representation error into visible digits
+    // (90.1f → 90.099998…). Cast the result back for float inputs —
+    // value-exact, since the true median IS an f32 (or an f32 midpoint).
+    // Type-aware: builders resolve after children.
+    locally {
+      import org.apache.spark.sql.catalyst.FunctionIdentifier
+      import org.apache.spark.sql.catalyst.expressions.Cast
+      import org.apache.spark.sql.types.FloatType
+      val builtin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+        .builtin.lookupFunctionBuilder(FunctionIdentifier("median")).get
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "median", { es =>
+          val base = builtin(es)
+          val isFloat = es.size == 1 &&
+            scala.util.Try(es.head.dataType).toOption.contains(FloatType)
+          base match {
+            // wrap the raw AggregateFunction ourselves — a Cast above it
+            // would otherwise hide it from the analyzer's agg detection
+            case af: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction
+                if isFloat =>
+              Cast(af.toAggregateExpression(), FloatType)
+            case other => other
+          }
+        }, "built-in")
+      // the DISTINCT form, made explicit by translate (see the
+      // graft_median_distinct rewrite)
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_median_distinct", { es =>
+          val ae = org.apache.spark.sql.catalyst.expressions.aggregate
+            .Median(es.head).toAggregateExpression(isDistinct = true)
+          if (scala.util.Try(es.head.dataType).toOption.contains(FloatType))
+            Cast(ae, FloatType)
+          else ae
+        }, "built-in")
+    }
     // same display shim for to_time (engine convention: µs-long)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "to_time", { es =>

@@ -17,7 +17,7 @@ object SltTriage {
         val r = SltRunner.runFile(spark.newSession(), path)
         println(s"== $f: ${r.summary}")
         r.skipped.groupBy(_._2).foreach { case (reason, xs) =>
-          println(s"   skip x${xs.size}: $reason")
+          println(s"   skip x${xs.size} [l${xs.map(_._1).sorted.take(12).mkString(",")}]: $reason")
         }
         r.failures.take(12).foreach(x =>
           println(s"   FAIL l${x.line}: ${x.sql.take(150).replace('\n', ' ')} -> ${x.detail.take(200).replace('\n', ' ')}"))
