@@ -2178,7 +2178,18 @@ object SltRunner {
           else s"CAST($n AS ${sparkType(raw)}) AS $n"
         }.mkString(", ")
         s"CREATE OR REPLACE TEMPORARY VIEW $name AS SELECT $casts FROM ($body) AS $alias"
-      case CreateAsRe(name, body) =>
+      case CreateAsRe(name, body0) =>
+        // mixed numeric + quoted-'NaN'/'inf' VALUES: the reference coerces
+        // the words to f64 specials; Spark's inline table rejects the
+        // string/numeric mix — cast the word elements explicitly (scoped:
+        // only when the body also carries bare numeric elements)
+        val body =
+          if (body0.trim.toUpperCase.startsWith("VALUES") &&
+              "[(,]\\s*-?[0-9]".r.findFirstIn(body0).isDefined)
+            body0.replaceAll(
+              "(?i)(?<=[(,])(\\s*)'(nan|[+-]?inf(?:inity)?)'(\\s*)(?=[,)])",
+              "$1CAST('$2' AS DOUBLE)$3")
+          else body0
         // DataFusion names anonymous VALUES columns column1..N; Spark says
         // col1..N — alias them to the reference convention.
         val b = if (body.trim.toUpperCase.startsWith("VALUES")) {

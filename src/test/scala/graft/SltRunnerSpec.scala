@@ -385,7 +385,8 @@ class SltRunnerSpec extends AnyFunSuite {
   test("explain_analyze.slt") { check("explain_analyze.slt", 90) }
   test("explain_tree.slt")    { check("explain_tree.slt", 30) }
   test("file_row_index.slt")  { check("file_row_index.slt", 4) }
-  test("float16.slt")         { check("float16.slt", 0) }
+  // r8: graft_f16 quantization + mixed NaN-VALUES coercion — 8 passed
+  test("float16.slt")         { check("float16.slt", 8) }
   test("functional_dependencies.slt") {
     check("functional_dependencies.slt", 18, knownDivergent = Map(
       207 -> "functional-dependence grouping via PRIMARY KEY metadata (Spark has no PK constraints)"))
