@@ -1333,9 +1333,9 @@ object SltRunner {
     }
 
   private val CreateSchemaValuesRe =
-    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*?)\)\s+AS\s+(VALUES.*|SELECT.*)$""".r
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*?)\)\s+AS\s+(VALUES.*|SELECT.*|WITH\s.*)$""".r
   private val CreateAsRe =
-    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(VALUES.*|SELECT.*)$""".r
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(VALUES.*|SELECT.*|WITH\s.*)$""".r
   private val DropTableRe =
     """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
   private val PlainCreateColsRe =
@@ -1353,6 +1353,7 @@ object SltRunner {
       case "TIME" => "STRING"
       // unsigned widening convention (SURVEY §1.2): each unsigned type maps
       // to the narrowest signed Spark type that holds its full range
+      case "TIMESTAMP WITH TIME ZONE" => "TIMESTAMP"
       case "TINYINT UNSIGNED"  => "SMALLINT"
       case "SMALLINT UNSIGNED" => "INT"
       case "INT UNSIGNED" | "INTEGER UNSIGNED" => "BIGINT"
@@ -1412,6 +1413,77 @@ object SltRunner {
       }
       out.toString
     }
+  }
+
+  /** Constant-fold LIMIT/OFFSET expressions (the reference accepts any
+    * foldable expression — `LIMIT 1+1`, `LIMIT abs(-4) + 4 / -2`; Spark
+    * demands an integer literal). Integer semantics, division truncating
+    * toward zero like the reference's int division; anything that doesn't
+    * evaluate is left untouched. */
+  private def foldLimitExprs(sql: String): String = {
+    val Clause =
+      """(?i)\b(LIMIT|OFFSET)\s+((?:abs\s*\(\s*-?\d+\s*\)|\d+(?:::\w+)?|[-+*/()\t ])+)""".r
+    def evalInt(s0: String): Option[Long] = {
+      // recursive descent: expr := term (('+'|'-') term)*;
+      // term := factor (('*'|'/') factor)*; factor := int | '(' expr ')' | '-' factor
+      val s = s0.replaceAll("\\s+", "")
+      var i = 0
+      def peek: Char = if (i < s.length) s(i) else ' '
+      def factor(): Option[Long] = peek match {
+        case '-' => i += 1; factor().map(-_)
+        case '(' =>
+          i += 1
+          val v = expr()
+          if (peek == ')') { i += 1; v } else None
+        case c if c.isDigit =>
+          val st = i
+          while (peek.isDigit) i += 1
+          Some(s.substring(st, i).toLong)
+        case _ => None
+      }
+      def term(): Option[Long] = {
+        var v = factor()
+        while (v.isDefined && (peek == '*' || peek == '/')) {
+          val op = peek; i += 1
+          val r = factor()
+          v = (v, r) match {
+            case (Some(a), Some(b)) if op == '*' => Some(a * b)
+            case (Some(a), Some(b)) if b != 0L => Some(a / b)
+            case _ => None
+          }
+        }
+        v
+      }
+      def expr(): Option[Long] = {
+        var v = term()
+        while (v.isDefined && (peek == '+' || peek == '-')) {
+          val op = peek; i += 1
+          val r = term()
+          v = (v, r) match {
+            case (Some(a), Some(b)) => Some(if (op == '+') a + b else a - b)
+            case _ => None
+          }
+        }
+        v
+      }
+      val out = expr()
+      if (i == s.length) out else None
+    }
+    Clause.replaceAllIn(sql, { m =>
+      val kw = m.group(1).toUpperCase
+      val raw = m.group(2).trim
+      if (raw.matches("\\d+")) java.util.regex.Matcher.quoteReplacement(m.group(0))
+      else {
+        val resolved = """(?i)abs\s*\(\s*(-?\d+)\s*\)""".r
+          .replaceAllIn(raw, mm => math.abs(mm.group(1).toLong).toString)
+          .replaceAll("::\\w+", "")
+        evalInt(resolved) match {
+          case Some(v) if v >= 0 =>
+            java.util.regex.Matcher.quoteReplacement(s"$kw $v ")
+          case _ => java.util.regex.Matcher.quoteReplacement(m.group(0))
+        }
+      }
+    })
   }
 
   /** FIRST_VALUE/LAST_VALUE as ORDERED AGGREGATES (not window functions):
@@ -1994,7 +2066,7 @@ object SltRunner {
       // generate_series/range need no rewrite: GenerateSeriesTVF registers
       // both as native table functions with the reference's semantics
 
-    val pre2 = translateStructs(translateOrderedFirstLast(pre1b)) match {
+    val pre2 = translateStructs(foldLimitExprs(translateOrderedFirstLast(pre1b))) match {
       case Some(s) => s
       case None    => return None
     }

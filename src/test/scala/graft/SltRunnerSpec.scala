@@ -88,12 +88,12 @@ class SltRunnerSpec extends AnyFunSuite {
     val nan = "Spark NaN semantics intentionally differ (NaN=NaN, NaN>x)"
     check("select.slt", 110, knownDivergent = Map(
       410 -> "RANDOM() in VALUES — nondeterministic fold differs",
-      572 -> nan, 944 -> nan,
-      886 -> "f32 summation precision differs at the displayed digit",
+      572 -> nan,
+      // r8: 944/886/1953 now pass (LIMIT folding exposed nothing; the
+      // f32/current_time twins resolved) — unpinned
       1630 -> "int/int division: reference truncates, Spark yields double",
       1834 -> "auto-generated column naming convention differs",
-      1945 -> "current_time resolves as function, not column, in Spark",
-      1953 -> "current_time resolves as function, not column, in Spark"))
+      1945 -> "current_time resolves as function, not column, in Spark"))
   }
   test("struct.slt")   { check("struct.slt", 45) }
   test("map.slt")      {
@@ -162,8 +162,11 @@ class SltRunnerSpec extends AnyFunSuite {
     val fwin = "FILTER clause on a window aggregate (Spark unsupported)"
     val ovf = "range-frame boundary arithmetic at i64 extremes: reference saturates, Spark overflows to an empty frame"
     val ulag = "lag/lead over an unordered window: Spark requires ORDER BY in the window spec"
+    val nsw = "sub-microsecond digits: INSERTed ns timestamps truncate at the declared µs convention"
     check("window.slt", 300, knownDivergent = Map(
       584 -> lim, 597 -> lim, 4450 -> ulag, 4469 -> ulag,
+      948 -> nsw, 954 -> nsw,
+      5841 -> dwin, 5901 -> dwin,
       1540 -> lim, 1582 -> lim, 1843 -> lim, 4227 -> lim,
       2681 -> tie, 2764 -> tie, 2887 -> tie, 2932 -> tie, 2978 -> tie, 3081 -> tie,
       4033 -> fd, 4048 -> fd, 5076 -> fd,
