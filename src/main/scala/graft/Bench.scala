@@ -83,7 +83,10 @@ object Bench {
     // discards those spikes. The first pass additionally pays one-off
     // whole-stage-codegen/JIT, which the reference's bench harness also
     // excludes by iterating (benchmarks/bench.sh).
-    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
+    // 8 passes for the suite too (was 3): the min-of-N statistic needs
+    // enough passes that an ambient load spike can't touch all of them —
+    // the same argument that set tpch22's default (r8 VERDICT nit #3)
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(8)
     def loadavg: Double = {
       val la = java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
@@ -119,7 +122,7 @@ object Bench {
     // SPARK_GRAFT_TPCH22=false, opt in elsewhere with =true.
     val runT22 = sys.env.get("SPARK_GRAFT_TPCH22")
       .map(_.toBoolean).getOrElse(sfDir.contains("sf0.1"))
-    val t22Json = if (!runT22) "" else {
+    val t22Json: (String, String) = if (!runT22) ("", "") else {
       val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
       ScaleFixture.ensure(spark, sfDir, sf1Dir)
       // ≥8 interleaved passes by default: the min-of-passes statistic is
@@ -147,10 +150,25 @@ object Bench {
       val t22Pass = tpch22.map { nm =>
         "\"" + nm + "\":" + t22All(nm).map(r3).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
-      s""","tpch22_sf1":{"total":${r3(t22Total)},"queries":$t22Qs,"pass_times":$t22Pass,"passes":$t22Passes,"dir":"$sf1Dir"}"""
+      (s""","tpch22_sf1":{"total":${r3(t22Total)},"queries":$t22Qs,"pass_times":$t22Pass,"passes":$t22Passes,"dir":"$sf1Dir"}""",
+        s""","tpch22_sf1":{"total":${r3(t22Total)},"queries":$t22Qs,"passes":$t22Passes,"dir":"$sf1Dir"}""")
     }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_times":$passDetail,"sf":"$sfDir","passes":$passes,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter$t22Json}""")
+    // The BENCH_r08 driver artifact truncated to the stdout TAIL, cutting
+    // off the suite block and the loadavg fields. Two-sink emission: the
+    // COMPLETE record (incl. per-pass times) goes to a file; stdout gets a
+    // compact one-liner (no pass_times) that fits any capture window.
+    val common = s""""unit":"sec","sf":"$sfDir","passes":$passes,""" +
+      s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter"""
+    val fullJson =
+      s"""{"metric":"total","value":$total,$common,"queries":$qs,"pass_times":$passDetail${t22Json._1}}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      fullJson.getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":$total,$common,"queries":$qs,"full":"$outPath"${t22Json._2}}""")
     spark.stop()
   }
 }

@@ -1,8 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And => CAnd, Attribute, AttributeReference, BinaryOperator, Cast => CCast, EqualTo, Expression => CExpr, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal => CLiteral, Not, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And => CAnd, Attribute, AttributeReference, BinaryOperator, Cast => CCast, CurrentRow, DenseRank, EqualNullSafe, EqualTo, Expression => CExpr, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal => CLiteral, Not, PercentRank, Rank, RangeFrame, RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame, UnboundedFollowing, UnboundedPreceding, UnspecifiedFrame, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.{Cross, FullOuter, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.functions._
@@ -24,11 +25,13 @@ import org.apache.spark.sql.types._
   *  - BinaryExprNode.op carries the operator's Rust Debug name ("Eq",
   *    "Plus", …): datafusion/proto/src/logical_plan/to_proto.rs:268.
   *
-  * Covered subset — the relational core the roundtrip query exercises,
+  * Covered subset — the relational core the roundtrip queries exercise,
   * mirroring what the reference's own logical-plan roundtrip tests pin:
-  * ListingTableScan(parquet) / Projection / Selection / Aggregate / Sort /
-  * Limit, with column/alias/literal/binary/cast/is-null/in-list/aggregate
-  * expressions. Consume re-plans on the receiving session (same contract
+  * ListingTableScan(parquet) / Projection / Selection / Aggregate / Join /
+  * CrossJoin / Union / Distinct / Window / SubqueryAlias / Sort / Limit,
+  * with column/alias/literal/binary/cast/is-null/in-list/aggregate/window
+  * expressions (JoinNode=7, WindowNode=13, CrossJoinNode=15, UnionNode=19,
+  * SubqueryAliasNode=21, DistinctNode=23 per datafusion.proto:37-57). Consume re-plans on the receiving session (same contract
   * as the Substrait consumer): the scan resolves by TABLE NAME through
   * `tableFor`, so the bytes are portable across clusters whose catalogs
   * hold the same logical tables — paths in the message are advisory.
@@ -133,7 +136,15 @@ object DataFusionProto {
   }
 
   private def emitPlan(plan: LogicalPlan, w: W): Unit = plan match {
-    case SubqueryAlias(_, child) => emitPlan(child, w)
+    // an alias directly over a table scan is redundant on this wire (the
+    // scan already carries the table name); aliases over derived plans are
+    // real SubqueryAliasNodes (datafusion.proto:452)
+    case SubqueryAlias(_, child: LogicalRelation) => emitPlan(child, w)
+    case SubqueryAlias(id, child) =>
+      w.msg(21) { sa =>
+        sa.msg(1)(emitPlan(child, _))
+        sa.msg(3)(tr => tr.msg(1)(_.str(1, id.name))) // TableReference.bare
+      }
     case h: ResolvedHint => emitPlan(h.child, w)
     case v: View => emitPlan(v.child, w)
     case lr: LogicalRelation =>
@@ -183,16 +194,65 @@ object DataFusionProto {
         aggs.filterNot(e => groups.exists(_.semanticEquals(stripAlias(e))))
           .foreach(e => a.msg(3)(emitExpr(e, _)))
       }
+    case Join(left, right, Cross, None, _) =>
+      w.msg(15) { j => // CrossJoinNode (datafusion.proto:435)
+        j.msg(1)(emitPlan(left, _)); j.msg(2)(emitPlan(right, _))
+      }
+    case Join(left, right, jt, None, _) if jt == Inner =>
+      w.msg(15) { j => j.msg(1)(emitPlan(left, _)); j.msg(2)(emitPlan(right, _)) }
+    case Join(left, right, jt, Some(cond), _) =>
+      // JoinNode (datafusion.proto:267): left=1 right=2 join_type=3
+      // join_constraint=4 left_join_key=5 right_join_key=6 null_equality=7
+      // filter=8. Split the condition into equi-keys (one side's refs from
+      // each input) and a residual filter, the reference's own shape.
+      val conjuncts = splitAnd(cond)
+      val leftOut = left.outputSet
+      val rightOut = right.outputSet
+      val (eqKeys, residual) = conjuncts.foldLeft(
+        (Vector.empty[(CExpr, CExpr, Boolean)], Vector.empty[CExpr])) {
+        case ((ks, rs), e) => keyOf(e, leftOut, rightOut) match {
+          case Some(k) => (ks :+ k, rs)
+          case None => (ks, rs :+ e)
+        }
+      }
+      require(eqKeys.nonEmpty, s"dfproto emit: join without equi keys ($jt)")
+      val nullEq = eqKeys.forall(_._3)
+      // mixed <=> / = key lists don't fit the single null_equality flag —
+      // demote the null-safe ones to the residual filter in that case
+      val (keys, extraResidual) =
+        if (nullEq || eqKeys.forall(!_._3)) (eqKeys, Vector.empty[CExpr])
+        else (eqKeys.filter(!_._3),
+          eqKeys.filter(_._3).map(k => EqualNullSafe(k._1, k._2): CExpr))
+      val filterExpr = (residual ++ extraResidual).reduceOption(CAnd(_, _))
+      w.msg(7) { j =>
+        j.msg(1)(emitPlan(left, _))
+        j.msg(2)(emitPlan(right, _))
+        j.int64(3, joinTypeCode(jt))
+        j.int64(4, 0L) // JoinConstraint::ON
+        keys.foreach(k => j.msg(5)(emitExpr(k._1, _)))
+        keys.foreach(k => j.msg(6)(emitExpr(k._2, _)))
+        j.int64(7, if (nullEq) 1L else 0L) // NullEquality
+        filterExpr.foreach(f => j.msg(8)(emitExpr(f, _)))
+      }
+    case Union(children, false, false) =>
+      w.msg(19) { u => // UnionNode (datafusion.proto:431): ALL semantics
+        children.foreach(c => u.msg(1)(emitPlan(c, _)))
+      }
+    case Distinct(child) =>
+      w.msg(23)(d => d.msg(1)(emitPlan(child, _))) // DistinctNode (:279)
+    case dd: Deduplicate
+        if dd.keys.map(_.exprId).toSet ==
+          dd.child.output.map(_.exprId).toSet =>
+      w.msg(23)(d => d.msg(1)(emitPlan(dd.child, _)))
+    case Window(winExprs, _, _, child, _) =>
+      w.msg(13) { wn => // WindowNode (datafusion.proto:262)
+        wn.msg(1)(emitPlan(child, _))
+        winExprs.foreach(e => wn.msg(2)(emitExpr(e, _)))
+      }
     case Sort(order, true, child, _) =>
       w.msg(8) { s => // SortNode (:139)
         s.msg(1)(emitPlan(child, _))
-        order.foreach { so =>
-          s.msg(2) { se => // SortExprNode (:750)
-            se.msg(1)(emitExpr(so.child, _))
-            se.bool(2, so.direction == org.apache.spark.sql.catalyst.expressions.Ascending)
-            se.bool(3, so.nullOrdering == org.apache.spark.sql.catalyst.expressions.NullsFirst)
-          }
-        }
+        order.foreach(so => s.msg(2)(emitSortExpr(so, _)))
         s.int64(3, -1L)
       }
     case GlobalLimit(CLiteral(n: Int, IntegerType), LocalLimit(_, child)) =>
@@ -206,6 +266,41 @@ object DataFusionProto {
 
   private def stripAlias(e: CExpr): CExpr = e match {
     case Alias(c, _) => c; case x => x
+  }
+
+  private def splitAnd(e: CExpr): Seq[CExpr] = e match {
+    case CAnd(l, r) => splitAnd(l) ++ splitAnd(r)
+    case x => Seq(x)
+  }
+
+  /** An equi-join conjunct, oriented (leftKey, rightKey, nullSafe). */
+  private def keyOf(e: CExpr,
+      leftOut: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+      rightOut: org.apache.spark.sql.catalyst.expressions.AttributeSet)
+      : Option[(CExpr, CExpr, Boolean)] = {
+    def orient(a: CExpr, b: CExpr, ns: Boolean) =
+      if (a.references.subsetOf(leftOut) && b.references.subsetOf(rightOut))
+        Some((a, b, ns))
+      else if (b.references.subsetOf(leftOut) && a.references.subsetOf(rightOut))
+        Some((b, a, ns))
+      else None
+    e match {
+      case EqualTo(a, b) => orient(a, b, ns = false)
+      case EqualNullSafe(a, b) => orient(a, b, ns = true)
+      case _ => None
+    }
+  }
+
+  private def joinTypeCode(jt: JoinType): Long = jt match {
+    // datafusion_common.proto:80 JoinType
+    case Inner => 0L
+    case LeftOuter => 1L
+    case RightOuter => 2L
+    case FullOuter => 3L
+    case LeftSemi => 4L
+    case LeftAnti => 5L
+    case other => throw new IllegalArgumentException(
+      s"dfproto emit: unsupported join type $other")
   }
 
   private def opName(b: BinaryOperator): String = b match {
@@ -256,25 +351,81 @@ object DataFusionProto {
     case ae: AggregateExpression =>
       // AggregateUDFExprNode (:648) — the reference models every agg
       // (sum/count/min/max/avg) as a UDAF on the wire
-      val (name, args) = ae.aggregateFunction match {
-        case Sum(c, _) => ("sum", Seq(c))
-        case Count(cs) if cs.isEmpty ||
-          cs == Seq(CLiteral(1, IntegerType)) => ("count", Seq(CLiteral(1L, LongType)))
-        case Count(cs) => ("count", cs)
-        case Min(c) => ("min", Seq(c))
-        case Max(c) => ("max", Seq(c))
-        case Average(c, _) => ("avg", Seq(c))
-        case other => throw new IllegalArgumentException(
-          s"dfproto emit: unsupported aggregate ${other.nodeName}")
-      }
+      val (name, args) = aggNameArgs(ae.aggregateFunction)
       w.msg(19) { an =>
         an.str(1, name)
         args.foreach(a => an.msg(2)(emitExpr(a, _)))
         if (ae.isDistinct) an.bool(5, true)
       }
+    case WindowExpression(fn, WindowSpecDefinition(parts, orders, frame)) =>
+      w.msg(18) { wn => // WindowExprNode (datafusion.proto:680)
+        fn match {
+          case ae: AggregateExpression =>
+            val (name, args) = aggNameArgs(ae.aggregateFunction)
+            wn.str(3, name) // udaf
+            args.foreach(a => wn.msg(4)(emitExpr(a, _)))
+          case _: RowNumber => wn.str(9, "row_number") // udwf
+          case _: Rank => wn.str(9, "rank")
+          case _: DenseRank => wn.str(9, "dense_rank")
+          case _: PercentRank => wn.str(9, "percent_rank")
+          case other => throw new IllegalArgumentException(
+            s"dfproto emit: unsupported window function ${other.nodeName}")
+        }
+        parts.foreach(p => wn.msg(5)(emitExpr(p, _)))
+        orders.foreach(so => wn.msg(6)(emitSortExpr(so, _)))
+        frame match {
+          case SpecifiedWindowFrame(ft, lower, upper) =>
+            wn.msg(8) { fr => // WindowFrame (:762)
+              fr.int64(1, ft match { case RowFrame => 0L; case RangeFrame => 1L })
+              fr.msg(2)(emitBound(lower, _))
+              fr.msg(3)(emitBound(upper, _))
+            }
+          case UnspecifiedFrame => ()
+        }
+      }
     case other => throw new IllegalArgumentException(
       s"dfproto emit: unsupported expression ${other.nodeName}")
   }
+
+  private def aggNameArgs(af: org.apache.spark.sql.catalyst.expressions
+      .aggregate.AggregateFunction): (String, Seq[CExpr]) = af match {
+    case Sum(c, _) => ("sum", Seq(c))
+    case Count(cs) if cs.isEmpty ||
+      cs == Seq(CLiteral(1, IntegerType)) => ("count", Seq(CLiteral(1L, LongType)))
+    case Count(cs) => ("count", cs)
+    case Min(c) => ("min", Seq(c))
+    case Max(c) => ("max", Seq(c))
+    case Average(c, _) => ("avg", Seq(c))
+    case other => throw new IllegalArgumentException(
+      s"dfproto emit: unsupported aggregate ${other.nodeName}")
+  }
+
+  /** SortExprNode (datafusion.proto:750). */
+  private def emitSortExpr(so: SortOrder, w: W): Unit = {
+    w.msg(1)(emitExpr(so.child, _))
+    w.bool(2, so.direction == org.apache.spark.sql.catalyst.expressions.Ascending)
+    w.bool(3, so.nullOrdering == org.apache.spark.sql.catalyst.expressions.NullsFirst)
+  }
+
+  /** WindowFrameBound (datafusion.proto:778): type=1, bound_value=2.
+    * Unbounded = PRECEDING/FOLLOWING with no bound_value, matching the
+    * reference's ScalarValue-null convention for unbounded frames. */
+  private def emitBound(b: CExpr, w: W): Unit = b match {
+    case CurrentRow => w.int64(1, 0L)
+    case UnboundedPreceding => w.int64(1, 1L)
+    case UnboundedFollowing => w.int64(1, 2L)
+    case CLiteral(v: Int, _) => emitBoundOffset(v.toLong, w)
+    case CLiteral(v: Long, _) => emitBoundOffset(v, w)
+    case other => throw new IllegalArgumentException(
+      s"dfproto emit: unsupported frame bound $other")
+  }
+
+  private def emitBoundOffset(v: Long, w: W): Unit =
+    if (v == 0L) w.int64(1, 0L)
+    else {
+      w.int64(1, if (v < 0) 1L else 2L) // PRECEDING / FOLLOWING
+      w.msg(2)(_.int64(7, math.abs(v))) // ScalarValue.int64_value
+    }
 
   /** ScalarValue (datafusion_common.proto:280). */
   private def scalarValue(l: CLiteral, w: W): Unit = (l.value, l.dataType) match {
@@ -292,7 +443,12 @@ object DataFusionProto {
     case (v: Double, _) => w.dbl(13, v)
     case (v: Decimal, dt: DecimalType) =>
       w.msg(20) { d => // Decimal128 (common:354): value(be-bytes)=1, p=2, s=3
-        d.raw(1, v.toJavaBigDecimal.unscaledValue.toByteArray)
+        // the reference decodes with i128::from_be_bytes, which requires
+        // EXACTLY 16 bytes — sign-extend the big-endian two's complement
+        val unscaled = v.toJavaBigDecimal.unscaledValue
+        val be = unscaled.toByteArray
+        val sign: Byte = if (unscaled.signum() < 0) -1 else 0
+        d.raw(1, Array.fill(16 - be.length)(sign) ++ be)
         d.int64(2, dt.precision.toLong); d.int64(3, dt.scale.toLong)
       }
     case (v, t) => throw new IllegalArgumentException(
@@ -346,21 +502,43 @@ object DataFusionProto {
         val keys = subs(node, 2).map(e => consumeExpr(e))
         val aggs = subs(node, 3).map(e => consumeExpr(e))
         if (keys.isEmpty) input.agg(aggs.head, aggs.tail: _*)
+        else if (aggs.isEmpty) input.select(keys: _*).distinct() // group-only
         else input.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+      case 7 => // JoinNode
+        val left = consume(spark, sub(node, 1).get, tableFor)
+        val right = consume(spark, sub(node, 2).get, tableFor)
+        val nullEq = vint(node, 7).contains(1L)
+        val keyCond = subs(node, 5).zip(subs(node, 6)).map { case (lk, rk) =>
+          // anchor each key to its own side so self-joins resolve
+          val (l, r) = (anchoredKey(left, lk), anchoredKey(right, rk))
+          if (nullEq) l <=> r else l === r
+        }.reduceOption(_ && _)
+        val cond = (keyCond, sub(node, 8).map(consumeExpr)) match {
+          case (Some(k), Some(f)) => k && f
+          case (Some(k), None) => k
+          case (None, Some(f)) => f
+          case (None, None) => throw new IllegalArgumentException(
+            "dfproto consume: JoinNode without keys or filter")
+        }
+        left.join(right, cond, joinTypeName(vint(node, 3).getOrElse(0L)))
+      case 15 => // CrossJoinNode
+        consume(spark, sub(node, 1).get, tableFor)
+          .crossJoin(consume(spark, sub(node, 2).get, tableFor))
+      case 19 => // UnionNode — ALL semantics (the reference wraps Distinct)
+        subs(node, 1).map(c => consume(spark, c, tableFor)).reduceLeft(_ union _)
+      case 23 => // DistinctNode
+        consume(spark, sub(node, 1).get, tableFor).distinct()
+      case 21 => // SubqueryAliasNode: input=1, alias=3 (TableReference)
+        val input = consume(spark, sub(node, 1).get, tableFor)
+        sub(node, 3).flatMap(tr => sub(tr, 1)).flatMap(b => sub(b, 1))
+          .map(n => input.alias(strOf(n))).getOrElse(input)
+      case 13 => // WindowNode: output = input columns ++ window columns
+        val input = consume(spark, sub(node, 1).get, tableFor)
+        val winCols = subs(node, 2).map(consumeExpr)
+        input.select(col("*") +: winCols: _*)
       case 8 => // SortNode
         val input = consume(spark, sub(node, 1).get, tableFor)
-        val order = subs(node, 2).map { se =>
-          val c = consumeExpr(sub(se, 1).get)
-          val asc = vint(se, 2).contains(1L)
-          val nullsFirst = vint(se, 3).contains(1L)
-          (asc, nullsFirst) match {
-            case (true, true) => c.asc_nulls_first
-            case (true, false) => c.asc_nulls_last
-            case (false, true) => c.desc_nulls_first
-            case (false, false) => c.desc_nulls_last
-          }
-        }
-        input.orderBy(order: _*)
+        input.orderBy(subs(node, 2).map(consumeSortExpr): _*)
       case 5 => // LimitNode
         val input = consume(spark, sub(node, 1).get, tableFor)
         val skip = vint(node, 2).getOrElse(0L)
@@ -369,6 +547,41 @@ object DataFusionProto {
         if (fetch >= 0) after.limit(fetch.toInt) else after
       case other => throw new IllegalArgumentException(
         s"dfproto consume: unsupported plan variant $other")
+    }
+  }
+
+  private def joinTypeName(code: Long): String = code match {
+    // datafusion_common.proto:80 JoinType
+    case 0L => "inner"
+    case 1L => "left"
+    case 2L => "right"
+    case 3L => "full"
+    case 4L => "left_semi"
+    case 5L => "left_anti"
+    case other => throw new IllegalArgumentException(
+      s"dfproto consume: unsupported join type $other")
+  }
+
+  /** A join key anchored to its own side's DataFrame when it is a bare
+    * column reference, so self-joins with colliding names resolve. */
+  private def anchoredKey(df: DataFrame, b: Array[Byte]): Column = {
+    val fs = fields(b)
+    fs.head match {
+      case (1, PBytes(node)) =>
+        sub(node, 1).map(n => df.col(strOf(n))).getOrElse(consumeExpr(b))
+      case _ => consumeExpr(b)
+    }
+  }
+
+  private def consumeSortExpr(se: Array[Byte]): Column = {
+    val c = consumeExpr(sub(se, 1).get)
+    val asc = vint(se, 2).contains(1L)
+    val nullsFirst = vint(se, 3).contains(1L)
+    (asc, nullsFirst) match {
+      case (true, true) => c.asc_nulls_first
+      case (true, false) => c.asc_nulls_last
+      case (false, true) => c.desc_nulls_first
+      case (false, false) => c.desc_nulls_last
     }
   }
 
@@ -416,20 +629,89 @@ object DataFusionProto {
         val name = sub(node, 1).map(strOf).getOrElse("")
         val args = subs(node, 2).map(consumeExpr)
         val distinct = vint(node, 5).contains(1L)
-        name match {
-          case "sum" => sum(args.head)
-          case "count" if distinct => countDistinct(args.head, args.tail: _*)
-          case "count" => count(args.head)
-          case "min" => min(args.head)
-          case "max" => max(args.head)
-          case "avg" => avg(args.head)
-          case other => throw new IllegalArgumentException(
-            s"dfproto consume: unsupported aggregate $other")
+        (name, distinct) match {
+          case ("sum", false) => sum(args.head)
+          case ("sum", true) => sum_distinct(args.head)
+          case ("count", true) => countDistinct(args.head, args.tail: _*)
+          case ("count", false) => count(args.head)
+          // min/max over distinct inputs are identical to plain min/max
+          case ("min", _) => min(args.head)
+          case ("max", _) => max(args.head)
+          case ("avg", false) => avg(args.head)
+          // avg(DISTINCT x) = sum(DISTINCT x) / count(DISTINCT x): both
+          // sides range over the same distinct non-null values
+          case ("avg", true) =>
+            sum_distinct(args.head.cast(DoubleType)) / count_distinct(args.head)
+          case (other, d) => throw new IllegalArgumentException(
+            s"dfproto consume: unsupported aggregate $other (distinct=$d)")
         }
+      case 18 => // WindowExprNode (datafusion.proto:680)
+        val args = subs(node, 4).map(consumeExpr)
+        val fn = (sub(node, 3).map(strOf), sub(node, 9).map(strOf)) match {
+          case (Some(udaf), _) => udaf match {
+            case "sum" => sum(args.head)
+            case "count" => count(args.head)
+            case "min" => min(args.head)
+            case "max" => max(args.head)
+            case "avg" => avg(args.head)
+            case other => throw new IllegalArgumentException(
+              s"dfproto consume: unsupported window udaf $other")
+          }
+          case (None, Some(udwf)) => udwf match {
+            case "row_number" => row_number()
+            case "rank" => rank()
+            case "dense_rank" => dense_rank()
+            case "percent_rank" => percent_rank()
+            case other => throw new IllegalArgumentException(
+              s"dfproto consume: unsupported window udwf $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "dfproto consume: WindowExprNode without function")
+        }
+        val parts = subs(node, 5).map(consumeExpr)
+        val orders = subs(node, 6).map(consumeSortExpr)
+        var spec = org.apache.spark.sql.expressions.Window.partitionBy(parts: _*)
+        if (orders.nonEmpty) spec = spec.orderBy(orders: _*)
+        sub(node, 8).foreach { fr => // WindowFrame (:762)
+          val units = vint(fr, 1).getOrElse(0L)
+          val lower = frameBound(sub(fr, 2), isLower = true)
+          val upper = frameBound(sub(fr, 3), isLower = false)
+          units match {
+            case 0L => spec = spec.rowsBetween(lower, upper)
+            case 1L => spec = spec.rangeBetween(lower, upper)
+            case u => throw new IllegalArgumentException(
+              s"dfproto consume: unsupported frame units $u")
+          }
+        }
+        fn.over(spec)
       case other => throw new IllegalArgumentException(
         s"dfproto consume: unsupported expr variant $other")
     }
   }
+
+  /** WindowFrameBound → Spark frame offset. PRECEDING/FOLLOWING with no
+    * bound_value (the reference's ScalarValue-null) means unbounded. */
+  private def frameBound(b: Option[Array[Byte]], isLower: Boolean): Long =
+    b match {
+      case None =>
+        if (isLower) org.apache.spark.sql.expressions.Window.unboundedPreceding
+        else org.apache.spark.sql.expressions.Window.unboundedFollowing
+      case Some(bb) =>
+        val tpe = vint(bb, 1).getOrElse(0L)
+        val value = sub(bb, 2).flatMap(sv =>
+          vint(sv, 7).orElse(vint(sv, 6)).orElse(vint(sv, 5)).orElse(vint(sv, 4)))
+        (tpe, value) match {
+          case (0L, _) => 0L // CURRENT_ROW
+          case (1L, Some(v)) => -v // PRECEDING n
+          case (1L, None) =>
+            org.apache.spark.sql.expressions.Window.unboundedPreceding
+          case (2L, Some(v)) => v // FOLLOWING n
+          case (2L, None) =>
+            org.apache.spark.sql.expressions.Window.unboundedFollowing
+          case (t, _) => throw new IllegalArgumentException(
+            s"dfproto consume: unsupported frame bound type $t")
+        }
+    }
 
   private def consumeLiteral(b: Array[Byte]): Column = {
     val (field, v) = fields(b).head

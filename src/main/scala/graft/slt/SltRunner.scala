@@ -1469,10 +1469,24 @@ object SltRunner {
       val out = expr()
       if (i == s.length) out else None
     }
+    // positions inside single-quoted literals — 'LIMIT 1+1' as TEXT must
+    // not be rewritten (honors doubled-'' escapes: each quote char flips)
+    val inStr = {
+      val a = new Array[Boolean](sql.length)
+      var in = false
+      var i = 0
+      while (i < sql.length) {
+        if (sql.charAt(i) == '\'') in = !in
+        a(i) = in
+        i += 1
+      }
+      a
+    }
     Clause.replaceAllIn(sql, { m =>
       val kw = m.group(1).toUpperCase
       val raw = m.group(2).trim
-      if (raw.matches("\\d+")) java.util.regex.Matcher.quoteReplacement(m.group(0))
+      if (inStr(m.start) || raw.matches("\\d+"))
+        java.util.regex.Matcher.quoteReplacement(m.group(0))
       else {
         val resolved = """(?i)abs\s*\(\s*(-?\d+)\s*\)""".r
           .replaceAllIn(raw, mm => math.abs(mm.group(1).toLong).toString)
@@ -1495,16 +1509,33 @@ object SltRunner {
     * order-independent answer and is left for the per-line pin. */
   private val OrderedFirstLastRe =
     ("""(?i)\b(first|last)_value\s*\(\s*([\w.]+)\s+order\s+by\s+([\w.]+)""" +
-      """(?:\s+(asc|desc))?(?:\s+nulls\s+(?:first|last))?\s*\)""" +
+      """(?:\s+(asc|desc))?(?:\s+nulls\s+(first|last))?\s*\)""" +
       """(?:\s+(ignore|respect)\s+nulls)?""").r
   private def translateOrderedFirstLast(sql: String): String =
     OrderedFirstLastRe.replaceAllIn(sql, { m =>
       val first = m.group(1).equalsIgnoreCase("first")
       val desc = "desc".equalsIgnoreCase(m.group(4))
-      val ignore = "ignore".equalsIgnoreCase(m.group(5))
+      val nullsMod = Option(m.group(5)).map(_.toLowerCase)
+      val ignore = "ignore".equalsIgnoreCase(m.group(6))
       val (v, k) = (m.group(2), m.group(3))
       val fn = if (first ^ desc) "min_by" else "max_by"
-      val key = if (ignore) s"CASE WHEN $v IS NOT NULL THEN $k END" else k
+      // min_by/max_by SKIP null sort keys, so a bare key mis-handles an
+      // explicit NULLS FIRST/LAST when the null-keyed row is the answer
+      // (first…NULLS FIRST / last…NULLS LAST). Encode the null position
+      // in a never-null STRUCT key instead: field 1 separates nulls to
+      // the picked or far end, field 2 orders within the non-null rows.
+      val orderKey = nullsMod match {
+        case None => k // default ordering — bare key, existing behavior
+        case Some(mod) =>
+          // row picked = the struct-extreme under fn; nulls belong at the
+          // picked end iff first_value…NULLS FIRST or last_value…NULLS LAST
+          val pickNull = if (first) mod == "first" else mod == "last"
+          val atPickedEnd = if (fn == "min_by") -1 else 1
+          val flag = if (pickNull) atPickedEnd else -atPickedEnd
+          s"struct(CASE WHEN $k IS NULL THEN $flag ELSE 0 END, $k)"
+      }
+      val key = if (ignore) s"CASE WHEN $v IS NOT NULL THEN $orderKey END"
+        else orderKey
       java.util.regex.Matcher.quoteReplacement(s"$fn($v, $key)")
     })
 

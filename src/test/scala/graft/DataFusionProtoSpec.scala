@@ -57,6 +57,153 @@ class DataFusionProtoSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("golden bytes: JoinNode carries type/constraint/keys at the proto field numbers") {
+    import org.apache.spark.sql.functions._
+    val n = Tables.load(spark, sfDir, "nation")
+    val r = Tables.load(spark, sfDir, "region")
+    val joined = n.join(r, col("n_regionkey") === col("r_regionkey"), "left")
+    val bytes = DataFusionProto.emit(joined)
+    // top level: oneof variant join=7 (datafusion.proto:37)
+    val Seq((7, PBytes(j))) = DataFusionProto.fields(bytes): @unchecked
+    val fs = DataFusionProto.fields(j)
+    assert(fs.exists { case (1, PBytes(_)) => true; case _ => false }, "left=1")
+    assert(fs.exists { case (2, PBytes(_)) => true; case _ => false }, "right=2")
+    // join_type=3 LEFT=1 (datafusion_common.proto:82)
+    assert(fs.contains(3 -> PVarint(1L)))
+    // one equi key each side at left_join_key=5 / right_join_key=6
+    assert(fs.count { case (5, PBytes(_)) => true; case _ => false } == 1)
+    assert(fs.count { case (6, PBytes(_)) => true; case _ => false } == 1)
+    // left key decodes as Column{name=n_regionkey}
+    val lk = fs.collectFirst { case (5, PBytes(v)) => v }.get
+    val Seq((1, PBytes(colNode))) = DataFusionProto.fields(lk): @unchecked
+    val name = DataFusionProto.fields(colNode).collectFirst {
+      case (1, PBytes(v)) => new String(v, "UTF-8") }
+    assert(name.contains("n_regionkey"))
+    // and the consumed plan returns the join rows
+    val back = DataFusionProto.consume(spark, bytes,
+      t => Some(Tables.load(spark, sfDir, t)))
+    assert(back.count() == joined.count())
+  }
+
+  test("join filter residual + semi/anti types survive the wire") {
+    import org.apache.spark.sql.functions._
+    val n = Tables.load(spark, sfDir, "nation")
+    val r = Tables.load(spark, sfDir, "region")
+    for (jt <- Seq("inner", "left_semi", "left_anti")) {
+      val joined = n.join(r,
+        col("n_regionkey") === col("r_regionkey") && col("n_nationkey") > lit(2),
+        jt)
+      val back = DataFusionProto.consume(spark, DataFusionProto.emit(joined),
+        t => Some(Tables.load(spark, sfDir, t)))
+      assert(back.count() == joined.count(), s"type=$jt")
+    }
+  }
+
+  test("union + distinct + subquery alias nodes roundtrip (fields 19/23/21)") {
+    import org.apache.spark.sql.functions._
+    val n = Tables.load(spark, sfDir, "nation").select(col("n_regionkey"))
+    val u = n.union(n).distinct().alias("u").filter(col("n_regionkey") >= lit(0))
+    val bytes = DataFusionProto.emit(u)
+    // outermost is the filter (selection=4); walk down to find union=19
+    def variants(b: Array[Byte]): Seq[Int] = {
+      val fs = DataFusionProto.fields(b)
+      fs.headOption match {
+        case Some((v, PBytes(node))) =>
+          v +: DataFusionProto.fields(node).collect {
+            case (1, PBytes(c)) => variants(c) }.flatten
+        case _ => Seq.empty
+      }
+    }
+    val vs = variants(bytes)
+    assert(vs.contains(19), s"union node present: $vs")
+    assert(vs.contains(23), s"distinct node present: $vs")
+    assert(vs.contains(21), s"subquery alias node present: $vs")
+    val back = DataFusionProto.consume(spark, bytes,
+      t => Some(Tables.load(spark, sfDir, t)))
+    assert(back.collect().map(_.getInt(0)).sorted.toSeq ==
+      u.collect().map(_.getInt(0)).sorted.toSeq)
+  }
+
+  test("window node: row_number + framed avg roundtrip (field 13/18)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.load(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val spec = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val w = o.withColumn("rk", row_number().over(spec))
+      .withColumn("run", sum(col("o_totalprice")).over(
+        spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bytes = DataFusionProto.emit(w)
+    // withColumn tops the plan with a Project; the Window node (oneof
+    // variant 13) sits below it
+    def hasVariant(b: Array[Byte], v: Int): Boolean =
+      DataFusionProto.fields(b).headOption match {
+        case Some((`v`, PBytes(_))) => true
+        case Some((_, PBytes(node))) =>
+          DataFusionProto.fields(node).exists {
+            case (1, PBytes(c)) => hasVariant(c, v)
+            case _ => false
+          }
+        case _ => false
+      }
+    assert(hasVariant(bytes, 13), "WindowNode present on the wire")
+    val back = DataFusionProto.consume(spark, bytes,
+      t => Some(Tables.load(spark, sfDir, t)))
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(1), r.getInt(3))
+    assert(back.collect().map(key).sorted.toSeq ==
+      w.collect().map(key).sorted.toSeq)
+  }
+
+  test("distinct aggregates are honored after the roundtrip") {
+    import org.apache.spark.sql.functions._
+    val o = Tables.load(spark, sfDir, "orders")
+    val src = o.groupBy(col("o_orderpriority"))
+      .agg(sum_distinct(col("o_custkey")).as("sd"),
+        countDistinct(col("o_custkey")).as("cd"))
+      .orderBy(col("o_orderpriority"))
+    val back = DataFusionProto.consume(spark, DataFusionProto.emit(src),
+      t => Some(Tables.load(spark, sfDir, t)))
+    assert(back.collect().map(_.toSeq).toSeq == src.collect().map(_.toSeq).toSeq)
+  }
+
+  test("group-only aggregate (empty aggr_expr) consumes as distinct keys") {
+    import org.apache.spark.sql.functions._
+    val o = Tables.load(spark, sfDir, "orders")
+    val src = o.groupBy(col("o_orderpriority")).agg(Map.empty[String, String])
+    // analyzed form: Aggregate(groups=[p], output=[p]) → aggr_expr empty
+    val back = DataFusionProto.consume(spark, DataFusionProto.emit(src),
+      t => Some(Tables.load(spark, sfDir, t)))
+    assert(back.collect().map(_.getString(0)).sorted.toSeq ==
+      src.collect().map(_.getString(0)).sorted.toSeq)
+  }
+
+  test("decimal literal is emitted as exactly 16 sign-extended bytes") {
+    import org.apache.spark.sql.functions._
+    for (v <- Seq("12345.67", "-12345.67", "0.01", "-0.01")) {
+      val src = Tables.load(spark, sfDir, "region")
+        .select(lit(new java.math.BigDecimal(v)).as("d"))
+      val bytes = DataFusionProto.emit(src)
+      // walk: projection=3 → expr=2 (alias) → expr=1 → literal=3 → decimal=20
+      def find(b: Array[Byte], path: List[Int]): Array[Byte] = path match {
+        case Nil => b
+        case f :: rest =>
+          find(DataFusionProto.fields(b).collectFirst {
+            case (`f`, PBytes(x)) => x }.get, rest)
+      }
+      val dec = find(bytes, List(3, 2, 2, 1, 3, 20))
+      val raw = DataFusionProto.fields(dec).collectFirst {
+        case (1, PBytes(x)) => x }.get
+      assert(raw.length == 16, s"v=$v len=${raw.length}")
+      // i128::from_be_bytes view equals the BigDecimal's unscaled value
+      assert(new java.math.BigInteger(raw) ==
+        new java.math.BigDecimal(v).unscaledValue())
+      val back = DataFusionProto.consume(spark, bytes,
+        t => Some(Tables.load(spark, sfDir, t)))
+      assert(back.head().getDecimal(0).compareTo(new java.math.BigDecimal(v)) == 0)
+    }
+  }
+
   test("literals of every supported type survive the wire") {
     import org.apache.spark.sql.functions._
     val src = Tables.load(spark, sfDir, "region")
