@@ -239,10 +239,33 @@ object Multimodal {
     }
   }
 
-  /** Build a deterministic media table from the documents fixture: payload =
-    * utf-8 bytes of the text (an opaque blob as far as the pipeline cares),
-    * metadata derived from doc stats. */
+  /** Build a deterministic media table of REAL baseline JPEGs (r9): each
+    * doc synthesizes a two-tone block-aligned image through `ImageIO`'s
+    * encoder in the executor, so the payload column carries genuine JFIF
+    * bytes — the same geometry/luminance derivation the `multimodal_jpeg`
+    * oracle pins (w = 16·(id%4+1), h = 8·(id%3+1), lums id%256 /
+    * (7·id+13)%256). Synthesis is partition-parallel; nothing touches the
+    * driver. */
   def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 16 * ((id % 4).toInt + 1)
+          val h = 8 * ((id % 3).toInt + 1)
+          val payload = RealCodecs.synthesizeJpeg(
+            w, h, (id % 256).toInt, ((id * 7 + 13) % 256).toInt)
+          MediaRow(id, payload, MediaMeta("image/jpeg", w, h, payload.length.toLong))
+        }
+      }.toDF()
+  }
+
+  /** Video stand-in table (payload = utf-8 bytes of the doc text, format
+    * "fake/raw"): the fixture for the frame-sampling path, whose real
+    * codec (H.264) has no JDK decoder — the byte-chunk FakeCodec contract
+    * keeps the flatMap plumbing oracle-checkable. */
+  def videoStandinTable(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.load(spark, dir, "documents")
     docs.select(
       col("doc_id").as("media_id"),
@@ -256,31 +279,81 @@ object Multimodal {
 
   /** Feature extraction: partition-parallel batched decode → per-media mean
     * pixel + 4-bin histogram. Runs as mapPartitions so one task amortizes
-    * codec setup over its whole batch (the mapInPandas batching pattern). */
+    * codec setup over its whole batch (the mapInPandas batching pattern).
+    * Dispatches on the payload format: image/jpeg runs the REAL ImageIO
+    * codec per pixel; formats with no JDK decoder fall back to the declared
+    * FakeCodec stand-in. */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      // real codecs would initialize once per partition here
+      // ImageIO's JVM-wide codec registry init is the once-per-executor
+      // cost this batch amortizes
       rows.map { r =>
-        val px = FakeCodec.decode(r.payload, r.meta.width, r.meta.height)
-        val hist = new Array[Long](4)
-        var sum = 0L
-        px.foreach { v => sum += v; hist(v / 64) += 1 }
-        MediaFeatures(r.media_id, r.meta.width, r.meta.height,
-          sum.toDouble / px.length, hist)
+        r.meta.format match {
+          case "image/jpeg" =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.payload))
+            require(img != null, "not a decodable image")
+            val (w, h) = (img.getWidth, img.getHeight)
+            val hist = new Array[Long](4)
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val g = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+                sum += g; hist(math.min(3, g / 64)) += 1
+                x += 1
+              }
+              y += 1
+            }
+            MediaFeatures(r.media_id, w, h, sum.toDouble / (w.toLong * h), hist)
+          case _ => // declared stand-in (no JDK decoder for this format)
+            val px = FakeCodec.decode(r.payload, r.meta.width, r.meta.height)
+            val hist = new Array[Long](4)
+            var sum = 0L
+            px.foreach { v => sum += v; hist(v / 64) += 1 }
+            MediaFeatures(r.media_id, r.meta.width, r.meta.height,
+              sum.toDouble / px.length, hist)
+        }
       }
     }
   }
 
-  /** Resize: re-decode at a new geometry (stub keeps determinism). */
+  /** Resize: real decode + nearest-neighbor resample for image/jpeg
+    * (deterministic — no interpolation rounding to chase across JVMs),
+    * FakeCodec re-decode for formats with no JDK codec. */
   def resize(media: DataFrame, newW: Int, newH: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
-        val px = FakeCodec.decode(r.payload, newW, newH)
-        (r.media_id, newW, newH, px.map(_.toLong).sum.toDouble / px.length)
+        r.meta.format match {
+          case "image/jpeg" =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.payload))
+            require(img != null, "not a decodable image")
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0L
+            var ty = 0
+            while (ty < newH) {
+              val sy = ty * h / newH
+              var tx = 0
+              while (tx < newW) {
+                val sx = tx * w / newW
+                val rgb = img.getRGB(sx, sy)
+                sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+                tx += 1
+              }
+              ty += 1
+            }
+            (r.media_id, newW, newH, sum.toDouble / (newW.toLong * newH))
+          case _ =>
+            val px = FakeCodec.decode(r.payload, newW, newH)
+            (r.media_id, newW, newH, px.map(_.toLong).sum.toDouble / px.length)
+        }
       }
     }.toDF("media_id", "width", "height", "mean_px")
   }

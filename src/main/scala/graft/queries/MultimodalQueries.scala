@@ -5,17 +5,22 @@ import graft.operators.Multimodal
 import Q._
 
 /** Multimodal pipeline queries: binary payload + typed metadata through
-  * decode / feature-extract / resize / frame-sample stages (stub codec,
-  * real plumbing — graft.operators.Multimodal).
+  * decode / feature-extract / resize / frame-sample stages
+  * (graft.operators.Multimodal).
   *
-  * The fake decode is arithmetic on the payload bytes, so the DuckDB oracle
-  * reproduces it exactly with ascii()/prefix-sum algebra — the differential
-  * check covers the full mapPartitions path, not just the schema.
+  * r9: the image path is REAL end-to-end — mediaTable synthesizes genuine
+  * baseline JPEGs through ImageIO's encoder and features/resize decode
+  * them with the full huffman+IDCT codec; because the fixtures are solid
+  * block-aligned half-planes, every decoded pixel equals its source
+  * luminance exactly (DC-only blocks; verified for all 256 luminances in
+  * MultimodalSpec), so the DuckDB oracle stays closed-form over doc_id.
+  * The frame-sampling (video) path keeps the byte-chunk stand-in — no JDK
+  * H.264 decoder exists — with its ascii()/prefix-sum oracle.
   */
 object MultimodalQueries {
 
   val queries: Map[String, QueryFn] = Map(
-    // decode + feature extraction (mean pixel over a w×h cyclic plane)
+    // REAL JPEG decode + feature extraction (per-pixel gray mean/histogram)
     "multimodal_features" -> { (s, dir) =>
       val media = Multimodal.mediaTable(s, dir)
       Multimodal.extractFeatures(media)
@@ -23,16 +28,17 @@ object MultimodalQueries {
           col("height").cast("long").as("height"), r6(col("mean_px")).as("mean_px"))
     },
 
-    // resize: fixed-geometry re-decode
+    // REAL JPEG decode + nearest-neighbor resample to 16×16
     "multimodal_resize" -> { (s, dir) =>
       val media = Multimodal.mediaTable(s, dir)
       Multimodal.resize(media, 16, 16)
         .select(col("media_id"), r6(col("mean_px")).as("mean_px"))
     },
 
-    // video-style frame sampling (4 frames, stride 2) — flatMap shape
+    // video-style frame sampling (4 frames, stride 2) — flatMap shape over
+    // the byte-chunk stand-in payloads (H.264 has no JDK decoder)
     "multimodal_frames" -> { (s, dir) =>
-      val media = Multimodal.mediaTable(s, dir)
+      val media = Multimodal.videoStandinTable(s, dir)
       Multimodal.sampleFrames(media, 4, 2)
         .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
           r6(col("frame_mean")).as("frame_mean"))
@@ -112,27 +118,22 @@ object MultimodalQueries {
       |       FROM b)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // the decoded solid-half pixels equal their source luminances exactly
+    // (DC-only blocks, q=0.95 — MultimodalSpec's 256-lum sweep), so the
+    // whole-image mean is the closed-form half average
     "multimodal_features" ->
-      s"""WITH $BytesCte,
-         |c AS (SELECT media_id, w, h, w * h AS n, len,
-         |   CAST(list_sum(bytes) AS BIGINT) AS total,
-         |   CASE WHEN n % len = 0 THEN 0
-         |        ELSE CAST(list_sum(bytes[1:(n % len)]) AS BIGINT) END AS prefix
-         |  FROM (SELECT media_id, w, h, w * h AS n, len, bytes FROM bb))
-         |SELECT media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-         | floor((((n // len) * total + prefix) * 1.0 / n + 1.37e-8) * 1000000 + 0.5) / 1000000 AS mean_px
-         |FROM c""".stripMargin,
+      """SELECT doc_id AS media_id,
+        |  CAST(16 * (doc_id % 4 + 1) AS BIGINT) AS width,
+        |  CAST(8 * (doc_id % 3 + 1) AS BIGINT) AS height,
+        |  floor(((doc_id % 256 + (doc_id * 7 + 13) % 256) / 2.0 + 1.37e-8) * 1000000 + 0.5) / 1000000 AS mean_px
+        |FROM documents""".stripMargin,
 
+    // nearest-neighbor 16×16 of a block-aligned two-tone image keeps an
+    // 8/8 column split, so the resized mean equals the same half average
     "multimodal_resize" ->
-      s"""WITH $BytesCte,
-         |c AS (SELECT media_id, 256 AS n, len,
-         |   CAST(list_sum(bytes) AS BIGINT) AS total,
-         |   CASE WHEN 256 % len = 0 THEN 0
-         |        ELSE CAST(list_sum(bytes[1:(256 % len)]) AS BIGINT) END AS prefix
-         |  FROM bb)
-         |SELECT media_id,
-         | floor((((n // len) * total + prefix) * 1.0 / n + 1.37e-8) * 1000000 + 0.5) / 1000000 AS mean_px
-         |FROM c""".stripMargin,
+      """SELECT doc_id AS media_id,
+        |  floor(((doc_id % 256 + (doc_id * 7 + 13) % 256) / 2.0 + 1.37e-8) * 1000000 + 0.5) / 1000000 AS mean_px
+        |FROM documents""".stripMargin,
 
     "multimodal_wav" ->
       """SELECT doc_id AS media_id,
