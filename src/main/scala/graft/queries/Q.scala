@@ -62,6 +62,47 @@ object Q {
     }
   }
 
+  /** staticPlanSession variant with ONE shuffle partition, for queries
+    * whose every exchange is provably tiny (a grouped aggregate over a
+    * bounded key domain — partial aggregation caps each map task's output
+    * at the group count, so the single reducer receives ≤ groups × tasks
+    * rows at ANY input scale). Beyond the smaller final stage, a
+    * single-partition child satisfies the Sort's required distribution, so
+    * the ORDER BY's range exchange (and its sampling job) vanish — two
+    * whole stages off a latency-bound query. */
+  /** staticPlanSession variant that KEEPS the session's shuffle width
+    * (32 = cores in the bench harness): for static 3-stage shapes whose
+    * one real shuffle carries MBs and wants every core (q12's mid-size
+    * partitioned hash join), where the 8-partition static session would
+    * run the join on a quarter of the machine. AQE off for the same
+    * reason as staticPlanSession — the plan is decided at planning time. */
+  private val wideSessions = new java.util.WeakHashMap[SparkSession, SparkSession]()
+  def staticWideSession(s: SparkSession): SparkSession = wideSessions.synchronized {
+    val existing = wideSessions.get(s)
+    if (existing != null) existing
+    else {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.adaptive.enabled", "false")
+      ss.conf.set("spark.sql.constraintPropagation.enabled", "false")
+      wideSessions.put(s, ss)
+      ss
+    }
+  }
+
+  private val tinySessions = new java.util.WeakHashMap[SparkSession, SparkSession]()
+  def tinyResultSession(s: SparkSession): SparkSession = tinySessions.synchronized {
+    val existing = tinySessions.get(s)
+    if (existing != null) existing
+    else {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.adaptive.enabled", "false")
+      ss.conf.set("spark.sql.shuffle.partitions", "1")
+      ss.conf.set("spark.sql.constraintPropagation.enabled", "false")
+      tinySessions.put(s, ss)
+      ss
+    }
+  }
+
   /** Register the fixture tables as temp views once per (session, dir) —
     * `createOrReplaceTempView` costs ~20-25 ms per table-triple per call
     * (measured 139 vs 64 ms/plan on the q3 shape with registration inline),

@@ -336,11 +336,35 @@ object TpchQueries2 {
       // the conservative full key set
       val bc = shouldBroadcast(s0,
         estimateBytes(o, o.rows.toDouble, Seq("o_custkey")))
-      val s = if (bc) staticPlanSession(s0) else s0
+      // tiny-result session: the only exchanges left in the broadcast form
+      // feed a ≤|segments|-group aggregate (partial agg caps every map
+      // task's output at the group count), so one reducer is exact at any
+      // scale and the ORDER BY's range exchange disappears entirely
+      val s = if (bc) tinyResultSession(s0) else s0
       fixtureViews(s, dir)
-      val hint = if (bc) "/*+ BROADCAST(oh) */ " else ""
-      s.sql(
-        s"""SELECT ${hint}c_mktsegment AS cntrycode, count(*) AS numcust,
+      if (bc)
+        // Broadcast form, latency-shaped (r9): the scalar average becomes a
+        // broadcast 1-row CROSS JOIN — identical semantics (NULL gavg over
+        // an empty positive-balance set filters everything either way) but
+        // it skips Catalyst's scalar-subquery planning machinery (84 → 39
+        // ms/plan measured, tools/PlanLab) and its build runs CONCURRENTLY
+        // with the oh broadcast. Single reducer (tinyResultSession) →
+        // sortWithinPartitions IS the total order: no range exchange, no
+        // sampling job. customer is still never exchanged.
+        s.sql(
+          """SELECT /*+ BROADCAST(oh), BROADCAST(av) */ c_mktsegment AS cntrycode,
+            |       count(*) AS numcust,
+            |       floor((sum(c_acctbal) + 1.37e-4) * 100 + 0.5) / 100 AS totacctbal
+            |FROM customer
+            |CROSS JOIN (SELECT avg(c_acctbal) AS gavg FROM customer
+            |            WHERE c_acctbal > 0) av
+            |ANTI JOIN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000) oh
+            |  ON o_custkey = c_custkey
+            |WHERE c_acctbal > gavg
+            |GROUP BY c_mktsegment""".stripMargin)
+          .sortWithinPartitions("cntrycode")
+      else s.sql(
+        """SELECT c_mktsegment AS cntrycode, count(*) AS numcust,
           |       floor((sum(c_acctbal) + 1.37e-4) * 100 + 0.5) / 100 AS totacctbal
           |FROM customer ANTI JOIN
           |  (SELECT o_custkey FROM orders WHERE o_totalprice > 200000) oh

@@ -12,6 +12,19 @@ object PlanCost {
     for (t <- Seq("lineitem", "orders", "customer"))
       graft.Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
 
+    // generic mode: PlanCost <sfDir> <queryName> — construction+planning
+    // cost of any inventory query (executedPlan forced, nothing run)
+    if (args.length > 1) {
+      val name = args(1)
+      def q() = graft.SparkEntry.queries(name)(spark, sfDir)
+      q().queryExecution.executedPlan // warm
+      val n = 10
+      val t0 = System.nanoTime()
+      for (_ <- 1 to n) q().queryExecution.executedPlan
+      println(f"$name planning: ${(System.nanoTime() - t0) / 1e6 / n}%.1f ms/plan")
+      spark.stop(); return
+    }
+
     def dslQ3() = graft.SparkEntry.queries("q3_join_topk")(spark, sfDir)
     def sqlQ3() = spark.sql(
       """SELECT /*+ BROADCAST(cmplx) */ l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
