@@ -180,8 +180,13 @@ object TimeFunctions {
   private def nsParts(e: Expression): (Expression, Expression, Expression) = {
     val ns = Cast(e, LongType)
     val frac = Pmod(ns, Literal(1000000000L)) // nonneg, floor-mod
-    // ns - frac is exactly divisible, so truncating division == floor
-    val secs = IntegralDivide(Subtract(ns, frac), Literal(1000000000L))
+    // floor division WITHOUT the `ns - frac` subtraction (which underflows
+    // at Long.MinValue): truncating div adjusted down for negative
+    // non-exact operands
+    val truncDiv = IntegralDivide(ns, Literal(1000000000L))
+    val rem = Remainder(ns, Literal(1000000000L))
+    val secs = If(And(LessThan(ns, Literal(0L)), Not(EqualTo(rem, Literal(0L)))),
+      Subtract(truncDiv, Literal(1L)), truncDiv)
     (ns, secs, frac)
   }
 
@@ -265,6 +270,204 @@ object TimeFunctions {
       Concat(Seq(txt, Coalesce(Seq(suffix, Literal(""))))))
   }
 
+  // ------------------------------------------------- ns TIME-of-day (r9)
+  // Time64(Nanosecond) mirror of the µs-of-day anchor: ns-of-day BIGINT +
+  // canonical HH:MM:SS[.fffffffff] render. Reference:
+  // common/src/scalar/mod.rs:358-475 (Time64 variants).
+
+  /** Parse a time-of-day text (or a datetime whose wall carries one) to
+    * BIGINT ns-of-day; fraction truncated textually at 9 digits. */
+  def toTimeNs(e: Expression): Expression = {
+    val s = Cast(e, StringType)
+    def ex(p: String) = RegExpExtract(s, Literal(p), Literal(1))
+    def lng(x: Expression) = Cast(x, LongType, None, EvalMode.TRY)
+    val h = lng(ex("(?:^|[ T])([0-9]{1,2}):[0-9]{2}"))
+    val m = lng(ex("(?:^|[ T])[0-9]{1,2}:([0-9]{2})"))
+    val si = lng(ex("(?:^|[ T])[0-9]{1,2}:[0-9]{2}:([0-9]{2})"))
+    val frNs = Coalesce(Seq(lng(StringRPad(
+      ex("(?:^|[ T])[0-9]{1,2}:[0-9]{2}:[0-9]{2}\\.([0-9]{1,9})"),
+      Literal(9), Literal("0"))), Literal(0L)))
+    val sec = Coalesce(Seq(si, Literal(0L)))
+    val valid = And(And(
+      And(GreaterThanOrEqual(h, Literal(0L)), LessThan(h, Literal(24L))),
+      LessThan(m, Literal(60L))), LessThan(sec, Literal(60L)))
+    val ns = Add(
+      Add(Multiply(h, Literal(3600000000000L)),
+        Multiply(m, Literal(60000000000L))),
+      Add(Multiply(sec, Literal(1000000000L)), frNs))
+    If(valid, ns, Literal.create(null, LongType))
+  }
+
+  /** ns-of-day → 'HH:MM:SS[.fffffffff]' (group-trimmed fraction, the
+    * arrow Time64 display). */
+  def timeNsFormat(e: Expression): Expression = {
+    val t = Cast(e, LongType)
+    val h = IntegralDivide(t, Literal(3600000000000L))
+    val m = Pmod(IntegralDivide(t, Literal(60000000000L)), Literal(60L))
+    val sec = Pmod(IntegralDivide(t, Literal(1000000000L)), Literal(60L))
+    val frac = Pmod(t, Literal(1000000000L))
+    val base = FormatString(Literal("%02d:%02d:%02d"), h, m, sec)
+    If(IsNull(t), Literal.create(null, StringType),
+      Concat(Seq(base, nsFracText(frac))))
+  }
+
+  /** date_bin at ns precision over BIGINT ns counts (epoch-ns or
+    * ns-of-day): origin-aligned floor binning, the same arithmetic the
+    * µs date_bin shim uses. Pmod is floor-mod, so bins align toward
+    * -infinity exactly like the reference's date_bin. */
+  def nsBin(stride: Expression, x: Expression, origin: Expression): Expression = {
+    val xs = Cast(x, LongType)
+    val o = Cast(origin, LongType)
+    def neg(e: Expression) = LessThan(e, Literal(0L))
+    val diff = Subtract(xs, o)
+    // x−origin beyond i64 wraps in non-ANSI mode — the reference clamps
+    // date_bin overflow to NULL (date_bin_errors.slt), mirror that
+    val diffOverflow = And(Not(EqualTo(neg(xs), neg(o))),
+      Not(EqualTo(neg(diff), neg(xs))))
+    val res = Subtract(xs, Pmod(diff, Cast(stride, LongType)))
+    val resOverflow = And(neg(xs), GreaterThan(res, Literal(0L)))
+    If(Or(diffOverflow, resOverflow),
+      Literal.create(null, LongType), res)
+  }
+
+  // ------------------------------------------- ns intervals (r9)
+  // MonthDayNano intervals carried as struct<months,days,ns BIGINT> with
+  // ns-exact arithmetic + the reference's display formats. Reference:
+  // common/src/scalar/mod.rs (IntervalMonthDayNano), arrow's
+  // Duration/Interval Display impls.
+
+  /** Parse an interval TEXT ('1 day 3 hours', '1 day 7 nanoseconds',
+    * '0.000000010 seconds') to struct(months, days, ns) with ns-exact
+    * fractional seconds (textual fraction, no float roundtrip). */
+  def ivParse(e: Expression): Expression = {
+    val s = Lower(Cast(e, StringType))
+    def ex(p: String) = RegExpExtract(s, Literal(p), Literal(1))
+    def lng(x: Expression) = Coalesce(Seq(
+      Cast(x, LongType, None, EvalMode.TRY), Literal(0L)))
+    def unit(p: String) = lng(ex(s"([-+]?[0-9]+)\\s*$p"))
+    val years = unit("years?\\b")
+    val months = unit("(?:months?|mons?)\\b")
+    val days = unit("days?\\b")
+    val hours = unit("hours?\\b")
+    val mins = unit("(?:minutes?|mins?)\\b")
+    // seconds: integer part and a textual ≤9-digit fraction, the fraction
+    // signed with the integer part's sign
+    val secsInt = lng(ex("([-+]?[0-9]+)(?:\\.[0-9]+)?\\s*(?:seconds?|secs?)\\b"))
+    val secFracNs = lng(StringRPad(
+      ex("[-+]?[0-9]+\\.([0-9]{1,9})[0-9]*\\s*(?:seconds?|secs?)\\b"),
+      Literal(9), Literal("0")))
+    val secNeg = EqualTo(
+      ex("([-])[0-9]+(?:\\.[0-9]+)?\\s*(?:seconds?|secs?)\\b"), Literal("-"))
+    val signedFrac = If(secNeg, UnaryMinus(secFracNs), secFracNs)
+    val millis = unit("milliseconds?\\b")
+    val micros = unit("microseconds?\\b")
+    val nanos = unit("nanoseconds?\\b")
+    val ns = Add(
+      Add(
+        Add(Multiply(hours, Literal(3600000000000L)),
+          Multiply(mins, Literal(60000000000L))),
+        Add(Multiply(secsInt, Literal(1000000000L)), signedFrac)),
+      Add(Add(Multiply(millis, Literal(1000000L)),
+        Multiply(micros, Literal(1000L))), nanos))
+    CreateNamedStruct(Seq(
+      Literal("months"), Add(Multiply(years, Literal(12L)), months),
+      Literal("days"), days,
+      Literal("ns"), ns))
+  }
+
+  /** Signed '<int>.<9-digit frac>' seconds text for a ns count (sign kept
+    * even when the integer part is zero). */
+  private def signedSecsText(ns: Expression): Expression = {
+    val neg = LessThan(ns, Literal(0L))
+    val a = Abs(ns)
+    val whole = IntegralDivide(a, Literal(1000000000L))
+    val frac = Pmod(a, Literal(1000000000L))
+    Concat(Seq(
+      If(neg, Literal("-"), Literal("")),
+      Cast(whole, StringType), Literal("."),
+      StringLPad(Cast(frac, StringType), Literal(9), Literal("0"))))
+  }
+
+  /** MonthDayNano display: "X mons Y days H hours M mins S.fffffffff
+    * secs", zero components omitted (arrow's IntervalMonthDayNano
+    * formatter — matches the runner's CalendarInterval render, at ns
+    * precision). */
+  def ivText(monthsE: Expression, daysE: Expression, nsE: Expression): Expression = {
+    val months = Cast(monthsE, LongType)
+    val days = Cast(daysE, LongType)
+    val ns = Cast(nsE, LongType)
+    // IntegralDivide/Remainder truncate toward zero — the per-component
+    // sign convention of the arrow formatter
+    val hours = IntegralDivide(ns, Literal(3600000000000L))
+    val minsL = Remainder(IntegralDivide(ns, Literal(60000000000L)), Literal(60L))
+    val secNs = Remainder(ns, Literal(60000000000L))
+    def part(cond: Expression, text: Expression) =
+      If(cond, text, Literal(""))
+    val allZero = And(And(EqualTo(months, Literal(0L)), EqualTo(days, Literal(0L))),
+      EqualTo(ns, Literal(0L)))
+    val pieces = Seq(
+      part(Not(EqualTo(months, Literal(0L))),
+        Concat(Seq(Cast(months, StringType), Literal(" mons ")))),
+      part(Not(EqualTo(days, Literal(0L))),
+        Concat(Seq(Cast(days, StringType), Literal(" days ")))),
+      part(Not(EqualTo(hours, Literal(0L))),
+        Concat(Seq(Cast(hours, StringType), Literal(" hours ")))),
+      part(Not(EqualTo(minsL, Literal(0L))),
+        Concat(Seq(Cast(minsL, StringType), Literal(" mins ")))),
+      part(Or(Not(EqualTo(secNs, Literal(0L))), allZero),
+        Concat(Seq(signedSecsText(secNs), Literal(" secs ")))))
+    StringTrimRight(Concat(pieces))
+  }
+
+  /** Arrow Duration(ns) display: always all four components, per-component
+    * sign, 9-digit fraction ("-15250 days -13 hours -28 mins
+    * -44.999876545 secs"). */
+  def durRender(e: Expression): Expression = {
+    val ns = Cast(e, LongType)
+    val sign = If(LessThan(ns, Literal(0L)), Literal("-"), Literal(""))
+    val n = Abs(ns)
+    val days = IntegralDivide(n, Literal(86400000000000L))
+    val hours = Pmod(IntegralDivide(n, Literal(3600000000000L)), Literal(24L))
+    val mins = Pmod(IntegralDivide(n, Literal(60000000000L)), Literal(60L))
+    val secs = Pmod(IntegralDivide(n, Literal(1000000000L)), Literal(60L))
+    val frac = Pmod(n, Literal(1000000000L))
+    If(IsNull(ns), Literal.create(null, StringType), Concat(Seq(
+      sign, Cast(days, StringType), Literal(" days "),
+      sign, Cast(hours, StringType), Literal(" hours "),
+      sign, Cast(mins, StringType), Literal(" mins "),
+      sign, Cast(secs, StringType), Literal("."),
+      StringLPad(Cast(frac, StringType), Literal(9), Literal("0")),
+      Literal(" secs"))))
+  }
+
+  /** Epoch-ns timestamp ± MonthDayNano interval at full ns precision:
+    * months apply on the (zone-free) date part via AddMonths, days and
+    * sub-day ns as fixed counts — the reference's Timestamp(ns) ±
+    * Interval(MonthDayNano) arithmetic. Returns the canonical naive ns
+    * TEXT (the convention's display form). */
+  def nsShift(ts: Expression, monthsE: Expression, daysE: Expression,
+      nsE: Expression, signE: Expression): Expression = {
+    val base = toEpochNanos(ts)
+    val sign = Cast(signE, LongType)
+    val frac = Pmod(base, Literal(1000000000L))
+    val secs = IntegralDivide(Subtract(base, frac), Literal(1000000000L))
+    val daysBase = IntegralDivide(Subtract(secs, Pmod(secs, Literal(86400L))),
+      Literal(86400L))
+    val todSecs = Pmod(secs, Literal(86400L))
+    val months = Multiply(Cast(monthsE, LongType), sign)
+    val epochDate = Literal.create(0, DateType) // 1970-01-01
+    val shiftedDate = AddMonths(
+      DateAdd(epochDate, Cast(daysBase, IntegerType)),
+      Cast(months, IntegerType))
+    val newDays = Cast(UnixDate(shiftedDate), LongType)
+    val newSecs = Add(Multiply(newDays, Literal(86400L)), todSecs)
+    val shiftedNs = Add(Multiply(newSecs, Literal(1000000000L)), frac)
+    val fixed = Multiply(sign,
+      Add(Multiply(Cast(daysE, LongType), Literal(86400000000000L)),
+        Cast(nsE, LongType)))
+    nanosText(Add(shiftedNs, fixed))
+  }
+
   /** time_part('hour'|'minute'|'second', µs-of-day). */
   def timePart(field: String, us: Expression): Expression = {
     val t = Cast(us, LongType)
@@ -303,6 +506,25 @@ object TimeFunctions {
       one("graft_ns_epoch")(toEpochNanos),
       one("graft_ns_text")(nanosText),
       one("graft_ns_display")(nsDisplay),
+      one("graft_time_ns")(toTimeNs),
+      one("graft_time_ns_format")(timeNsFormat),
+      one("graft_iv_parse")(ivParse),
+      one("graft_dur_render")(durRender),
+      "graft_ns_bin" -> { es =>
+        if (es.size != 3) throw new IllegalArgumentException(
+          s"graft_ns_bin(stride, x, origin) takes 3 arguments, got ${es.size}")
+        nsBin(es(0), es(1), es(2))
+      },
+      "graft_iv_text" -> { es =>
+        if (es.size != 3) throw new IllegalArgumentException(
+          s"graft_iv_text(months, days, ns) takes 3 arguments, got ${es.size}")
+        ivText(es(0), es(1), es(2))
+      },
+      "graft_ns_shift" -> { es =>
+        if (es.size != 5) throw new IllegalArgumentException(
+          s"graft_ns_shift(ts, months, days, ns, sign) takes 5 arguments, got ${es.size}")
+        nsShift(es(0), es(1), es(2), es(3), es(4))
+      },
       "graft_ns_display_tz" -> { es =>
         if (es.size != 2) throw new IllegalArgumentException(
           s"graft_ns_display_tz(x, zone) takes 2 arguments, got ${es.size}")

@@ -182,7 +182,12 @@ object SqlUnparser {
         limit = Some(l.sql); cur = child
       case Offset(o, child) if offset.isEmpty && order.isEmpty =>
         offset = Some(o.sql); cur = child
-      case s: Sort if s.global && order.isEmpty =>
+      case s: Sort if order.isEmpty =>
+        // non-global (partition-local) sorts render as ORDER BY too: SQL
+        // has no partition-local sort, and a total order is a sound
+        // refinement (the library emits local sorts only over
+        // single-partition children — q12/q22's tiny-result forms —
+        // where local IS total)
         order = s.order; cur = s.child
       case _ => done = true
     }

@@ -951,7 +951,11 @@ object SubstraitSerde {
           val stripped = ne match { case Alias(c, _) => c; case x => x }
           emitExpr(stripped, w.child.output, reg, outer)
         }.toList)))
-    case Sort(order, true, child, _) =>
+    // global and partition-local sorts both emit SortRel: Substrait's
+    // sort is total, a sound refinement of a local sort (the library
+    // emits local sorts only over single-partition children, where
+    // local IS total)
+    case Sort(order, _, child, _) =>
       JObject("sort" -> JObject(
         "common" -> JObject("direct" -> JObject()),
         "input" -> emitRel(child, reg, outer),
@@ -1016,6 +1020,11 @@ object SubstraitSerde {
           "virtualTable" -> JObject("values" -> JArray(elems.map(v =>
             JObject("fields" -> JArray(List(
               literalJson(CLit(v, elemType)))))).toList))))))
+    // physical layout hints (repartition/coalesce) are invisible to the
+    // logical plan exchange — Substrait carries no partitioning, and the
+    // consumer re-plans layout on its own engine
+    case r: Repartition => emitRel(r.child, reg, outer)
+    case r: RepartitionByExpression => emitRel(r.child, reg, outer)
     case other => throw new IllegalArgumentException(
       s"substrait emit: unsupported node ${other.nodeName}")
   }

@@ -76,6 +76,37 @@ object Round9Queries {
         else None)
       back.select(col("o_custkey"), col("rk").cast("long").as("rk"),
         col("o_orderkey"), r2(col("running")).as("running"))
+    },
+
+    // Time64(ns) / Duration-ns layer (r9, SURVEY §1.2 addendum): TIME-of-
+    // day ± duration WRAPS through the day window at full ns precision
+    // (graft_time_ns/_format + floor-mod), MonthDayNano shifts apply
+    // calendar months then fixed day/ns counts (graft_ns_shift), and
+    // Duration(ns) renders in the arrow 4-component form
+    // (graft_dur_render). The oracle reproduces every string with DuckDB
+    // integer arithmetic — a wrap, carry, or trim bug breaks the hash.
+    "fn_time_ns2" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 500)
+        .select(
+          col("o_orderkey"),
+          expr("""graft_time_ns_format(
+            pmod((o_orderkey * 7919000037) % 86400000000000
+               + (o_orderkey * 1000999) % 10000000000 + 7, 86400000000000))""")
+            .as("t_plus"),
+          expr("""graft_time_ns_format(
+            pmod((o_orderkey * 7919000037) % 86400000000000
+               - ((o_orderkey * 1000999) % 10000000000 + 7), 86400000000000))""")
+            .as("t_minus"),
+          expr("""graft_ns_shift(
+            concat(date_format(o_orderdate, 'yyyy-MM-dd'), 'T00:00:00.',
+              lpad(CAST((o_orderkey * 7919) % 1000000000 AS STRING), 9, '0')),
+            1, 2, (o_orderkey * 1000999) % 10000000000 + 7, 1)""")
+            .as("ts_shift"),
+          expr("""graft_dur_render(
+            (o_orderkey % 7 - 3) * 86400000000000
+            + (o_orderkey * 7919) % 1000000000)""")
+            .as("dur_txt"))
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -102,5 +133,53 @@ object Round9Queries {
         |SELECT DISTINCT o_custkey, rk, o_orderkey,
         |  floor((running + 1.37e-4) * 100 + 0.5) / 100 AS running
         |FROM w WHERE rk <= 2
-        |ORDER BY o_custkey, rk LIMIT 200""".stripMargin)
+        |ORDER BY o_custkey, rk LIMIT 200""".stripMargin,
+    "fn_time_ns2" ->
+      """WITH b AS (
+        |  SELECT o_orderkey,
+        |    (o_orderkey * 7919000037) % 86400000000000 AS tod,
+        |    (o_orderkey * 1000999) % 10000000000 + 7 AS dur,
+        |    (o_orderkey * 7919) % 1000000000 AS frac,
+        |    ((o_orderkey % 7 - 3) * 86400000000000
+        |      + (o_orderkey * 7919) % 1000000000) AS dns,
+        |    CAST(o_orderdate AS DATE) AS od
+        |  FROM orders WHERE o_orderkey <= 500),
+        |c AS (
+        |  SELECT o_orderkey, dur, frac, dns,
+        |    ((tod + dur) % 86400000000000 + 86400000000000) % 86400000000000 AS fw,
+        |    ((tod - dur) % 86400000000000 + 86400000000000) % 86400000000000 AS bw,
+        |    CAST(epoch(CAST(od + INTERVAL 1 MONTH AS TIMESTAMP)) AS BIGINT)
+        |      * 1000000000 + frac + 2 * 86400000000000 + dur AS sh
+        |  FROM b),
+        |r AS (
+        |  SELECT o_orderkey, fw, bw, sh, dns,
+        |    fw % 1000000000 AS ff, bw % 1000000000 AS bf, sh % 1000000000 AS sf,
+        |    abs(dns) AS adns
+        |  FROM c)
+        |SELECT o_orderkey,
+        |  lpad(CAST(fw // 3600000000000 AS VARCHAR), 2, '0') || ':' ||
+        |  lpad(CAST(fw // 60000000000 % 60 AS VARCHAR), 2, '0') || ':' ||
+        |  lpad(CAST(fw // 1000000000 % 60 AS VARCHAR), 2, '0') ||
+        |  CASE WHEN ff = 0 THEN ''
+        |       WHEN ff % 1000000 = 0 THEN '.' || lpad(CAST(ff // 1000000 AS VARCHAR), 3, '0')
+        |       WHEN ff % 1000 = 0 THEN '.' || lpad(CAST(ff // 1000 AS VARCHAR), 6, '0')
+        |       ELSE '.' || lpad(CAST(ff AS VARCHAR), 9, '0') END AS t_plus,
+        |  lpad(CAST(bw // 3600000000000 AS VARCHAR), 2, '0') || ':' ||
+        |  lpad(CAST(bw // 60000000000 % 60 AS VARCHAR), 2, '0') || ':' ||
+        |  lpad(CAST(bw // 1000000000 % 60 AS VARCHAR), 2, '0') ||
+        |  CASE WHEN bf = 0 THEN ''
+        |       WHEN bf % 1000000 = 0 THEN '.' || lpad(CAST(bf // 1000000 AS VARCHAR), 3, '0')
+        |       WHEN bf % 1000 = 0 THEN '.' || lpad(CAST(bf // 1000 AS VARCHAR), 6, '0')
+        |       ELSE '.' || lpad(CAST(bf AS VARCHAR), 9, '0') END AS t_minus,
+        |  strftime(make_timestamp((sh - sf) // 1000), '%Y-%m-%dT%H:%M:%S') ||
+        |  CASE WHEN sf = 0 THEN ''
+        |       WHEN sf % 1000000 = 0 THEN '.' || lpad(CAST(sf // 1000000 AS VARCHAR), 3, '0')
+        |       WHEN sf % 1000 = 0 THEN '.' || lpad(CAST(sf // 1000 AS VARCHAR), 6, '0')
+        |       ELSE '.' || lpad(CAST(sf AS VARCHAR), 9, '0') END AS ts_shift,
+        |  CASE WHEN dns < 0 THEN '-' ELSE '' END || CAST(adns // 86400000000000 AS VARCHAR) || ' days ' ||
+        |  CASE WHEN dns < 0 THEN '-' ELSE '' END || CAST(adns // 3600000000000 % 24 AS VARCHAR) || ' hours ' ||
+        |  CASE WHEN dns < 0 THEN '-' ELSE '' END || CAST(adns // 60000000000 % 60 AS VARCHAR) || ' mins ' ||
+        |  CASE WHEN dns < 0 THEN '-' ELSE '' END || CAST(adns // 1000000000 % 60 AS VARCHAR) || '.' ||
+        |  lpad(CAST(adns % 1000000000 AS VARCHAR), 9, '0') || ' secs' AS dur_txt
+        |FROM r""".stripMargin)
 }

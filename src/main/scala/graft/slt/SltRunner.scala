@@ -1728,10 +1728,56 @@ object SltRunner {
     // The wider TIME arithmetic/coercion surface (time±interval wrap,
     // time-time intervals, string-column coercion) has no faithful
     // anchor analog and keeps its honest skip below.
-    val pre0time = if ("(?i)\\b(date_bin|date_trunc)\\s*\\(".r
-        .findFirstIn(pre0raw).isEmpty) pre0raw
+    // date_bin with a ns-resolution stride (INTERVAL '10 nanoseconds' /
+    // '0.000000010 seconds'): pure BIGINT ns binning over the epoch-ns /
+    // ns-of-day conventions — the µs shim cannot express the stride.
+    // Runs on the RAW text so TIME/TIMESTAMP literal operands are intact.
+    val preNsBin = if (!pre0raw.toLowerCase.contains("date_bin")) pre0raw
     else {
       var s2 = pre0raw
+      var from = 0
+      var continue = true
+      while (continue) {
+        val i = s2.toLowerCase.indexOf("date_bin(", from)
+        if (i < 0) continue = false
+        else if (i > 0 && (s2(i - 1).isLetterOrDigit || s2(i - 1) == '_'))
+          from = i + 1
+        else {
+          val open = i + "date_bin".length
+          val close = matchParen(s2, open)
+          if (close < 0) continue = false
+          else {
+            val args = splitTopLevel(s2.substring(open + 1, close)).map(_.trim)
+            val strideNs = args.headOption.flatMap { a =>
+              "(?is)^INTERVAL\\s+'((?:[^']|'')*)'$".r.findFirstMatchIn(a)
+                .flatMap(mm => parseNsIntervalText(mm.group(1)))
+            }
+            strideNs match {
+              case Some(nsv) if args.size == 3 =>
+                val isTime = args.tail.forall(a =>
+                  "(?is)^TIME\\s+'".r.findFirstIn(a).isDefined)
+                def operand(a: String): String =
+                  "(?is)^(?:TIME|TIMESTAMP)?\\s*('(?:[^']|'')*')$".r
+                    .findFirstMatchIn(a).map(_.group(1)).getOrElse(a)
+                val (x, o) = (operand(args(1)), operand(args(2)))
+                val repl =
+                  if (isTime)
+                    s"graft_time_ns_format(graft_ns_bin(${nsv}L, graft_time_ns($x), graft_time_ns($o)))"
+                  else
+                    s"graft_ns_text(graft_ns_bin(${nsv}L, graft_ns_epoch($x), graft_ns_epoch($o)))"
+                s2 = s2.substring(0, i) + repl + s2.substring(close + 1)
+                from = i + repl.length
+              case _ => from = close + 1
+            }
+          }
+        }
+      }
+      s2
+    }
+    val pre0time = if ("(?i)\\b(date_bin|date_trunc)\\s*\\(".r
+        .findFirstIn(preNsBin).isEmpty) preNsBin
+    else {
+      var s2 = preNsBin
       val timeArgRe = "(?i)\\bTIME\\s+'|::\\s*time\\b".r
       for (fn <- Seq("date_bin", "date_trunc")) {
         var from = 0
@@ -2072,6 +2118,15 @@ object SltRunner {
         "$1")
       .replaceAll("(?i)('\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}:\\d{2}\\.\\d{7,9}[^']*')\\s*::\\s*timestamp\\b(?!\\s*::)",
         "graft_ns_display($1)")
+      // ns TIME-of-day literal (7-9 fraction digits): the µs anchor would
+      // truncate — route through the ns-of-day layer, whose canonical
+      // HH:MM:SS.fffffffff render IS the TIME display
+      .replaceAll("(?i)\\bgraft_time_anchor\\s*\\(\\s*('[^']*\\.[0-9]{7,9}')\\s*\\)",
+        "graft_time_ns_format(graft_time_ns($1))")
+      // to_time over a ns-fraction operand (raw literal or the ns-text
+      // render of a sub-µs '…'::timestamp): ns-of-day, not the µs long
+      .replaceAll("(?i)\\bto_time\\s*\\(\\s*((?:graft_ns_display\\s*\\(\\s*)?'(?:[^']|'')*\\.[0-9]{7,9}(?:[^']|'')*'(?:\\s*\\))?)\\s*\\)",
+        "graft_time_ns_format(graft_time_ns($1))")
       .replaceAll("(?i)\\bCOUNT\\s*\\(\\s*\\)", "COUNT(*)")
       // median(DISTINCT x): the type-preserving median shim must build the
       // AggregateExpression itself (a Cast above the raw AggregateFunction
@@ -2221,11 +2276,23 @@ object SltRunner {
         }
       case other => Some(other)
     }.map {
-      case CreateSchemaValuesRe(name, cols, body) =>
+      case CreateSchemaValuesRe(name, cols, body0) =>
         val colDefs = splitTopLevel(cols).map(_.trim).filter(_.nonEmpty).map { cd =>
           val sp = cd.split("\\s+", 2)
           (sp(0), if (sp.length > 1) sp(1) else "STRING")
         }
+        // ns-bearing INTERVAL values ('1 day 7 nanoseconds'): Spark's
+        // CalendarInterval truncates at µs — carry the table's interval
+        // columns as MonthDayNano structs instead (graft_iv_parse) and
+        // record the kinds so nsArithPass can rewrite arithmetic on them
+        val hasIntervalCols = colDefs.exists(
+          _._2.trim.replaceAll("(?i)\\s+NULL$", "").equalsIgnoreCase("INTERVAL"))
+        val ivNsMode = hasIntervalCols &&
+          "(?i)nanosecond|[0-9]\\.[0-9]{7,9}\\s*sec".r.findFirstIn(body0).isDefined
+        val body = if (!ivNsMode) body0
+          else "(?i)('(?:[^']|'')*')\\s*::\\s*interval\\b".r
+            .replaceAllIn(body0, m =>
+              java.util.regex.Matcher.quoteReplacement(m.group(1)))
         // positional column alias on the derived table, so the body's own
         // naming (col1 vs column1 vs select aliases) never matters
         val alias = colDefs.map(_._1).mkString("_t(", ", ", ")")
@@ -2259,12 +2326,27 @@ object SltRunner {
         def firstNonNull(i: Int): Option[String] =
           valueRows.iterator.flatMap(_.lift(i))
             .find(v => !v.equalsIgnoreCase("NULL"))
+        // record the ns kinds for nsArithPass (ts cols land as ns text via
+        // the sub-µs literal rewrite; interval cols as structs in ivNsMode)
+        if (ivNsMode) {
+          val kinds = colDefs.zipWithIndex.flatMap { case ((n, raw), i) =>
+            val t = raw.trim.replaceAll("(?i)\\s+NULL$", "")
+            if (t.equalsIgnoreCase("INTERVAL")) Some(n.toLowerCase -> "iv")
+            else if (t.equalsIgnoreCase("TIMESTAMP") &&
+                firstNonNull(i).exists(_.contains("graft_ns_")))
+              Some(n.toLowerCase -> "ts")
+            else None
+          }.toMap
+          nsTableCols += name.toLowerCase -> kinds
+        }
         val casts = colDefs.zipWithIndex.map { case ((n, raw), i) =>
           val t = raw.trim.replaceAll("(?i)\\s+NULL$", "")
           // a declared TIME column keeps the anchored-timestamp form its
           // ::time values already carry (a cast would re-stringify)
           if (t.equalsIgnoreCase("TIME"))
             s"graft_time_anchor($n) AS $n"
+          else if (t.equalsIgnoreCase("INTERVAL") && ivNsMode)
+            s"graft_iv_parse($n) AS $n"
           // a declared TIMESTAMP column over INTEGER literals: the
           // reference coerces int → Timestamp(ns) (epoch-NS count). Keep
           // full ns precision through the epoch-ns convention layer —
@@ -2311,7 +2393,7 @@ object SltRunner {
         }
         s"$head (${defs.mkString(", ")})"
       case other => other
-    }.map(timeArithPass)
+    }.map(nsArithPass).map(timeArithPass)
   }
 
   /** Late pass over the fully-rewritten text: TIME arithmetic on the
@@ -2325,6 +2407,94 @@ object SltRunner {
     """graft_time_(?:anchor|unit)\s*\((?:[^()]|\([^()]*\))*\)"""
   private val DatePat =
     """CAST\s*\((?:[^()]|\([^()]*\))*AS\s+DATE\s*\)|'[^']*'\s*::\s*date\b|[\w.]+\s*::\s*date\b"""
+  /** Rewrite binary arithmetic on recorded ns-convention columns to the
+    * ns-exact helpers: ts−ts → rendered Duration(ns), ts±interval →
+    * calendar-months + fixed-ns shift, interval±interval → componentwise
+    * MonthDayNano with the arrow display. Arithmetic inside ORDER BY stays
+    * NUMERIC (epoch-ns difference sorts identically to the reference's
+    * duration ordering). ts+ts maps to an unregistered function name so
+    * the reference's planning-error directive sees the same error class. */
+  private def nsArithPass(sql: String): String = {
+    if (nsTableCols.isEmpty) return sql
+    val tables = nsTableCols.keys.filter(t =>
+      ("(?i)\\b" + java.util.regex.Pattern.quote(t) + "\\b").r
+        .findFirstIn(sql).isDefined)
+    if (tables.isEmpty) return sql
+    val kinds: Map[String, String] =
+      tables.toSeq.flatMap(nsTableCols(_).toSeq).toMap
+    if (kinds.isEmpty) return sql
+    val colPat = kinds.keys.map(java.util.regex.Pattern.quote).mkString("|")
+    val re = ("(?i)\\b(" + colPat + ")\\s*([-+])\\s*(" + colPat + ")\\b").r
+    def q(s: String) = java.util.regex.Matcher.quoteReplacement(s)
+    def rewriteHead(s: String): String = re.replaceAllIn(s, m => {
+      val (a, op, b) = (m.group(1), m.group(2), m.group(3))
+      (kinds(a.toLowerCase), op, kinds(b.toLowerCase)) match {
+        case ("ts", "-", "ts") =>
+          q(s"graft_dur_render(graft_ns_epoch($a) - graft_ns_epoch($b))")
+        case ("ts", "+", "ts") => q(s"graft_ts_plus_ts_unsupported($a, $b)")
+        case ("ts", "-", "iv") =>
+          q(s"graft_ns_shift($a, $b.months, $b.days, $b.ns, -1)")
+        case ("ts", "+", "iv") =>
+          q(s"graft_ns_shift($a, $b.months, $b.days, $b.ns, 1)")
+        case ("iv", "+", "ts") =>
+          q(s"graft_ns_shift($b, $a.months, $a.days, $a.ns, 1)")
+        case ("iv", o2, "iv") =>
+          q(s"graft_iv_text($a.months $o2 $b.months, " +
+            s"$a.days $o2 $b.days, $a.ns $o2 $b.ns)")
+        case _ => q(m.group(0)) // iv - ts: type error, like the reference
+      }
+    })
+    def rewriteTail(s: String): String = re.replaceAllIn(s, m => {
+      val (a, op, b) = (m.group(1), m.group(2), m.group(3))
+      if (kinds(a.toLowerCase) == "ts" && kinds(b.toLowerCase) == "ts")
+        q(s"(graft_ns_epoch($a) $op graft_ns_epoch($b))")
+      else q(m.group(0))
+    })
+    "(?i)\\bORDER\\s+BY\\b".r.findFirstMatchIn(sql) match {
+      case Some(m) =>
+        rewriteHead(sql.substring(0, m.start)) + rewriteTail(sql.substring(m.start))
+      case None => rewriteHead(sql)
+    }
+  }
+
+  /** Parse an interval literal TEXT to a pure sub-day ns count, Some only
+    * when it is genuinely ns-bearing (a nanosecond unit or a >6-digit
+    * fractional second) and free of calendar units — the gate for the
+    * ns date_bin rewrite (µs strides keep the existing shim). */
+  private def parseNsIntervalText(lit: String): Option[Long] = {
+    val s = lit.toLowerCase
+    val nsBearing = s.contains("nano") ||
+      "[0-9]\\.[0-9]{7,9}\\s*(?:seconds?|secs?)".r.findFirstIn(s).isDefined
+    if (!nsBearing) None
+    else if ("(?:year|month|mon\\b|day|week)".r.findFirstIn(s).isDefined) None
+    else {
+      var ns = 0L
+      var ok = true
+      var matched = false
+      val unitRe =
+        "([-+]?[0-9]+(?:\\.[0-9]+)?)\\s*(hours?|minutes?|mins?|seconds?|secs?|milliseconds?|microseconds?|nanoseconds?)".r
+      for (m <- unitRe.findAllMatchIn(s)) {
+        matched = true
+        val mult = m.group(2) match {
+          case u if u.startsWith("hour") => 3600000000000L
+          case u if u.startsWith("min") => 60000000000L
+          case u if u.startsWith("sec") || u.startsWith("second") => 1000000000L
+          case u if u.startsWith("milli") => 1000000L
+          case u if u.startsWith("micro") => 1000L
+          case _ => 1L
+        }
+        val qty = m.group(1)
+        if (qty.contains('.')) {
+          val bd = new java.math.BigDecimal(qty)
+            .multiply(new java.math.BigDecimal(mult))
+          if (bd.stripTrailingZeros.scale > 0) ok = false
+          else ns += bd.longValueExact
+        } else ns += qty.toLong * mult
+      }
+      if (ok && matched && ns != 0L) Some(ns) else None
+    }
+  }
+
   private def timeArithPass(sql: String): String = {
     def q(s: String) = java.util.regex.Matcher.quoteReplacement(s)
     var s = sql
@@ -2597,6 +2767,12 @@ object SltRunner {
     * expected shapes. */
   @volatile private var sparkDialect: Boolean = false
 
+  /** Tables created (this file) whose columns carry the ns conventions:
+    * col → "ts" (ns-text timestamp) or "iv" (MonthDayNano struct). Drives
+    * nsArithPass's rewrite of ts/interval arithmetic to the ns-exact
+    * helper functions (TimeFunctions r9). */
+  @volatile private var nsTableCols: Map[String, Map[String, String]] = Map.empty
+
   private def renderDateTime(ldt: java.time.LocalDateTime): String = {
     val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d" +
       f"T${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d"
@@ -2660,6 +2836,7 @@ object SltRunner {
     // a previous file's map_key_dedup_policy must not leak
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
     renderZone = None
+    nsTableCols = Map.empty
     // scratch output dir is exclusively ours; start each file clean
     locally {
       val scratch = java.nio.file.Paths.get("/tmp/graft_slt_scratch")
@@ -3112,6 +3289,16 @@ object SltRunner {
                 // overflows at runtime — the documented out-of-scope
                 poison(sql)
                 skipped += ((rec.line, "decimal precision > 38 (Spark max; reference has decimal256)"))
+              case e: Exception
+                  if Iterator.iterate[Throwable](e)(_.getCause)
+                    .takeWhile(_ != null).take(8)
+                    .exists(t => t.getMessage != null &&
+                      t.getMessage.contains("long overflow")) =>
+                // reference clamps datetime overflow to NULL end-to-end;
+                // Spark's epoch-unit conversion (timestamp_seconds at
+                // i64::MAX) errors before the ns layer can clamp
+                skipped += ((rec.line,
+                  "i64-overflow epoch conversion: reference yields NULL, Spark errors in the unit cast"))
               case e: Exception
                   if e.getMessage != null &&
                     e.getMessage.contains("INVALID_INTERVAL_FORMAT") =>

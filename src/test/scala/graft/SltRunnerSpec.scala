@@ -525,23 +525,19 @@ class SltRunnerSpec extends AnyFunSuite {
     check("datetime/dates.slt", 33)
   }
   test("datetime/timestamps.slt") {
-    val timeNs = "sub-µs TIME-of-day digits: the TIME layer is a µs-of-day anchor (the epoch-ns layer covers timestamps, not Time64(ns))"
-    val durNs = "Duration/interval arithmetic at ns precision: Spark intervals are µs"
     val colTy = "numeric-COLUMN::timestamp: the reinterpret-as-ns cast needs the operand type, unknown to the textual dialect layer"
     val coerce = "naive->tz coercion: the reference coerces a naive origin as UTC, Spark as session-local time"
     val coltz = "Arrow column-embedded timezone (Timestamp(ns, tz)) survives RESET; Spark timestamps carry no per-column tz"
     val d64 = "Date64 keeps sub-day milliseconds; DATE is day-granular"
     // r8: the epoch-ns convention layer (graft_ns_epoch/text/display —
-    // TimeFunctions) converted 16 of the 30 r6 ns pins to passes
-    // (552/557/567/572/642/679/770/788/1824/4448/4477/4568/4600/4966/
-    // 4990/5377/5383/5400); what remains is the TIME-of-day and
-    // Duration ns surface plus the declared tz classes
-    check("datetime/timestamps.slt", 590, knownDivergent =
+    // TimeFunctions) converted 16 of the 30 r6 ns pins to passes.
+    // r9: the Time64(ns)/Duration-ns layer (graft_time_ns/_format,
+    // graft_ns_bin, graft_iv_parse/_text, graft_dur_render,
+    // graft_ns_shift + nsArithPass) converted the remaining 11 ns pins
+    // (725/855/930/3478/3616 TIME-of-day; 1903-1948 Duration/interval
+    // arithmetic). What remains pinned is the declared tz/Date64 classes.
+    check("datetime/timestamps.slt", 630, knownDivergent =
       Map(578 -> colTy,
-        725 -> timeNs, 855 -> timeNs, 930 -> timeNs,
-        3478 -> timeNs, 3616 -> timeNs,
-        1903 -> durNs, 1912 -> durNs, 1921 -> durNs,
-        1930 -> durNs, 1939 -> durNs, 1948 -> durNs,
         2053 -> coerce, 2396 -> coltz, 2490 -> coltz, 3888 -> d64,
         4347 -> coltz, 4355 -> coltz,
         4301 -> "tz-to-tz comparison: the reference wall-shifts the literal into the column's zone (applies the target-zone offset to storage); Spark compares instants"))

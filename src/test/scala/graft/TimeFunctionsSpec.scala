@@ -57,6 +57,67 @@ class TimeFunctionsSpec extends AnyFunSuite {
     assert(r.getString(3) == "09:15:30") // the LABELED wall, never converted
   }
 
+  test("ns TIME-of-day parse/format and ns binning (r9)") {
+    graft.functions.TimeFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_time_ns_format(graft_time_ns('08:09:10.123456789')) a,
+                graft_time_ns_format(graft_time_ns('13:14:15')) b,
+                graft_time_ns_format(graft_ns_bin(10,
+                  graft_time_ns('14:38:50.000000016'),
+                  graft_time_ns('00:00:00'))) c,
+                graft_ns_text(graft_ns_bin(10,
+                  graft_ns_epoch('2022-08-03 14:38:50.000000016'), 0)) d""").head
+    assert(r.getString(0) == "08:09:10.123456789")
+    assert(r.getString(1) == "13:14:15")
+    assert(r.getString(2) == "14:38:50.000000010")
+    assert(r.getString(3) == "2022-08-03T14:38:50.000000010")
+  }
+
+  test("MonthDayNano interval parse/arith/render at ns precision (r9)") {
+    graft.functions.TimeFunctions.register(spark)
+    def one(sql: String): String = spark.sql(sql).head.getString(0)
+    def sub(a: String, b: String): String = one(
+      s"""SELECT graft_iv_text(x.months - y.months, x.days - y.days, x.ns - y.ns)
+         |FROM (SELECT graft_iv_parse('$a') x, graft_iv_parse('$b') y)""".stripMargin)
+    def add(a: String, b: String): String = one(
+      s"""SELECT graft_iv_text(x.months + y.months, x.days + y.days, x.ns + y.ns)
+         |FROM (SELECT graft_iv_parse('$a') x, graft_iv_parse('$b') y)""".stripMargin)
+    assert(sub("1 day", "2 days") == "-1 days")
+    assert(sub("2 months", "13 days") == "2 mons -13 days")
+    assert(sub("1 day 3 hours", "4 minutes") == "1 days 2 hours 56 mins")
+    assert(sub("1 day 7 nanoseconds", "4 seconds") == "1 days -3.999999993 secs")
+    assert(add("1 day", "2 days") == "3 days")
+    assert(add("2 months", "13 days") == "2 mons 13 days")
+    assert(add("1 day 3 hours", "4 minutes") == "1 days 3 hours 4 mins")
+    assert(add("1 day 7 nanoseconds", "4 seconds") == "1 days 4.000000007 secs")
+  }
+
+  test("duration render and ns timestamp shift (r9)") {
+    graft.functions.TimeFunctions.register(spark)
+    def one(sql: String): String = spark.sql(sql).head.getString(0)
+    assert(one("""SELECT graft_dur_render(
+        graft_ns_epoch('2023-03-15T15:00:20.000000123') -
+        graft_ns_epoch('2023-01-20T23:00:00.000000099'))""") ==
+      "53 days 16 hours 0 mins 20.000000024 secs")
+    assert(one("""SELECT graft_dur_render(
+        graft_ns_epoch('2003-07-11T01:31:15.000123456') -
+        graft_ns_epoch('2045-04-11T15:00:00.000000001'))""") ==
+      "-15250 days -13 hours -28 mins -44.999876545 secs")
+    assert(one("SELECT graft_dur_render(0)") ==
+      "0 days 0 hours 0 mins 0.000000000 secs")
+    // ts - '1 day'
+    assert(one("SELECT graft_ns_shift('2023-03-15T15:00:20.000000123', 0, 1, 0, -1)") ==
+      "2023-03-14T15:00:20.000000123")
+    // ts - '1 day 7 nanoseconds' (ns-exact)
+    assert(one("SELECT graft_ns_shift('2003-07-11T01:31:15.000123456', 0, 1, 7, -1)") ==
+      "2003-07-10T01:31:15.000123449")
+    // ts + '2 months' (calendar month add)
+    assert(one("SELECT graft_ns_shift('2023-02-28T12:01:55.000123456', 2, 0, 0, 1)") ==
+      "2023-04-28T12:01:55.000123456")
+    // fractional-second interval parse: '0.000000010 seconds' = 10 ns
+    assert(spark.sql("SELECT graft_iv_parse('0.000000010 seconds').ns").head.getLong(0) == 10L)
+  }
+
   test("to_local_time strips the zone label, keeps the wall") {
     graft.functions.TimeFunctions.register(spark)
     val r = spark.sql(
