@@ -20,6 +20,14 @@ class DFContext(val spark: SparkSession) {
   // engine function-gap layer available from SQL immediately
   graft.functions.VectorFunctions.register(spark)
   graft.functions.TextFunctions.register(spark)
+  // arrow_typeof (reference: functions/src/core/arrowtypeof.rs) —
+  // resolved-type introspection in arrow's short Debug form
+  spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    "arrow_typeof", { es =>
+      if (es.size != 1) throw new IllegalArgumentException(
+        s"arrow_typeof takes 1 argument, got ${es.size}")
+      graft.functions.ArrowTypeOf(es.head)
+    }, "built-in")
 
   /** Register a file-backed table; format inferred from the extension
     * (parquet/csv/json), mirroring CREATE EXTERNAL TABLE

@@ -440,6 +440,28 @@ object TimeFunctions {
       Literal(" secs"))))
   }
 
+  /** Arrow Duration(ns) ARRAY-formatter display: all four components,
+    * fraction group-trimmed and dropped when zero ("0 days 0 hours 0 mins
+    * 1 secs", "… 0.002 secs") — the form arrow uses for Duration COLUMN
+    * values (scalar timestamp differences render via [[durRender]]'s
+    * fixed-9 form instead). */
+  def durTrim(e: Expression): Expression = {
+    val ns = Cast(e, LongType)
+    val sign = If(LessThan(ns, Literal(0L)), Literal("-"), Literal(""))
+    val n = Abs(ns)
+    val days = IntegralDivide(n, Literal(86400000000000L))
+    val hours = Pmod(IntegralDivide(n, Literal(3600000000000L)), Literal(24L))
+    val mins = Pmod(IntegralDivide(n, Literal(60000000000L)), Literal(60L))
+    val secs = Pmod(IntegralDivide(n, Literal(1000000000L)), Literal(60L))
+    val frac = Pmod(n, Literal(1000000000L))
+    If(IsNull(ns), Literal.create(null, StringType), Concat(Seq(
+      sign, Cast(days, StringType), Literal(" days "),
+      sign, Cast(hours, StringType), Literal(" hours "),
+      sign, Cast(mins, StringType), Literal(" mins "),
+      sign, Cast(secs, StringType), nsFracText(frac),
+      Literal(" secs"))))
+  }
+
   /** Epoch-ns timestamp ± MonthDayNano interval at full ns precision:
     * months apply on the (zone-free) date part via AddMonths, days and
     * sub-day ns as fixed counts — the reference's Timestamp(ns) ±
@@ -510,6 +532,10 @@ object TimeFunctions {
       one("graft_time_ns_format")(timeNsFormat),
       one("graft_iv_parse")(ivParse),
       one("graft_dur_render")(durRender),
+      one("graft_dur_trim")(durTrim),
+      // Duration carrier tag: identity BIGINT-ns; the textual marker lets
+      // the slt CREATE recorder identify duration columns positionally
+      one("graft_dur_ns")(e => Cast(e, LongType)),
       "graft_ns_bin" -> { es =>
         if (es.size != 3) throw new IllegalArgumentException(
           s"graft_ns_bin(stride, x, origin) takes 3 arguments, got ${es.size}")

@@ -107,6 +107,25 @@ object Round9Queries {
             (o_orderkey % 7 - 3) * 86400000000000
             + (o_orderkey * 7919) % 1000000000)""")
             .as("dur_txt"))
+    },
+
+    // arrow_typeof (r9): resolved-type introspection over real fixture
+    // expressions — the names must match arrow's short Debug form exactly
+    // (reference: functions/src/core/arrowtypeof.rs; the slt corpus is
+    // the breadth evidence, this entry is the engine-surface proof)
+    "fn_arrow_typeof" -> { (s, dir) =>
+      val ctx = graft.DFContext(s)
+      ctx.registerAll(dir)
+      s.sql("""SELECT o_orderkey,
+        | arrow_typeof(o_orderkey) AS t_key,
+        | arrow_typeof(o_totalprice) AS t_price,
+        | arrow_typeof(o_orderpriority) AS t_prio,
+        | arrow_typeof(o_orderdate) AS t_date,
+        | arrow_typeof(CAST(o_totalprice AS DECIMAL(12, 2))) AS t_dec,
+        | arrow_typeof(o_orderkey > 5) AS t_bool,
+        | arrow_typeof(array(o_orderkey)) AS t_arr,
+        | arrow_typeof(named_struct('k', o_orderkey)) AS t_struct
+        |FROM orders WHERE o_orderkey <= 100""".stripMargin)
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -181,5 +200,16 @@ object Round9Queries {
         |  CASE WHEN dns < 0 THEN '-' ELSE '' END || CAST(adns // 60000000000 % 60 AS VARCHAR) || ' mins ' ||
         |  CASE WHEN dns < 0 THEN '-' ELSE '' END || CAST(adns // 1000000000 % 60 AS VARCHAR) || '.' ||
         |  lpad(CAST(adns % 1000000000 AS VARCHAR), 9, '0') || ' secs' AS dur_txt
-        |FROM r""".stripMargin)
+        |FROM r""".stripMargin,
+    "fn_arrow_typeof" ->
+      """SELECT o_orderkey,
+        | 'Int64' AS t_key,
+        | 'Float64' AS t_price,
+        | 'Utf8' AS t_prio,
+        | 'Timestamp(µs)' AS t_date,
+        | 'Decimal128(12, 2)' AS t_dec,
+        | 'Boolean' AS t_bool,
+        | 'List(Int64)' AS t_arr,
+        | 'Struct("k": Int64)' AS t_struct
+        |FROM orders WHERE o_orderkey <= 100""".stripMargin)
 }

@@ -177,6 +177,11 @@ object SltRunner {
       // µs-of-day convention and render as the canonical HH:MM:SS[.f] text
       val TimeUnitRe =
         """(?i)Time(?:32|64)\s*\(\s*(Nanosecond|Microsecond|Millisecond|Second|ns|µs|us|ms|s)\s*\)""".r
+      // Duration(unit) over a numeric count: BIGINT ns carrier (r9) —
+      // min/max/sum/avg are plain integer aggregation; the table-kind
+      // recorder + nsArithPass wrap results in the arrow Duration display
+      val DurUnitRe =
+        """(?i)Duration\s*\(\s*(Nanosecond|Microsecond|Millisecond|Second|ns|µs|us|ms|s)\s*\)""".r
       // Decimal128/Decimal256(p, s): precision clamps to Spark's 38 (the
       // Decimal256 partial surface — exact whenever the VALUE fits)
       val DecimalRe =
@@ -243,6 +248,19 @@ object SltRunner {
           }
           s = s.substring(0, idx) +
             s"graft_time_unit($expr, '$unit')" +
+            s.substring(close + 1)
+        case DurUnitRe(u) if expr.trim.matches("[-+]?[0-9]+") =>
+          // numeric-count Durations only — interval-valued casts keep
+          // their previous (untranslatable) classification
+          val mult = u.toLowerCase match {
+            case "nanosecond" | "ns" => 1L
+            case "microsecond" | "µs" | "us" => 1000L
+            case "millisecond" | "ms" => 1000000L
+            case _ => 1000000000L
+          }
+          // CAST first: a bare int literal × 1e9 overflows Int32
+          s = s.substring(0, idx) +
+            s"graft_dur_ns(CAST($expr AS BIGINT) * ${mult}L)" +
             s.substring(close + 1)
         case f16 if f16.equalsIgnoreCase("Float16") =>
           // value-exact: quantize to the binary16 grid, carry as FLOAT
@@ -1346,6 +1364,9 @@ object SltRunner {
     // DDL: `field1 BIGINT NULL`) — nullable is Spark's default, drop it
     val trimmed = t.trim.replaceAll("(?i)\\s+NULL$", "")
     trimmed.toUpperCase match {
+      // postgres array spelling `T[]` → ARRAY<T> (element type re-mapped)
+      case arr if arr.endsWith("[]") =>
+        s"ARRAY<${sparkType(trimmed.dropRight(2).trim)}>"
       case "TEXT" | "VARCHAR" | "CHAR" => "STRING"
       // plain CREATE TABLE + INSERT path: TIME stays canonical HH:MM:SS
       // text (totally ordered, renders as the reference displays TIME);
@@ -2127,6 +2148,10 @@ object SltRunner {
       // render of a sub-µs '…'::timestamp): ns-of-day, not the µs long
       .replaceAll("(?i)\\bto_time\\s*\\(\\s*((?:graft_ns_display\\s*\\(\\s*)?'(?:[^']|'')*\\.[0-9]{7,9}(?:[^']|'')*'(?:\\s*\\))?)\\s*\\)",
         "graft_time_ns_format(graft_time_ns($1))")
+      // bare DECIMAL defaults to (38, 10) in the reference; Spark's bare
+      // DECIMAL is (10, 0)
+      .replaceAll("(?i)::\\s*decimal\\b(?!\\s*\\()", "::DECIMAL(38, 10)")
+      .replaceAll("(?i)\\bAS\\s+DECIMAL\\s*(?=\\))", "AS DECIMAL(38, 10) ")
       .replaceAll("(?i)\\bCOUNT\\s*\\(\\s*\\)", "COUNT(*)")
       // median(DISTINCT x): the type-preserving median shim must build the
       // AggregateExpression itself (a Cast above the raw AggregateFunction
@@ -2181,6 +2206,7 @@ object SltRunner {
           "graft_ns_display($1)")
         .replaceAll("(?i)\\bCAST\\s*\\(\\s*(CAST\\s*\\([^()]*\\bAS\\s+DECIMAL\\s*\\(\\s*\\d+\\s*,\\s*\\d+\\s*\\)\\s*\\))\\s+AS\\s+TIMESTAMP\\s*\\)",
           "graft_ns_display($1)"))
+      .map(extractOverDuration)
       .flatMap {
       case CreateExternal(name, schemaInner, format, location0, tail, unbounded) =>
         val location = redirectScratch(location0)
@@ -2327,17 +2353,25 @@ object SltRunner {
           valueRows.iterator.flatMap(_.lift(i))
             .find(v => !v.equalsIgnoreCase("NULL"))
         // record the ns kinds for nsArithPass (ts cols land as ns text via
-        // the sub-µs literal rewrite; interval cols as structs in ivNsMode)
-        if (ivNsMode) {
+        // the sub-µs literal rewrite; interval cols as structs in ivNsMode;
+        // Duration columns carry the graft_dur_ns BIGINT marker)
+        locally {
           val kinds = colDefs.zipWithIndex.flatMap { case ((n, raw), i) =>
             val t = raw.trim.replaceAll("(?i)\\s+NULL$", "")
-            if (t.equalsIgnoreCase("INTERVAL")) Some(n.toLowerCase -> "iv")
-            else if (t.equalsIgnoreCase("TIMESTAMP") &&
+            if (ivNsMode && t.equalsIgnoreCase("INTERVAL"))
+              Some(n.toLowerCase -> "iv")
+            else if (ivNsMode && t.equalsIgnoreCase("TIMESTAMP") &&
                 firstNonNull(i).exists(_.contains("graft_ns_")))
               Some(n.toLowerCase -> "ts")
+            else if (firstNonNull(i).exists(_.contains("graft_dur_ns"))) {
+              val mult = firstNonNull(i).flatMap(v =>
+                "\\* (\\d+)L\\)".r.findFirstMatchIn(v).map(_.group(1)))
+                .getOrElse("1")
+              Some(n.toLowerCase -> s"dur#$mult")
+            }
             else None
           }.toMap
-          nsTableCols += name.toLowerCase -> kinds
+          if (kinds.nonEmpty) nsTableCols += name.toLowerCase -> kinds
         }
         val casts = colDefs.zipWithIndex.map { case ((n, raw), i) =>
           val t = raw.trim.replaceAll("(?i)\\s+NULL$", "")
@@ -2375,6 +2409,26 @@ object SltRunner {
               "(?i)(?<=[(,])(\\s*)'(nan|[+-]?inf(?:inity)?)'(\\s*)(?=[,)])",
               "$1CAST('$2' AS DOUBLE)$3")
           else body0
+        // Duration columns (graft_dur_ns markers from the arrow_cast
+        // rewrite) in an anonymous VALUES: record positionally so
+        // nsArithPass wraps their aggregates in the Duration display
+        if (body.contains("graft_dur_ns") &&
+            body.trim.toUpperCase.startsWith("VALUES")) {
+          val firstRow = {
+            val b0 = body.trim
+            val open = b0.indexOf('(')
+            val close = if (open >= 0) matchParen(b0, open) else -1
+            if (close > open) splitTopLevel(b0.substring(open + 1, close))
+            else Seq.empty[String]
+          }
+          val kinds = firstRow.zipWithIndex.collect {
+            case (v, i) if v.contains("graft_dur_ns") =>
+              val mult = "\\* (\\d+)L\\)".r.findFirstMatchIn(v)
+                .map(_.group(1)).getOrElse("1")
+              s"column${i + 1}" -> s"dur#$mult"
+          }.toMap
+          if (kinds.nonEmpty) nsTableCols += name.toLowerCase -> kinds
+        }
         // DataFusion names anonymous VALUES columns column1..N; Spark says
         // col1..N — alias them to the reference convention.
         val b = if (body.trim.toUpperCase.startsWith("VALUES")) {
@@ -2450,11 +2504,109 @@ object SltRunner {
         q(s"(graft_ns_epoch($a) $op graft_ns_epoch($b))")
       else q(m.group(0))
     })
-    "(?i)\\bORDER\\s+BY\\b".r.findFirstMatchIn(sql) match {
+    val arith = "(?i)\\bORDER\\s+BY\\b".r.findFirstMatchIn(sql) match {
       case Some(m) =>
         rewriteHead(sql.substring(0, m.start)) + rewriteTail(sql.substring(m.start))
       case None => rewriteHead(sql)
     }
+    // Duration-column aggregates render in the arrow Duration display.
+    // min/max/sum are plain BIGINT-ns aggregation; avg truncates at the
+    // SOURCE UNIT like the reference's Duration mean (8.5 ms → 8 ms), so
+    // the recorded per-column multiplier divides before the integer cast.
+    val durCols = kinds.collect {
+      case (c, k) if k.startsWith("dur#") => c -> k.substring(4)
+    }
+    if (durCols.isEmpty) arith
+    else {
+      val durPat = durCols.keys.map(java.util.regex.Pattern.quote).mkString("|")
+      def wrap(fn: String, c: String, over: String): String = {
+        val mult = durCols(c.toLowerCase)
+        if (fn == "avg")
+          s"graft_dur_trim(CAST(avg($c)$over / $mult AS BIGINT) * ${mult}L)"
+        else s"graft_dur_trim($fn($c)$over)"
+      }
+      // window form first (the wrapper must sit OUTSIDE the OVER clause)
+      val winRe = ("(?i)\\b(min|max|sum|avg)\\s*\\(\\s*(" + durPat +
+        ")\\s*\\)\\s*(OVER\\s*\\((?:[^()]|\\([^()]*\\))*\\))").r
+      val step1 = winRe.replaceAllIn(arith, m =>
+        q(wrap(m.group(1).toLowerCase, m.group(2), " " + m.group(3))))
+      val aggRe = ("(?i)\\b(min|max|sum|avg)\\s*\\(\\s*(" + durPat + ")\\s*\\)(?!\\s*OVER\\b)").r
+      val step2 = aggRe.replaceAllIn(step1, m =>
+        q(wrap(m.group(1).toLowerCase, m.group(2), "")))
+      // bare dur-column references in the SELECT list (top paren depth,
+      // before the top-level FROM) display as durations too; everything
+      // inside parens (window ORDER BY, the wraps above) stays numeric
+      val fromAt = {
+        var depth = 0; var i = 0; var inStr = false; var at = -1
+        val u = step2.toUpperCase
+        while (i < u.length && at < 0) {
+          val ch = u(i)
+          if (inStr) { if (ch == '\'') inStr = false }
+          else ch match {
+            case '\'' => inStr = true
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case 'F' if depth == 0 && u.startsWith("FROM", i) &&
+                (i == 0 || !u(i - 1).isLetterOrDigit) &&
+                (i + 4 >= u.length || !u(i + 4).isLetterOrDigit) => at = i
+            case _ =>
+          }
+          i += 1
+        }
+        at
+      }
+      if (fromAt < 0) step2
+      else {
+        val head = step2.substring(0, fromAt)
+        val bareRe = ("(?i)(?<![\\w.(])(" + durPat + ")\\b(?!\\s*\\()").r
+        val sb = new StringBuilder
+        var last = 0
+        for (m <- bareRe.findAllMatchIn(head)) {
+          // paren depth at the match: only depth-0 (select-list) positions
+          var depth = 0; var inStr = false
+          for (k <- 0 until m.start) head(k) match {
+            case '\'' => inStr = !inStr
+            case '(' if !inStr => depth += 1
+            case ')' if !inStr => depth -= 1
+            case _ =>
+          }
+          if (depth == 0) {
+            sb.append(head.substring(last, m.start))
+            sb.append(s"graft_dur_trim(${m.group(1)})")
+            last = m.end
+          }
+        }
+        sb.append(head.substring(last))
+        sb.toString + step2.substring(fromAt)
+      }
+    }
+  }
+
+  /** extract/date_part over a Duration (graft_dur_ns carrier): the total
+    * count in that unit, truncated (extract(second from 2002ms) = 2,
+    * extract(millisecond from 2002ms) = 2002) — integer division of the
+    * ns count by the unit width. Runs POST-arrow-cast, where the carrier
+    * shape is statically recognizable. */
+  private def extractOverDuration(sql: String): String = {
+    if (!sql.contains("graft_dur_ns")) return sql
+    val ExDur = ("(?i)\\b(?:extract\\s*\\(\\s*(\\w+)\\s+from|date_part\\s*\\(\\s*'(\\w+)'\\s*,)\\s*" +
+      "(graft_dur_ns\\(CAST\\([^)]*\\) \\* \\d+L\\))\\s*\\)").r
+    ExDur.replaceAllIn(sql, m => {
+      val unit = Option(m.group(1)).getOrElse(m.group(2)).toLowerCase
+      val div = unit.stripSuffix("s") match {
+        case "epoch" | "second" | "sec" => 1000000000L
+        case "millisecond" | "milli" => 1000000L
+        case "microsecond" | "micro" => 1000L
+        case "nanosecond" | "nano" => 1L
+        case "minute" | "min" => 60000000000L
+        case "hour" => 3600000000000L
+        case "day" => 86400000000000L
+        case _ => 0L
+      }
+      if (div == 0L) java.util.regex.Matcher.quoteReplacement(m.group(0))
+      else java.util.regex.Matcher.quoteReplacement(
+        s"((${m.group(3)}) div ${div}L)")
+    })
   }
 
   /** Parse an interval literal TEXT to a pure sub-day ns count, Some only
@@ -3085,8 +3237,9 @@ object SltRunner {
         runExplainDirective(rec)
       else if (upper.startsWith("DESC") || upper.startsWith("SHOW"))
         skipped += ((rec.line, "plan/describe-text directive (engine-specific rendering)"))
-      else if (upper.contains("ARROW_TYPEOF"))
-        skipped += ((rec.line, "arrow type introspection (Arrow-only)"))
+      // arrow_typeof runs for real since r9 (ArrowTypeOf shim); lines
+      // whose type sits behind a graft carrier convention (f16→Float32,
+      // ns→text, unsigned widening, Decimal256 clamp) are pinned per line
       else mentionsPoisoned(rec.sql) match {
         case Some(t) => skipped += ((rec.line, s"references skipped table $t"))
         case None if TzRe.findFirstMatchIn(rec.sql).isDefined =>
@@ -3573,6 +3726,14 @@ object SltRunner {
   private def registerCompat(spark: SparkSession): Unit = {
     graft.functions.GraftMath.register(spark)
     graft.functions.TimeFunctions.register(spark)
+    // arrow_typeof (r9): resolved-type introspection in arrow's short
+    // Debug form — graft.functions.ArrowTypeOf
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "arrow_typeof", { es =>
+        if (es.size != 1) throw new IllegalArgumentException(
+          s"arrow_typeof takes 1 argument, got ${es.size}")
+        graft.functions.ArrowTypeOf(es.head)
+      }, "built-in")
     // slt display shim: the engine's TIME-of-day convention is a µs-long
     // (TimeFunctions.makeTime); the reference renders TIME as HH:MM:SS —
     // in the dialect layer make_time returns the formatted string so the

@@ -32,8 +32,19 @@ class SltRunnerSpec extends AnyFunSuite {
   test("nullif.slt")   { check("nullif.slt", 18) }
   test("case.slt")     { check("case.slt", 60) }
   test("misc.slt")     { check("misc.slt", 3) }
-  test("coalesce.slt") { check("coalesce.slt", 20) }
-  test("operator.slt") { check("operator.slt", 3) }
+  test("coalesce.slt") {
+    val lit = "literal typing under arrow_typeof: reference SQL literals are Int64/Float64, Spark Int32/Decimal"
+    check("coalesce.slt", 25, knownDivergent =
+      Seq(26, 38, 46, 165, 172, 188, 246, 257, 275, 284, 293, 328)
+        .map(_ -> lit).toMap ++ Map(
+      322 -> "mixed numeric/string coalesce: reference coerces to f64, Spark to string"))
+  }
+  test("operator.slt") {
+    check("operator.slt", 8, knownDivergent =
+      Seq(40, 58, 76, 97, 115, 133, 154, 172, 190, 212, 230, 248)
+        .map(_ -> ("decimal-literal arithmetic typing under arrow_typeof: " +
+          "reference computes fractional literals in f64, Spark in decimal")).toMap)
+  }
   test("strings.slt")  { check("strings.slt", 10) }
   test("cte.slt")      { check("cte.slt", 40) }
   test("limit.slt")    { check("limit.slt", 30) }
@@ -75,14 +86,24 @@ class SltRunnerSpec extends AnyFunSuite {
       1980 -> "numeric-suffix literal parsing (1ea) differs",
       // r6: the 1381 pin (trunc of a 2^53+1 value) is gone — the unsigned
       // ::cast now widens to DECIMAL(20,0), making the value exact
-      692 -> "log on f32 columns computed in f64 here (display digits differ)"))
+      692 -> "log on f32 columns computed in f64 here (display digits differ)") ++
+      // r9: arrow_typeof newly exposes the carrier/typing classes
+      Seq(241, 802).map(_ -> "f32/f16 math computed in f64 here (arrow_typeof shows the carrier)").toMap ++
+      Seq(378, 573).map(_ -> "Decimal256 ceil/floor typing clamps to Decimal128").toMap ++
+      Seq(1003, 1010).map(_ -> "UInt64 carried as DECIMAL(20,0) (unsigned widening)").toMap ++
+      Seq(1034, 1050).map(_ -> "round-over-decimal result typing differs (values identical)").toMap ++
+      Map(1117 -> "round to i32::MIN digits: Spark ArithmeticException, reference saturates",
+        1337 -> "trunc over decimal: reference preserves the decimal type, Spark computes in f64"))
   }
   test("functions.slt") {
     val f32 = "sqrt/avg on f32 computed in f64 here (display digits differ)"
-    check("functions.slt", 150, knownDivergent = Map(
+    val viewT = "Utf8View/LargeUtf8/Dictionary carrier typing under arrow_typeof (Spark strings are Utf8)"
+    check("functions.slt", 215, knownDivergent = Map(
       413 -> "double-quoted function identifiers not supported by Spark's parser",
       419 -> f32, 365 -> f32, 370 -> f32,
-      1071 -> "overlay with negative length (insert mode) unsupported"))
+      1071 -> "overlay with negative length (insert mode) unsupported") ++
+      Seq(458, 463, 468, 480, 510, 560, 593, 655, 660, 665, 677, 747,
+        786, 812).map(_ -> viewT).toMap)
   }
   test("select.slt")   {
     val nan = "Spark NaN semantics intentionally differ (NaN=NaN, NaN>x)"
@@ -93,9 +114,15 @@ class SltRunnerSpec extends AnyFunSuite {
       // f32/current_time twins resolved) — unpinned
       1630 -> "int/int division: reference truncates, Spark yields double",
       1834 -> "auto-generated column naming convention differs",
-      1945 -> "current_time resolves as function, not column, in Spark"))
+      1945 -> "current_time resolves as function, not column, in Spark",
+      492 -> "literal typing under arrow_typeof: reference SQL literals are Int64/Float64, Spark Int32/Decimal",
+      498 -> "literal typing under arrow_typeof: reference SQL literals are Int64/Float64, Spark Int32/Decimal"))
   }
-  test("struct.slt")   { check("struct.slt", 45) }
+  test("struct.slt")   {
+    check("struct.slt", 64, knownDivergent = Map(
+      272 -> "literal typing under arrow_typeof: reference SQL literals are Int64/Float64, Spark Int32/Decimal",
+      277 -> "literal typing under arrow_typeof: reference SQL literals are Int64/Float64, Spark Int32/Decimal"))
+  }
   test("map.slt")      {
     check("map.slt", 70, knownDivergent = Map(
       50 -> "struct field order from JSON inference differs"))
@@ -106,12 +133,18 @@ class SltRunnerSpec extends AnyFunSuite {
     // r8: Float16 casts quantize to the binary16 grid (graft_f16) — the
     // isnan/iszero/representation lines now run; 243's last row is the
     // isnan(NULL) class
-    check("math.slt", 95, knownDivergent = Map(
+    check("math.slt", 105, knownDivergent = Map(
       66 -> "round() on f32 at the representation boundary (reference rounds in f32, Spark in f64)",
       243 -> nanNull,
       200 -> nanNull, 205 -> nanNull, 211 -> nanNull, 216 -> nanNull,
       221 -> nanNull, 264 -> nanNull, 296 -> nanNull,
-      674 -> div0, 683 -> div0, 755 -> div0, 763 -> div0))
+      674 -> div0, 683 -> div0, 755 -> div0, 763 -> div0) ++
+      Seq(533, 718, 840, 1186, 1191).map(_ -> ("graft carrier typing " +
+        "under arrow_typeof (unsigned widening / Float16-as-Float32 / " +
+        "f32 math in f64)")).toMap ++
+      Seq(952, 957, 962, 973, 979, 1030, 1035, 1041).map(_ ->
+        ("gcd/lcm over decimals: reference computes in decimal " +
+          "(fractional gcd), Spark maps to integer gcd")).toMap)
   }
   test("subquery.slt") {
     check("subquery.slt", 140, knownDivergent = Map(
@@ -122,7 +155,11 @@ class SltRunnerSpec extends AnyFunSuite {
   test("alias.slt")       { check("alias.slt", 10) }
   test("identifiers.slt") { check("identifiers.slt", 13) }
   test("cast.slt")        { check("cast.slt", 16) }
-  test("in_list.slt")     { check("in_list.slt", 17) }
+  test("in_list.slt")     {
+    check("in_list.slt", 29, knownDivergent = Map(
+      52 -> "graft carrier typing under arrow_typeof (unsigned widening / Float16-as-Float32 / Decimal256 clamp / FixedSizeBinary-as-Binary / Dictionary transparent)",
+      535 -> "INTERVAL '1 month' literal is YearMonth in Spark, MonthDayNano in the reference"))
+  }
   test("group.slt")       { check("group.slt", 24) }
   test("topk.slt")        { check("topk.slt", 12) }
   test("wildcard.slt")    { check("wildcard.slt", 10) }
@@ -163,7 +200,11 @@ class SltRunnerSpec extends AnyFunSuite {
     val ovf = "range-frame boundary arithmetic at i64 extremes: reference saturates, Spark overflows to an empty frame"
     val ulag = "lag/lead over an unordered window: Spark requires ORDER BY in the window spec"
     val nsw = "sub-microsecond digits: INSERTed ns timestamps truncate at the declared µs convention"
+    val wty = "window-function result typing under arrow_typeof: reference UInt64/Int64, Spark Int32"
     check("window.slt", 300, knownDivergent = Map(
+      4107 -> wty, 4113 -> wty, 4119 -> wty, 4137 -> wty, 4143 -> wty,
+      4149 -> wty, 4155 -> wty, 4161 -> wty,
+      4167 -> "nth_value over an unordered window: Spark requires ORDER BY",
       584 -> lim, 597 -> lim, 4450 -> ulag, 4469 -> ulag,
       948 -> nsw, 954 -> nsw,
       5841 -> dwin, 5901 -> dwin,
@@ -188,7 +229,7 @@ class SltRunnerSpec extends AnyFunSuite {
     // (c1..c13 = the canonical rows) converted ~135 more — the sketch/
     // f32-digit lines it exposed pin to their existing classes, and 1636
     // reads the c14/c15 columns only the unfetched submodule defines
-    check("aggregate.slt", 1040, knownDivergent =
+    check("aggregate.slt", 1195, knownDivergent =
       Seq(5680, 5887, 5916, 5921, 5928, 5933).map(_ -> ns).toMap ++
       Seq(5789, 5818, 5823, 5830, 5835).map(_ -> d64).toMap ++
       Seq(697, 703, 1630, 2170, 2181, 2186, 2277, 2293,
@@ -208,7 +249,23 @@ class SltRunnerSpec extends AnyFunSuite {
       1080 -> dwin, 1122 -> dwin, 1162 -> dwin,
       2013 -> "approx_count_distinct HLL estimate: sketch implementations differ",
       4473 -> "percentile_cont interpolation: reference shows the f64 rounding artifact (21.999…), Spark prints 22",
-      7986 -> "nth_value as a plain aggregate (Spark: window-only)"))
+      7986 -> "nth_value as a plain aggregate (Spark: window-only)") ++
+      // r9: arrow_typeof runs for real (ArrowTypeOf shim) — the lines it
+      // newly exposes pin to the declared carrier conventions
+      Seq(1182, 3192, 4041, 4692, 4741, 4789, 4839, 6122, 6731, 8084,
+        8095, 8612).map(_ -> ("graft carrier typing under arrow_typeof " +
+          "(unsigned widening / Float16-as-Float32 / Utf8View-as-Utf8 / " +
+          "Dictionary transparent / Decimal256 clamp)")).toMap ++
+      Seq(1198, 7991).map(_ -> ("aggregate-of-NULL typing: reference " +
+        "types it Null, Spark keeps the function's result type")).toMap ++
+      Seq(1207, 1224, 1236).map(_ -> ("decimal median: reference " +
+        "truncating decimal midpoint + type preservation, Spark " +
+        "interpolates in double")).toMap ++
+      Map(1212 -> ("approx_percentile over decimal: reference " +
+        "interpolates in f64, Spark returns the input type"),
+        8743 -> ("avg(DISTINCT decimal) result typing: reference widens " +
+          "precision (Decimal128(14,8)/Decimal256), Spark keeps its own " +
+          "promotion")))
   }
   test("union_by_name.slt") { check("union_by_name.slt", 7) }
   test("table_functions.slt") { check("table_functions.slt", 55) }
@@ -218,10 +275,23 @@ class SltRunnerSpec extends AnyFunSuite {
   // query lines now pass); true >38-digit values and negative scales stay
   // honest skips. The two r6 pins (division scale, f64 literal) now pass
   // unpinned — probe-verified zero failures.
-  test("decimal.slt")     { check("decimal.slt", 88) }
+  test("decimal.slt")     {
+    val d256 = "Decimal256 typing clamps to Decimal128(38) under arrow_typeof"
+    val promo = "decimal arithmetic result-type promotion rules differ (values identical)"
+    check("decimal.slt", 125, knownDivergent = Map(
+      127 -> "decimal median: reference truncating decimal midpoint + type preservation, Spark interpolates in double",
+      698 -> "decimal median: reference truncating decimal midpoint + type preservation, Spark interpolates in double",
+      208 -> promo, 261 -> promo, 313 -> promo, 365 -> promo,
+      391 -> promo, 584 -> promo,
+      634 -> d256, 678 -> d256, 683 -> d256, 688 -> d256, 693 -> d256))
+  }
   test("encoding.slt")    { check("encoding.slt", 12) }
   // r8: the 171 ns pin passes via the session-tagged ns render
-  test("to_timestamp_timezone.slt") { check("to_timestamp_timezone.slt", 25) }
+  test("to_timestamp_timezone.slt") {
+    val unit = "timestamp unit typing: to_timestamp_* yields the µs convention carrier (s/ms/ns inputs truncate or ride the ns-text layer)"
+    check("to_timestamp_timezone.slt", 26, knownDivergent = Map(
+      86 -> unit, 177 -> unit, 182 -> unit, 192 -> unit, 197 -> unit))
+  }
   test("truncate.slt")     { check("truncate.slt", 4) }
   test("count_star_rule.slt") { check("count_star_rule.slt", 6) }
   test("update.slt")       { check("update.slt", 9) }
@@ -232,11 +302,18 @@ class SltRunnerSpec extends AnyFunSuite {
   test("type_coercion.slt") { check("type_coercion.slt", 15) }
   test("string_numeric_coercion.slt") {
     val mixedIn = "mixed string/number IN-list: reference coerces per element, Spark unifies the list type"
-    check("string_numeric_coercion.slt", 40,
-      knownDivergent = Map(250 -> mixedIn, 257 -> mixedIn))
+    check("string_numeric_coercion.slt", 53,
+      knownDivergent = Map(250 -> mixedIn, 257 -> mixedIn,
+        355 -> "literal typing under arrow_typeof: reference SQL literals are Int64/Float64, Spark Int32/Decimal",
+        409 -> "literal typing under arrow_typeof: reference SQL literals are Int64/Float64, Spark Int32/Decimal",
+        472 -> "literal typing under arrow_typeof: reference SQL literals are Int64/Float64, Spark Int32/Decimal"))
   }
   // r8: with_dates fixture reconstruction — 52 passed, 0 failed
-  test("array_agg.slt")    { check("array_agg.slt", 50) }
+  test("array_agg.slt")    {
+    check("array_agg.slt", 52, knownDivergent = Map(
+      591 -> "Dictionary encoding is transparent in Spark (value type only)",
+      613 -> "Dictionary encoding is transparent in Spark (value type only)"))
+  }
   test("regexp_like.slt")  { check("regexp/regexp_like.slt", 22) }
   test("regexp_match.slt") { check("regexp/regexp_match.slt", 12) }
   test("regexp_replace.slt") { check("regexp/regexp_replace.slt", 20) }
@@ -286,7 +363,12 @@ class SltRunnerSpec extends AnyFunSuite {
   test("aggregates_topk.slt") { check("aggregates_topk.slt", 82) }
   test("lateral_join.slt")  { check("lateral_join.slt", 60) }
   test("pipe_operator.slt") { check("pipe_operator.slt", 14) }
-  test("parquet.slt")       { check("parquet.slt", 55) }
+  test("parquet.slt")       {
+    check("parquet.slt", 57, knownDivergent = Map(
+      263 -> "parquet ms-unit timestamp reads at the µs convention (unit + tz tag differ)",
+      573 -> "FixedSizeBinary reads as Binary in Spark",
+      590 -> "FixedSizeBinary reads as Binary in Spark"))
+  }
   test("create_external_table.slt") { check("create_external_table.slt", 1) }
   test("cosine_distance.slt") { check("cosine_distance.slt", 11) }
   test("inner_product.slt") { check("inner_product.slt", 14) }
@@ -370,7 +452,19 @@ class SltRunnerSpec extends AnyFunSuite {
   test("arrow_field.slt")     { check("arrow_field.slt", 2) }
   test("arrow_files.slt")     { check("arrow_files.slt", 35) }
   test("arrow_try_cast.slt")  { check("arrow_try_cast.slt", 2) }
-  test("arrow_typeof.slt")    { check("arrow_typeof.slt", 1) }
+  test("arrow_typeof.slt")    {
+    // arrow_typeof runs for real since r9 (ArrowTypeOf shim); the pins
+    // are the declared carrier conventions — each line names the class
+    val us = "µs timestamp convention: the reference's default Timestamp is ns"
+    val carrier = "graft carrier conventions in one multi-type row (unsigned widening / Float16-as-Float32 / LargeUtf8-Utf8View-as-Utf8 / ts-unit truncation / ns-as-text)"
+    check("arrow_typeof.slt", 24, knownDivergent = Map(
+      61 -> us, 67 -> us,
+      108 -> carrier, 160 -> carrier, 192 -> "Decimal256 clamps to Decimal128(38)",
+      225 -> carrier, 253 -> carrier,
+      277 -> "Dictionary encoding is transparent in Spark (value type only)",
+      440 -> "Spark CAST AS STRING yields Utf8, not Utf8View",
+      447 -> "Spark CAST AS BINARY yields Binary, not BinaryView"))
+  }
   test("async_udf.slt")       { check("async_udf.slt", 4) }
   test("cast_extension_type_metadata.slt") { check("cast_extension_type_metadata.slt", 0) }
   test("clickbench.slt")      { check("clickbench.slt", 3) }
@@ -389,7 +483,10 @@ class SltRunnerSpec extends AnyFunSuite {
   test("explain_tree.slt")    { check("explain_tree.slt", 30) }
   test("file_row_index.slt")  { check("file_row_index.slt", 4) }
   // r8: graft_f16 quantization + mixed NaN-VALUES coercion — 8 passed
-  test("float16.slt")         { check("float16.slt", 8) }
+  test("float16.slt")         {
+    check("float16.slt", 8, knownDivergent = Map(
+      26 -> "Float16 carried as Float32 (binary16-quantized values, f32 carrier)"))
+  }
   test("functional_dependencies.slt") {
     check("functional_dependencies.slt", 18, knownDivergent = Map(
       207 -> "functional-dependence grouping via PRIMARY KEY metadata (Spark has no PK constraints)"))
@@ -420,7 +517,12 @@ class SltRunnerSpec extends AnyFunSuite {
   test("listing_table_statistics.slt") { check("listing_table_statistics.slt", 9) }
   test("metadata.slt")        { check("metadata.slt", 1) }
   test("nested_loop_join_spill.slt") { check("nested_loop_join_spill.slt", 11) }
-  test("options.slt")         { check("options.slt", 20) }
+  test("options.slt")         {
+    val popt = "DataFusion parser-option literal typing (parse_float_as_decimal / beyond-i64 integers -> UInt64/Decimal128/Decimal256): Spark's parser has no such modes"
+    check("options.slt", 22, knownDivergent =
+      Seq(103, 119, 131, 144, 154, 164, 174, 185, 193, 200, 221, 242,
+        248, 262, 267, 276).map(_ -> popt).toMap)
+  }
   test("ordered_aggregate_spill.slt") { check("ordered_aggregate_spill.slt", 35) }
   test("parquet_cdc.slt")     { check("parquet_cdc.slt", 18) }
   test("parquet_cdc_config.slt") { check("parquet_cdc_config.slt", 6) }
@@ -461,7 +563,8 @@ class SltRunnerSpec extends AnyFunSuite {
       "array_index.slt" -> "runtime-column slice bounds (a[i:col]) are unsupported by Spark's slice",
       "arrays_zip.slt" -> "zipped struct field naming: reference 1-based, Spark 0-based",
       "array_to_string.slt" -> "decimal element text: reference trims trailing .0 in joins",
-      "cardinality.slt" -> "cardinality(NULL) nested: reference NULL, Spark legacy -1 via size")
+      "cardinality.slt" -> "cardinality(NULL) nested: reference NULL, Spark legacy -1 via size",
+      "array_literal.slt" -> "nested-list literal typing under arrow_typeof: reference Int64/Float64 elements, Spark Int32/Decimal")
     val dir = new java.io.File(s"$sltDir/array")
     var passed = 0; val bad = scala.collection.mutable.ListBuffer[String]()
     for (f <- dir.listFiles().filter(_.getName.endsWith(".slt")).sortBy(_.getName)) {
@@ -490,7 +593,9 @@ class SltRunnerSpec extends AnyFunSuite {
       // r6: anchored-TIME arithmetic — the residual divergences are the
       // declared µs convention (ns digits) and per-unit flooring
       "arith_time_interval.slt" -> "sub-unit interval addition floors to the declared Time32/64 unit in the reference; the µs anchor keeps µs (l86 only)",
-      "arith_date_time.slt" -> "Time64(ns) fraction: sub-µs digits truncate per the µs convention (l60/l100 only)")
+      "arith_date_time.slt" -> "Time64(ns) fraction: sub-µs digits truncate per the µs convention (l60/l100 only)",
+      "arith_timestamp_interval.slt" -> "arrow_typeof unit: the µs timestamp convention (reference default is ns)",
+      "arith_timestamp_timestamp.slt" -> "arrow_typeof unit: ts−ts Duration is µs here, ns in the reference")
     var passed = 0; val bad = scala.collection.mutable.ListBuffer[String]()
     val dir = new java.io.File(s"$sltDir/datetime")
     for (f <- dir.listFiles().filter(_.getName.startsWith("arith_")).sortBy(_.getName)) {
@@ -506,7 +611,11 @@ class SltRunnerSpec extends AnyFunSuite {
   }
 
   test("datetime/current_date_timezone.slt") { check("datetime/current_date_timezone.slt", 9) }
-  test("datetime/current_time_timezone.slt") { check("datetime/current_time_timezone.slt", 15) }
+  test("datetime/current_time_timezone.slt") {
+    check("datetime/current_time_timezone.slt", 15, knownDivergent = Map(
+      29 -> "current_time typing: Time64(ns) in the reference, the µs TimeType here",
+      44 -> "current_time typing: Time64(ns) in the reference, the µs TimeType here"))
+  }
   test("datetime/interval.slt") {
     check("datetime/interval.slt", 35, knownDivergent = Map(
       478 -> "compact duration suffix literal ('1s'::interval) parses in the reference only"))
@@ -536,7 +645,13 @@ class SltRunnerSpec extends AnyFunSuite {
     // graft_ns_shift + nsArithPass) converted the remaining 11 ns pins
     // (725/855/930/3478/3616 TIME-of-day; 1903-1948 Duration/interval
     // arithmetic). What remains pinned is the declared tz/Date64 classes.
+    val tsCar = "timestamp/TIME unit & zone typing under arrow_typeof: the µs convention / ns-as-text / anchored-TIME carriers"
     check("datetime/timestamps.slt", 630, knownDivergent =
+      Seq(82, 1053, 1071, 1673, 1684, 1757, 1768, 2390, 2405, 2410, 2415,
+        2425, 2465, 2499, 2534, 2546, 2586, 2592, 2928, 3314, 3509, 3642,
+        3776, 3781, 4181, 4198, 4215, 4516, 4556, 4562, 4588, 4594, 5032,
+        5037, 5042, 5047, 5052, 5057, 5062, 5067, 5072, 5092, 5097, 5102,
+        5213, 5218, 5223, 5233).map(_ -> tsCar).toMap ++
       Map(578 -> colTy,
         2053 -> coerce, 2396 -> coltz, 2490 -> coltz, 3888 -> d64,
         4347 -> coltz, 4355 -> coltz,
@@ -561,22 +676,30 @@ class SltRunnerSpec extends AnyFunSuite {
   test("string/dictionary_utf8.slt") { check("string/dictionary_utf8.slt", 6) }
   test("string/large_string.slt") {
     check("string/large_string.slt", 88, knownDivergent = Map(
-      621 -> "LargeUtf8 coercion corner (same line as string.slt)"))
+      621 -> "LargeUtf8 coercion corner (same line as string.slt)",
+      1945 -> "Utf8View/LargeUtf8 result typing under arrow_typeof (Spark strings are Utf8)", 1958 -> "Utf8View/LargeUtf8 result typing under arrow_typeof (Spark strings are Utf8)"))
   }
   test("string/string.slt") {
     check("string/string.slt", 87, knownDivergent = Map(
-      621 -> "starts_with/ends_with NULL-propagation corner differs"))
+      621 -> "starts_with/ends_with NULL-propagation corner differs",
+      1945 -> "Utf8View/LargeUtf8 result typing under arrow_typeof (Spark strings are Utf8)", 1958 -> "Utf8View/LargeUtf8 result typing under arrow_typeof (Spark strings are Utf8)"))
   }
   test("string/string_literal.slt") {
     val esc = "escape-dialect corners: quoted-quote inside LIKE patterns and unicode escape spellings"
     check("string/string_literal.slt", 145, knownDivergent =
-      Seq(970, 1238, 1249, 1290).map(_ -> esc).toMap)
+      Seq(970, 1238, 1249, 1290).map(_ -> esc).toMap ++
+      Seq(461, 466, 532, 537, 547, 2035, 2040).map(_ -> "Utf8View/LargeUtf8 result typing under arrow_typeof (Spark strings are Utf8)").toMap)
   }
-  test("string/string_view.slt") { check("string/string_view.slt", 29) }
+  test("string/string_view.slt") {
+    check("string/string_view.slt", 29, knownDivergent = Map(
+      952 -> "Utf8View/LargeUtf8 result typing under arrow_typeof (Spark strings are Utf8)", 1326 -> "Utf8View/LargeUtf8 result typing under arrow_typeof (Spark strings are Utf8)"))
+  }
   test("string/concat.slt") {
     val coerce = "concat of array||string mixed-type coercion differs"
+    val viewT = "Utf8View/LargeUtf8/BinaryView result typing under arrow_typeof; binary concat carried as string"
     check("string/concat.slt", 7, knownDivergent =
-      Seq(126, 132).map(_ -> coerce).toMap)
+      Seq(126, 132).map(_ -> coerce).toMap ++
+      Seq(23, 53, 59, 65, 89, 95, 101, 106, 111, 117).map(_ -> viewT).toMap)
   }
 
   test("tpch/tpch.slt") { check("tpch/tpch.slt", 4) }
