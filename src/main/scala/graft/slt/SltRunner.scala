@@ -3239,7 +3239,14 @@ object SltRunner {
         skipped += ((rec.line, "plan/describe-text directive (engine-specific rendering)"))
       // arrow_typeof runs for real since r9 (ArrowTypeOf shim); lines
       // whose type sits behind a graft carrier convention (f16→Float32,
-      // ns→text, unsigned widening, Decimal256 clamp) are pinned per line
+      // ns→text, unsigned widening, Decimal256 clamp) are pinned per line.
+      // spark/ subtree EXCEPTION: there arrow_typeof asserts the
+      // datafusion-spark compat CRATE's internal carriers (UInt32 shift
+      // results, Utf8View) — not observable Spark types — so the
+      // introspection gate stays for that dialect.
+      else if (sparkDialect && upper.contains("ARROW_TYPEOF"))
+        skipped += ((rec.line,
+          "arrow type introspection of the spark-compat crate's internal carriers (not observable Spark types)"))
       else mentionsPoisoned(rec.sql) match {
         case Some(t) => skipped += ((rec.line, s"references skipped table $t"))
         case None if TzRe.findFirstMatchIn(rec.sql).isDefined =>
