@@ -2148,6 +2148,12 @@ object SltRunner {
       // render of a sub-µs '…'::timestamp): ns-of-day, not the µs long
       .replaceAll("(?i)\\bto_time\\s*\\(\\s*((?:graft_ns_display\\s*\\(\\s*)?'(?:[^']|'')*\\.[0-9]{7,9}(?:[^']|'')*'(?:\\s*\\))?)\\s*\\)",
         "graft_time_ns_format(graft_time_ns($1))")
+      // a >38-digit literal cast to Decimal256 (p>38): the value exceeds
+      // i128, where the reference itself falls back to f64 computation
+      // (decimal.slt "uses f64 fallback") — mirror that fallback exactly
+      .replaceAll(
+        "(?i)(?<![\\w.])([0-9]{39,})\\s*::\\s*decimal\\s*\\(\\s*(?:39|[4-9][0-9]|[0-9]{3,})\\s*,\\s*\\d+\\s*\\)",
+        "CAST('$1' AS DOUBLE)")
       // bare DECIMAL defaults to (38, 10) in the reference; Spark's bare
       // DECIMAL is (10, 0)
       .replaceAll("(?i)::\\s*decimal\\b(?!\\s*\\()", "::DECIMAL(38, 10)")
