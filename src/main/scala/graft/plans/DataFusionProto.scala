@@ -136,10 +136,14 @@ object DataFusionProto {
   }
 
   private def emitPlan(plan: LogicalPlan, w: W): Unit = plan match {
-    // an alias directly over a table scan is redundant on this wire (the
-    // scan already carries the table name); aliases over derived plans are
-    // real SubqueryAliasNodes (datafusion.proto:452)
-    case SubqueryAlias(_, child: LogicalRelation) => emitPlan(child, w)
+    // an alias directly over a table scan that REPEATS the table name is
+    // redundant on this wire (the scan already carries the table name);
+    // renaming aliases and aliases over derived plans are real
+    // SubqueryAliasNodes (datafusion.proto:452) so qualified column
+    // references resolve on consume
+    case SubqueryAlias(id, child: LogicalRelation)
+        if id.name.equalsIgnoreCase(tableNameOf(child)) =>
+      emitPlan(child, w)
     case SubqueryAlias(id, child) =>
       w.msg(21) { sa =>
         sa.msg(1)(emitPlan(child, _))
@@ -153,11 +157,8 @@ object DataFusionProto {
       // file_extension=3, schema=5, parquet=11(ParquetFormat, empty opts)
       val (name, path) = lr.relation match {
         case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-          val p = fs.location.rootPaths.headOption.map(_.toString).getOrElse("")
-          val base = fs.location.rootPaths.headOption.map(_.getName).getOrElse("t")
-          val n = lr.catalogTable.map(_.identifier.table).getOrElse(
-            if (base.contains('.')) base.substring(0, base.lastIndexOf('.')) else base)
-          (n, p)
+          (tableNameOf(lr),
+            fs.location.rootPaths.headOption.map(_.toString).getOrElse(""))
         case _ => throw new IllegalArgumentException("dfproto: non-file relation")
       }
       w.msg(1) { scan =>
@@ -186,13 +187,23 @@ object DataFusionProto {
         s.msg(2)(emitExpr(cond, _))
       }
     case Aggregate(groups, aggs, child, _) =>
-      w.msg(6) { a => // AggregateNode (:256)
+      // aggr_expr carries only the non-key output expressions (the
+      // reference's AggregateNode keys are not repeated there)
+      val keyOut = aggs.filter(e => groups.exists(_.semanticEquals(stripAlias(e))))
+      val nonKey = aggs.filterNot(e => groups.exists(_.semanticEquals(stripAlias(e))))
+      def emitAggNode(w: W): Unit = w.msg(6) { a => // AggregateNode (:256)
         a.msg(1)(emitPlan(child, _))
         groups.foreach(g => a.msg(2)(emitExpr(g, _)))
-        // aggr_expr carries only the non-key output expressions (the
-        // reference's AggregateNode keys are not repeated there)
-        aggs.filterNot(e => groups.exists(_.semanticEquals(stripAlias(e))))
-          .foreach(e => a.msg(3)(emitExpr(e, _)))
+        nonKey.foreach(e => a.msg(3)(emitExpr(e, _)))
+      }
+      // the wire's AggregateNode output is keys-then-aggregates; when the
+      // plan's output order differs (SELECT sum(b), a ... GROUP BY a), wrap
+      // in a ProjectionNode restoring the original column order — the
+      // reference emits exactly this shape
+      if (aggs.map(_.name) == (keyOut ++ nonKey).map(_.name)) emitAggNode(w)
+      else w.msg(3) { p =>
+        p.msg(1)(emitAggNode(_))
+        aggs.foreach(e => p.msg(2)(c => c.msg(1)(_.str(1, e.name))))
       }
     case Join(left, right, Cross, None, _) =>
       w.msg(15) { j => // CrossJoinNode (datafusion.proto:435)
@@ -215,7 +226,13 @@ object DataFusionProto {
           case None => (ks, rs :+ e)
         }
       }
-      require(eqKeys.nonEmpty, s"dfproto emit: join without equi keys ($jt)")
+      // JoinNode supports empty key lists with only a filter (theta join);
+      // the consume path's (None, Some(f)) case evaluates it. Keep the
+      // requirement only for semi/anti shapes where a keyless wire form is
+      // not produced by the reference.
+      require(eqKeys.nonEmpty || jt == Inner || jt == LeftOuter ||
+        jt == RightOuter || jt == FullOuter,
+        s"dfproto emit: join without equi keys ($jt)")
       val nullEq = eqKeys.forall(_._3)
       // mixed <=> / = key lists don't fit the single null_equality flag —
       // demote the null-safe ones to the residual filter in that case
@@ -266,6 +283,16 @@ object DataFusionProto {
 
   private def stripAlias(e: CExpr): CExpr = e match {
     case Alias(c, _) => c; case x => x
+  }
+
+  /** The logical table name a file relation scans (catalog name when
+    * registered, else the basename of the root path sans extension). */
+  private def tableNameOf(lr: LogicalRelation): String = lr.relation match {
+    case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+      val base = fs.location.rootPaths.headOption.map(_.getName).getOrElse("t")
+      lr.catalogTable.map(_.identifier.table).getOrElse(
+        if (base.contains('.')) base.substring(0, base.lastIndexOf('.')) else base)
+    case _ => "t"
   }
 
   private def splitAnd(e: CExpr): Seq[CExpr] = e match {
@@ -323,7 +350,13 @@ object DataFusionProto {
   /** LogicalExprNode (datafusion.proto:459-524). */
   private def emitExpr(e: CExpr, w: W): Unit = e match {
     case a: AttributeReference =>
-      w.msg(1)(_.str(1, a.name)) // Column (common:27) — name only
+      // Column (common:26-29): name=1, relation=2 (ColumnRelation.relation=1)
+      // — the reference always qualifies resolved columns; emit the nearest
+      // qualifier so self-join residual filters disambiguate on consume
+      w.msg(1) { c =>
+        c.str(1, a.name)
+        a.qualifier.lastOption.foreach(q => c.msg(2)(_.str(1, q)))
+      }
     case Alias(child, name) =>
       w.msg(2) { al => // AliasNode (:615)
         al.msg(1)(emitExpr(child, _)); al.str(2, name)
@@ -424,7 +457,9 @@ object DataFusionProto {
     if (v == 0L) w.int64(1, 0L)
     else {
       w.int64(1, if (v < 0) 1L else 2L) // PRECEDING / FOLLOWING
-      w.msg(2)(_.int64(7, math.abs(v))) // ScalarValue.int64_value
+      // the reference pins ROWS/RANGE offsets as ScalarValue::UInt64
+      // (window_frame.rs WindowFrameBound; uint64_value = field 11)
+      w.msg(2)(_.int64(11, math.abs(v)))
     }
 
   /** ScalarValue (datafusion_common.proto:280). */
@@ -480,7 +515,17 @@ object DataFusionProto {
   /** LogicalPlanNode bytes → executable DataFrame; `tableFor` resolves a
     * scan's table name (the plan-exchange contract: re-plan locally). */
   def consume(spark: SparkSession, bytes: Array[Byte],
-      tableFor: String => Option[DataFrame]): DataFrame = {
+      tableFor: String => Option[DataFrame]): DataFrame =
+    consumeScoped(spark, bytes, tableFor)._1
+
+  /** Consume plus the relation scope in force at this node: every table /
+    * subquery-alias name → the DataFrame it denotes, so qualified Column
+    * references (Column.relation, common:28) resolve anchored to their own
+    * side in self-joins instead of by bare (ambiguous) name. */
+  private def consumeScoped(spark: SparkSession, bytes: Array[Byte],
+      tableFor: String => Option[DataFrame])
+      : (DataFrame, Map[String, DataFrame]) = {
+    def rec(b: Array[Byte]) = consumeScoped(spark, b, tableFor)
     val fs = fields(bytes)
     require(fs.size == 1, s"dfproto: expected one plan variant, got ${fs.size}")
     val (field, PBytes(node)) = (fs.head._1, fs.head._2): @unchecked
@@ -489,62 +534,79 @@ object DataFusionProto {
         val name = sub(node, 14).flatMap(tr => sub(tr, 1)).flatMap(b => sub(b, 1))
           .map(strOf).getOrElse(
             throw new IllegalArgumentException("dfproto: scan without table name"))
-        tableFor(name.toLowerCase).getOrElse(
+        val df = tableFor(name.toLowerCase).getOrElse(
           throw new IllegalArgumentException(s"dfproto: unknown table $name"))
+        // alias with the table name so qualified Column references
+        // ("name.col") resolve through the plan like the reference's
+        // qualified schema
+        val aliased = df.alias(name)
+        (aliased, Map(name.toLowerCase -> aliased))
       case 3 => // ProjectionNode
-        val input = consume(spark, sub(node, 1).get, tableFor)
-        input.select(subs(node, 2).map(e => consumeExpr(e)): _*)
+        val (input, scope) = rec(sub(node, 1).get)
+        (input.select(subs(node, 2).map(e => consumeExpr(e, scope)): _*), scope)
       case 4 => // SelectionNode
-        val input = consume(spark, sub(node, 1).get, tableFor)
-        input.filter(consumeExpr(sub(node, 2).get))
+        val (input, scope) = rec(sub(node, 1).get)
+        (input.filter(consumeExpr(sub(node, 2).get, scope)), scope)
       case 6 => // AggregateNode
-        val input = consume(spark, sub(node, 1).get, tableFor)
-        val keys = subs(node, 2).map(e => consumeExpr(e))
-        val aggs = subs(node, 3).map(e => consumeExpr(e))
-        if (keys.isEmpty) input.agg(aggs.head, aggs.tail: _*)
-        else if (aggs.isEmpty) input.select(keys: _*).distinct() // group-only
-        else input.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+        val (input, scope) = rec(sub(node, 1).get)
+        val keys = subs(node, 2).map(e => consumeExpr(e, scope))
+        val aggs = subs(node, 3).map(e => consumeExpr(e, scope))
+        val out =
+          if (keys.isEmpty) input.agg(aggs.head, aggs.tail: _*)
+          else if (aggs.isEmpty) input.select(keys: _*).distinct() // group-only
+          else input.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+        (out, scope)
       case 7 => // JoinNode
-        val left = consume(spark, sub(node, 1).get, tableFor)
-        val right = consume(spark, sub(node, 2).get, tableFor)
+        val (left, lScope) = rec(sub(node, 1).get)
+        val (right, rScope) = rec(sub(node, 2).get)
+        val scope = lScope ++ rScope
         val nullEq = vint(node, 7).contains(1L)
         val keyCond = subs(node, 5).zip(subs(node, 6)).map { case (lk, rk) =>
           // anchor each key to its own side so self-joins resolve
           val (l, r) = (anchoredKey(left, lk), anchoredKey(right, rk))
           if (nullEq) l <=> r else l === r
         }.reduceOption(_ && _)
-        val cond = (keyCond, sub(node, 8).map(consumeExpr)) match {
+        val cond = (keyCond, sub(node, 8).map(f => consumeExpr(f, scope))) match {
           case (Some(k), Some(f)) => k && f
           case (Some(k), None) => k
           case (None, Some(f)) => f
           case (None, None) => throw new IllegalArgumentException(
             "dfproto consume: JoinNode without keys or filter")
         }
-        left.join(right, cond, joinTypeName(vint(node, 3).getOrElse(0L)))
+        (left.join(right, cond, joinTypeName(vint(node, 3).getOrElse(0L))), scope)
       case 15 => // CrossJoinNode
-        consume(spark, sub(node, 1).get, tableFor)
-          .crossJoin(consume(spark, sub(node, 2).get, tableFor))
+        val (left, lScope) = rec(sub(node, 1).get)
+        val (right, rScope) = rec(sub(node, 2).get)
+        (left.crossJoin(right), lScope ++ rScope)
       case 19 => // UnionNode — ALL semantics (the reference wraps Distinct)
-        subs(node, 1).map(c => consume(spark, c, tableFor)).reduceLeft(_ union _)
+        val parts = subs(node, 1).map(rec)
+        (parts.map(_._1).reduceLeft(_ union _), parts.head._2)
       case 23 => // DistinctNode
-        consume(spark, sub(node, 1).get, tableFor).distinct()
+        val (input, scope) = rec(sub(node, 1).get)
+        (input.distinct(), scope)
       case 21 => // SubqueryAliasNode: input=1, alias=3 (TableReference)
-        val input = consume(spark, sub(node, 1).get, tableFor)
+        val (input, scope) = rec(sub(node, 1).get)
         sub(node, 3).flatMap(tr => sub(tr, 1)).flatMap(b => sub(b, 1))
-          .map(n => input.alias(strOf(n))).getOrElse(input)
+          .map(strOf) match {
+          case Some(n) =>
+            val aliased = input.alias(n)
+            (aliased, scope + (n.toLowerCase -> aliased))
+          case None => (input, scope)
+        }
       case 13 => // WindowNode: output = input columns ++ window columns
-        val input = consume(spark, sub(node, 1).get, tableFor)
-        val winCols = subs(node, 2).map(consumeExpr)
-        input.select(col("*") +: winCols: _*)
+        val (input, scope) = rec(sub(node, 1).get)
+        val winCols = subs(node, 2).map(e => consumeExpr(e, scope))
+        (input.select(col("*") +: winCols: _*), scope)
       case 8 => // SortNode
-        val input = consume(spark, sub(node, 1).get, tableFor)
-        input.orderBy(subs(node, 2).map(consumeSortExpr): _*)
+        val (input, scope) = rec(sub(node, 1).get)
+        (input.orderBy(subs(node, 2).map(se => consumeSortExpr(se, scope)): _*),
+          scope)
       case 5 => // LimitNode
-        val input = consume(spark, sub(node, 1).get, tableFor)
+        val (input, scope) = rec(sub(node, 1).get)
         val skip = vint(node, 2).getOrElse(0L)
         val fetch = vint(node, 3).getOrElse(-1L)
         val after = if (skip > 0) input.offset(skip.toInt) else input
-        if (fetch >= 0) after.limit(fetch.toInt) else after
+        (if (fetch >= 0) after.limit(fetch.toInt) else after, scope)
       case other => throw new IllegalArgumentException(
         s"dfproto consume: unsupported plan variant $other")
     }
@@ -573,8 +635,9 @@ object DataFusionProto {
     }
   }
 
-  private def consumeSortExpr(se: Array[Byte]): Column = {
-    val c = consumeExpr(sub(se, 1).get)
+  private def consumeSortExpr(se: Array[Byte],
+      scope: Map[String, DataFrame] = Map.empty): Column = {
+    val c = consumeExpr(sub(se, 1).get, scope)
     val asc = vint(se, 2).contains(1L)
     val nullsFirst = vint(se, 3).contains(1L)
     (asc, nullsFirst) match {
@@ -585,18 +648,29 @@ object DataFusionProto {
     }
   }
 
-  private def consumeExpr(b: Array[Byte]): Column = {
+  private def consumeExpr(b: Array[Byte],
+      scope: Map[String, DataFrame] = Map.empty): Column = {
+    def ce(x: Array[Byte]): Column = consumeExpr(x, scope)
     val fs = fields(b)
     require(fs.size == 1, "dfproto: expected one expr variant")
     val (field, PBytes(node)) = (fs.head._1, fs.head._2): @unchecked
     field match {
-      case 1 => col(sub(node, 1).map(strOf).getOrElse(
-        throw new IllegalArgumentException("dfproto: column without name")))
-      case 2 => consumeExpr(sub(node, 1).get)
+      case 1 =>
+        val name = sub(node, 1).map(strOf).getOrElse(
+          throw new IllegalArgumentException("dfproto: column without name"))
+        // Column.relation (common:28) disambiguates: a qualifier whose alias
+        // is in scope resolves string-qualified through the plan's
+        // SubqueryAlias (the documented self-join pattern); bare otherwise
+        sub(node, 2).flatMap(r => sub(r, 1)).map(strOf)
+          .filter(r => scope.contains(r.toLowerCase)) match {
+          case Some(rel) => col(s"$rel.$name")
+          case None => col(name)
+        }
+      case 2 => ce(sub(node, 1).get)
         .as(sub(node, 2).map(strOf).getOrElse("c"))
       case 3 => consumeLiteral(node)
       case 4 =>
-        val operands = subs(node, 1).map(consumeExpr)
+        val operands = subs(node, 1).map(ce)
         val op = fields(node).collectFirst {
           case (3, PBytes(v)) => strOf(v) }.getOrElse("")
         operands.reduceLeft((l, r) => op match {
@@ -615,19 +689,19 @@ object DataFusionProto {
           case other => throw new IllegalArgumentException(
             s"dfproto consume: unsupported op $other")
         })
-      case 6 => consumeExpr(sub(node, 1).get).isNull
-      case 7 => consumeExpr(sub(node, 1).get).isNotNull
-      case 8 => !consumeExpr(sub(node, 1).get)
-      case 11 => consumeExpr(sub(node, 1).get)
+      case 6 => ce(sub(node, 1).get).isNull
+      case 7 => ce(sub(node, 1).get).isNotNull
+      case 8 => !ce(sub(node, 1).get)
+      case 11 => ce(sub(node, 1).get)
         .cast(consumeType(sub(node, 2).get))
       case 14 =>
-        val v = consumeExpr(sub(node, 1).get)
-        val list = subs(node, 2).map(consumeExpr)
+        val v = ce(sub(node, 1).get)
+        val list = subs(node, 2).map(ce)
         val in = v.isin(list: _*)
         if (vint(node, 3).contains(1L)) !in else in
       case 19 =>
         val name = sub(node, 1).map(strOf).getOrElse("")
-        val args = subs(node, 2).map(consumeExpr)
+        val args = subs(node, 2).map(ce)
         val distinct = vint(node, 5).contains(1L)
         (name, distinct) match {
           case ("sum", false) => sum(args.head)
@@ -638,15 +712,21 @@ object DataFusionProto {
           case ("min", _) => min(args.head)
           case ("max", _) => max(args.head)
           case ("avg", false) => avg(args.head)
-          // avg(DISTINCT x) = sum(DISTINCT x) / count(DISTINCT x): both
-          // sides range over the same distinct non-null values
+          // avg(DISTINCT x): a native distinct Average, so the result type
+          // (decimal precision/scale, rounding) matches the reference's
+          // decimal avg instead of a sum/count decomposition's quotient type
           case ("avg", true) =>
-            sum_distinct(args.head.cast(DoubleType)) / count_distinct(args.head)
+            org.apache.spark.sql.GraftSqlBridge.column(
+              AggregateExpression(
+                Average(org.apache.spark.sql.GraftSqlBridge
+                  .expression(args.head)),
+                org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
+                isDistinct = true))
           case (other, d) => throw new IllegalArgumentException(
             s"dfproto consume: unsupported aggregate $other (distinct=$d)")
         }
       case 18 => // WindowExprNode (datafusion.proto:680)
-        val args = subs(node, 4).map(consumeExpr)
+        val args = subs(node, 4).map(ce)
         val fn = (sub(node, 3).map(strOf), sub(node, 9).map(strOf)) match {
           case (Some(udaf), _) => udaf match {
             case "sum" => sum(args.head)
@@ -668,8 +748,8 @@ object DataFusionProto {
           case _ => throw new IllegalArgumentException(
             "dfproto consume: WindowExprNode without function")
         }
-        val parts = subs(node, 5).map(consumeExpr)
-        val orders = subs(node, 6).map(consumeSortExpr)
+        val parts = subs(node, 5).map(ce)
+        val orders = subs(node, 6).map(se => consumeSortExpr(se, scope))
         var spec = org.apache.spark.sql.expressions.Window.partitionBy(parts: _*)
         if (orders.nonEmpty) spec = spec.orderBy(orders: _*)
         sub(node, 8).foreach { fr => // WindowFrame (:762)
@@ -698,8 +778,11 @@ object DataFusionProto {
         else org.apache.spark.sql.expressions.Window.unboundedFollowing
       case Some(bb) =>
         val tpe = vint(bb, 1).getOrElse(0L)
+        // uint64_value=11 first: the reference serializes bound offsets as
+        // ScalarValue::UInt64 (window_frame.rs); int fields kept as fallback
         val value = sub(bb, 2).flatMap(sv =>
-          vint(sv, 7).orElse(vint(sv, 6)).orElse(vint(sv, 5)).orElse(vint(sv, 4)))
+          vint(sv, 11).orElse(vint(sv, 7)).orElse(vint(sv, 6))
+            .orElse(vint(sv, 5)).orElse(vint(sv, 4)).orElse(vint(sv, 10)))
         (tpe, value) match {
           case (0L, _) => 0L // CURRENT_ROW
           case (1L, Some(v)) => -v // PRECEDING n

@@ -204,6 +204,121 @@ class DataFusionProtoSpec extends AnyFunSuite {
     }
   }
 
+  test("frame bound offsets ride ScalarValue::UInt64 (field 11) like the reference") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.load(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val spec = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    val w = o.withColumn("mv",
+      avg(col("o_totalprice")).over(spec.rowsBetween(-2, Window.currentRow)))
+    val bytes = DataFusionProto.emit(w)
+    // find every WindowFrameBound-shaped message: type=1 (PRECEDING) with a
+    // bound_value=2 ScalarValue — the 2-row offset must sit at
+    // uint64_value = field 11, the reference's convention
+    def bounds(b: Array[Byte]): Seq[Seq[(Int, Any)]] =
+      scala.util.Try(DataFusionProto.fields(b)).toOption.toSeq.flatMap { fs =>
+        val here =
+          if (fs.contains(1 -> PVarint(1L)) &&
+            fs.exists { case (2, PBytes(_)) => true; case _ => false })
+            Seq(fs.map { case (f, v) => (f, v: Any) })
+          else Seq.empty
+        here ++ fs.flatMap { case (_, PBytes(x)) => bounds(x); case _ => Seq.empty }
+      }
+    val preceding2 = bounds(bytes).exists(_.exists {
+      case (2, PBytes(sv)) =>
+        DataFusionProto.fields(sv).contains(11 -> PVarint(2L))
+      case _ => false
+    })
+    assert(preceding2, "bound offset at ScalarValue.uint64_value (field 11)")
+    val back = DataFusionProto.consume(spark, bytes,
+      t => Some(Tables.load(spark, sfDir, t)))
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(1), r.getDouble(3))
+    assert(back.collect().map(key).sorted.toSeq ==
+      w.collect().map(key).sorted.toSeq)
+  }
+
+  test("qualified self-join residual filter resolves via Column.relation") {
+    import org.apache.spark.sql.functions._
+    val n = Tables.load(spark, sfDir, "nation")
+    val j = n.alias("a").join(n.alias("b"),
+      col("a.n_regionkey") === col("b.n_regionkey") &&
+        col("a.n_nationkey") < col("b.n_nationkey"))
+    val bytes = DataFusionProto.emit(j)
+    // the residual filter's columns carry Column.relation (common:28)
+    val Seq((7, PBytes(join))) = DataFusionProto.fields(bytes): @unchecked
+    val filt = DataFusionProto.fields(join).collectFirst {
+      case (8, PBytes(f)) => f }.get
+    // gather ColumnRelation strings from every Column node in the tree;
+    // leaf strings are not valid messages, so guard the descent with Try
+    def rels(b: Array[Byte]): Seq[String] =
+      scala.util.Try(DataFusionProto.fields(b)).toOption.toSeq.flatMap { fs =>
+        fs.flatMap {
+          case (1, PBytes(colNode)) =>
+            val rel = scala.util.Try(DataFusionProto.fields(colNode)).toOption
+              .flatMap(_.collectFirst { case (2, PBytes(r)) =>
+                DataFusionProto.fields(r).collectFirst {
+                  case (1, PBytes(s)) => new String(s, "UTF-8") } }.flatten)
+            rel.toSeq ++ rels(colNode)
+          case (_, PBytes(x)) => rels(x)
+          case _ => Seq.empty
+        }
+      }
+    assert(rels(filt).toSet == Set("a", "b"), s"qualifiers on the wire: ${rels(filt)}")
+    val back = DataFusionProto.consume(spark, bytes,
+      t => Some(Tables.load(spark, sfDir, t)))
+    assert(back.count() == j.count())
+  }
+
+  test("inner theta join (no equi conjunct) emits empty keys + filter") {
+    import org.apache.spark.sql.functions._
+    val n = Tables.load(spark, sfDir, "nation")
+    val r = Tables.load(spark, sfDir, "region")
+    val j = n.join(r, col("n_regionkey") < col("r_regionkey"))
+    val bytes = DataFusionProto.emit(j)
+    val Seq((7, PBytes(join))) = DataFusionProto.fields(bytes): @unchecked
+    val fs = DataFusionProto.fields(join)
+    assert(!fs.exists { case (5, _) => true; case _ => false }, "no left keys")
+    assert(fs.exists { case (8, PBytes(_)) => true; case _ => false }, "filter present")
+    val back = DataFusionProto.consume(spark, bytes,
+      t => Some(Tables.load(spark, sfDir, t)))
+    assert(back.count() == j.count())
+  }
+
+  test("aggregate output order (aggs before keys) survives via projection wrap") {
+    import org.apache.spark.sql.functions._
+    Tables.load(spark, sfDir, "orders").createOrReplaceTempView("orders_dfp")
+    val src = spark.sql(
+      "SELECT sum(o_totalprice) AS s, o_orderpriority FROM orders_dfp " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority")
+    val bytes = DataFusionProto.emit(src)
+    val back = DataFusionProto.consume(spark, bytes,
+      t => if (t == "orders_dfp") Some(Tables.load(spark, sfDir, "orders"))
+           else Some(Tables.load(spark, sfDir, t)))
+    assert(back.columns.toSeq == Seq("s", "o_orderpriority"), "column order restored")
+    assert(back.collect().map(_.toSeq).toSeq == src.collect().map(_.toSeq).toSeq)
+  }
+
+  test("avg(DISTINCT) keeps decimal semantics after the roundtrip") {
+    import org.apache.spark.sql.functions._
+    val o = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(12,2)").as("p"))
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("avg(DISTINCT p)").as("ad"))
+      .orderBy(col("o_orderpriority"))
+    val back = DataFusionProto.consume(spark, DataFusionProto.emit(o),
+      t => Some(Tables.load(spark, sfDir, t)))
+    assert(back.schema("ad").dataType.isInstanceOf[
+      org.apache.spark.sql.types.DecimalType], "decimal type preserved")
+    val a = o.collect().map(r => (r.getString(0), r.getDecimal(1)))
+    val b = back.collect().map(r => (r.getString(0), r.getDecimal(1)))
+    assert(a.length == b.length)
+    a.zip(b).foreach { case ((k1, v1), (k2, v2)) =>
+      assert(k1 == k2); assert(v1.compareTo(v2) == 0, s"$k1: $v1 vs $v2")
+    }
+  }
+
   test("literals of every supported type survive the wire") {
     import org.apache.spark.sql.functions._
     val src = Tables.load(spark, sfDir, "region")
