@@ -20,6 +20,9 @@ class DFContext(val spark: SparkSession) {
   // engine function-gap layer available from SQL immediately
   graft.functions.VectorFunctions.register(spark)
   graft.functions.TextFunctions.register(spark)
+  // Rust-regex-compatible regexp family — also the target of the
+  // `~`/`~*`/`!~`/`!~*` operator rewrite (DFContext.rewriteRegexOps)
+  graft.functions.RegexpCompat.register(spark)
   // arrow_typeof (reference: functions/src/core/arrowtypeof.rs) —
   // resolved-type introspection in arrow's short Debug form
   spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -555,7 +558,240 @@ object DFContext {
     *   ORDER BY, as in the reference); key expressions may contain parens.
     */
   def rewrite(query: String): String =
-    rewriteOrderByWindow(rewriteStd(rewriteExclude(rewritePipes(query))))
+    rewriteOrderByWindow(rewriteStd(rewriteExclude(rewritePipes(
+      rewriteRegexOps(query)))))
+
+  // ------------------------------------------------- Postgres operators
+
+  /** Lexical token spans for the operator rewrites: 's'tring literal,
+    * 'q'uoted ident ("…"), 'b'acktick ident, 'w'ord, 'p'unct char. */
+  private final case class Tok(start: Int, end: Int, kind: Char)
+
+  private def lex(s: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c == '\'') {
+        val st = i; i += 1
+        var done = false
+        while (i < s.length && !done) {
+          if (s(i) == '\'' && i + 1 < s.length && s(i + 1) == '\'') i += 2
+          else if (s(i) == '\'') { i += 1; done = true }
+          else i += 1
+        }
+        out += Tok(st, i, 's')
+      } else if (c == '"') {
+        val st = i; i += 1
+        var done = false
+        while (i < s.length && !done) {
+          if (s(i) == '"' && i + 1 < s.length && s(i + 1) == '"') i += 2
+          else if (s(i) == '"') { i += 1; done = true }
+          else i += 1
+        }
+        out += Tok(st, i, 'q')
+      } else if (c == '`') {
+        val st = i; i += 1
+        while (i < s.length && s(i) != '`') i += 1
+        if (i < s.length) i += 1
+        out += Tok(st, i, 'b')
+      } else if (c.isLetterOrDigit || c == '_' || c == '$') {
+        val st = i
+        while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_' ||
+          s(i) == '$' ||
+          // decimal point / exponent inside a numeric literal
+          (s(i) == '.' && st < i && s.substring(st, i).forall(_.isDigit)))) i += 1
+        out += Tok(st, i, 'w')
+      } else if (c.isWhitespace) { i += 1 }
+      else { out += Tok(i, i + 1, 'p'); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Keywords that terminate a primary-expression scan — a `~` whose left
+    * neighbour is one of these is unary/invalid and is left untouched. */
+  private val StopWords = Set("SELECT", "WHERE", "WHEN", "THEN", "ELSE",
+    "AND", "OR", "NOT", "ON", "BY", "AS", "FROM", "CASE", "END", "IN",
+    "LIKE", "ILIKE", "BETWEEN", "IS", "ALL", "ANY", "SOME", "HAVING",
+    "UNION", "INTERSECT", "EXCEPT", "LIMIT", "OFFSET", "JOIN", "SET",
+    "VALUES", "DISTINCT", "GROUP", "ORDER", "OVER", "PARTITION", "RETURN",
+    "IF", "ESCAPE", "FILTER", "WITHIN")
+
+  /** Postgres regex / LIKE operators (reference dialect via sqlparser:
+    * `~` `~*` `!~` `!~*` regex match and `~~` `~~*` `!~~` `!~~*` LIKE
+    * spellings — the regexp and string slt subtrees, predicates.slt). The LIKE
+    * family is a pure operator splice onto Spark's LIKE/ILIKE; the regex
+    * family becomes a `regexp_like(lhs, rhs, flags)` call (the engine's
+    * Rust-regex-compatible compat function), which needs the operand
+    * bounds — a primary-expression scan over the token list on each side
+    * (identifier chains, literals, balanced call/paren/bracket groups,
+    * `::` cast suffixes). Unary `~` (no left primary) is left untouched. */
+  private[graft] def rewriteRegexOps(query: String): String = {
+    if (!query.contains("~")) return query
+    var s = query
+    var guard = 0
+    var continue = true
+    while (continue && guard < 200) {
+      guard += 1
+      continue = false
+      val toks = lex(s)
+      // locate the first regex-operator token run (longest match)
+      var k = 0
+      var found = -1
+      var op = ""
+      while (k < toks.length && found < 0) {
+        val t = toks(k)
+        if (t.kind == 'p' && (s(t.start) == '~' || s(t.start) == '!')) {
+          // assemble the maximal contiguous run of ~ ! * characters
+          var j = k
+          val sb = new StringBuilder
+          while (j < toks.length && toks(j).kind == 'p' &&
+            "~!*".contains(s(toks(j).start)) &&
+            (j == k || toks(j).start == toks(j - 1).end)) {
+            sb.append(s(toks(j).start)); j += 1
+          }
+          val run = sb.toString
+          if (run.contains('~') &&
+            Set("~", "~*", "!~", "!~*", "~~", "~~*", "!~~", "!~~*")(run)) {
+            found = k; op = run
+          } else k = j
+        } else k += 1
+      }
+      if (found >= 0) {
+        val opLen = op.length
+        val lhsEndTok = found - 1
+        val rhsStartTok = found + opLen
+        // ---- backward primary scan (token indices, inclusive range) ----
+        def primaryBack(k0: Int): Int = {
+          if (k0 < 0) return -1
+          var k1 = k0
+          val t = toks(k1)
+          t.kind match {
+            case 's' | 'q' | 'b' => // literal / quoted ident
+            case 'w' =>
+              if (StopWords(s.substring(t.start, t.end).toUpperCase)) return -1
+            case 'p' if s(t.start) == ')' || s(t.start) == ']' =>
+              val close = s(toks(k1).start)
+              val open = if (close == ')') '(' else '['
+              var depth = 1
+              k1 -= 1
+              while (k1 >= 0 && depth > 0) {
+                if (toks(k1).kind == 'p' && s(toks(k1).start) == close) depth += 1
+                else if (toks(k1).kind == 'p' && s(toks(k1).start) == open) depth -= 1
+                if (depth > 0) k1 -= 1
+              }
+              if (k1 < 0) return -1
+              // a word (function name) directly before '(' joins the group
+              if (open == '(' && k1 - 1 >= 0 && toks(k1 - 1).kind == 'w' &&
+                !StopWords(s.substring(toks(k1 - 1).start, toks(k1 - 1).end).toUpperCase))
+                k1 -= 1
+            case _ => return -1
+          }
+          // identifier qualification chain: …  a . b
+          while (k1 - 2 >= 0 && toks(k1).kind == 'w' &&
+            toks(k1 - 1).kind == 'p' && s(toks(k1 - 1).start) == '.' &&
+            (toks(k1 - 2).kind == 'w' || toks(k1 - 2).kind == 'q' ||
+              toks(k1 - 2).kind == 'b')) k1 -= 2
+          // `x :: T` cast chains extend left of a type word
+          while (k1 - 3 >= 0 && toks(k1 - 1).kind == 'p' &&
+            s(toks(k1 - 1).start) == ':' && toks(k1 - 2).kind == 'p' &&
+            s(toks(k1 - 2).start) == ':') {
+            val prev = primaryBack(k1 - 3)
+            if (prev < 0) return k1 else k1 = prev
+          }
+          k1
+        }
+        // ---- forward primary scan -------------------------------------
+        def primaryFwd(k0: Int): Int = {
+          if (k0 >= toks.length) return -1
+          var k1 = k0
+          // optional sign
+          if (toks(k1).kind == 'p' &&
+            (s(toks(k1).start) == '-' || s(toks(k1).start) == '+') &&
+            k1 + 1 < toks.length) k1 += 1
+          val t = toks(k1)
+          t.kind match {
+            case 's' | 'q' | 'b' =>
+            case 'w' =>
+              if (StopWords(s.substring(t.start, t.end).toUpperCase)) return -1
+              // qualification chain a.b.c
+              while (k1 + 2 < toks.length && toks(k1 + 1).kind == 'p' &&
+                s(toks(k1 + 1).start) == '.' && toks(k1 + 2).kind == 'w') k1 += 2
+              // function call
+              if (k1 + 1 < toks.length && toks(k1 + 1).kind == 'p' &&
+                s(toks(k1 + 1).start) == '(') {
+                var depth = 1
+                k1 += 2
+                while (k1 < toks.length && depth > 0) {
+                  if (toks(k1).kind == 'p' && s(toks(k1).start) == '(') depth += 1
+                  else if (toks(k1).kind == 'p' && s(toks(k1).start) == ')') depth -= 1
+                  if (depth > 0) k1 += 1
+                }
+                if (k1 >= toks.length) return -1
+              }
+            case 'p' if s(t.start) == '(' || s(t.start) == '[' =>
+              val open = s(t.start)
+              val close = if (open == '(') ')' else ']'
+              var depth = 1
+              k1 += 1
+              while (k1 < toks.length && depth > 0) {
+                if (toks(k1).kind == 'p' && s(toks(k1).start) == open) depth += 1
+                else if (toks(k1).kind == 'p' && s(toks(k1).start) == close) depth -= 1
+                if (depth > 0) k1 += 1
+              }
+              if (k1 >= toks.length) return -1
+            case _ => return -1
+          }
+          // `:: T` cast suffix (type may carry parenthesized params)
+          while (k1 + 3 <= toks.length && k1 + 2 < toks.length &&
+            toks(k1 + 1).kind == 'p' && s(toks(k1 + 1).start) == ':' &&
+            toks(k1 + 2).kind == 'p' && s(toks(k1 + 2).start) == ':' &&
+            k1 + 3 < toks.length && toks(k1 + 3).kind == 'w') {
+            k1 += 3
+            if (k1 + 1 < toks.length && toks(k1 + 1).kind == 'p' &&
+              s(toks(k1 + 1).start) == '(') {
+              var depth = 1
+              k1 += 2
+              while (k1 < toks.length && depth > 0) {
+                if (toks(k1).kind == 'p' && s(toks(k1).start) == '(') depth += 1
+                else if (toks(k1).kind == 'p' && s(toks(k1).start) == ')') depth -= 1
+                if (depth > 0) k1 += 1
+              }
+            }
+          }
+          k1
+        }
+        val likeFamily = op.contains("~~")
+        if (likeFamily) {
+          val neg = op.startsWith("!")
+          val ci = op.endsWith("*")
+          val opStart = toks(found).start
+          val opEnd = toks(found + opLen - 1).end
+          val padL = if (opStart > 0 && !s(opStart - 1).isWhitespace) " " else ""
+          val padR = if (opEnd < s.length && !s(opEnd).isWhitespace) " " else ""
+          val spelled = padL + (if (neg) "NOT " else "") +
+            (if (ci) "ILIKE" else "LIKE") + padR
+          s = s.substring(0, opStart) + spelled + s.substring(opEnd)
+          continue = true
+        } else {
+          val lhsTok = primaryBack(lhsEndTok)
+          val rhsTok = primaryFwd(rhsStartTok)
+          if (lhsTok >= 0 && rhsTok >= 0) {
+            val lhs = s.substring(toks(lhsTok).start, toks(lhsEndTok).end)
+            val rhs = s.substring(toks(rhsStartTok).start, toks(rhsTok).end)
+            val neg = op.startsWith("!")
+            val flags = if (op.endsWith("*")) "i" else ""
+            val call = s"regexp_like($lhs, $rhs, '$flags')"
+            val repl = if (neg) s"(NOT $call)" else call
+            s = s.substring(0, toks(lhsTok).start) + repl +
+              s.substring(toks(rhsTok).end)
+            continue = true
+          } // else: unary/unparseable — leave it for Spark's error
+        }
+      }
+    }
+    s
+  }
 
   /** Window functions in the top-level ORDER BY (reference:
     * `ORDER BY row_number() OVER (…)` — window.slt): Spark rejects window

@@ -547,7 +547,12 @@ object SltRunner {
     * are left alone. Window usages wrap the whole OVER clause. */
   private[slt] def translateArrayAggEmpty(sql: String): String = {
     val re = """(?i)\barray_agg\s*\(""".r
-    var s = sql
+    // in-paren IGNORE NULLS (`array_agg(DISTINCT x IGNORE NULLS)`) is the
+    // same semantics as the suffix spelling — normalize to the suffix,
+    // which the pre1b chain strips (Spark's collect_list drops nulls)
+    var s = """(?is)\b(array_agg\s*\(\s*(?:DISTINCT\s+)?)(.+?)\s+IGNORE\s+NULLS\s*\)""".r
+      .replaceAllIn(sql, mm => java.util.regex.Matcher.quoteReplacement(
+        s"${mm.group(1)}${mm.group(2)}) IGNORE NULLS"))
     var from = 0
     var continue = true
     while (continue && from <= s.length) {
@@ -594,6 +599,166 @@ object SltRunner {
                 s"(CASE WHEN size($inner) = 0 THEN NULL ELSE transform($inner, __s -> __s.__v) END)"
               s = s.substring(0, from + m.start) + repl + s.substring(close + 1)
               from = from + m.start + repl.length
+            }
+          }
+      }
+    }
+    s
+  }
+
+  /** Index of a paren-depth-0 `ORDER BY` inside an argument list, or -1;
+    * quoted literals are skipped. */
+  private def topLevelOrderByIdx(arg: String): Int = {
+    val u = arg.toUpperCase
+    var depth = 0
+    var i = 0
+    while (i < arg.length) {
+      arg(i) match {
+        case '\'' =>
+          i += 1
+          while (i < arg.length && !(arg(i) == '\'' &&
+            (i + 1 >= arg.length || arg(i + 1) != '\''))) {
+            if (arg(i) == '\'' && i + 1 < arg.length && arg(i + 1) == '\'') i += 1
+            i += 1
+          }
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'O' | 'o' if depth == 0 && u.startsWith("ORDER", i) &&
+            (i == 0 || (!u(i - 1).isLetterOrDigit && u(i - 1) != '_')) &&
+            u.drop(i + 5).dropWhile(_.isWhitespace).startsWith("BY") =>
+          return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private val OrderInsensitiveAggs = Set("sum", "count", "avg", "mean",
+    "min", "max", "bit_and", "bit_or", "bit_xor", "bool_and", "bool_or",
+    "median", "var", "var_samp", "var_pop", "variance", "stddev",
+    "stddev_samp", "stddev_pop", "corr", "covar", "covar_samp", "covar_pop",
+    "regr_sxx", "regr_sxy", "regr_syy", "regr_avgx", "regr_avgy",
+    "regr_count", "regr_slope", "regr_intercept", "regr_r2",
+    "approx_distinct", "approx_median")
+
+  /** ORDER BY inside an aggregate call (the reference's order-sensitive
+    * aggregate clause — array_agg.slt, aggregate.slt, group_by.slt).
+    * Spark's parser rejects the clause, so:
+    *  - order-INSENSITIVE aggregates just drop it (the clause only pins
+    *    the input order; their result is identical);
+    *  - `array_agg([DISTINCT] x ORDER BY k…)` collects structs of
+    *    (keys…, value) and sorts with a generated comparator — PG-style
+    *    null-as-largest defaults (ASC → NULLS LAST, DESC → NULLS FIRST),
+    *    explicit NULLS FIRST/LAST honored — then unwraps; NULL elements
+    *    are kept and empty input yields NULL, matching
+    *    translateArrayAggEmpty's contract. A trailing IGNORE NULLS
+    *    filters null values before the sort;
+    *  - `nth_value(x, n ORDER BY k…)` = try_element_at of that sorted
+    *    array (NULL past the end, like the reference).
+    * first/last_value keep their dedicated min_by/max_by pass. */
+  private[slt] def translateOrderedAggs(sql: String): String = {
+    if (!"""(?i)order\s+by""".r.findFirstIn(sql).isDefined) return sql
+    val re = """(?i)\b([a-z_][a-z0-9_]*)\s*\(""".r
+    var s = sql
+    var from = 0
+    var continue = true
+    while (continue && from <= s.length) {
+      re.findFirstMatchIn(s.substring(from)) match {
+        case None => continue = false
+        case Some(m) =>
+          val fn = m.group(1).toLowerCase
+          val start = from + m.start
+          val open = from + m.end - 1
+          val firstLast = fn == "first_value" || fn == "last_value"
+          if (!OrderInsensitiveAggs(fn) && fn != "array_agg" &&
+            fn != "nth_value" && !firstLast) {
+            from = from + m.end
+          } else {
+            val close = matchParen(s, open)
+            if (close < 0) { continue = false }
+            else {
+              val arg = s.substring(open + 1, close)
+              val obIdx = topLevelOrderByIdx(arg)
+              val isWindow = s.substring(close + 1).dropWhile(_.isWhitespace)
+                .toUpperCase.startsWith("OVER")
+              // the simple single-key first/last_value spelling belongs to
+              // the dedicated min_by/max_by pass (translateOrderedFirstLast)
+              val dedicated = firstLast &&
+                OrderedFirstLastRe.findFirstIn(s.substring(start)).exists(_ => {
+                  val mm = OrderedFirstLastRe.findFirstMatchIn(s.substring(start)).get
+                  mm.start == 0
+                })
+              if (obIdx < 0 || isWindow || dedicated) from = from + m.end
+              else {
+                val argsPart = arg.substring(0, obIdx).trim
+                val orderPart = arg.substring(obIdx)
+                  .replaceFirst("(?is)^ORDER\\s+BY\\s*", "")
+                if (OrderInsensitiveAggs(fn)) {
+                  val repl = s"${m.group(1)}($argsPart)"
+                  s = s.substring(0, start) + repl + s.substring(close + 1)
+                  from = start + repl.length
+                } else {
+                  // parse `expr [ASC|DESC] [NULLS FIRST|LAST]` keys
+                  val KeyRe =
+                    """(?is)^(.*?)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?\s*$""".r
+                  val keys = splitTopLevel(orderPart).map(_.trim)
+                    .filter(_.nonEmpty).map { k =>
+                      val km = KeyRe.findFirstMatchIn(k).get
+                      val desc = "desc".equalsIgnoreCase(km.group(2))
+                      val nf = Option(km.group(3)).map(_.equalsIgnoreCase("first"))
+                      (km.group(1).trim, desc, nf)
+                    }
+                  val isDistinct = argsPart.toUpperCase.startsWith("DISTINCT")
+                  val coreArgs = if (isDistinct)
+                    argsPart.substring("DISTINCT".length).trim else argsPart
+                  val (valueExpr, nthIdx) =
+                    if (fn == "nth_value") {
+                      val parts = splitTopLevel(coreArgs).map(_.trim)
+                      (parts.head, Some(parts(1)))
+                    } else (coreArgs, None)
+                  val kf = keys.zipWithIndex
+                    .map { case ((e, _, _), i) => s"'__k$i', $e" }
+                  val structExpr = s"named_struct(${kf.mkString(", ")}, '__v', $valueExpr)"
+                  val collected0 =
+                    s"collect_list(${if (isDistinct) "DISTINCT " else ""}$structExpr)"
+                  val afterRaw = s.substring(close + 1)
+                  val ignoreM = """(?is)^\s*IGNORE\s+NULLS""".r
+                    .findFirstMatchIn(afterRaw)
+                  val respectM = """(?is)^\s*RESPECT\s+NULLS""".r
+                    .findFirstMatchIn(afterRaw)
+                  val ignoreNulls = ignoreM.isDefined
+                  val collected = if (ignoreNulls)
+                    s"filter($collected0, __s -> __s.__v IS NOT NULL)" else collected0
+                  def cmp1(i: Int, desc: Boolean, nf: Option[Boolean]): String = {
+                    val f = s"__k$i"
+                    val nullsFirst = nf.getOrElse(desc) // null-as-largest default
+                    val (nl, nr) = if (nullsFirst) ("-1", "1") else ("1", "-1")
+                    val (lt, gt) = if (desc) ("1", "-1") else ("-1", "1")
+                    s"CASE WHEN __l.$f IS NULL AND __r.$f IS NULL THEN 0 " +
+                      s"WHEN __l.$f IS NULL THEN $nl WHEN __r.$f IS NULL THEN $nr " +
+                      s"WHEN __l.$f < __r.$f THEN $lt WHEN __l.$f > __r.$f THEN $gt ELSE 0 END"
+                  }
+                  val parts = keys.zipWithIndex.map { case ((_, d, nf), i) => cmp1(i, d, nf) }
+                  val cmp =
+                    if (parts.size == 1) parts.head
+                    else s"CASE ${parts.map(p => s"WHEN ($p) <> 0 THEN ($p)").mkString(" ")} ELSE 0 END"
+                  val unwrapped =
+                    s"transform(array_sort($collected, (__l, __r) -> $cmp), __s -> __s.__v)"
+                  val repl = (fn, nthIdx) match {
+                    case (_, Some(n)) => s"try_element_at($unwrapped, $n)"
+                    case ("first_value", _) => s"try_element_at($unwrapped, 1)"
+                    case ("last_value", _) =>
+                      s"try_element_at(reverse($unwrapped), 1)"
+                    case _ =>
+                      s"(CASE WHEN size($collected) = 0 THEN NULL ELSE $unwrapped END)"
+                  }
+                  val end = close + 1 +
+                    ignoreM.orElse(respectM).map(_.end).getOrElse(0)
+                  s = s.substring(0, start) + repl + s.substring(end)
+                  from = start + repl.length
+                }
+              }
             }
           }
       }
@@ -2119,7 +2284,8 @@ object SltRunner {
       translateValuesAlias(translateBareValues(translateInDoubleParen(translateStructFn(
         translateGetField(translateSubscripts(translateExtractFields(translateChronoFormats(
           translateNamedWindows(translateWindowSpecs(translateWindowMedian(
-            translateArrayAggEmpty(translateStringFns(translateDoubleQuotes(pre1m)))))))))))))),
+            translateArrayAggEmpty(translateOrderedAggs(translateStringFns(
+              translateDoubleQuotes(pre1m))))))))))))))),
       nullOrdering)
       .replaceAll("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?VIEW\\b",
         "CREATE OR REPLACE TEMPORARY VIEW")
@@ -3202,7 +3368,9 @@ object SltRunner {
         case None => skipped += ((rec.line, "EXPLAIN over untranslatable surface"))
         case Some(sql) =>
           try {
-            val qe = spark.sql(sql).queryExecution
+            // same front-door rewrites the executed directives get
+            // (QUALIFY/DISTINCT ON/regex operators) before planning
+            val qe = spark.sql(DFContext.rewrite(sql)).queryExecution
             val sparkPlan = qe.optimizedPlan.toString + "\n" + qe.executedPlan.toString
             val want = rec.expected.mkString("\n")
             val missing = planFamilies.collect {
@@ -4372,7 +4540,13 @@ object SltRunner {
     // reference array_sort(arr [, 'ASC'|'DESC' [, 'NULLS FIRST'|'LAST']]):
     // defaults ASC NULLS FIRST. Spark primitives give asc-nulls-first and
     // desc-nulls-last; the other two combos append the NULLs explicitly.
-    reg.createOrReplaceTempFunction("array_sort", es => {
+    reg.createOrReplaceTempFunction("array_sort", es =>
+      // the comparator-lambda form is Spark's own higher-order array_sort
+      // (used by translateOrderedAggs's generated sorts) — pass through
+      if (es.size == 2 && es(1).isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.LambdaFunction])
+        org.apache.spark.sql.catalyst.expressions.ArraySort(es(0), es(1))
+      else {
       def strOf(e: Expression): String = e match {
         case Literal(v, org.apache.spark.sql.types.StringType) =>
           String.valueOf(v).toUpperCase
@@ -4398,7 +4572,7 @@ object SltRunner {
       // no-else CASE yields a typed NULL without eager dataType resolution
       if (hasNullArg) CaseWhen(Seq((Literal(false), sorted)), None)
       else sorted
-    }, "built-in")
+      }, "built-in")
     // reference cardinality counts elements RECURSIVELY through nested
     // lists; Spark's is the top-level size — flatten per nesting level
     reg.createOrReplaceTempFunction("cardinality", es => {

@@ -12,6 +12,42 @@ class DFContextSpec extends AnyFunSuite {
     assert(ctx.sql("SELECT count(*) AS n FROM nation2").collect().head.getLong(0) == 25)
   }
 
+  test("postgres regex operators: textual rewrite shapes") {
+    import DFContext.{rewriteRegexOps => rw}
+    assert(rw("select 'abc' ~ 'a.c'") == "select regexp_like('abc', 'a.c', '')")
+    assert(rw("select 'abc' ~* 'A.C'") == "select regexp_like('abc', 'A.C', 'i')")
+    assert(rw("select col !~ '.*' AS c FROM t") ==
+      "select (NOT regexp_like(col, '.*', '')) AS c FROM t")
+    assert(rw("select null !~* 'x'") == "select (NOT regexp_like(null, 'x', 'i'))")
+    // function-call and qualified operands
+    assert(rw("select right('foo', 1) ~ t.s from t") ==
+      "select regexp_like(right('foo', 1), t.s, '') from t")
+    // LIKE-family splices
+    assert(rw("select a ~~ 'x%' from t") == "select a LIKE 'x%' from t")
+    assert(rw("select a !~~ 'x%' from t") == "select a NOT LIKE 'x%' from t")
+    assert(rw("select a ~~* 'x%' from t") == "select a ILIKE 'x%' from t")
+    assert(rw("select a !~~* 'x%' from t") == "select a NOT ILIKE 'x%' from t")
+    // untouched: tilde inside string literals, != operator
+    assert(rw("select '~' , a != b from t") == "select '~' , a != b from t")
+    // multiple operators in one statement
+    assert(rw("select a ~ 'x' AND b ~* 'y' from t") ==
+      "select regexp_like(a, 'x', '') AND regexp_like(b, 'y', 'i') from t")
+    // inside CASE WHEN with a cast suffix on the THEN side
+    assert(rw("SELECT CASE WHEN split_part(u, '&', 1) ~ '^\\d+$' THEN 1 ELSE 0 END") ==
+      "SELECT CASE WHEN regexp_like(split_part(u, '&', 1), '^\\d+$', '') THEN 1 ELSE 0 END")
+  }
+
+  test("postgres regex operators execute through the SQL front door") {
+    val r = ctx.sql(
+      "SELECT n_name FROM nation WHERE n_name ~ '^NATION_2[0-2]$' ORDER BY n_name")
+      .collect().map(_.getString(0))
+    assert(r.toSeq == Seq("NATION_20", "NATION_21", "NATION_22"), s"got ${r.toSeq}")
+    val ci = ctx.sql("SELECT 'Foo' ~* '^f' AS m").collect().head.getBoolean(0)
+    assert(ci)
+    val nl = ctx.sql("SELECT NULL ~ 'x' AS m").collect().head
+    assert(nl.isNullAt(0))
+  }
+
   test("QUALIFY rewrite") {
     val rows = ctx.sql("""
       SELECT s_nationkey, s_suppkey,
