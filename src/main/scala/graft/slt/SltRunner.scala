@@ -3,6 +3,7 @@ package graft.slt
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import graft.DFContext
 import scala.collection.mutable
+import scala.util.chaining._
 
 /** sqllogictest runner: executes the REFERENCE'S OWN test files
   * (`datafusion/sqllogictest/test_files/`, read in place — nothing is
@@ -37,7 +38,7 @@ object SltRunner {
   }
 
   private case class Record(line: Int, directive: String, sql: String,
-      expected: Seq[String])
+      expected: Seq[String], excluded: Option[String] = None)
 
   // ------------------------------------------------------------------ parse
 
@@ -48,9 +49,25 @@ object SltRunner {
     val out = mutable.Buffer[Record]()
     var i = 0
     def isBlank(s: String) = s.trim.isEmpty
+    // sqllogictest conditional controls apply to the NEXT record: an
+    // `onlyif <other-engine>` record is that engine's private setup (the
+    // reference's runner never executes it) and running it here would
+    // poison tables the skipif-branch twin actually creates
+    var pendingExclude: Option[String] = None
     while (i < lines.length) {
       val l = lines(i).trim
       if (isBlank(l) || l.startsWith("#")) { i += 1 }
+      else if (l.startsWith("onlyif ") || l.startsWith("skipif ")) {
+        val engine = l.split("\\s+")(1).toLowerCase
+        val excl =
+          if (l.startsWith("onlyif") && engine != "datafusion")
+            Some(s"onlyif $engine")
+          else if (l.startsWith("skipif") && engine == "datafusion")
+            Some(s"skipif $engine")
+          else None
+        pendingExclude = pendingExclude.orElse(excl)
+        i += 1
+      }
       else if (l.startsWith("include ") && baseDir != null) {
         // sqllogictest include directive (regexp/ suite shares fixtures)
         val inc = new java.io.File(baseDir, l.stripPrefix("include ").trim)
@@ -80,7 +97,8 @@ object SltRunner {
         // a stray duplicated "----" right after the separator (present in
         // a couple of reference files) is not a value
         out += Record(start + 1, directive, sqlLines.mkString("\n"),
-          expected.toSeq.dropWhile(_.trim == "----"))
+          expected.toSeq.dropWhile(_.trim == "----"), pendingExclude)
+        pendingExclude = None
       } else i += 1 // control lines (skipif/onlyif/halt) — ignore record-less
     }
     out.toSeq
@@ -1755,6 +1773,13 @@ object SltRunner {
   }
 
   /** Dialect translation; None = this record has no Spark spelling. */
+  /** Apply a transform to the text OUTSIDE single-quoted literals only
+    * (even split segments; '' escapes keep literal parity intact). */
+  private def mapOutsideLiterals(s: String, f: String => String): String =
+    s.split("'", -1).zipWithIndex
+      .map { case (seg, i) => if (i % 2 == 0) f(seg) else seg }
+      .mkString("'")
+
   /** Double every backslash inside single-quoted literals (linear scan —
     * a regex over multi-KB statements blows the matcher stack). Honors
     * doubled-'' escapes; text outside literals is untouched. */
@@ -2290,6 +2315,18 @@ object SltRunner {
       .replaceAll("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?VIEW\\b",
         "CREATE OR REPLACE TEMPORARY VIEW")
       .replaceAll("(?i)\\bapprox_distinct\\s*\\(", "approx_count_distinct(")
+      // Postgres `SET key TO value` spelling → Spark's SET key=value
+      .replaceAll("(?is)^\\s*SET\\s+([\\w.]+)\\s+TO\\s+", "SET $1=")
+      // unsigned CAST targets: the SURVEY §1.2 widening convention, here
+      // for the `CAST(x AS INT UNSIGNED)` spelling (the :: form is above)
+      .replaceAll("(?i)\\bAS\\s+TINYINT\\s+UNSIGNED\\b", "AS SMALLINT")
+      .replaceAll("(?i)\\bAS\\s+SMALLINT\\s+UNSIGNED\\b", "AS INT")
+      .replaceAll("(?i)\\bAS\\s+(?:INT|INTEGER)\\s+UNSIGNED\\b", "AS BIGINT")
+      .replaceAll("(?i)\\bAS\\s+BIGINT\\s+UNSIGNED\\b", "AS DECIMAL(20,0)")
+      // Postgres cast type spellings
+      .replaceAll("(?i)::\\s*text\\b", "::STRING")
+      .replaceAll("(?i)::\\s*bytea\\b", "::BINARY")
+      .replaceAll("(?i)\\bAS\\s+BYTEA\\b", "AS BINARY")
       // ns-field extraction over a TIMESTAMP literal: drop the keyword so
       // the raw string (with its sub-µs digits, which Spark's µs literal
       // parse would truncate) reaches the date_part shim's ns-text parse
@@ -2363,6 +2400,17 @@ object SltRunner {
           .replaceAll("(?i)\\bPRIMARY\\s+KEY\\b", "")
           .replaceAll("(?i),?\\s*UNIQUE\\s*\\([^)]*\\)", "")
           .replaceAll("(?i)\\bNOT\\s+NULL\\b", "")
+          // Postgres type spellings in DDL (pg_compat, encoding.slt):
+          // Spark's parser has no TEXT/BYTEA/BOOL/character varying/double
+          // precision — normalize to the Spark names (outside literals:
+          // CREATE TABLE … AS VALUES may carry these words as data)
+          .pipe(s => mapOutsideLiterals(s, seg => seg
+            .replaceAll("(?i)\\bcharacter\\s+varying(\\s*\\(\\s*\\d+\\s*\\))?", "STRING")
+            .replaceAll("(?i)\\bdouble\\s+precision\\b", "DOUBLE")
+            .replaceAll("(?i)\\bBYTEA\\b", "BINARY")
+            .replaceAll("(?i)\\bBOOL\\b(?!EAN)", "BOOLEAN")
+            .replaceAll("(?i)\\breal\\b", "FLOAT")
+            .replaceAll("(?i)\\bTEXT\\b", "STRING")))
           // plain CREATE OR REPLACE TABLE: Spark's v1 session catalog has no
           // REPLACE TABLE — emit plain CREATE; the executor's drop-fallback
           // supplies the replace semantics on name conflict
@@ -3398,7 +3446,10 @@ object SltRunner {
     for (rec <- records) {
       val d = rec.directive
       val upper = rec.sql.trim.toUpperCase
-      if (d.contains(" error")) {
+      if (rec.excluded.isDefined)
+        skipped += ((rec.line,
+          s"${rec.excluded.get} record (another engine's private setup)"))
+      else if (d.contains(" error")) {
         if (mentionsPoisoned(rec.sql).isDefined)
           skipped += ((rec.line, s"references skipped table"))
         else runErrorDirective(rec)
@@ -4933,5 +4984,52 @@ object SltRunner {
           .findFirstMatchIn(sql).map(_.group(1)).getOrElse(throw e)
         spark.sql(s"DROP TABLE IF EXISTS $name")
         ctx.sql(sql)
+      // Spark's inline VALUES table only takes foldable expressions; the
+      // reference evaluates arbitrary ones (e.g. the regexp-compat UDFs in
+      // encoding.slt's fixtures) — retry with rows as UNION ALL SELECTs
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("CANNOT_EVALUATE_EXPRESSION_IN_INLINE_TABLE") =>
+        ctx.sql(valuesToUnionSelects(sql).getOrElse(throw e))
     }
+
+  /** Rewrite the first top-level `VALUES (row), (row)…` into
+    * `SELECT row UNION ALL SELECT row…`, preserving any ` t(cols)` alias
+    * via a positional-projection wrapper. None when no VALUES found. */
+  private[slt] def valuesToUnionSelects(sql: String): Option[String] = {
+    val m = """(?is)\bVALUES\s*\(""".r.findFirstMatchIn(sql).getOrElse(return None)
+    var i = m.end - 1
+    val rows = mutable.Buffer[String]()
+    var continue = true
+    while (continue) {
+      val close = matchParen(sql, i)
+      if (close < 0) return None
+      rows += sql.substring(i + 1, close)
+      val rest = sql.substring(close + 1)
+      val nxt = """^\s*,\s*\(""".r.findFirstMatchIn(rest)
+      nxt match {
+        case Some(nm) => i = close + 1 + nm.end - 1
+        case None => i = close; continue = false
+      }
+    }
+    // When the wrapper is the CTAS shape `SELECT CAST(c AS T) … FROM
+    // VALUES`, push the declared casts into every row — mixed-type rows
+    // ('abc' vs X'…' under a BYTEA column) must coerce per row, or the
+    // UNION rejects them as incompatible
+    val castTypes = """(?is)\bAS\s+SELECT\s+(.*?)\s+FROM\s*\(?\s*VALUES""".r
+      .findFirstMatchIn(sql)
+      .map(mm => """(?is)CAST\s*\(\s*[\w.`"]+\s+AS\s+([\w()<>,\s]+?)\s*\)""".r
+        .findAllMatchIn(mm.group(1)).map(_.group(1).trim).toSeq)
+      .filter(_.nonEmpty)
+    def rowSelect(r: String): String = castTypes match {
+      case Some(ts) =>
+        val items = splitTopLevel(r).map(_.trim)
+        if (items.size == ts.size)
+          "SELECT " + items.zip(ts)
+            .map { case (it, t) => s"CAST($it AS $t)" }.mkString(", ")
+        else s"SELECT $r"
+      case None => s"SELECT $r"
+    }
+    val selects = rows.map(rowSelect).mkString(" UNION ALL ")
+    Some(sql.substring(0, m.start) + s"($selects)" + sql.substring(i + 1))
+  }
 }
