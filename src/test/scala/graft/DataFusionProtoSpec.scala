@@ -319,6 +319,115 @@ class DataFusionProtoSpec extends AnyFunSuite {
     }
   }
 
+  test("ValuesNode (16): flattened n_cols wire form roundtrips") {
+    // Spark names plain VALUES col1/col2 — the wire carries no names, so
+    // emit wraps a renaming ProjectionNode over the canonical
+    // column1..columnN values output
+    val src = spark.sql("VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val bytes = DataFusionProto.emit(src)
+    val Seq((3, PBytes(proj))) = DataFusionProto.fields(bytes): @unchecked
+    val Seq((16, PBytes(v))) = DataFusionProto.fields(
+      DataFusionProto.fields(proj).collectFirst {
+        case (1, PBytes(c)) => c }.get): @unchecked
+    assert(DataFusionProto.fields(v).contains(1 -> PVarint(2L)), "n_cols=2")
+    assert(DataFusionProto.fields(v)
+      .count { case (2, PBytes(_)) => true; case _ => false } == 6,
+      "3 rows × 2 cols flattened")
+    val back = DataFusionProto.consume(spark, bytes, _ => None)
+    assert(back.columns.toSeq == Seq("col1", "col2"))
+    assert(back.collect().map(r => (r.getInt(0), r.getString(1))).sorted.toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "c")))
+  }
+
+  test("RepartitionNode (9): round-robin and hash forms roundtrip") {
+    import org.apache.spark.sql.functions._
+    val n = Tables.load(spark, sfDir, "nation")
+    val rr = DataFusionProto.emit(n.repartition(4))
+    val Seq((9, PBytes(rnode))) = DataFusionProto.fields(rr): @unchecked
+    assert(DataFusionProto.fields(rnode).contains(2 -> PVarint(4L)), "round_robin=4")
+    val hs = DataFusionProto.emit(n.repartition(8, col("n_regionkey")))
+    val Seq((9, PBytes(hnode))) = DataFusionProto.fields(hs): @unchecked
+    val hash = DataFusionProto.fields(hnode).collectFirst {
+      case (3, PBytes(h)) => h }.get
+    assert(DataFusionProto.fields(hash).contains(2 -> PVarint(8L)),
+      "partition_count=8")
+    for (bytes <- Seq(rr, hs)) {
+      val back = DataFusionProto.consume(spark, bytes,
+        t => Some(Tables.load(spark, sfDir, t)))
+      assert(back.count() == n.count())
+    }
+    assert(DataFusionProto.consume(spark, hs,
+      t => Some(Tables.load(spark, sfDir, t))).rdd.getNumPartitions == 8)
+  }
+
+  test("DistinctOnNode (28): reference-shaped bytes execute first-per-key") {
+    import org.apache.spark.sql.functions._
+    // hand-assemble DistinctOnNode{on=[n_regionkey], select=[n_regionkey,
+    // n_name], sort=[n_name ASC], input=scan(nation)} — the reference's
+    // DISTINCT ON (k) ... ORDER BY shape
+    val scan = DataFusionProto.emit(Tables.load(spark, sfDir, "nation"))
+    val w = new DataFusionProto.W
+    w.msg(28) { d =>
+      d.msg(1)(_.msg(1)(_.str(1, "n_regionkey")))
+      d.msg(2)(_.msg(1)(_.str(1, "n_regionkey")))
+      d.msg(2)(_.msg(1)(_.str(1, "n_name")))
+      d.msg(3) { se =>
+        se.msg(1)(_.msg(1)(_.str(1, "n_name")))
+        se.bool(2, true); se.bool(3, false)
+      }
+      d.raw(4, scan)
+    }
+    val back = DataFusionProto.consume(spark, w.bytes,
+      t => Some(Tables.load(spark, sfDir, t)))
+    val expected = Tables.load(spark, sfDir, "nation")
+      .groupBy(col("n_regionkey")).agg(min(col("n_name")).as("n_name"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+    assert(back.collect().map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+      == expected)
+  }
+
+  test("physical wire: scan/filter/project/agg pair/sort/limit roundtrip") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.DataFusionProtoPhysical
+    val src = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > lit(1000.0))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1L)).as("n"), sum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderpriority"))
+      .limit(5)
+    val bytes = DataFusionProtoPhysical.emit(src)
+    // golden shape: the outer nodes wrap a FINAL(mode=1) aggregate over a
+    // PARTIAL(mode=0) aggregate over filter(12) over parquet scan(1)
+    def descend(b: Array[Byte], acc: List[(Int, Array[Byte])])
+        : List[(Int, Array[Byte])] =
+      DataFusionProto.fields(b).headOption match {
+        case Some((1, PBytes(node))) => acc :+ (1, node) // scan — leaf
+        case Some((v, PBytes(node))) =>
+          val childField = v match { case 8 => 4; case _ => 1 }
+          DataFusionProto.fields(node).collectFirst {
+            case (`childField`, PBytes(c)) => c } match {
+            case Some(c) => descend(c, acc :+ (v, node))
+            case None => acc :+ (v, node)
+          }
+        case _ => acc
+      }
+    val chain = descend(bytes, Nil)
+    val variants = chain.map(_._1)
+    assert(variants.head == 10, s"TopK sort on top: $variants")
+    assert(variants.containsSlice(Seq(8, 8)) &&
+      variants.containsSlice(Seq(12, 1)),
+      s"agg pair and filter/scan chain on the wire: $variants")
+    val aggModes = chain.filter(_._1 == 8).map { case (_, node) =>
+      DataFusionProto.fields(node).collectFirst {
+        case (3, PVarint(m)) => m }.getOrElse(-1L)
+    }
+    assert(aggModes == List(1L, 0L), s"FINAL over PARTIAL: $aggModes")
+    val back = DataFusionProtoPhysical.consume(spark, bytes,
+      t => Some(Tables.load(spark, sfDir, t)))
+    assert(back.collect().map(_.toSeq).toSeq ==
+      src.collect().map(_.toSeq).toSeq)
+  }
+
   test("literals of every supported type survive the wire") {
     import org.apache.spark.sql.functions._
     val src = Tables.load(spark, sfDir, "region")

@@ -93,7 +93,8 @@ class SltRunnerSpec extends AnyFunSuite {
       Seq(1003, 1010).map(_ -> "UInt64 carried as DECIMAL(20,0) (unsigned widening)").toMap ++
       Seq(1034, 1050).map(_ -> "round-over-decimal result typing differs (values identical)").toMap ++
       Map(1117 -> "round to i32::MIN digits: Spark ArithmeticException, reference saturates",
-        1337 -> "trunc over decimal: reference preserves the decimal type, Spark computes in f64"))
+        1337 -> "trunc over decimal: reference preserves the decimal type, Spark computes in f64",
+        1064 -> "round over Decimal256: the p>38 cast clamps to Decimal128 (typing only; the value matches)"))
   }
   test("functions.slt") {
     val f32 = "sqrt/avg on f32 computed in f64 here (display digits differ)"
@@ -183,6 +184,8 @@ class SltRunnerSpec extends AnyFunSuite {
     // metadata defines the answer
     check("group_by.slt", 480, knownDivergent = Map(
       445 -> intdiv, 473 -> intdiv, 655 -> intdiv, 770 -> intdiv, 1329 -> intdiv,
+      5190 -> "ORDER BY with fully-tied key rows (NULL,NULL grouping-set pair): tie order is engine-dependent",
+      5401 -> "Date64 carrier renders day-granular DATE (reference keeps the T00:00:00 midnight display)",
       2183 -> "ordered first_value over a TIED sort key: the answer is the reference's declared file order (WITH ORDER metadata), order-independent engines differ",
       1964 -> "auto-generated aggregate column naming convention differs",
       3427 -> fd, 3442 -> fd, 3454 -> fd, 3497 -> fd, 3513 -> fd, 3541 -> fd,
@@ -404,8 +407,10 @@ class SltRunnerSpec extends AnyFunSuite {
   test("agg_func_substitute.slt") { check("agg_func_substitute.slt", 1) }
   test("array_agg_sliding_window.slt") {
     val dwin = "DISTINCT inside a window aggregate (Spark: DISTINCT_WINDOW_FUNCTION_UNSUPPORTED)"
-    check("array_agg_sliding_window.slt", 32, knownDivergent =
-      Seq(190, 202, 222, 238, 254, 275, 318, 342).map(_ -> dwin).toMap)
+    // r10: the ::TEXT DDL rewrite un-poisoned t_dist_growth — l389 is the
+    // same DISTINCT-window class, now reachable
+    check("array_agg_sliding_window.slt", 36, knownDivergent =
+      Seq(190, 202, 222, 238, 254, 275, 318, 342, 389).map(_ -> dwin).toMap)
   }
   test("array_query.slt")    { check("array_query.slt", 33) }
   test("issue_17138.slt")    { check("issue_17138.slt", 4) }
