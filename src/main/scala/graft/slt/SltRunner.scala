@@ -3293,7 +3293,17 @@ object SltRunner {
     case a: scala.collection.Seq[_] =>
       a.map(render(_, nested = true)).mkString("[", ", ", "]")
     case r: Row =>
-      r.schema.fieldNames.zipWithIndex
+      val names = r.schema.fieldNames
+      // the Union struct-carrier convention (union_function.slt): a struct
+      // of (tag, v_<variant>…) renders in arrow's union Debug form
+      // "{<tag>=<selected value>}" ("{a=}" for a selected NULL)
+      if (names.headOption.contains("tag") &&
+        names.tail.nonEmpty && names.tail.forall(_.startsWith("v_"))) {
+        val tag = String.valueOf(r.get(0))
+        val vi = names.indexOf("v_" + tag)
+        val v = if (vi < 0 || r.isNullAt(vi)) "" else render(r.get(vi), nested = true)
+        s"{$tag=$v}"
+      } else names.zipWithIndex
         .map { case (n, i) => s"$n: ${render(r.get(i), nested = true)}" }
         .mkString("{", ", ", "}")
     case m: scala.collection.Map[_, _] =>
@@ -3399,6 +3409,18 @@ object SltRunner {
     // function overrides, default string-literal escaping
     sparkDialect = path.replace('\\', '/').contains("/spark/")
     if (!sparkDialect) registerCompat(spark) else registerSparkShims(spark)
+    // union_table is registered by the reference's Rust harness (no SQL
+    // spelling can create a Union); rebuild it bit-for-bit under the
+    // struct-carrier convention — {int=1}, {string=bar}, {int=3}
+    if (path.endsWith("union_function.slt"))
+      spark.sql(
+        """SELECT named_struct('tag', 'int', 'v_int', 1,
+          |  'v_string', CAST(NULL AS STRING)) AS union_column
+          |UNION ALL SELECT named_struct('tag', 'string',
+          |  'v_int', CAST(NULL AS INT), 'v_string', 'bar')
+          |UNION ALL SELECT named_struct('tag', 'int', 'v_int', 3,
+          |  'v_string', CAST(NULL AS STRING))""".stripMargin)
+        .createOrReplaceTempView("union_table")
     var passed = 0
     val failures = mutable.Buffer[Failure]()
     val skipped = mutable.Buffer[(Int, String)]()
@@ -4297,6 +4319,29 @@ object SltRunner {
     import org.apache.spark.sql.types.{DoubleType, StringType}
     val reg = spark.sessionState.functionRegistry
     def dbl(e: Expression): Expression = Cast(e, DoubleType)
+    // Arrow Union type over the struct-carrier convention (reference:
+    // functions/src/core/union_extract.rs, union_tag.rs; a dense Union is
+    // modeled as struct<tag: string, v_<variant>: T…> — same carrier
+    // pattern as the MonthDayNano interval structs). union_extract yields
+    // the variant field (NULL when another variant is selected, since
+    // carriers null out unselected fields); union_tag reads the tag.
+    reg.createOrReplaceTempFunction("union_extract", es => {
+      if (es.size != 2) org.apache.spark.sql.GraftSqlBridge.analysisError(
+        s"The function 'union_extract' expected 2 arguments but received ${es.size}")
+      val name = es(1) match {
+        case Literal(s, StringType) if s != null => String.valueOf(s)
+        case _ => throw new IllegalArgumentException(
+          "union_extract second argument must be a non-null string literal")
+      }
+      org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+        es.head, Literal("v_" + name))
+    }, "built-in")
+    reg.createOrReplaceTempFunction("union_tag", es => {
+      if (es.size != 1) org.apache.spark.sql.GraftSqlBridge.analysisError(
+        s"The function 'union_tag' expected 1 arguments but received ${es.size}")
+      org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+        es.head, Literal("tag"))
+    }, "built-in")
     reg.createOrReplaceTempFunction(
       "iszero", es => EqualTo(es.head, Literal(0.0d)), "built-in")
     // reference chr() takes any unicode codepoint; Spark's stops at 255

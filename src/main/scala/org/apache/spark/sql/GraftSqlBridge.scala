@@ -24,6 +24,11 @@ object GraftSqlBridge {
   def expressionEager(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Raise a genuine AnalysisException (planning-phase error class) from
+    * library code — the constructor is private[sql] in Spark 4. */
+  def analysisError(msg: String): Nothing =
+    throw new AnalysisException("INTERNAL_ERROR", Map("message" -> msg))
+
   /** DataFrame from a custom logical plan (classic Dataset.ofRows). */
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
