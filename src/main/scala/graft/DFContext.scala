@@ -20,9 +20,9 @@ class DFContext(val spark: SparkSession) {
   // engine function-gap layer available from SQL immediately
   graft.functions.VectorFunctions.register(spark)
   graft.functions.TextFunctions.register(spark)
-  // Rust-regex-compatible regexp family — also the target of the
-  // `~`/`~*`/`!~`/`!~*` operator rewrite (DFContext.rewriteRegexOps)
-  graft.functions.RegexpCompat.register(spark)
+  // the `~`/`~*`/`!~`/`!~*` operator rewrite target (Rust-regex
+  // compatible); Spark's native regexp_* functions stay untouched
+  graft.functions.RegexpCompat.registerOperatorFn(spark)
   // arrow_typeof (reference: functions/src/core/arrowtypeof.rs) —
   // resolved-type introspection in arrow's short Debug form
   spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -781,7 +781,7 @@ object DFContext {
             val rhs = s.substring(toks(rhsStartTok).start, toks(rhsTok).end)
             val neg = op.startsWith("!")
             val flags = if (op.endsWith("*")) "i" else ""
-            val call = s"regexp_like($lhs, $rhs, '$flags')"
+            val call = s"graft_regexp_like($lhs, $rhs, '$flags')"
             val repl = if (neg) s"(NOT $call)" else call
             s = s.substring(0, toks(lhsTok).start) + repl +
               s.substring(toks(rhsTok).end)

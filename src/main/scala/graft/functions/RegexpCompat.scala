@@ -145,7 +145,16 @@ object RegexpCompat {
       case None => s
     }
 
+  /** Register ONLY the operator-rewrite target under a graft-prefixed
+    * name: DFContext's `~`/`~*` rewrite calls graft_regexp_like, leaving
+    * Spark's native regexp_* functions untouched on the engine surface
+    * (the full dialect overrides below are slt-runner-only). */
+  def registerOperatorFn(spark: SparkSession): Unit =
+    spark.udf.register("graft_regexp_like",
+      (s: String, p: String, f: String) => like(s, p, f))
+
   def register(spark: SparkSession): Unit = {
+    registerOperatorFn(spark)
     spark.udf.register("regexp_like",
       (s: String, p: String, f: String) => like(s, p, f))
     spark.udf.register("regexp_match",

@@ -129,6 +129,19 @@ object DataFusionProtoPhysical {
           pn.str(3, e.name)
         }
       }
+    case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      // a cached relation is session-local state — serialize the plan that
+      // was cached (the original scan chain), projecting down to the
+      // scan's pruned output when the cache kept more columns
+      val src = im.relation.cachedPlan
+      if (im.output.map(_.exprId) == src.output.map(_.exprId)) emitPlan(src, w)
+      else w.msg(4) { pn =>
+        pn.msg(1)(emitPlan(src, _))
+        im.output.foreach { a =>
+          pn.msg(2)(emitExpr(a, src.output, _))
+          pn.str(3, a.name)
+        }
+      }
     case other =>
       // transparent wrappers (InputAdapter etc.) expose a single child
       if (other.children.size == 1) emitPlan(other.children.head, w)

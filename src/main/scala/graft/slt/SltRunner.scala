@@ -292,8 +292,11 @@ object SltRunner {
           // a literal that genuinely needs >38 digits under a Decimal256
           // target: the reference's own arithmetic coerces these to f64
           // (decimal.slt "v1 + 1.5" → Float64) — mirror that fallback
+          // (the big-literal pass may already have stringified the operand)
           val litTooBig = p.toInt > 38 && scala.util.Try(
-            new java.math.BigDecimal(expr.trim)).toOption.exists(_.precision > 38)
+            new java.math.BigDecimal(
+              expr.trim.stripPrefix("'").stripSuffix("'"))).toOption
+            .exists(_.precision > 38)
           s = s.substring(0, idx) + (
             if (litTooBig) s"$kw($expr AS DOUBLE)"
             else s"$kw($expr AS DECIMAL($pc, $scc))") + s.substring(close + 1)
@@ -1443,6 +1446,9 @@ object SltRunner {
     rewriteCalls("regexp_replace")(args =>
       if (args.size == 3) Some(s"regexp_replace(${args(0)}, ${args(1)}, ${args(2)}, '')")
       else None)
+    // to_hex(int) — Spark's hex() uppercases; the reference is lowercase
+    rewriteCalls("to_hex")(args =>
+      if (args.size == 1) Some(s"lower(hex(${args(0)}))") else None)
     // percentile_cont(x, p) two-arg form -> Spark's interpolating
     // percentile(x, p) (works as a window aggregate too)
     rewriteCalls("percentile_cont")(args =>
@@ -2481,6 +2487,16 @@ object SltRunner {
       .replaceAll("(?i)\\bapprox_distinct\\s*\\(", "approx_count_distinct(")
       // Postgres `SET key TO value` spelling → Spark's SET key=value
       .replaceAll("(?is)^\\s*SET\\s+([\\w.]+)\\s+TO\\s+", "SET $1=")
+      // `X [NOT] SIMILAR TO 'pat'` (Postgres): a full-anchored regex with
+      // the SQL wildcards mapped (% → .*, _ → .) — strings.slt
+      .pipe(q => """(?i)([\w.]+|'(?:[^']|'')*')\s+(NOT\s+)?SIMILAR\s+TO\s+('(?:[^']|'')*')""".r
+        .replaceAllIn(q, m => {
+          val pat = m.group(3).stripPrefix("'").stripSuffix("'")
+            .replace("%", ".*").replace("_", ".")
+          val call = s"regexp_like(${m.group(1)}, '^(?:$pat)$$', '')"
+          java.util.regex.Matcher.quoteReplacement(
+            if (m.group(2) != null) s"(NOT $call)" else call)
+        }))
       // unsigned CAST targets: the SURVEY §1.2 widening convention, here
       // for the `CAST(x AS INT UNSIGNED)` spelling (the :: form is above)
       .replaceAll("(?i)\\bAS\\s+TINYINT\\s+UNSIGNED\\b", "AS SMALLINT")

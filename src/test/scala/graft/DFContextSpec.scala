@@ -14,14 +14,14 @@ class DFContextSpec extends AnyFunSuite {
 
   test("postgres regex operators: textual rewrite shapes") {
     import DFContext.{rewriteRegexOps => rw}
-    assert(rw("select 'abc' ~ 'a.c'") == "select regexp_like('abc', 'a.c', '')")
-    assert(rw("select 'abc' ~* 'A.C'") == "select regexp_like('abc', 'A.C', 'i')")
+    assert(rw("select 'abc' ~ 'a.c'") == "select graft_regexp_like('abc', 'a.c', '')")
+    assert(rw("select 'abc' ~* 'A.C'") == "select graft_regexp_like('abc', 'A.C', 'i')")
     assert(rw("select col !~ '.*' AS c FROM t") ==
-      "select (NOT regexp_like(col, '.*', '')) AS c FROM t")
-    assert(rw("select null !~* 'x'") == "select (NOT regexp_like(null, 'x', 'i'))")
+      "select (NOT graft_regexp_like(col, '.*', '')) AS c FROM t")
+    assert(rw("select null !~* 'x'") == "select (NOT graft_regexp_like(null, 'x', 'i'))")
     // function-call and qualified operands
     assert(rw("select right('foo', 1) ~ t.s from t") ==
-      "select regexp_like(right('foo', 1), t.s, '') from t")
+      "select graft_regexp_like(right('foo', 1), t.s, '') from t")
     // LIKE-family splices
     assert(rw("select a ~~ 'x%' from t") == "select a LIKE 'x%' from t")
     assert(rw("select a !~~ 'x%' from t") == "select a NOT LIKE 'x%' from t")
@@ -31,10 +31,10 @@ class DFContextSpec extends AnyFunSuite {
     assert(rw("select '~' , a != b from t") == "select '~' , a != b from t")
     // multiple operators in one statement
     assert(rw("select a ~ 'x' AND b ~* 'y' from t") ==
-      "select regexp_like(a, 'x', '') AND regexp_like(b, 'y', 'i') from t")
+      "select graft_regexp_like(a, 'x', '') AND graft_regexp_like(b, 'y', 'i') from t")
     // inside CASE WHEN with a cast suffix on the THEN side
     assert(rw("SELECT CASE WHEN split_part(u, '&', 1) ~ '^\\d+$' THEN 1 ELSE 0 END") ==
-      "SELECT CASE WHEN regexp_like(split_part(u, '&', 1), '^\\d+$', '') THEN 1 ELSE 0 END")
+      "SELECT CASE WHEN graft_regexp_like(split_part(u, '&', 1), '^\\d+$', '') THEN 1 ELSE 0 END")
   }
 
   test("postgres regex operators execute through the SQL front door") {

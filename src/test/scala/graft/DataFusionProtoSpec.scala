@@ -414,8 +414,10 @@ class DataFusionProtoSpec extends AnyFunSuite {
     val chain = descend(bytes, Nil)
     val variants = chain.map(_._1)
     assert(variants.head == 10, s"TopK sort on top: $variants")
-    assert(variants.containsSlice(Seq(8, 8)) &&
-      variants.containsSlice(Seq(12, 1)),
+    // a column-pruning Projection may sit between filter and scan when a
+    // sibling suite cached the relation — require the spine, not adjacency
+    assert(variants.containsSlice(Seq(8, 8)) && variants.contains(12) &&
+      variants.last == 1,
       s"agg pair and filter/scan chain on the wire: $variants")
     val aggModes = chain.filter(_._1 == 8).map { case (_, node) =>
       DataFusionProto.fields(node).collectFirst {
