@@ -31,6 +31,21 @@ class DFContext(val spark: SparkSession) {
         s"arrow_typeof takes 1 argument, got ${es.size}")
       graft.functions.ArrowTypeOf(es.head)
     }, "built-in")
+  // arrow_field (reference: functions/src/core/arrow_field.rs) — field
+  // introspection struct (name, data_type, nullable, metadata)
+  spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    "arrow_field", { es =>
+      if (es.size != 1) throw new IllegalArgumentException(
+        s"arrow_field takes 1 argument, got ${es.size}")
+      // the registry builder receives RESOLVED children — snapshot the
+      // field identity here, before the optimizer/binding rewrites it
+      val hint = es.head match {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          Some((a.name, a.nullable, a.metadata))
+        case _ => None
+      }
+      graft.functions.ArrowField(es.head, hint)
+    }, "built-in")
 
   /** Register a file-backed table; format inferred from the extension
     * (parquet/csv/json), mirroring CREATE EXTERNAL TABLE

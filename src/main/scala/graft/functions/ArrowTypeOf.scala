@@ -47,6 +47,93 @@ case class ArrowTypeOf(child: Expression)
     copy(child = newChild)
 }
 
+/** `arrow_field(expr)` — field introspection
+  * (reference: datafusion/functions/src/core/arrow_field.rs): a struct of
+  * (name, data_type, nullable, metadata). The name is the source column's
+  * for attributes and the reference's "lit" for anything computed; the
+  * data_type string follows arrow_typeof's conventions including the
+  * reference's bare-literal Int64/Float64 typing (applied through literal
+  * array/struct/map constructors, whose element literals the reference
+  * types as Int64 before the constructor runs); metadata carries the
+  * attribute's field metadata as a string map. */
+case class ArrowField(child: Expression,
+    hint: Option[(String, Boolean, Metadata)] = None)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrowField.structType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = child.foldable
+
+  private lazy val rendered: InternalRow = {
+    import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+    if (sys.env.contains("GRAFT_AF_DEBUG"))
+      System.err.println(s"[arrow_field] child=${child.getClass.getSimpleName} $child hint=$hint")
+    val (nm, nul, meta) = hint.getOrElse(("lit", child.nullable, Metadata.empty))
+    val kvs = ArrowField.metaPairs(meta)
+    InternalRow(
+      UTF8String.fromString(nm),
+      UTF8String.fromString(ArrowField.literalTypeName(child)),
+      nul,
+      ArrayBasedMapData(
+        kvs.map(p => UTF8String.fromString(p._1)).toArray[Any],
+        kvs.map(p => UTF8String.fromString(p._2)).toArray[Any]))
+  }
+
+  override def eval(input: InternalRow): Any = rendered
+
+  /** The optimizer may later inline views / fold the child to a literal,
+    * which loses the source FIELD identity the reference reports (its
+    * planner reads the logical schema). Snapshot name/nullability/metadata
+    * the moment resolution hands us the resolved attribute. */
+  override protected def withNewChildInternal(newChild: Expression): ArrowField = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val h = hint.orElse(newChild match {
+      case a: AttributeReference => Some((a.name, a.nullable, a.metadata))
+      case _ => None
+    })
+    copy(child = newChild, hint = h)
+  }
+}
+
+object ArrowField {
+  import org.apache.spark.sql.catalyst.expressions.{CreateArray, CreateMap, CreateNamedStruct}
+
+  val structType: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("data_type", StringType, nullable = false),
+    StructField("nullable", BooleanType, nullable = false),
+    StructField("metadata",
+      MapType(StringType, StringType, valueContainsNull = false),
+      nullable = false)))
+
+  /** arrow type name with the reference's literal-typing rules applied
+    * recursively through literal constructors. */
+  def literalTypeName(e: Expression): String = e match {
+    case Literal(_, IntegerType) => "Int64"
+    case Literal(_, _: DecimalType) => "Float64"
+    case Cast(Literal(_, IntegerType), LongType, _, _) => "Int64"
+    case arr: CreateArray =>
+      val elem = arr.children.headOption.map(literalTypeName)
+        .getOrElse(ArrowTypeOf.arrowName(
+          arr.dataType.asInstanceOf[ArrayType].elementType))
+      s"List($elem)"
+    case s: CreateNamedStruct =>
+      s.names.zip(s.valExprs).map { case (n, v) =>
+        s""""$n": ${literalTypeName(v)}"""
+      }.mkString("Struct(", ", ", ")")
+    case m: CreateMap if m.keys.nonEmpty =>
+      s"""Map("entries": non-null Struct("key": non-null ${literalTypeName(m.keys.head)}, "value": ${literalTypeName(m.values.head)}), unsorted)"""
+    case _ => ArrowTypeOf.arrowName(e.dataType)
+  }
+
+  /** Flat string→string pairs out of a field Metadata (the harness
+    * fixtures carry only flat string metadata), key-sorted like the
+    * reference's map builder. */
+  def metaPairs(m: Metadata): Seq[(String, String)] =
+    """"([^"]+)"\s*:\s*"([^"]*)"""".r.findAllMatchIn(m.json)
+      .map(mm => mm.group(1) -> mm.group(2)).toSeq.sortBy(_._1)
+}
+
 object ArrowTypeOf {
   /** Spark type → arrow short Debug name. */
   def arrowName(t: DataType): String = t match {

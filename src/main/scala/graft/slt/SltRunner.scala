@@ -384,18 +384,31 @@ object SltRunner {
         case '\'' => inStr = true; sb += c; prevNonSpace = c
         case '[' =>
           // a preceding KEYWORD (SELECT [1,2], WHEN [..] THEN) introduces a
-          // literal, not a subscript — check the trailing word
-          val kwBefore = (prevNonSpace.isLetterOrDigit || prevNonSpace == '_') && {
+          // literal, not a subscript — check the trailing word; the
+          // `ARRAY[…]` constructor spelling is a literal whose keyword is
+          // part of the syntax (drop it and emit array(…))
+          val trailingWord = {
             val t = sb.toString.replaceAll("\\s+$", "")
-            val w = t.reverse.takeWhile(ch => ch.isLetterOrDigit || ch == '_')
+            t.reverse.takeWhile(ch => ch.isLetterOrDigit || ch == '_')
               .reverse.toUpperCase
-            w.nonEmpty && !w.head.isDigit && BracketLiteralKeywords(w)
           }
-          val subscript = !kwBefore &&
+          val arrayCtor = (prevNonSpace.isLetterOrDigit || prevNonSpace == '_') &&
+            trailingWord == "ARRAY"
+          val kwBefore = (prevNonSpace.isLetterOrDigit || prevNonSpace == '_') &&
+            trailingWord.nonEmpty && !trailingWord.head.isDigit &&
+            BracketLiteralKeywords(trailingWord)
+          val subscript = !kwBefore && !arrayCtor &&
             (prevNonSpace.isLetterOrDigit || prevNonSpace == '_' ||
               prevNonSpace == ')' || prevNonSpace == ']')
           if (subscript) { sb += '['; stack.push(false) }
-          else { sb ++= "array("; stack.push(true) }
+          else {
+            if (arrayCtor) { // strip the ARRAY word, keep its leading space
+              val cut = sb.lastIndexOf("ARRAY")
+              val cutI = math.max(cut, sb.toString.toUpperCase.lastIndexOf("ARRAY"))
+              sb.setLength(cutI)
+            }
+            sb ++= "array("; stack.push(true)
+          }
           prevNonSpace = '('
         case ']' =>
           val converted = stack.nonEmpty && stack.pop()
@@ -2096,6 +2109,10 @@ object SltRunner {
   private[slt] def translate(sqlRaw: String,
       nullOrdering: String = "nulls_max"): Option[String] = {
     val pre0raw = stripComments(sqlRaw).trim.replaceAll(";+\\s*$", "")
+      // the harness's 3-part catalog name has no temp-view spelling —
+      // flatten to the fixture view registerManyTypesTable creates
+      .replaceAll("(?i)my_catalog\\.my_schema\\.table_with_many_types",
+        "graft_many_types_tbl")
     // the TIME-of-day type has no Spark equivalent ('\btime\b' does not
     // match 'timestamp': word boundary; the CAST form requires the closing
     // paren so `x AS time` column aliases stay untouched)
@@ -3388,6 +3405,133 @@ object SltRunner {
 
   // ------------------------------------------------------------------- run
 
+  /** Per-file fixtures the reference's Rust harness registers in code —
+    * no SQL spelling can create them, so the reference builds them as
+    * in-memory Arrow batches (sqllogictest/src/test_context.rs). Rebuilt
+    * row-for-row here: Union values use the struct-carrier convention
+    * (struct<tag, v_<variant>…>), Timestamp(ns) columns ride the epoch-ns
+    * text convention, Dictionary encodings are transparent. */
+  /** One-key field metadata (the harness fixtures' "metadata_key"). */
+  private def mdKey(v: String): org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("metadata_key", v).build()
+
+  private def registerHarnessFixtures(
+      spark: SparkSession, name: String): Unit = name match {
+    case "union_function.slt" =>
+      // {int=1}, {string=bar}, {int=3} (register_union_table)
+      spark.sql(
+        """SELECT named_struct('tag', 'int', 'v_int', 1,
+          |  'v_string', CAST(NULL AS STRING)) AS union_column
+          |UNION ALL SELECT named_struct('tag', 'string',
+          |  'v_int', CAST(NULL AS INT), 'v_string', 'bar')
+          |UNION ALL SELECT named_struct('tag', 'int', 'v_int', 3,
+          |  'v_string', CAST(NULL AS STRING))""".stripMargin)
+        .createOrReplaceTempView("union_table")
+    case "aggregate.slt" =>
+      // register_approx_distinct_union_table: (g, u UNION<i: Int32,
+      // s: Utf8>). A union value whose active payload is NULL counts as
+      // NULL under approx_distinct (the file's group-3 expectation is 0),
+      // so those rows carry as carrier-NULL.
+      spark.sql(
+        """SELECT g, CASE WHEN keep
+          |  THEN named_struct('tag', tag, 'v_i', i, 'v_s', s) END AS u
+          |FROM VALUES
+          |  (1, 'i', 1, CAST(NULL AS STRING), true),
+          |  (1, 'i', 1, CAST(NULL AS STRING), true),
+          |  (1, 's', CAST(NULL AS INT), 'x', true),
+          |  (2, 's', CAST(NULL AS INT), 'y', true),
+          |  (2, 'i', CAST(NULL AS INT), CAST(NULL AS STRING), false),
+          |  (3, 'i', CAST(NULL AS INT), CAST(NULL AS STRING), false),
+          |  (3, 's', CAST(NULL AS INT), CAST(NULL AS STRING), false),
+          |  (4, 'i', 5, CAST(NULL AS STRING), true) t(g, tag, i, s, keep)"""
+          .stripMargin)
+        .createOrReplaceTempView("approx_distinct_union_test")
+    case "metadata.slt" | "arrow_field.slt" =>
+      // register_metadata_tables + register_conflicting_metadata_tables:
+      // the field metadata itself is introspection-only (describe lines
+      // skip as renderer-specific); the DATA is what the file queries.
+      // ts is Timestamp(ns) 1599572549190855123 — epoch-ns text carrier.
+      spark.sql(
+        """SELECT * FROM VALUES
+          |  (1, CAST(NULL AS STRING), CAST(NULL AS STRING),
+          |   graft_ns_text(1599572549190855123L), 'no_foo'),
+          |  (CAST(NULL AS INT), 'bar', 'l_bar',
+          |   graft_ns_text(1599572549190855123L), 'no_bar'),
+          |  (3, 'baz', 'l_baz',
+          |   graft_ns_text(1599572549190855123L), 'no_baz')
+          |  t(id, name, l_name, ts, nonnull_name)""".stripMargin)
+        .withMetadata("id", mdKey("the id field"))
+        .withMetadata("name", mdKey("the name field"))
+        .withMetadata("l_name", mdKey("the l_name field"))
+        .withMetadata("ts", mdKey("ts non-nullable field"))
+        .withMetadata("nonnull_name", mdKey("the nonnull_name field"))
+        .createOrReplaceTempView("table_with_metadata")
+      nsTableCols += "table_with_metadata" -> Map("ts" -> "ts")
+      spark.sql(
+        "SELECT * FROM VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10) t(a)")
+        .createOrReplaceTempView("larger_table")
+      spark.sql("SELECT 1 AS b").createOrReplaceTempView("smaller_table")
+    case "map.slt" =>
+      // register_table_with_map: EMPTY (int_field Int64, map_field Map)
+      spark.sql(
+        """SELECT CAST(c1 AS BIGINT) AS int_field,
+          |  map(CAST(c1 AS BIGINT), CAST(c1 AS BIGINT)) AS map_field
+          |FROM VALUES (1) t(c1) WHERE 1 = 0""".stripMargin)
+        .createOrReplaceTempView("table_with_map")
+    case "joins.slt" =>
+      // register_partition_table: one csv partition, rows (0, i, i%2=0)
+      // for i in 0..=10 (c1 UInt32, c2 UInt64, c3 Boolean) — read with
+      // CsvReadOptions' default has_header=true, so the i=0 line is
+      // consumed as the header and the table holds i=1..=10
+      spark.sql(
+        """SELECT 0 AS c1, CAST(v AS BIGINT) AS c2, v % 2 = 0 AS c3
+          |FROM VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10) t(v)"""
+          .stripMargin)
+        .createOrReplaceTempView("test_partition_table")
+      registerManyTypesTable(spark)
+      // create_example_udf: f64 two-arg adder
+      spark.udf.register("example", (a: Double, b: Double) => a + b)
+    case "information_schema_columns.slt" =>
+      registerManyTypesTable(spark)
+    case "dictionary_struct.slt" =>
+      // register_dictionary_struct_table: the Dictionary layer is an
+      // ENCODING of the struct values — semantically the 5 logical rows
+      spark.sql(
+        """SELECT named_struct('name', n, 'id', i) AS dict_struct,
+          |       named_struct('name', n, 'id', i) AS plain_struct
+          |FROM VALUES ('Alice',1),('Bob',2),('Carol',3),('Alice',1),
+          |  ('Bob',2) t(n, i)""".stripMargin)
+        .createOrReplaceTempView("dict_struct_table")
+      spark.sql(
+        """SELECT CASE WHEN n IS NOT NULL
+          |  THEN named_struct('name', n, 'id', i) END AS ds
+          |FROM VALUES ('X',10),(CAST(NULL AS STRING),CAST(NULL AS INT)),
+          |  ('Y',20),(CAST(NULL AS STRING),CAST(NULL AS INT)) t(n, i)"""
+          .stripMargin)
+        .createOrReplaceTempView("dict_struct_nullable")
+    case "cte.slt" =>
+      // register_strict_schema_provider: schema strict_schema with the one
+      // table `orders(order_id Int32)` = rows 1,2; the file SETs
+      // default_schema to strict_schema and checks CTE-vs-catalog
+      // precedence, which Spark's analyzer shares
+      spark.sql("SELECT * FROM VALUES (1),(2) t(order_id)")
+        .createOrReplaceTempView("orders")
+    case _ =>
+  }
+
+  /** my_catalog.my_schema.table_with_many_types (one row of mixed arrow
+    * types) — temp views cannot carry a catalog path, so the 3-part name
+    * is flattened by translate to this view's name. */
+  private def registerManyTypesTable(spark: SparkSession): Unit =
+    spark.sql(
+      """SELECT 1 AS int32_col, CAST(1.0 AS DOUBLE) AS float64_col,
+        |  'foo' AS utf8_col, 'bar' AS large_utf8_col,
+        |  CAST('foo' AS BINARY) AS binary_col,
+        |  CAST('foo' AS BINARY) AS large_binary_col,
+        |  graft_ns_text(123L) AS timestamp_nanos""".stripMargin)
+      .createOrReplaceTempView("graft_many_types_tbl")
+
   def runFile(spark: SparkSession, path: String,
       knownDivergent: Map[Int, String] = Map.empty): SltResult = {
     // byte-level read: a few reference files carry non-UTF8 bytes, which a
@@ -3425,18 +3569,10 @@ object SltRunner {
     // function overrides, default string-literal escaping
     sparkDialect = path.replace('\\', '/').contains("/spark/")
     if (!sparkDialect) registerCompat(spark) else registerSparkShims(spark)
-    // union_table is registered by the reference's Rust harness (no SQL
-    // spelling can create a Union); rebuild it bit-for-bit under the
-    // struct-carrier convention — {int=1}, {string=bar}, {int=3}
-    if (path.endsWith("union_function.slt"))
-      spark.sql(
-        """SELECT named_struct('tag', 'int', 'v_int', 1,
-          |  'v_string', CAST(NULL AS STRING)) AS union_column
-          |UNION ALL SELECT named_struct('tag', 'string',
-          |  'v_int', CAST(NULL AS INT), 'v_string', 'bar')
-          |UNION ALL SELECT named_struct('tag', 'int', 'v_int', 3,
-          |  'v_string', CAST(NULL AS STRING))""".stripMargin)
-        .createOrReplaceTempView("union_table")
+    // Rebuild the reference harness's per-file in-memory fixtures — tables
+    // its Rust code registers because no SQL spelling can create them
+    // (sqllogictest/src/test_context.rs try_new_for_test_file dispatch).
+    registerHarnessFixtures(spark, path.substring(path.lastIndexOf('/') + 1))
     var passed = 0
     val failures = mutable.Buffer[Failure]()
     val skipped = mutable.Buffer[(Int, String)]()
@@ -3450,6 +3586,30 @@ object SltRunner {
     // records the tag here and each query over a tagged view evaluates
     // and renders under that zone as its session zone.
     val viewTz = mutable.Map[String, java.time.ZoneId]()
+    // The reference's CREATE TABLE AS materializes (a MemTable), so
+    // dropping a source table never breaks tables built FROM it. Our CTAS
+    // lands as a LAZY temp view — record each view's translated body so a
+    // later DROP of a referenced name can first re-pin dependents onto a
+    // localCheckpoint (the reference's materialization, paid only when a
+    // drop would actually sever a live dependency; string_view.slt drops
+    // test_source while test_basic_operator still reads it).
+    val viewBodies = mutable.Map[String, String]()
+    val TempViewCreateRe =
+      """(?is)^\s*CREATE\s+OR\s+REPLACE\s+TEMPORARY\s+VIEW\s+([\w.]+)\s+AS\b([\s\S]*)""".r
+    val DropViewNameRe =
+      """(?is)^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
+    def pinDependentsBeforeDrop(spark: SparkSession, dropped: String): Unit = {
+      val word = ("(?i)\\b" + java.util.regex.Pattern.quote(dropped) + "\\b").r
+      viewBodies.toSeq.foreach { case (v, body) =>
+        if (!v.equalsIgnoreCase(dropped) && word.findFirstIn(body).isDefined) {
+          try {
+            val pinned = spark.table(v).localCheckpoint(true)
+            pinned.createOrReplaceTempView(v)
+            viewBodies(v) = "" // materialized: no live references left
+          } catch { case _: Exception => } // already broken — leave as-is
+        }
+      }
+    }
 
     // session default null ordering, settable by the file (order.slt)
     var nullOrdering = "nulls_max"
@@ -3775,6 +3935,15 @@ object SltRunner {
               """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\.""".r
                 .findFirstMatchIn(sql)
                 .foreach(m => spark.sql(s"CREATE DATABASE IF NOT EXISTS ${m.group(1)}"))
+              // record lazy-view bodies / re-pin dependents before a drop
+              sql match {
+                case TempViewCreateRe(vn, body) =>
+                  viewBodies(vn.toLowerCase) = body
+                case DropViewNameRe(dn) =>
+                  pinDependentsBeforeDrop(spark, dn)
+                  viewBodies -= dn.toLowerCase
+                case _ =>
+              }
               val df: DataFrame = maybeEmulateDeclaredParquet(spark, sql)
                 .orElse(maybeEmulateInsert(spark, sql))
                 .orElse(maybeEmulateDml(spark, sql))
@@ -3947,9 +4116,12 @@ object SltRunner {
                 // external fixture tables (aggregate_test_100 etc.) are
                 // registered by the reference's Rust harness, not by the
                 // file — poison the name so dependents skip too
-                """`([\w]+)` cannot be found""".r.findFirstMatchIn(e.getMessage)
-                  .foreach(m => poisoned += m.group(1))
-                skipped += ((rec.line, "external fixture table not present"))
+                val missing = """`([\w]+)` cannot be found""".r
+                  .findFirstMatchIn(e.getMessage).map(_.group(1))
+                missing.foreach(poisoned += _)
+                skipped += ((rec.line,
+                  "external fixture table not present" +
+                    missing.fold("")(n => s" ($n)")))
               case e: org.apache.spark.sql.AnalysisException
                   if e.getMessage.contains("DATATYPE_MISMATCH") =>
                 // Spark's analyzer rejects a coercion the reference allows
