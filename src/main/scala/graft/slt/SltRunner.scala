@@ -1616,7 +1616,7 @@ object SltRunner {
     * schema types like DECIMAL(10,6) don't break the schema span. */
   private object CreateExternal {
     private val HeadRe =
-      """(?is)^\s*CREATE\s+(UNBOUNDED\s+)?EXTERNAL\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w."]+)\s*""".r
+      """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(UNBOUNDED\s+)?EXTERNAL\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w."]+)\s*""".r
     private val StoredRe = """(?is)^\s*STORED\s+AS\s+(\w+)\s*(.*)$""".r
     private val LocRe = """(?is)LOCATION\s+'([^']+)'""".r
     private val PartRe = """(?is)\bPARTITIONED\s+BY\s*\(([^)]*)\)\s*""".r
@@ -1669,7 +1669,7 @@ object SltRunner {
   private[slt] def formatOptions(tail: String): Map[String, String] =
     if (tail == null) Map.empty
     else {
-      val OptRe = """'format\.(\w+)'\s+(?:'((?:[^']|'')*)'|([\w.%\-]+))""".r
+      val OptRe = """'format\.(\w+)'\s+(?:'([^']*(?:''[^']*)*)'|([\w.%\-]+))""".r
       OptRe.findAllMatchIn(tail).map(m =>
         m.group(1) -> Option(m.group(2)).getOrElse(m.group(3))).toMap
     }
@@ -1677,9 +1677,9 @@ object SltRunner {
   private val CreateSchemaValuesRe =
     """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*?)\)\s+AS\s+(VALUES.*|SELECT.*|WITH\s.*)$""".r
   private val CreateAsRe =
-    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(VALUES.*|SELECT.*|WITH\s.*)$""".r
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?("[\w.]+"|`[\w.]+`|[\w.]+)\s+AS\s+(VALUES.*|SELECT.*|WITH\s.*)$""".r
   private val DropTableRe =
-    """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
+    """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?("[\w.]+"|`[\w.]+`|[\w.]+)\s*;?\s*$""".r
   private val PlainCreateColsRe =
     """(?is)^(\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[\w."]+)\s*\((.*)\)\s*$""".r
 
@@ -2147,7 +2147,7 @@ object SltRunner {
           else {
             val args = splitTopLevel(s2.substring(open + 1, close)).map(_.trim)
             val strideNs = args.headOption.flatMap { a =>
-              "(?is)^INTERVAL\\s+'((?:[^']|'')*)'$".r.findFirstMatchIn(a)
+              "(?is)^INTERVAL\\s+'([^']*(?:''[^']*)*)'$".r.findFirstMatchIn(a)
                 .flatMap(mm => parseNsIntervalText(mm.group(1)))
             }
             strideNs match {
@@ -2155,7 +2155,7 @@ object SltRunner {
                 val isTime = args.tail.forall(a =>
                   "(?is)^TIME\\s+'".r.findFirstIn(a).isDefined)
                 def operand(a: String): String =
-                  "(?is)^(?:TIME|TIMESTAMP)?\\s*('(?:[^']|'')*')$".r
+                  "(?is)^(?:TIME|TIMESTAMP)?\\s*('[^']*(?:''[^']*)*')$".r
                     .findFirstMatchIn(a).map(_.group(1)).getOrElse(a)
                 val (x, o) = (operand(args(1)), operand(args(2)))
                 val repl =
@@ -2200,10 +2200,10 @@ object SltRunner {
           }
         }
       }
-      s2 = """(?i)\bTIME\s+('(?:[^']|'')*')""".r.replaceAllIn(s2, m =>
+      s2 = """(?i)\bTIME\s+('[^']*(?:''[^']*)*')""".r.replaceAllIn(s2, m =>
         java.util.regex.Matcher.quoteReplacement(
           s"graft_time_anchor(${m.group(1)})"))
-      s2 = """(?i)('(?:[^']|'')*'|[A-Za-z_]\w*)\s*::\s*time\b""".r
+      s2 = """(?i)('[^']*(?:''[^']*)*'|[A-Za-z_]\w*)\s*::\s*time\b""".r
         .replaceAllIn(s2, m => java.util.regex.Matcher.quoteReplacement(
           s"graft_time_anchor(${m.group(1)})"))
       s2
@@ -2230,11 +2230,11 @@ object SltRunner {
         if ("(?i)\\bdesc\\b".r.findFirstIn(k).isDefined) s"$k NULLS FIRST"
         else s"$k NULLS LAST"
       }.mkString(", ")
-      s2 = """(?i)\bSTRING_AGG\s*\(\s*(DISTINCT\s+)?([\w.]+)\s*,\s*('(?:[^']|'')*')\s+ORDER\s+BY\s+([^()]+?)\s*\)"""
+      s2 = """(?i)\bSTRING_AGG\s*\(\s*(DISTINCT\s+)?([\w.]+)\s*,\s*('[^']*(?:''[^']*)*')\s+ORDER\s+BY\s+([^()]+?)\s*\)"""
         .r.replaceAllIn(s2, m => java.util.regex.Matcher.quoteReplacement(
           s"listagg(${Option(m.group(1)).getOrElse("")}${m.group(2)}, ${m.group(3)}) WITHIN GROUP (ORDER BY ${nullsMax(m.group(4))})"))
       // (not when used as a WINDOW function — the frame defines the order)
-      s2 = """(?i)\bSTRING_AGG\s*\(\s*(DISTINCT\s+)?([\w.]+)\s*,\s*('(?:[^']|'')*')\s*\)(?!\s*(?:OVER|WITHIN)\b)"""
+      s2 = """(?i)\bSTRING_AGG\s*\(\s*(DISTINCT\s+)?([\w.]+)\s*,\s*('[^']*(?:''[^']*)*')\s*\)(?!\s*(?:OVER|WITHIN)\b)"""
         .r.replaceAllIn(s2, m => java.util.regex.Matcher.quoteReplacement(
           s"listagg(${Option(m.group(1)).getOrElse("")}${m.group(2)}, ${m.group(3)}) WITHIN GROUP (ORDER BY ${m.group(2)} NULLS LAST)"))
       // Percentile family: APPROX_PERCENTILE_CONT ↦ Spark's
@@ -2269,10 +2269,10 @@ object SltRunner {
       // to_char see the wall, and directives the reference types as TIME
       // ('D') render back to HH:MM:SS via the epoch-window display shim
       // in runFile's result compare.
-      s2 = """(?i)('(?:[^']|'')*'|[A-Za-z_][\w.]*)\s*::\s*time\b""".r
+      s2 = """(?i)('[^']*(?:''[^']*)*'|[A-Za-z_][\w.]*)\s*::\s*time\b""".r
         .replaceAllIn(s2, m => java.util.regex.Matcher.quoteReplacement(
           s"graft_time_anchor(${m.group(1)})"))
-      s2 = """(?i)\bTIME\s+('(?:[^']|'')*')""".r
+      s2 = """(?i)\bTIME\s+('[^']*(?:''[^']*)*')""".r
         .replaceAllIn(s2, m => java.util.regex.Matcher.quoteReplacement(
           s"graft_time_anchor(${m.group(1)})"))
       s2
@@ -2382,7 +2382,7 @@ object SltRunner {
     // a trailing Z/±hh:mm marks an instant unless ::timestamp strips it.
     val preAtTz = {
       val AtTzRe =
-        """(?is)('(?:[^']|'')*')(\s*::\s*timestamp\b)?\s+AT\s+TIME\s+ZONE\s+('(?:[^']|'')*')""".r
+        """(?is)('[^']*(?:''[^']*)*')(\s*::\s*timestamp\b)?\s+AT\s+TIME\s+ZONE\s+('[^']*(?:''[^']*)*')""".r
       AtTzRe.replaceAllIn(pre0, m => {
         val lit = m.group(1)
         val isInstant = m.group(2) == null &&
@@ -2398,7 +2398,7 @@ object SltRunner {
     // vectorized: it builds a catalyst tree over any operand).
     val preAtTzCall = {
       var s2 = preAtTz
-      val ClauseRe = """(?is)\)\s+AT\s+TIME\s+ZONE\s+('(?:[^']|'')*')""".r
+      val ClauseRe = """(?is)\)\s+AT\s+TIME\s+ZONE\s+('[^']*(?:''[^']*)*')""".r
       var m2 = ClauseRe.findFirstMatchIn(s2)
       var guard = 0
       while (m2.isDefined && guard < 20) {
@@ -2506,7 +2506,7 @@ object SltRunner {
       .replaceAll("(?is)^\\s*SET\\s+([\\w.]+)\\s+TO\\s+", "SET $1=")
       // `X [NOT] SIMILAR TO 'pat'` (Postgres): a full-anchored regex with
       // the SQL wildcards mapped (% → .*, _ → .) — strings.slt
-      .pipe(q => """(?i)([\w.]+|'(?:[^']|'')*')\s+(NOT\s+)?SIMILAR\s+TO\s+('(?:[^']|'')*')""".r
+      .pipe(q => """(?i)([\w.]+|'[^']*(?:''[^']*)*')\s+(NOT\s+)?SIMILAR\s+TO\s+('[^']*(?:''[^']*)*')""".r
         .replaceAllIn(q, m => {
           val pat = m.group(3).stripPrefix("'").stripSuffix("'")
             .replace("%", ".*").replace("_", ".")
@@ -2546,7 +2546,7 @@ object SltRunner {
         "graft_time_ns_format(graft_time_ns($1))")
       // to_time over a ns-fraction operand (raw literal or the ns-text
       // render of a sub-µs '…'::timestamp): ns-of-day, not the µs long
-      .replaceAll("(?i)\\bto_time\\s*\\(\\s*((?:graft_ns_display\\s*\\(\\s*)?'(?:[^']|'')*\\.[0-9]{7,9}(?:[^']|'')*'(?:\\s*\\))?)\\s*\\)",
+      .replaceAll("(?i)\\bto_time\\s*\\(\\s*((?:graft_ns_display\\s*\\(\\s*)?'[^']*(?:''[^']*)*\\.[0-9]{7,9}[^']*(?:''[^']*)*'(?:\\s*\\))?)\\s*\\)",
         "graft_time_ns_format(graft_time_ns($1))")
       // a >38-digit literal cast to Decimal256 (p>38): the value exceeds
       // i128, where the reference itself falls back to f64 computation
@@ -2580,7 +2580,7 @@ object SltRunner {
       // collect_list-based array_agg skips nulls already
       .replaceAll( // inner args may nest two paren levels (e.g.
         // arrow_cast(x, 'Dictionary(Int8, Int64)') before its own rewrite)
-        "(?i)(array_agg\\s*\\((?:[^()]|\\((?:[^()]|\\([^()]*\\))*\\))*\\))\\s+IGNORE\\s+NULLS",
+        "(?i)(array_agg\\s*\\([^()]*(?:\\([^()]*(?:\\([^()]*\\)[^()]*)*\\)[^()]*)*\\))\\s+IGNORE\\s+NULLS",
         "$1")
       // postgres-style type spellings in CAST: `t[]` array suffix, bare
       // VARCHAR (Spark demands a length parameter)
@@ -2652,7 +2652,38 @@ object SltRunner {
           else if (resolved0.endsWith("aggregate_test_100_with_dates.csv"))
             withDatesFixture()
           else resolved0
-        if (!new java.io.File(resolved).exists()) None // data not in checkout
+        val globPath = resolved.contains("*")
+        if (!globPath && !new java.io.File(resolved).exists()) {
+          // a SCRATCH location that does not exist yet is the reference's
+          // writable-ListingTable workflow (CREATE EXTERNAL TABLE at an
+          // empty location + INSERT INTO it writes files there) — register
+          // an empty typed view and track it for the INSERT emulation.
+          // Anything else is data genuinely absent from the checkout.
+          if (resolved.startsWith("/tmp/graft_slt_scratch") && schemaInner.isDefined) {
+            val partNames0 = """(?is)\bPARTITIONED\s+BY\s*\(([^)]*)\)""".r
+              .findFirstMatchIn(tail)
+              .map(_.group(1).split(",").map(_.trim.split("\\s+")(0))
+                .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+            // per column: name, type (constraint words stripped), optional
+            // DEFAULT expression text (insert_to_external's column
+            // defaults: `c int default 100*2+300`)
+            val declared = splitTopLevel(schemaInner.get)
+              .map(_.trim).filter(_.nonEmpty).map { cd =>
+                val sp = cd.split("\\s+", 2)
+                val rest = if (sp.length > 1) sp(1) else "STRING"
+                val defaultExpr = """(?is)\bDEFAULT\s+(.+)$""".r
+                  .findFirstMatchIn(rest).map(_.group(1).trim).getOrElse("")
+                val tpe = rest
+                  .replaceAll("(?is)\\bDEFAULT\\s+.+$", "")
+                  .replaceAll("(?i)\\bNOT\\s+NULL\\b", "").trim
+                (sp(0), sparkType(if (tpe.isEmpty) "STRING" else tpe), defaultExpr)
+              }
+            val fmtLow = format.toLowerCase
+            Some(s"GRAFT_EXTERNAL_WRITABLE $name|$resolved|$fmtLow|" +
+              partNames0.mkString(",") + "|" +
+              declared.map { case (n, t, d) => s"$n:::$t:::$d" }.mkString(";;"))
+          } else None // data not in checkout
+        }
         else {
           val fmt = format.toLowerCase
           // map the reference's 'format.*' OPTIONS onto Spark's CSV reader
@@ -2669,6 +2700,7 @@ object SltRunner {
             if (fmt == "csv") {
               val pairs = Seq(
                 "path" -> resolved,
+                "recursiveFileLookup" -> (!inferPartitions).toString,
                 "header" -> fmtOpts.getOrElse("has_header", headerDefault),
                 "inferSchema" -> "true",
                 "sep" -> fmtOpts.getOrElse("delimiter", ","),
@@ -2684,7 +2716,7 @@ object SltRunner {
               // JSON arrays — Spark's spelling is multiLine
               s"OPTIONS (path '$resolved', multiLine '${
                 if (fmtOpts.get("newline_delimited").contains("false")) "true" else "false"}')"
-            else s"OPTIONS (path '$resolved')"
+            else s"OPTIONS (path '$resolved', recursiveFileLookup '${!inferPartitions}')"
           val provider =
             if (fmt == "arrow") "graft.sources.ArrowIpcTableProvider" else fmt
           // Parquet with a DECLARED schema: a user schema on a parquet scan
@@ -2745,7 +2777,7 @@ object SltRunner {
         val ivNsMode = hasIntervalCols &&
           "(?i)nanosecond|[0-9]\\.[0-9]{7,9}\\s*sec".r.findFirstIn(body0).isDefined
         val body = if (!ivNsMode) body0
-          else "(?i)('(?:[^']|'')*')\\s*::\\s*interval\\b".r
+          else "(?i)('[^']*(?:''[^']*)*')\\s*::\\s*interval\\b".r
             .replaceAllIn(body0, m =>
               java.util.regex.Matcher.quoteReplacement(m.group(1)))
         // positional column alias on the derived table, so the body's own
@@ -2865,9 +2897,22 @@ object SltRunner {
           val alias = if (n > 0) (1 to n).map(i => s"column$i").mkString(" AS _v(", ", ", ")") else ""
           s"SELECT * FROM ($body)$alias"
         } else body
-        s"CREATE OR REPLACE TEMPORARY VIEW $name AS $b"
+        // a double-QUOTED dotted name ("foo.bar") is a SINGLE identifier
+        // with dots — a legal backticked temp-view name; an unquoted
+        // qualified name (foo_schema.bar) is a real schema path, which a
+        // temp view cannot carry: use a managed CTAS (the qualified-CREATE
+        // hook creates the database first)
+        if (name.startsWith("\"") || name.startsWith("`"))
+          s"CREATE OR REPLACE TEMPORARY VIEW `${name.replaceAll("[\"`]", "")}` AS $b"
+        else if (name.contains("."))
+          s"CREATE OR REPLACE TABLE $name AS $b"
+        else s"CREATE OR REPLACE TEMPORARY VIEW $name AS $b"
       case DropTableRe(ifEx, name) =>
-        s"DROP VIEW ${if (ifEx != null) "IF EXISTS " else ""}$name"
+        val ie = if (ifEx != null) "IF EXISTS " else ""
+        if (name.startsWith("\"") || name.startsWith("`"))
+          s"DROP VIEW $ie`${name.replaceAll("[\"`]", "")}`"
+        else if (name.contains(".")) s"DROP TABLE $ie$name"
+        else s"DROP VIEW $ie$name"
       case PlainCreateColsRe(head, cols) =>
         // plain CREATE TABLE (no AS): map postgres type spellings per column
         val defs = splitTopLevel(cols).map(_.trim).filter(_.nonEmpty).map { cd =>
@@ -2887,9 +2932,9 @@ object SltRunner {
     * directly). TIME operands appear as graft_time_anchor/graft_time_unit
     * calls here, arrow date casts as CAST(… AS DATE). */
   private val TimeCallPat =
-    """graft_time_(?:anchor|unit)\s*\((?:[^()]|\([^()]*\))*\)"""
+    """graft_time_(?:anchor|unit)\s*\([^()]*(?:\([^()]*\)[^()]*)*\)"""
   private val DatePat =
-    """CAST\s*\((?:[^()]|\([^()]*\))*AS\s+DATE\s*\)|'[^']*'\s*::\s*date\b|[\w.]+\s*::\s*date\b"""
+    """CAST\s*\([^()]*(?:\([^()]*\)[^()]*)*AS\s+DATE\s*\)|'[^']*'\s*::\s*date\b|[\w.]+\s*::\s*date\b"""
   /** Rewrite binary arithmetic on recorded ns-convention columns to the
     * ns-exact helpers: ts−ts → rendered Duration(ns), ts±interval →
     * calendar-months + fixed-ns shift, interval±interval → componentwise
@@ -2956,7 +3001,7 @@ object SltRunner {
       }
       // window form first (the wrapper must sit OUTSIDE the OVER clause)
       val winRe = ("(?i)\\b(min|max|sum|avg)\\s*\\(\\s*(" + durPat +
-        ")\\s*\\)\\s*(OVER\\s*\\((?:[^()]|\\([^()]*\\))*\\))").r
+        ")\\s*\\)\\s*(OVER\\s*\\([^()]*(?:\\([^()]*\\)[^()]*)*\\))").r
       val step1 = winRe.replaceAllIn(arith, m =>
         q(wrap(m.group(1).toLowerCase, m.group(2), " " + m.group(3))))
       val aggRe = ("(?i)\\b(min|max|sum|avg)\\s*\\(\\s*(" + durPat + ")\\s*\\)(?!\\s*OVER\\b)").r
@@ -3363,6 +3408,16 @@ object SltRunner {
     * nsArithPass's rewrite of ts/interval arithmetic to the ns-exact
     * helper functions (TimeFunctions r9). */
   @volatile private var nsTableCols: Map[String, Map[String, String]] = Map.empty
+  /** datafusion.execution.listing_table_factory_infer_partitions — when
+    * false, the next CREATE EXTERNAL TABLE reads with recursiveFileLookup
+    * (Spark's partition-discovery off switch). Reset per file. */
+  @volatile private var inferPartitions = true
+  /** Writable external tables (CREATE EXTERNAL TABLE at an empty scratch
+    * location): name -> (path, format, partition cols, declared (name,
+    * sparkType) fields). INSERT INTO one of these writes files at the
+    * location and re-registers the reading view. Reset per file. */
+  @volatile private var externalWritable:
+      Map[String, (String, String, Seq[String], Seq[(String, String, String)])] = Map.empty
 
   private def renderDateTime(ldt: java.time.LocalDateTime): String = {
     val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d" +
@@ -3555,6 +3610,8 @@ object SltRunner {
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
     renderZone = None
     nsTableCols = Map.empty
+    inferPartitions = true
+    externalWritable = Map.empty
     // scratch output dir is exclusively ours; start each file clean
     locally {
       val scratch = java.nio.file.Paths.get("/tmp/graft_slt_scratch")
@@ -3628,6 +3685,8 @@ object SltRunner {
     val MapDedupRe =
       """(?is)^\s*SET\s+datafusion\.spark\.map_key_dedup_policy\s*=\s*'(LAST_WIN|EXCEPTION)'\s*;?\s*$""".r
 
+    val InferPartRe =
+      """(?is)^\s*SET\s+datafusion\.execution\.listing_table_factory_infer_partitions\s*=\s*(true|false)\s*;?\s*$""".r
     val CreateNameRe = """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?(?:TABLE|VIEW)\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)""".r
     val InsertNameRe = """(?is)^\s*INSERT\s+INTO\s+([\w.]+)""".r
     def mentionsPoisoned(sql: String): Option[String] = {
@@ -3875,6 +3934,12 @@ object SltRunner {
           spark.conf.set("spark.sql.mapKeyDedupPolicy",
             MapDedupRe.findFirstMatchIn(rec.sql).get.group(1).toUpperCase)
           passed += 1
+        case None if InferPartRe.findFirstMatchIn(rec.sql).isDefined =>
+          // listing_table_factory_infer_partitions: consumed by the next
+          // CREATE EXTERNAL TABLE translation (recursiveFileLookup)
+          inferPartitions =
+            InferPartRe.findFirstMatchIn(rec.sql).get.group(1).toBoolean
+          passed += 1
         case None if isTzViewCreate(rec.sql) =>
           emulateTzView(spark, rec.sql, viewTz, nullOrdering) match {
             case Right(nm) => poisoned -= nm; passed += 1
@@ -3935,6 +4000,23 @@ object SltRunner {
               """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\.""".r
                 .findFirstMatchIn(sql)
                 .foreach(m => spark.sql(s"CREATE DATABASE IF NOT EXISTS ${m.group(1)}"))
+              // qualified managed CTAS: a table dir left by an earlier JVM
+              // isn't in this in-memory catalog — clear it or the CTAS
+              // refuses the location (same contract as the plain-CREATE
+              // cleanup above, warehouse/<db>.db/<table>)
+              """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\.([\w]+)\s+AS\b""".r
+                .findFirstMatchIn(sql).foreach { m =>
+                  spark.sql(s"DROP TABLE IF EXISTS ${m.group(1)}.${m.group(2)}")
+                  val wh = spark.conf.get("spark.sql.warehouse.dir")
+                    .stripPrefix("file:")
+                  val loc = java.nio.file.Paths.get(wh,
+                    m.group(1).toLowerCase + ".db", m.group(2).toLowerCase)
+                  if (java.nio.file.Files.exists(loc)) {
+                    import scala.jdk.CollectionConverters._
+                    java.nio.file.Files.walk(loc).iterator().asScala.toSeq
+                      .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+                  }
+                }
               // record lazy-view bodies / re-pin dependents before a drop
               sql match {
                 case TempViewCreateRe(vn, body) =>
@@ -3945,6 +4027,7 @@ object SltRunner {
                 case _ =>
               }
               val df: DataFrame = maybeEmulateDeclaredParquet(spark, sql)
+                .orElse(maybeEmulateExternalCreate(spark, sql))
                 .orElse(maybeEmulateInsert(spark, sql))
                 .orElse(maybeEmulateDml(spark, sql))
                 .orElse(maybeEmulateCopy(ctx, spark, sql))
@@ -3959,11 +4042,14 @@ object SltRunner {
                 CreateNameRe.findFirstMatchIn(rec.sql)
                   .foreach(m => poisoned -= m.group(1))
               }
-              else if (sql.trim.toUpperCase.startsWith("INSERT") ||
+              else if ((sql.trim.toUpperCase.startsWith("INSERT") ||
                        sql.trim.toUpperCase.startsWith("DELETE") ||
-                       sql.trim.toUpperCase.startsWith("UPDATE")) {
+                       sql.trim.toUpperCase.startsWith("UPDATE")) &&
+                       !df.columns.sameElements(Array("count"))) {
                 // the reference surfaces INSERT row counts as a result set;
-                // Spark does not — execute for state, skip the count check
+                // native Spark DML does not — execute for state, skip the
+                // count check. EMULATED inserts return the real count (the
+                // `count` column convention, like COPY) and compare below.
                 df.collect()
                 skipped += ((rec.line, "INSERT row-count result not surfaced by Spark"))
               }
@@ -4207,7 +4293,7 @@ object SltRunner {
   // NOTE: single-char alternation (no nested +) — a nested quantifier here
   // backtracks exponentially on long non-matching create bodies
   private val ArrowTzCallRe =
-    ("""(?is)arrow_cast\s*\(\s*((?:[^'(),]|\([^()]*\))*?)\s*,\s*'Timestamp\s*\(\s*""" +
+    ("""(?is)arrow_cast\s*\(\s*([^'(),]*?(?:\([^()]*\)[^'(),]*?)*?)\s*,\s*'Timestamp\s*\(\s*""" +
       """(Nanosecond|Microsecond|Millisecond|Second|ns|µs|us|ms|s)\s*,\s*""" +
       """Some\s*\(\s*"([^"]+)"\s*\)\s*\)'\s*\)""").r
   private val AtTzClauseRe = """(?is)\s+AT\s+TIME\s+ZONE\s+'([^']+)'""".r
@@ -5147,12 +5233,20 @@ object SltRunner {
       case CopyRe(srcRaw, target, tail) =>
         val src = srcRaw.trim
         val df =
-          if (src.startsWith("(")) ctx.sql(src.substring(1, src.length - 1))
+          if (src.startsWith("(")) {
+            val inner = src.substring(1, src.length - 1).trim
+            // a bare (VALUES …) source parses reliably as a derived table
+            if (inner.toUpperCase.startsWith("VALUES"))
+              ctx.sql(s"SELECT * FROM ($inner)")
+            else ctx.sql(inner)
+          }
           else spark.table(src)
         val fmt = """(?i)STORED\s+AS\s+(\w+)""".r.findFirstMatchIn(tail)
           .map(_.group(1).toLowerCase)
           .getOrElse(if (target.endsWith(".csv")) "csv"
-            else if (target.endsWith(".json")) "json" else "parquet")
+            else if (target.endsWith(".json")) "json"
+            else if (target.endsWith(".arrow")) "arrow"
+            else if (target.endsWith(".avro")) "avro" else "parquet")
         val partCols = """(?is)PARTITIONED\s+BY\s*\(([^)]*)\)""".r
           .findFirstMatchIn(tail)
           .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -5279,26 +5373,129 @@ object SltRunner {
     }
   }
 
+  /** GRAFT_EXTERNAL_WRITABLE marker (emitted by the CreateExternal
+    * translation for a scratch location that does not exist yet): register
+    * an empty typed view — partition columns at the END, the reference's
+    * ListingTable schema order — and track the table so INSERT INTO it
+    * writes real files. A location already holding files (a second table
+    * declared over data written through the first) registers a reader. */
+  private def maybeEmulateExternalCreate(
+      spark: SparkSession, sql: String): Option[DataFrame] = {
+    if (!sql.startsWith("GRAFT_EXTERNAL_WRITABLE ")) return None
+    val Array(name, path, fmt, partsS, fieldsS) =
+      sql.stripPrefix("GRAFT_EXTERNAL_WRITABLE ").split("\\|", -1)
+    val parts = partsS.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val fields = fieldsS.split(";;").map(_.trim).filter(_.nonEmpty).toSeq
+      .map { kv =>
+        val Array(n, t, d) = kv.split(":::", -1); (n, t, d) }
+    externalWritable += name.toLowerCase -> ((path, fmt, parts, fields))
+    refreshExternalView(spark, name, path, fmt, parts, fields)
+    Some(spark.emptyDataFrame)
+  }
+
+  /** (Re)register the reading view of a writable external table: empty
+    * typed relation while no files exist; a partition-discovering read
+    * (declared columns only, declared order: data then partitions) once
+    * files appear. */
+  private def externalProvider(fmt: String): String =
+    if (fmt == "arrow") "graft.sources.ArrowIpcTableProvider" else fmt
+
+  private def refreshExternalView(spark: SparkSession, name: String,
+      path: String, fmt: String, parts: Seq[String],
+      fields: Seq[(String, String, String)]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val ordered = fields.filterNot(f => parts.exists(_.equalsIgnoreCase(f._1))) ++
+      parts.flatMap(p => fields.find(_._1.equalsIgnoreCase(p)))
+    val dir = new java.io.File(path)
+    val hasFiles = dir.exists()
+    if (!hasFiles) {
+      val cols = ordered.map { case (n, t, _) => s"CAST(NULL AS $t) AS $n" }
+      spark.sql(s"SELECT ${cols.mkString(", ")} WHERE 1 = 0")
+        .createOrReplaceTempView(name)
+    } else try {
+      spark.catalog.refreshByPath(path)
+      val r = spark.read.format(externalProvider(fmt))
+        .option("header", "true").option("inferSchema", "true").load(path)
+      r.select(ordered.map { case (n, t, _) => col(n).cast(t).as(n) }: _*)
+        .createOrReplaceTempView(name)
+    } catch {
+      // a location deliberately left in an unreadable state (the mixed-
+      // partition-layout scenario) keeps the previous view; the error
+      // surfaces on the CREATE the file expects to fail
+      case _: Exception => ()
+    }
+  }
+
   private def maybeEmulateInsert(spark: SparkSession, sql: String): Option[DataFrame] = {
-    val InsertRe = """(?is)^\s*INSERT\s+INTO\s+([\w.]+)\s+(VALUES\b.*|SELECT\b.*)$""".r
+    val InsertRe =
+      """(?is)^\s*INSERT\s+INTO\s+([\w.]+)\s*(\(([^)]*)\)\s*)?(VALUES\b.*|SELECT\b.*)$""".r
     sql match {
-      case InsertRe(name, body) =>
+      case InsertRe(name, _, colList, body)
+          if externalWritable.contains(name.toLowerCase) =>
+        // writable external table: append files at the location
+        // (partition columns become directories, the reference's layout)
+        import org.apache.spark.sql.functions.{col, expr, lit}
+        val (path, fmt, parts, fields) = externalWritable(name.toLowerCase)
+        val src = if (body.trim.toUpperCase.startsWith("VALUES"))
+          s"SELECT * FROM ($body)" else body
+        // INSERT provides values in DECLARED order (data cols, then the
+        // PARTITIONED BY cols at the schema tail); an explicit column
+        // list maps positionally, missing columns take their declared
+        // DEFAULT expression (NULL when none)
+        val ordered = fields.filterNot(f => parts.exists(_.equalsIgnoreCase(f._1))) ++
+          parts.flatMap(p => fields.find(_._1.equalsIgnoreCase(p)))
+        val listed = Option(colList)
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(ordered.map(_._1))
+        val add0 = spark.sql(src).toDF(listed.toIndexedSeq: _*)
+        val coerced = add0.select(ordered.map { case (n, t, d) =>
+          if (listed.exists(_.equalsIgnoreCase(n))) col(s"`$n`").cast(t).as(n)
+          else if (d.nonEmpty) expr(d).cast(t).as(n)
+          else lit(null).cast(t).as(n)
+        }.toIndexedSeq: _*)
+        val n = coerced.count()
+        if (fmt == "arrow" && parts.nonEmpty) {
+          // the Arrow DSv2 writer has no partitioned layout — lay out the
+          // hive dirs explicitly, one single-file write per partition value
+          val partCol = parts.head
+          coerced.select(col(partCol)).distinct().collect().foreach { r =>
+            val v = String.valueOf(r.get(0))
+            val rows = coerced.filter(col(partCol) === r.get(0)).drop(partCol)
+            graft.sources.ArrowIpcWriter.write(
+              rows, s"$path/$partCol=$v/part-0.arrow")
+          }
+        } else {
+          var w = coerced.write.mode("append").format(externalProvider(fmt))
+          if (fmt == "csv") w = w.option("header", "true")
+          if (parts.nonEmpty) w = w.partitionBy(parts: _*)
+          w.save(path)
+        }
+        refreshExternalView(spark, name, path, fmt, parts, fields)
+        Some(spark.sql(s"SELECT CAST($n AS BIGINT) AS count"))
+      case InsertRe(name, _, colList, body) =>
         val isTempView = try {
           spark.catalog.tableExists(name) && spark.catalog.getTable(name).isTemporary
         } catch { case _: Exception => false }
         if (!isTempView) None
         else {
+          import org.apache.spark.sql.functions.{col, lit}
           val src = if (body.trim.toUpperCase.startsWith("VALUES"))
             s"SELECT * FROM ($body)" else body
           val old = spark.table(name)
+          val listed = Option(colList)
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(old.columns.toSeq)
           // positional cast to the view schema — the reference coerces
-          // inserted values (incl. bare NULL maps) to the table types
-          val add = spark.sql(src).toDF(old.columns.toIndexedSeq: _*)
+          // inserted values (incl. bare NULL maps) to the table types;
+          // unlisted columns fill with NULL
+          val add = spark.sql(src).toDF(listed.toIndexedSeq: _*)
           val coerced = add.select(old.schema.fields.map(f =>
-            org.apache.spark.sql.functions.col(s"`${f.name}`").cast(f.dataType)
-              .as(f.name)).toIndexedSeq: _*)
+            (if (listed.exists(_.equalsIgnoreCase(f.name)))
+              col(s"`${f.name}`") else lit(null))
+              .cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+          val n = coerced.count()
           old.unionAll(coerced).createOrReplaceTempView(name)
-          Some(spark.emptyDataFrame)
+          Some(spark.sql(s"SELECT CAST($n AS BIGINT) AS count"))
         }
       case _ => None
     }

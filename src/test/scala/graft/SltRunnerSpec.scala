@@ -66,8 +66,10 @@ class SltRunnerSpec extends AnyFunSuite {
     // r8: the 9 ns pins (timestamp::bigint epoch-ns, int-VALUES Timestamp
     // coercion, ns-digit rendering) all pass via the epoch-ns convention
     // layer (graft_ns_epoch/graft_ns_text — TimeFunctions)
-    check("joins.slt", 360, knownDivergent = Map(
-      4740 -> "LATERAL correlation to a sibling FROM item through extra nesting (Spark scoping)"))
+    check("joins.slt", 560, knownDivergent = Map(
+      4740 -> "LATERAL correlation to a sibling FROM item through extra nesting (Spark scoping)",
+      // r10: reachable since the COPY(VALUES…) fix registered t1/t2
+      4402 -> "FULL JOIN LIMIT without ORDER BY: row selection is plan-specific (both engines return matched rows)"))
   }
   test("expr.slt")      {
     check("expr.slt", 280, knownDivergent = Map(
@@ -125,7 +127,7 @@ class SltRunnerSpec extends AnyFunSuite {
       277 -> "literal typing under arrow_typeof: reference SQL literals are Int64/Float64, Spark Int32/Decimal"))
   }
   test("map.slt")      {
-    check("map.slt", 70, knownDivergent = Map(
+    check("map.slt", 95, knownDivergent = Map(
       50 -> "struct field order from JSON inference differs"))
   }
   test("math.slt")     {
@@ -232,7 +234,7 @@ class SltRunnerSpec extends AnyFunSuite {
     // (c1..c13 = the canonical rows) converted ~135 more — the sketch/
     // f32-digit lines it exposed pin to their existing classes, and 1636
     // reads the c14/c15 columns only the unfetched submodule defines
-    check("aggregate.slt", 1195, knownDivergent =
+    check("aggregate.slt", 1230, knownDivergent =
       Seq(5680, 5887, 5916, 5921, 5928, 5933).map(_ -> ns).toMap ++
       Seq(5789, 5818, 5823, 5830, 5835).map(_ -> d64).toMap ++
       Seq(697, 703, 1630, 2170, 2181, 2186, 2277, 2293,
@@ -322,12 +324,12 @@ class SltRunnerSpec extends AnyFunSuite {
   test("regexp_replace.slt") { check("regexp/regexp_replace.slt", 20) }
   test("regexp_count.slt") { check("regexp/regexp_count.slt", 18) }
   test("regexp_instr.slt") { check("regexp/regexp_instr.slt", 18) }
-  test("ddl.slt")          {
+  test("ddl.slt")          { // r10: quoted dotted names + writable external tables
     val dotted = "dotted table names in backticks (Spark restricts identifier charset)"
-    check("ddl.slt", 75, knownDivergent = Map(91 -> dotted, 114 -> dotted))
+    check("ddl.slt", 120, knownDivergent = Map(91 -> dotted, 114 -> dotted))
   }
   test("information_schema.slt") { check("information_schema.slt", 35) }
-  test("copy.slt")         { check("copy.slt", 45) }
+  test("copy.slt")         { check("copy.slt", 70) } // r10: COPY(VALUES), .arrow inference
   test("avro.slt")         { check("avro.slt", 2) }
   test("schema_evolution.slt") { check("schema_evolution.slt", 4) }
   test("subquery_sort.slt") { check("subquery_sort.slt", 6) }
@@ -356,7 +358,7 @@ class SltRunnerSpec extends AnyFunSuite {
   test("ident_normalization.slt") { check("ident_normalization.slt", 24) }
   test("named_arguments.slt") { check("named_arguments.slt", 32) }
   test("merge_into.slt")    { check("merge_into.slt", 9) }
-  test("insert.slt")        { check("insert.slt", 23) }
+  test("insert.slt")        { check("insert.slt", 28) } // r10: emulated-INSERT counts surface
   test("null_aware_anti_join.slt") {
     check("null_aware_anti_join.slt", 79, knownDivergent = Map(
       174 -> "NULL NOT IN (empty subquery): reference applies the empty-set rule (TRUE), Spark yields NULL"))
@@ -372,7 +374,7 @@ class SltRunnerSpec extends AnyFunSuite {
       573 -> "FixedSizeBinary reads as Binary in Spark",
       590 -> "FixedSizeBinary reads as Binary in Spark"))
   }
-  test("create_external_table.slt") { check("create_external_table.slt", 1) }
+  test("create_external_table.slt") { check("create_external_table.slt", 18) } // r10: writable external tables
   test("cosine_distance.slt") { check("cosine_distance.slt", 11) }
   test("inner_product.slt") { check("inner_product.slt", 14) }
   test("array_sum.slt")     { check("array_sum.slt", 10) }
@@ -416,12 +418,12 @@ class SltRunnerSpec extends AnyFunSuite {
   test("issue_17138.slt")    { check("issue_17138.slt", 4) }
   test("cast_to_type.slt")   { check("cast_to_type.slt", 11) }
   test("dictionary.slt")     { check("dictionary.slt", 3) }
-  test("listing_table_partitions.slt") { check("listing_table_partitions.slt", 2) }
+  test("listing_table_partitions.slt") { check("listing_table_partitions.slt", 19) } // r10: COPY(VALUES)+infer_partitions off
   // r8: the two ns-filter pins pass via the epoch-ns text layer (the
   // ns-distinct keys no longer collapse at µs)
   test("parquet_filter_pushdown.slt") { check("parquet_filter_pushdown.slt", 85) }
   test("parquet_statistics.slt") { check("parquet_statistics.slt", 11) }
-  test("insert_to_external.slt") { check("insert_to_external.slt", 3) }
+  test("insert_to_external.slt") { check("insert_to_external.slt", 78) } // r10: writable external tables
   test("dynamic_file.slt") {
     val apart = "partitioned Arrow IPC write (the DSv2 arrow writer is unpartitioned)"
     check("dynamic_file.slt", 15, knownDivergent = Map(111 -> apart, 118 -> apart))
@@ -497,7 +499,7 @@ class SltRunnerSpec extends AnyFunSuite {
   test("encrypted_parquet.slt") { check("encrypted_parquet.slt", 2) }
   test("explain.slt")         { check("explain.slt", 55) }
   test("explain_analyze.slt") { check("explain_analyze.slt", 90) }
-  test("explain_tree.slt")    { check("explain_tree.slt", 30) }
+  test("explain_tree.slt")    { check("explain_tree.slt", 70) } // r10: scratch fixtures + regex unroll
   test("file_row_index.slt")  { check("file_row_index.slt", 4) }
   // r8: graft_f16 quantization + mixed NaN-VALUES coercion — 8 passed
   test("float16.slt")         {
@@ -558,7 +560,7 @@ class SltRunnerSpec extends AnyFunSuite {
   }
   test("range_partitioning.slt") { check("range_partitioning.slt", 50) }
   test("repartition.slt")     { check("repartition.slt", 11) }
-  test("repartition_scan.slt") { check("repartition_scan.slt", 11) }
+  test("repartition_scan.slt") { check("repartition_scan.slt", 30) } // r10: COPY(VALUES) fixtures
   test("repartition_subset_satisfaction.slt") { check("repartition_subset_satisfaction.slt", 35) }
   test("run_end_encoded.slt") { check("run_end_encoded.slt", 0) }
   test("schema_evolution_nested.slt") { check("schema_evolution_nested.slt", 2) }
