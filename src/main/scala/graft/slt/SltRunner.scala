@@ -2659,7 +2659,9 @@ object SltRunner {
           // empty location + INSERT INTO it writes files there) — register
           // an empty typed view and track it for the INSERT emulation.
           // Anything else is data genuinely absent from the checkout.
-          if (resolved.startsWith("/tmp/graft_slt_scratch") && schemaInner.isDefined) {
+          if (poisonedScratchPaths.exists(pp =>
+              resolved.startsWith(pp) || pp.startsWith(resolved))) None
+          else if (resolved.startsWith("/tmp/graft_slt_scratch") && schemaInner.isDefined) {
             val partNames0 = """(?is)\bPARTITIONED\s+BY\s*\(([^)]*)\)""".r
               .findFirstMatchIn(tail)
               .map(_.group(1).split(",").map(_.trim.split("\\s+")(0))
@@ -2706,7 +2708,8 @@ object SltRunner {
                 "sep" -> fmtOpts.getOrElse("delimiter", ","),
                 "quote" -> fmtOpts.getOrElse("quote", "\""),
                 "escape" -> fmtOpts.getOrElse("escape", "\""),
-                "multiLine" -> fmtOpts.getOrElse("newlines_in_values", "false"))
+                "multiLine" -> fmtOpts.getOrElse("newlines_in_values", "false")) ++
+                fmtOpts.get("comment").map("comment" -> _)
               pairs.map { case (k, v) =>
                 s"$k '${v.replace("\\", "\\\\").replace("'", "''")}'"
               }.mkString("OPTIONS (", ", ", ")")
@@ -2758,6 +2761,11 @@ object SltRunner {
               val (parts, data) = defs.partition(d => partNames(d._1.toLowerCase))
               (data ++ parts).map(_._2).mkString(" (", ", ", ")")
             }.getOrElse("")
+            // subdirectory-toggle registry: glob locations re-scope by
+            // widening the glob; plain unpartitioned dirs by recursion
+            if (globPath || (partNames.isEmpty && new java.io.File(resolved).isDirectory))
+              globExternalViews += name.toLowerCase ->
+                ((provider, (if (globPath) "g:" else "d:") + resolved))
             Some(s"CREATE OR REPLACE TEMPORARY VIEW $name$cols USING $provider $opts")
           }
         }
@@ -2855,6 +2863,12 @@ object SltRunner {
           else if (t.equalsIgnoreCase("TIMESTAMP") &&
               firstNonNull(i).exists(_.contains("graft_ns_")))
             s"$n AS $n"
+          // a declared DATE column over INTEGER literals: the reference
+          // coerces int -> Date32 (days since epoch); Spark's INT->DATE
+          // cast is rejected — go through date_from_unix_date
+          else if (sparkType(raw) == "DATE" &&
+              firstNonNull(i).exists(_.matches("-?[0-9]+")))
+            s"DATE_FROM_UNIX_DATE(CAST($n AS INT)) AS $n"
           else s"CAST($n AS ${sparkType(raw)}) AS $n"
         }.mkString(", ")
         s"CREATE OR REPLACE TEMPORARY VIEW $name AS SELECT $casts FROM ($body) AS $alias"
@@ -3279,7 +3293,15 @@ object SltRunner {
       // DECIMAL(2,1) where the reference's is Float64; match its float
       // rendering (top-level strips, nested keeps the point)
       if (nested) bd.toPlainString else bd.stripTrailingZeros.toPlainString
-    case s: String =>
+    case s0: String =>
+      // results carrying scratch file paths (input_file_name) render at
+      // the reference's workspace-relative spelling, inverting the
+      // scratch redirection the way the expected blocks are written
+      val s = if (!s0.contains("/tmp/graft_slt_scratch")) s0
+        else s0.replaceAll("file:/+tmp/graft_slt_scratch",
+            "WORKSPACE_ROOT/datafusion/sqllogictest/test_files/scratch")
+          .replace("/tmp/graft_slt_scratch",
+            "WORKSPACE_ROOT/datafusion/sqllogictest/test_files/scratch")
       if (s.isEmpty && !nested) "(empty)" else s.replace("\u0000", "\\0")
     case bytes: Array[Byte] => bytes.map("%02x".format(_)).mkString
     // DataFusion timestamp display: ISO-8601 with 'T', fraction trimmed;
@@ -3416,6 +3438,13 @@ object SltRunner {
     * location): name -> (path, format, partition cols, declared (name,
     * sparkType) fields). INSERT INTO one of these writes files at the
     * location and re-registers the reading view. Reset per file. */
+  /** Scratch paths whose producing COPY was SKIPPED: an external table
+    * declared over one must skip too (an empty read would silently
+    * diverge from the reference's populated table). Reset per file. */
+  @volatile private var poisonedScratchPaths: Set[String] = Set.empty
+  /** Views created over a GLOB location (name -> (provider, glob)):
+    * listing_table_ignore_subdirectory re-scopes them. Reset per file. */
+  @volatile private var globExternalViews: Map[String, (String, String)] = Map.empty
   @volatile private var externalWritable:
       Map[String, (String, String, Seq[String], Seq[(String, String, String)])] = Map.empty
 
@@ -3612,6 +3641,8 @@ object SltRunner {
     nsTableCols = Map.empty
     inferPartitions = true
     externalWritable = Map.empty
+    poisonedScratchPaths = Set.empty
+    globExternalViews = Map.empty
     // scratch output dir is exclusively ours; start each file clean
     locally {
       val scratch = java.nio.file.Paths.get("/tmp/graft_slt_scratch")
@@ -3687,6 +3718,8 @@ object SltRunner {
 
     val InferPartRe =
       """(?is)^\s*SET\s+datafusion\.execution\.listing_table_factory_infer_partitions\s*=\s*(true|false)\s*;?\s*$""".r
+    val IgnoreSubdirRe =
+      """(?is)^\s*SET\s+datafusion\.execution\.listing_table_ignore_subdirectory\s*=\s*(true|false)\s*;?\s*$""".r
     val CreateNameRe = """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?(?:TABLE|VIEW)\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)""".r
     val InsertNameRe = """(?is)^\s*INSERT\s+INTO\s+([\w.]+)""".r
     def mentionsPoisoned(sql: String): Option[String] = {
@@ -3711,6 +3744,11 @@ object SltRunner {
     def poison(sql: String): Unit = {
       CreateNameRe.findFirstMatchIn(sql).foreach(m => poisoned += m.group(1))
       InsertNameRe.findFirstMatchIn(sql).foreach(m => poisoned += m.group(1))
+      // a skipped COPY leaves its target unwritten — an external table
+      // later declared over that path must skip, not read empty
+      """(?is)^\s*COPY\b.*?\bTO\s+'([^']+)'""".r.findFirstMatchIn(sql)
+        .foreach(m =>
+          poisonedScratchPaths += redirectScratch(m.group(1)).stripSuffix("/"))
     }
 
     // each reference slt file expects a FRESH context; managed tables from
@@ -3906,7 +3944,9 @@ object SltRunner {
         skipped += ((rec.line,
           "arrow type introspection of the spark-compat crate's internal carriers (not observable Spark types)"))
       else mentionsPoisoned(rec.sql) match {
-        case Some(t) => skipped += ((rec.line, s"references skipped table $t"))
+        case Some(t) =>
+          poison(rec.sql) // cascades: a skipped COPY poisons its target path
+          skipped += ((rec.line, s"references skipped table $t"))
         case None if TzRe.findFirstMatchIn(rec.sql).isDefined =>
           val tz = TzRe.findFirstMatchIn(rec.sql).get.group(1)
           // the reference accepts any SET value and only errors when the
@@ -3939,6 +3979,27 @@ object SltRunner {
           // CREATE EXTERNAL TABLE translation (recursiveFileLookup)
           inferPartitions =
             InferPartRe.findFirstMatchIn(rec.sql).get.group(1).toBoolean
+          passed += 1
+        case None if IgnoreSubdirRe.findFirstMatchIn(rec.sql).isDefined =>
+          // re-scope every glob-located view: ignore=false also matches
+          // one directory level below (hadoop brace glob)
+          val ignore =
+            IgnoreSubdirRe.findFirstMatchIn(rec.sql).get.group(1).toBoolean
+          globExternalViews.foreach { case (nm, (prov, tagged)) =>
+            val isGlob = tagged.startsWith("g:")
+            val loc = tagged.substring(2)
+            val extra =
+              if (isGlob) {
+                val i = loc.lastIndexOf('/')
+                val (dir, leaf) = (loc.substring(0, i), loc.substring(i + 1))
+                val path = if (ignore) loc else s"$dir/{$leaf,*/$leaf}"
+                s"OPTIONS (path '$path')"
+              } else
+                s"OPTIONS (path '$loc', recursiveFileLookup '${!ignore}')"
+            try spark.sql(
+              s"CREATE OR REPLACE TEMPORARY VIEW $nm USING $prov $extra")
+            catch { case _: Exception => }
+          }
           passed += 1
         case None if isTzViewCreate(rec.sql) =>
           emulateTzView(spark, rec.sql, viewTz, nullOrdering) match {
@@ -5271,7 +5332,18 @@ object SltRunner {
         val singleFile = lastSeg.contains(".") && partCols.isEmpty
         val dest = redirectScratch(target)
         val saveTo = if (singleFile) dest + ".__graft_tmp__" else dest
-        var w = (if (singleFile) df.coalesce(1) else df).write
+        // execution.keep_partition_by_columns: the reference writes the
+        // partition columns INTO the files as well as the dirs — shadow
+        // each partition column, partition by the shadows, rename dirs
+        val keepParts = partCols.nonEmpty &&
+          """(?i)keep_partition_by_columns'?\s+'?true""".r
+            .findFirstIn(tail).isDefined
+        val shadowed = if (!keepParts) df else
+          partCols.foldLeft(df)((d, c) => d.withColumn(
+            s"__graft_keep_$c", org.apache.spark.sql.functions.col(c)))
+        val writeParts =
+          if (keepParts) partCols.map(c => s"__graft_keep_$c") else partCols
+        var w = (if (singleFile) shadowed.coalesce(1) else shadowed).write
           .mode(if (singleFile) "overwrite" else "append")
           .format(if (fmt == "arrow") "graft.sources.ArrowIpcTableProvider" else fmt)
         // compression spellings like zstd(10): Spark takes the codec name
@@ -5279,7 +5351,10 @@ object SltRunner {
           w = w.option("compression", c.replaceAll("\\(.*\\)", "")))
         if (fmt == "csv") {
           // the reference's CSV defaults: header on, embedded quotes doubled,
-          // whitespace preserved verbatim
+          // whitespace preserved verbatim. The univocity WRITER quotes any
+          // value starting with its comment char (default '#') — arrow-csv
+          // writes such values raw; neutralize the writer's comment char
+          w = w.option("comment", "\u0001")
           w = w.option("header", fmtOpts.getOrElse("has_header", "true"))
           fmtOpts.get("delimiter").foreach(d => w = w.option("sep", d))
           val quote = fmtOpts.getOrElse("quote", "\"")
@@ -5295,8 +5370,21 @@ object SltRunner {
           w = w.option("ignoreTrailingWhiteSpace",
             fmtOpts.getOrElse("ignore_trailing_whitespace", "false"))
         }
-        if (partCols.nonEmpty) w = w.partitionBy(partCols: _*)
+        if (writeParts.nonEmpty) w = w.partitionBy(writeParts: _*)
         w.save(saveTo)
+        if (keepParts) { // __graft_keep_<c>=v dirs -> <c>=v (deepest first)
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(java.nio.file.Paths.get(saveTo))
+            .iterator().asScala.toSeq
+            .filter(q => java.nio.file.Files.isDirectory(q) &&
+              q.getFileName.toString.startsWith("__graft_keep_"))
+            .sortBy(-_.getNameCount)
+            .foreach { q =>
+              val fixed = q.resolveSibling(
+                q.getFileName.toString.stripPrefix("__graft_keep_"))
+              java.nio.file.Files.move(q, fixed)
+            }
+        }
         if (singleFile) {
           // promote the lone part file to the literal target path
           import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -5313,6 +5401,13 @@ object SltRunner {
         // list (the reference's COPY tests overwrite in place); temp views
         // pin their InMemoryFileIndex at CREATE time, so REFRESH each one
         spark.catalog.refreshByPath(dest)
+        // a writable external table declared over this location (possibly
+        // registered as an EMPTY relation before any file existed) must
+        // flip to a reading view now
+        externalWritable.foreach { case (nm, (p, f, prt, fs)) =>
+          if (dest.startsWith(p) || p.startsWith(dest))
+            refreshExternalView(spark, nm, p, f, prt, fs)
+        }
         spark.catalog.listTables().collect().foreach { t =>
           try spark.sql(s"REFRESH TABLE ${t.name}") catch { case _: Exception => }
         }
@@ -5415,9 +5510,14 @@ object SltRunner {
     } else try {
       spark.catalog.refreshByPath(path)
       val r = spark.read.format(externalProvider(fmt))
-        .option("header", "true").option("inferSchema", "true").load(path)
-      r.select(ordered.map { case (n, t, _) => col(n).cast(t).as(n) }: _*)
-        .createOrReplaceTempView(name)
+        .option("header", "true").option("inferSchema", "true")
+        .option("mergeSchema", "true") // files may carry EVOLVING schemas
+        .load(path)
+      val present = r.columns.map(_.toLowerCase).toSet
+      r.select(ordered.map { case (n, t, _) =>
+        if (present(n.toLowerCase)) col(n).cast(t).as(n)
+        else org.apache.spark.sql.functions.lit(null).cast(t).as(n) // schema evolution: absent column reads NULL
+      }: _*).createOrReplaceTempView(name)
     } catch {
       // a location deliberately left in an unreadable state (the mixed-
       // partition-layout scenario) keeps the previous view; the error
@@ -5428,7 +5528,7 @@ object SltRunner {
 
   private def maybeEmulateInsert(spark: SparkSession, sql: String): Option[DataFrame] = {
     val InsertRe =
-      """(?is)^\s*INSERT\s+INTO\s+([\w.]+)\s*(\(([^)]*)\)\s*)?(VALUES\b.*|SELECT\b.*)$""".r
+      """(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([\w.]+)\s*(\(([^)]*)\)\s*)?(VALUES\b.*|SELECT\b.*)$""".r
     sql match {
       case InsertRe(name, _, colList, body)
           if externalWritable.contains(name.toLowerCase) =>

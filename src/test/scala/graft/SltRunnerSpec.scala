@@ -35,7 +35,9 @@ class SltRunnerSpec extends AnyFunSuite {
   test("coalesce.slt") {
     val lit = "literal typing under arrow_typeof: reference SQL literals are Int64/Float64, Spark Int32/Decimal"
     check("coalesce.slt", 25, knownDivergent =
-      Seq(26, 38, 46, 165, 172, 188, 246, 257, 275, 284, 293, 328)
+      // 197/204/212 reachable since r10's ARRAY[..] constructor rewrite
+      Seq(26, 38, 46, 165, 172, 188, 197, 204, 212, 246, 257, 275, 284,
+        293, 328)
         .map(_ -> lit).toMap ++ Map(
       322 -> "mixed numeric/string coalesce: reference coerces to f64, Spark to string"))
   }
@@ -331,7 +333,7 @@ class SltRunnerSpec extends AnyFunSuite {
   test("information_schema.slt") { check("information_schema.slt", 35) }
   test("copy.slt")         { check("copy.slt", 70) } // r10: COPY(VALUES), .arrow inference
   test("avro.slt")         { check("avro.slt", 2) }
-  test("schema_evolution.slt") { check("schema_evolution.slt", 4) }
+  test("schema_evolution.slt") { check("schema_evolution.slt", 22) } // r10: mergeSchema external reads
   test("subquery_sort.slt") { check("subquery_sort.slt", 6) }
   test("sort_merge_join.slt") { check("sort_merge_join.slt", 70) }
 
@@ -369,10 +371,15 @@ class SltRunnerSpec extends AnyFunSuite {
   test("lateral_join.slt")  { check("lateral_join.slt", 60) }
   test("pipe_operator.slt") { check("pipe_operator.slt", 14) }
   test("parquet.slt")       {
-    check("parquet.slt", 57, knownDivergent = Map(
+    // r10: 57 -> 98 passed (src_table INT->DATE coercion unlocked the
+    // whole test_table family; subdirectory toggle; binary_as_string
+    // reachable — its BinaryView/Utf8View typing pins below)
+    val bview = "parquet binary reads as Binary/Utf8 (arrow BinaryView/Utf8View carrier typing)"
+    check("parquet.slt", 95, knownDivergent = Map(
       263 -> "parquet ms-unit timestamp reads at the µs convention (unit + tz tag differ)",
       573 -> "FixedSizeBinary reads as Binary in Spark",
-      590 -> "FixedSizeBinary reads as Binary in Spark"))
+      590 -> "FixedSizeBinary reads as Binary in Spark",
+      430 -> bview, 477 -> bview, 527 -> bview))
   }
   test("create_external_table.slt") { check("create_external_table.slt", 18) } // r10: writable external tables
   test("cosine_distance.slt") { check("cosine_distance.slt", 11) }
@@ -432,7 +439,7 @@ class SltRunnerSpec extends AnyFunSuite {
   test("slt_features.slt")   { check("slt_features.slt", 9) }
 
   test("csv_files.slt")    {
-    check("csv_files.slt", 55, knownDivergent = Map(
+    check("csv_files.slt", 62, knownDivergent = Map( // r10: comment option, writer comment-char neutralized
       83 -> "CSV quote-as-escape parsing nuance differs between arrow-csv and univocity",
       326 -> "slt multiline-cell rendering convention for newlines_in_values",
       439 -> "quote_style nonnumeric: univocity has no per-type quoting mode",
@@ -496,7 +503,7 @@ class SltRunnerSpec extends AnyFunSuite {
   }
   test("dynamic_filter_pushdown_config.slt") { check("dynamic_filter_pushdown_config.slt", 100) }
   test("dynamic_row_group_pruning.slt") { check("dynamic_row_group_pruning.slt", 12) }
-  test("encrypted_parquet.slt") { check("encrypted_parquet.slt", 2) }
+  test("encrypted_parquet.slt") { check("encrypted_parquet.slt", 4) } // r10: INSERT INTO TABLE spelling
   test("explain.slt")         { check("explain.slt", 55) }
   test("explain_analyze.slt") { check("explain_analyze.slt", 90) }
   test("explain_tree.slt")    { check("explain_tree.slt", 70) } // r10: scratch fixtures + regex unroll
@@ -519,7 +526,7 @@ class SltRunnerSpec extends AnyFunSuite {
       knownDivergent = Map(50 -> cat, 68 -> cat))
   }
   test("information_schema_table_types.slt") { check("information_schema_table_types.slt", 6) }
-  test("input_file_name.slt") { check("input_file_name.slt", 0) }
+  test("input_file_name.slt") { check("input_file_name.slt", 12) } // r10: scratch-path render normalization
   test("insert_values_placeholders.slt") { check("insert_values_placeholders.slt", 2) }
   test("join_disable_repartition_joins.slt") {
     val scope = "qualified outer column through an unaliased subquery (Spark scoping)"
