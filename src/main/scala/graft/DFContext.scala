@@ -46,6 +46,31 @@ class DFContext(val spark: SparkSession) {
       }
       graft.functions.ArrowField(es.head, hint)
     }, "built-in")
+  // Arrow Union type over the struct-carrier convention (reference:
+  // functions/src/core/union_extract.rs, union_tag.rs; a dense Union is
+  // struct<tag: string, v_<variant>: T…>): union_extract yields the
+  // variant field (NULL when another variant is selected), union_tag the
+  // tag. Engine surface — also wired into the slt dialect.
+  spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    "union_extract", { es =>
+      if (es.size != 2) org.apache.spark.sql.GraftSqlBridge.analysisError(
+        s"The function 'union_extract' expected 2 arguments but received ${es.size}")
+      val name = es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(s, org.apache.spark.sql.types.StringType)
+            if s != null => String.valueOf(s)
+        case _ => throw new IllegalArgumentException(
+          "union_extract second argument must be a non-null string literal")
+      }
+      org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+        es.head, org.apache.spark.sql.catalyst.expressions.Literal("v_" + name))
+    }, "built-in")
+  spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    "union_tag", { es =>
+      if (es.size != 1) org.apache.spark.sql.GraftSqlBridge.analysisError(
+        s"The function 'union_tag' expected 1 arguments but received ${es.size}")
+      org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+        es.head, org.apache.spark.sql.catalyst.expressions.Literal("tag"))
+    }, "built-in")
 
   /** Register a file-backed table; format inferred from the extension
     * (parquet/csv/json), mirroring CREATE EXTERNAL TABLE

@@ -56,6 +56,26 @@ object Round10Queries {
         else None)
       back.select(col("o_orderpriority"), col("n"),
         r2(col("total")).as("total"))
+    },
+
+    // union_extract/union_tag over the struct-carrier Union convention
+    // (reference: functions/src/core/union_extract.rs, union_tag.rs): a
+    // price Union<big: double, small: double> built per order, extracted
+    // back per variant. The oracle mirrors the carrier semantics directly.
+    "fn_union" -> { (s, dir) =>
+      graft.DFContext(s) // registers union_extract/union_tag
+      fixtureViews(s, dir)
+      s.sql(
+        """SELECT o_orderkey,
+          |  union_tag(u) AS tag,
+          |  union_extract(u, 'big') AS big_price,
+          |  union_extract(u, 'small') AS small_price
+          |FROM (SELECT o_orderkey, named_struct(
+          |    'tag', CASE WHEN o_totalprice > 150000 THEN 'big' ELSE 'small' END,
+          |    'v_big', CASE WHEN o_totalprice > 150000 THEN o_totalprice END,
+          |    'v_small', CASE WHEN o_totalprice <= 150000 THEN o_totalprice END) AS u
+          |  FROM orders)
+          |ORDER BY o_orderkey LIMIT 500""".stripMargin)
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -70,5 +90,11 @@ object Round10Queries {
         | floor((sum(o_totalprice) + 1.37e-4) * 100 + 0.5) / 100 AS total
         |FROM orders WHERE o_totalprice > 100000.0
         |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority LIMIT 10""".stripMargin)
+        |ORDER BY o_orderpriority LIMIT 10""".stripMargin,
+    "fn_union" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 150000 THEN 'big' ELSE 'small' END AS tag,
+        |  CASE WHEN o_totalprice > 150000 THEN o_totalprice END AS big_price,
+        |  CASE WHEN o_totalprice <= 150000 THEN o_totalprice END AS small_price
+        |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin)
 }
