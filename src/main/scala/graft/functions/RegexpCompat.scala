@@ -17,7 +17,9 @@ import org.apache.spark.sql.SparkSession
 object RegexpCompat {
 
   private def compile(pattern: String, flags: String): Option[Pattern] = {
-    var f = 0
+    // Rust-regex classes (\w, \d, \b, case folding) are Unicode-aware by
+    // default; Java's default is ASCII — match the reference's semantics
+    var f = Pattern.UNICODE_CHARACTER_CLASS
     if (flags != null) flags.foreach {
       case 'i' => f |= Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE
       case 's' => f |= Pattern.DOTALL
@@ -27,7 +29,12 @@ object RegexpCompat {
       case c   => throw new IllegalArgumentException(
         s"regexp: invalid flag '$c' (the reference errors on unknown flags too)")
     }
-    try Some(Pattern.compile(pattern, f)) catch {
+    // Rust-regex property spellings Java writes differently: long
+    // general-category names and bare script names
+    val javaPattern = pattern
+      .replace("\\p{Letter}", "\\p{L}")
+      .replaceAll("""\\p\{(Arabic|Greek|Cyrillic|Han|Hebrew|Latin|Hiragana|Katakana)\}""", """\\p{Is$1}""")
+    try Some(Pattern.compile(javaPattern, f)) catch {
       case e: java.util.regex.PatternSyntaxException
           // silent no-match ONLY for the Rust-regex constructs Java cannot
           // compile the same way (the conformance files probe these);
@@ -49,15 +56,16 @@ object RegexpCompat {
   }
 
   private def like(s: String, p: String, f: String): java.lang.Boolean =
-    if (s == null || p == null || f == null) null
-    else compile(p, f) match {
+    // the reference treats NULL flags as "no flags", not a NULL result
+    if (s == null || p == null) null
+    else compile(p, if (f == null) "" else f) match {
       case Some(pat) => pat.matcher(s).find()
       case None      => false
     }
 
   private def matchFn(s: String, p: String, f: String): Array[String] =
-    if (s == null || p == null || f == null) null
-    else compile(p, f) match {
+    if (s == null || p == null) null
+    else compile(p, if (f == null) "" else f) match {
       case Some(pat) =>
         val m = pat.matcher(s)
         if (!m.find()) null
@@ -67,20 +75,20 @@ object RegexpCompat {
     }
 
   private def count(s: String, p: String, start: Int, f: String): java.lang.Long =
-    // the reference's regexp_count maps NULL inputs to 0, not NULL
-    if (s == null || p == null || f == null) 0L
-    else compile(p, f) match {
+    // the reference's regexp_count maps NULL str/pattern to 0, and NULL
+    // flags to "no flags"; `start` slices the haystack, so ^ anchors at
+    // the slice start (Java: anchoring region bounds, set ONCE — a
+    // continuing find() does not re-anchor, matching Rust's find_iter)
+    if (s == null || p == null) 0L
+    else compile(p, if (f == null) "" else f) match {
       case Some(pat) =>
         cpOffset(s, start) match {
           case None => 0L
           case Some(off) =>
             val m = pat.matcher(s)
+            m.region(off, s.length)
             var n = 0L
-            var pos = off
-            while (pos <= s.length && m.find(pos)) {
-              n += 1
-              pos = if (m.end() == m.start()) m.end() + 1 else m.end()
-            }
+            while (m.find()) n += 1
             n
         }
       case None => 0L
@@ -88,21 +96,17 @@ object RegexpCompat {
 
   private def instr(s: String, p: String, start: Int, occ: Int, f: String,
       subexpr: Int): java.lang.Long =
-    if (s == null || p == null || f == null) null
-    else compile(p, f) match {
+    if (s == null || p == null) null
+    else compile(p, if (f == null) "" else f) match {
       case Some(pat) =>
         require(occ >= 1, "occurrence must be >= 1")
         cpOffset(s, start) match {
           case None => 0L
           case Some(off) =>
             val m = pat.matcher(s)
+            m.region(off, s.length) // ^ anchors at the slice start
             var found = 0
-            var pos = off
-            while (found < occ && pos <= s.length && m.find(pos)) {
-              found += 1
-              if (found < occ)
-                pos = if (m.end() == m.start()) m.end() + 1 else m.end()
-            }
+            while (found < occ && m.find()) found += 1
             if (found < occ) 0L
             else {
               val idx = if (subexpr > 0) m.start(subexpr) else m.start()
@@ -135,6 +139,8 @@ object RegexpCompat {
   }
 
   private def replace(s: String, p: String, r: String, f: String): String =
+    // regexp_replace is the ONE member where the reference propagates a
+    // NULL flags argument to a NULL result (regexp_replace.slt:86,121)
     if (s == null || p == null || r == null || f == null) null
     else compile(p, f) match {
       case Some(pat) =>

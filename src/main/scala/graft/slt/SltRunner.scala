@@ -427,13 +427,35 @@ object SltRunner {
   private[slt] def translateStructs(sql: String): Option[String] = {
     var s = sql
     var guard = 0
-    while (s.contains('{') && guard < 50) {
+    // innermost top-level brace pair, IGNORING braces inside string
+    // literals (regex quantifiers like 'a{2}' and classes '\p{L}' are
+    // plain text, not struct literals)
+    def findBracePair(str: String): Option[Option[(Int, Int)]] = {
+      var inStr = false
+      val opens = mutable.Stack[Int]()
+      var i = 0
+      while (i < str.length) {
+        val c = str(i)
+        if (inStr) { if (c == '\'') inStr = false }
+        else c match {
+          case '\'' => inStr = true
+          case '{' => opens.push(i)
+          case '}' =>
+            return Some(if (opens.nonEmpty) Some((opens.pop(), i)) else None)
+          case _ =>
+        }
+        i += 1
+      }
+      if (opens.nonEmpty) Some(None) else None // unbalanced '{'
+    }
+    while (guard < 50) {
       guard += 1
-      // innermost '{': last '{' before the first '}'
-      val close = s.indexOf('}')
-      if (close < 0) return None
-      val open = s.lastIndexOf('{', close)
-      if (open < 0) return None
+      val pair = findBracePair(s) match {
+        case None => return Some(s) // no top-level braces left
+        case Some(None) => return None // unbalanced
+        case Some(Some(p)) => p
+      }
+      val (open, close) = pair
       val inner = s.substring(open + 1, close).trim
       val entries = splitTopLevel(inner).map(_.trim).filter(_.nonEmpty).map { e =>
         val cut = e.indexOf(':')

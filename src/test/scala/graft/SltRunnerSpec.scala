@@ -321,11 +321,11 @@ class SltRunnerSpec extends AnyFunSuite {
       591 -> "Dictionary encoding is transparent in Spark (value type only)",
       613 -> "Dictionary encoding is transparent in Spark (value type only)"))
   }
-  test("regexp_like.slt")  { check("regexp/regexp_like.slt", 22) }
-  test("regexp_match.slt") { check("regexp/regexp_match.slt", 12) }
-  test("regexp_replace.slt") { check("regexp/regexp_replace.slt", 20) }
-  test("regexp_count.slt") { check("regexp/regexp_count.slt", 18) }
-  test("regexp_instr.slt") { check("regexp/regexp_instr.slt", 18) }
+  test("regexp_like.slt")  { check("regexp/regexp_like.slt", 40) } // r10: fixture + unicode classes
+  test("regexp_match.slt") { check("regexp/regexp_match.slt", 28) }
+  test("regexp_replace.slt") { check("regexp/regexp_replace.slt", 27) }
+  test("regexp_count.slt") { check("regexp/regexp_count.slt", 38) }
+  test("regexp_instr.slt") { check("regexp/regexp_instr.slt", 28) }
   test("ddl.slt")          { // r10: quoted dotted names + writable external tables
     val dotted = "dotted table names in backticks (Spark restricts identifier charset)"
     check("ddl.slt", 120, knownDivergent = Map(91 -> dotted, 114 -> dotted))
