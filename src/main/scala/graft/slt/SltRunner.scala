@@ -180,8 +180,31 @@ object SltRunner {
       // Dictionary(K, V) is an ENCODING of V, semantically transparent —
       // cast to the value type (Spark has no dictionary type; its parquet
       // reader consumes dictionary-encoded pages natively anyway)
-      val DictRe = """(?i)Dictionary\s*\(\s*\w+\s*,\s*(\w+)\s*\)""".r
-      val tpe = tpe0 match { case DictRe(v) => v; case other => other }
+      def unwrapDict(t: String): String = {
+        val T = t.trim
+        if (!T.toLowerCase.startsWith("dictionary")) T
+        else {
+          val open = T.indexOf('(')
+          val close = if (open >= 0) matchParen(T, open) else -1
+          if (open < 0 || close < 0) T
+          else {
+            val dinner = T.substring(open + 1, close)
+            var d = 0; var cut2 = -1; var k = 0
+            while (k < dinner.length && cut2 < 0) {
+              dinner(k) match {
+                case '(' => d += 1
+                case ')' => d -= 1
+                case ',' if d == 0 => cut2 = k
+                case _ =>
+              }
+              k += 1
+            }
+            // the value type may itself be a Dictionary (nested encoding)
+            if (cut2 > 0) unwrapDict(dinner.substring(cut2 + 1)) else T
+          }
+        }
+      }
+      val tpe = unwrapDict(tpe0)
       // Timestamp(unit[, None]) reinterprets ints as epoch counts in that
       // unit and re-precisions datetimes — exactly the registered
       // to_timestamp_<unit> family (ns truncate to µs per SURVEY §1.2).
@@ -2491,7 +2514,49 @@ object SltRunner {
     // semantics (and re-escape when emitting Spark SQL) — don't pre-double
     val ownOptions = "(?is)^\\s*(CREATE\\s+(UNBOUNDED\\s+)?EXTERNAL|COPY)\\b"
       .r.findFirstIn(pre0).isDefined
-    val pre0a0 = if (ownOptions) pre0b else doubleBackslashesInLiterals(pre0b)
+    // Postgres escape-string literals E'…': PROCESS the escapes into the
+    // literal characters, then the standard raw-literal path below treats
+    // the result like any other literal (runs before backslash doubling).
+    // Scanned quote-aware — a lone `e'` INSIDE a literal ('e', …) is data.
+    val pre0e = if (!"(?i)\\bE'".r.findFirstIn(pre0b).isDefined) pre0b else {
+      val src = pre0b
+      val out = new StringBuilder
+      var i = 0
+      var inStr = false
+      while (i < src.length) {
+        val c = src(i)
+        if (inStr) {
+          out += c; if (c == '\'') inStr = false; i += 1
+        } else if ((c == 'E' || c == 'e') && i + 1 < src.length &&
+            src(i + 1) == '\'' &&
+            (i == 0 || !(src(i - 1).isLetterOrDigit || src(i - 1) == '_'))) {
+          // consume the escape-string literal, processing \n \t \r \\
+          var j = i + 2
+          val body = new StringBuilder
+          var closed = false
+          while (j < src.length && !closed) {
+            val b = src(j)
+            if (b == '\'' && j + 1 < src.length && src(j + 1) == '\'') {
+              body ++= "''"; j += 2
+            } else if (b == '\'') { closed = true; j += 1 }
+            else if (b == '\\' && j + 1 < src.length) {
+              src(j + 1) match {
+                case 'n' => body += '\n'; case 't' => body += '\t'
+                case 'r' => body += '\r'; case '\\' => body += '\\'
+                case o => body += '\\' += o
+              }
+              j += 2
+            } else { body += b; j += 1 }
+          }
+          out += '\'' ++= body += '\''
+          i = j
+        } else {
+          out += c; if (c == '\'') inStr = true; i += 1
+        }
+      }
+      out.toString
+    }
+    val pre0a0 = if (ownOptions) pre0b else doubleBackslashesInLiterals(pre0e)
     val pre0a = if (!sparkDialect) pre0a0 else {
       // -0.0 typed ::double must keep its sign: Spark parses the bare
       // literal as DECIMAL (no negative zero) before the cast applies;
