@@ -2540,12 +2540,46 @@ object SltRunner {
               body ++= "''"; j += 2
             } else if (b == '\'') { closed = true; j += 1 }
             else if (b == '\\' && j + 1 < src.length) {
-              src(j + 1) match {
-                case 'n' => body += '\n'; case 't' => body += '\t'
-                case 'r' => body += '\r'; case '\\' => body += '\\'
-                case o => body += '\\' += o
+              // the full Postgres escape-string set: simple escapes, \',
+              // octal \o[oo], hex \x h[h], unicode \uXXXX / \UXXXXXXXX
+              def hexRun(start: Int, max: Int): String = {
+                var k = start
+                while (k < src.length && k - start < max &&
+                  Character.digit(src(k), 16) >= 0) k += 1
+                src.substring(start, k)
               }
-              j += 2
+              src(j + 1) match {
+                case 'n' => body += '\n'; j += 2
+                case 't' => body += '\t'; j += 2
+                case 'r' => body += '\r'; j += 2
+                case 'b' => body += '\b'; j += 2
+                case 'f' => body += '\f'; j += 2
+                case '\\' => body += '\\'; j += 2
+                case '\'' => body ++= "''"; j += 2 // escaped quote, keep balanced
+                case o if o >= '0' && o <= '7' =>
+                  var k = j + 1
+                  while (k < src.length && k - j - 1 < 3 &&
+                    src(k) >= '0' && src(k) <= '7') k += 1
+                  body += Integer.parseInt(src.substring(j + 1, k), 8).toChar
+                  j = k
+                case 'x' =>
+                  val h = hexRun(j + 2, 2)
+                  if (h.nonEmpty) {
+                    body += Integer.parseInt(h, 16).toChar; j += 2 + h.length
+                  } else { body ++= "\\x"; j += 2 }
+                case 'u' =>
+                  val h = hexRun(j + 2, 4)
+                  if (h.length == 4) {
+                    body += Integer.parseInt(h, 16).toChar; j += 6
+                  } else { body ++= "\\u"; j += 2 }
+                case 'U' =>
+                  val h = hexRun(j + 2, 8)
+                  if (h.length == 8) {
+                    body ++= new String(Character.toChars(
+                      Integer.parseInt(h, 16))); j += 10
+                  } else { body ++= "\\U"; j += 2 }
+                case o => body += '\\' += o; j += 2
+              }
             } else { body += b; j += 1 }
           }
           out += '\'' ++= body += '\''
@@ -2746,8 +2780,11 @@ object SltRunner {
           // empty location + INSERT INTO it writes files there) — register
           // an empty typed view and track it for the INSERT emulation.
           // Anything else is data genuinely absent from the checkout.
-          if (poisonedScratchPaths.exists(pp =>
-              resolved.startsWith(pp) || pp.startsWith(resolved))) None
+          // separator-guarded prefix match: '/x/t1' must not poison '/x/t10'
+          if (poisonedScratchPaths.exists { pp =>
+              val r = resolved.stripSuffix("/")
+              pp == r || r.startsWith(pp + "/") || pp.startsWith(r + "/")
+            }) None
           else if (resolved.startsWith("/tmp/graft_slt_scratch") && schemaInner.isDefined) {
             val partNames0 = """(?is)\bPARTITIONED\s+BY\s*\(([^)]*)\)""".r
               .findFirstMatchIn(tail)
@@ -2852,7 +2889,7 @@ object SltRunner {
             // widening the glob; plain unpartitioned dirs by recursion
             if (globPath || (partNames.isEmpty && new java.io.File(resolved).isDirectory))
               globExternalViews += name.toLowerCase ->
-                ((provider, (if (globPath) "g:" else "d:") + resolved))
+                ((provider, (if (globPath) "g:" else "d:") + resolved, opts))
             Some(s"CREATE OR REPLACE TEMPORARY VIEW $name$cols USING $provider $opts")
           }
         }
@@ -3531,7 +3568,7 @@ object SltRunner {
   @volatile private var poisonedScratchPaths: Set[String] = Set.empty
   /** Views created over a GLOB location (name -> (provider, glob)):
     * listing_table_ignore_subdirectory re-scopes them. Reset per file. */
-  @volatile private var globExternalViews: Map[String, (String, String)] = Map.empty
+  @volatile private var globExternalViews: Map[String, (String, String, String)] = Map.empty
   @volatile private var externalWritable:
       Map[String, (String, String, Seq[String], Seq[(String, String, String)])] = Map.empty
 
@@ -4072,17 +4109,29 @@ object SltRunner {
           // one directory level below (hadoop brace glob)
           val ignore =
             IgnoreSubdirRe.findFirstMatchIn(rec.sql).get.group(1).toBoolean
-          globExternalViews.foreach { case (nm, (prov, tagged)) =>
+          globExternalViews.foreach { case (nm, (prov, tagged, opts0)) =>
             val isGlob = tagged.startsWith("g:")
             val loc = tagged.substring(2)
+            // re-emit the ORIGINAL options (CSV header/sep/quote etc.) with
+            // only the path / recursiveFileLookup adjusted — a bare
+            // provider+path re-registration silently changes a CSV schema
+            def withOpt(opts: String, key: String, v: String): String = {
+              val re = ("(?i)" + java.util.regex.Pattern.quote(key) +
+                "\\s*'[^']*'").r
+              if (re.findFirstIn(opts).isDefined)
+                re.replaceFirstIn(opts,
+                  java.util.regex.Matcher.quoteReplacement(s"$key '$v'"))
+              else opts.patch(opts.lastIndexOf(')'), s", $key '$v'", 0)
+            }
             val extra =
               if (isGlob) {
                 val i = loc.lastIndexOf('/')
                 val (dir, leaf) = (loc.substring(0, i), loc.substring(i + 1))
                 val path = if (ignore) loc else s"$dir/{$leaf,*/$leaf}"
-                s"OPTIONS (path '$path')"
+                withOpt(opts0, "path", path)
               } else
-                s"OPTIONS (path '$loc', recursiveFileLookup '${!ignore}')"
+                withOpt(withOpt(opts0, "path", loc),
+                  "recursiveFileLookup", (!ignore).toString)
             try spark.sql(
               s"CREATE OR REPLACE TEMPORARY VIEW $nm USING $prov $extra")
             catch { case _: Exception => }
@@ -5469,7 +5518,15 @@ object SltRunner {
             .foreach { q =>
               val fixed = q.resolveSibling(
                 q.getFileName.toString.stripPrefix("__graft_keep_"))
-              java.nio.file.Files.move(q, fixed)
+              // a second COPY appending to an existing '<col>=<val>' dir:
+              // merge the part files in instead of failing the move
+              if (java.nio.file.Files.isDirectory(fixed)) {
+                java.nio.file.Files.list(q).iterator().asScala.foreach { f =>
+                  java.nio.file.Files.move(f, fixed.resolve(f.getFileName),
+                    java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+                }
+                java.nio.file.Files.delete(q)
+              } else java.nio.file.Files.move(q, fixed)
             }
         }
         if (singleFile) {
@@ -5492,7 +5549,9 @@ object SltRunner {
         // registered as an EMPTY relation before any file existed) must
         // flip to a reading view now
         externalWritable.foreach { case (nm, (p, f, prt, fs)) =>
-          if (dest.startsWith(p) || p.startsWith(dest))
+          // separator-guarded: a COPY to '…/t1' must not refresh '…/t10'
+          val (d0, p0) = (dest.stripSuffix("/"), p.stripSuffix("/"))
+          if (d0 == p0 || d0.startsWith(p0 + "/") || p0.startsWith(d0 + "/"))
             refreshExternalView(spark, nm, p, f, prt, fs)
         }
         spark.catalog.listTables().collect().foreach { t =>
