@@ -489,7 +489,7 @@ object DataFusionProto {
   /** WindowFrameBound (datafusion.proto:778): type=1, bound_value=2.
     * Unbounded = PRECEDING/FOLLOWING with no bound_value, matching the
     * reference's ScalarValue-null convention for unbounded frames. */
-  private def emitBound(b: CExpr, w: W): Unit = b match {
+  private[plans] def emitBound(b: CExpr, w: W): Unit = b match {
     case CurrentRow => w.int64(1, 0L)
     case UnboundedPreceding => w.int64(1, 1L)
     case UnboundedFollowing => w.int64(1, 2L)
@@ -519,6 +519,9 @@ object DataFusionProto {
       // ScalarTimestampValue (common:229): time_microsecond_value=1,
       // timezone=5
       w.msg(26)(m => { m.int64(1, v); m.str(5, "UTC") })
+    case (v: Long, TimestampNTZType) =>
+      // tz=None on the wire is the reference's naive timestamp
+      w.msg(26)(m => m.int64(1, v))
     case (v: Long, _) => w.int64(7, v)
     case (v: Float, _) => w.flt(12, v)
     case (v: Double, _) => w.dbl(13, v)
@@ -858,7 +861,7 @@ object DataFusionProto {
 
   /** WindowFrameBound → Spark frame offset. PRECEDING/FOLLOWING with no
     * bound_value (the reference's ScalarValue-null) means unbounded. */
-  private def frameBound(b: Option[Array[Byte]], isLower: Boolean): Long =
+  private[plans] def frameBound(b: Option[Array[Byte]], isLower: Boolean): Long =
     b match {
       case None =>
         if (isLower) org.apache.spark.sql.expressions.Window.unboundedPreceding
@@ -894,12 +897,19 @@ object DataFusionProto {
       case (13, PFixed64(x)) => lit(java.lang.Double.longBitsToDouble(x))
       case (14, PVarint(x)) => lit(java.time.LocalDate.ofEpochDay(x))
       case (26, PBytes(ts)) =>
-        // ScalarTimestampValue: µs=1, ns=2, s=3, ms=4 (common:229-235)
+        // ScalarTimestampValue: µs=1, ns=2, s=3, ms=4, timezone=5
+        // (common:229-235); absent timezone = naive → TimestampNTZ
         val micros = vint(ts, 1).orElse(vint(ts, 2).map(_ / 1000))
           .orElse(vint(ts, 3).map(_ * 1000000L))
           .orElse(vint(ts, 4).map(_ * 1000L)).getOrElse(0L)
-        lit(java.sql.Timestamp.from(
-          java.time.Instant.EPOCH.plusNanos(micros * 1000)))
+        if (sub(ts, 5).isDefined)
+          lit(java.sql.Timestamp.from(
+            java.time.Instant.EPOCH.plusNanos(micros * 1000)))
+        else
+          lit(java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(micros, 1000000L),
+            (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC))
       case (20, PBytes(d)) =>
         val unscaled = new java.math.BigInteger(sub(d, 1).get)
         val scale = vint(d, 3).getOrElse(0L).toInt

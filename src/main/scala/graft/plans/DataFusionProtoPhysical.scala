@@ -1,10 +1,14 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And => CAnd, Attribute, AttributeReference, BinaryOperator, Cast => CCast, Expression => CExpr, In, IsNotNull, IsNull, Literal => CLiteral, NamedExpression, Not, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And => CAnd, Attribute, AttributeReference, BinaryOperator, Cast => CCast, DenseRank, Expression => CExpr, In, IsNotNull, IsNull, KnownFloatingPointNormalized, Literal => CLiteral, NamedExpression, Not, PercentRank, RangeFrame, Rank, RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame, UnspecifiedFrame, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, GlobalLimitExec, LocalLimitExec, ProjectExec, SortExec, SparkPlan}
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight, NormalizeNaNAndZero}
+import org.apache.spark.sql.catalyst.plans.{Cross, FullOuter, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
+import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, GlobalLimitExec, LocalLimitExec, ProjectExec, SortExec, SparkPlan, UnionExec}
 import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -18,7 +22,12 @@ import org.apache.spark.sql.types._
   * / LocalLimitExecNode(7) / AggregateExecNode(8) / SortExecNode(10) /
   * FilterExecNode(12), with PhysicalExprNode variants column(1) literal(2)
   * binary(3) aggregate(4) is_null(5) is_not_null(6) not(7) cast(9)
-  * sort(10) in_list(12) (datafusion.proto:998-1030).
+  * sort(10) in_list(12) (datafusion.proto:998-1030). Round 11 adds the
+  * join/union/window set: HashJoinExecNode(9) with PartitionMode +
+  * JoinFilter, WindowAggExecNode(15) with PhysicalWindowExprNode(:1101),
+  * CrossJoinExecNode(16), UnionExecNode(19), NestedLoopJoinExecNode(22),
+  * SortMergeJoinExecNode(34) (datafusion.proto:871-896,1309-1394,
+  * 1432-1445,1507-1512,1560-1569,1658-1666).
   *
   * Columns ride the reference's (name, index) convention
   * (PhysicalColumn, datafusion.proto:1385) — the index is the position in
@@ -129,6 +138,81 @@ object DataFusionProtoPhysical {
           pn.str(3, e.name)
         }
       }
+    case j: BroadcastHashJoinExec =>
+      // HashJoinExecNode (datafusion.proto:1315). Spark's broadcast side is
+      // buildSide: BuildLeft maps to the reference's COLLECT_LEFT; a
+      // broadcast-RIGHT build has no CollectRight on the wire, so it rides
+      // AUTO (the reference's "engine decides at runtime" mode) without
+      // swapping children — swapping would reorder the output columns.
+      emitHashJoin(j.left, j.right, j.leftKeys, j.rightKeys, j.joinType,
+        j.condition, mode = if (j.buildSide == BuildLeft) 0L else 2L,
+        nullAware = j.isNullAwareAntiJoin, w)
+    case j: ShuffledHashJoinExec =>
+      emitHashJoin(j.left, j.right, j.leftKeys, j.rightKeys, j.joinType,
+        j.condition, mode = 1L /* PARTITIONED */, nullAware = false, w)
+    case j: SortMergeJoinExec =>
+      w.msg(34) { jn => // SortMergeJoinExecNode (datafusion.proto:1658)
+        jn.msg(1)(emitPlan(j.left, _))
+        jn.msg(2)(emitPlan(j.right, _))
+        j.leftKeys.zip(j.rightKeys).foreach { case (lk, rk) =>
+          jn.msg(3) { on => // JoinOn (:1394)
+            on.msg(1)(emitExpr(lk, j.left.output, _))
+            on.msg(2)(emitExpr(rk, j.right.output, _))
+          }
+        }
+        jn.int64(4, joinTypeCode(j.joinType))
+        j.condition.foreach(c =>
+          jn.msg(5)(emitJoinFilter(c, j.left.output, j.right.output, _)))
+        // sort_options (:1663): Spark's SMJ orders keys ascending
+        // nulls-first — one SortExprNode{asc,nulls_first} per key
+        j.leftKeys.foreach(_ => jn.msg(6)(so => { so.bool(2, true); so.bool(3, true) }))
+        jn.int64(7, 0L) // NullEquality::NullEqualsNothing
+      }
+    case j: BroadcastNestedLoopJoinExec =>
+      j.condition match {
+        case None if j.joinType == Inner || j.joinType == Cross =>
+          w.msg(16) { cn => // CrossJoinExecNode (:1380)
+            cn.msg(1)(emitPlan(j.left, _)); cn.msg(2)(emitPlan(j.right, _))
+          }
+        case cond =>
+          w.msg(22) { nn => // NestedLoopJoinExecNode (:1507)
+            nn.msg(1)(emitPlan(j.left, _))
+            nn.msg(2)(emitPlan(j.right, _))
+            nn.int64(3, joinTypeCode(j.joinType))
+            cond.foreach(c =>
+              nn.msg(4)(emitJoinFilter(c, j.left.output, j.right.output, _)))
+          }
+      }
+    case j: CartesianProductExec =>
+      j.condition match {
+        case None =>
+          w.msg(16) { cn =>
+            cn.msg(1)(emitPlan(j.left, _)); cn.msg(2)(emitPlan(j.right, _))
+          }
+        case Some(c) =>
+          w.msg(22) { nn => // theta join = NestedLoopJoin inner + filter
+            nn.msg(1)(emitPlan(j.left, _))
+            nn.msg(2)(emitPlan(j.right, _))
+            nn.int64(3, 0L)
+            nn.msg(4)(emitJoinFilter(c, j.left.output, j.right.output, _))
+          }
+      }
+    case u: UnionExec =>
+      w.msg(19) { un => // UnionExecNode (:1358): ALL semantics
+        u.children.foreach(c => un.msg(1)(emitPlan(c, _)))
+      }
+    case we: WindowExec =>
+      w.msg(15) { wn => // WindowAggExecNode (datafusion.proto:1432)
+        wn.msg(1)(emitPlan(we.child, _))
+        we.windowExpression.foreach {
+          case Alias(x: WindowExpression, name) =>
+            wn.msg(2)(emitWindowExpr(name, x, we.child.output, _))
+          case other => throw new IllegalArgumentException(
+            s"dfproto physical emit: unsupported window expression ${other.nodeName}")
+        }
+        we.partitionSpec.foreach(p => wn.msg(5)(emitExpr(p, we.child.output, _)))
+        wn.msg(9)(_ => ()) // input_order_mode: sorted (EmptyMessage)
+      }
     case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
       // a cached relation is session-local state — serialize the plan that
       // was cached (the original scan chain), projecting down to the
@@ -206,6 +290,10 @@ object DataFusionProtoPhysical {
 
   /** PhysicalExprNode (datafusion.proto:998). */
   private def emitExpr(e: CExpr, anchor: Seq[Attribute], w: W): Unit = e match {
+    // Spark wraps float/double join keys in NaN/−0.0 normalizers —
+    // semantics-transparent on the wire (Arrow hashes normalize too)
+    case KnownFloatingPointNormalized(c) => emitExpr(c, anchor, w)
+    case NormalizeNaNAndZero(c) => emitExpr(c, anchor, w)
     case a: AttributeReference =>
       val idx = anchor.indexWhere(_.exprId == a.exprId) match {
         case -1 => anchor.indexWhere(_.name == a.name)
@@ -261,11 +349,124 @@ object DataFusionProtoPhysical {
 
   /** A sort key as PhysicalExprNode{sort=10{expr,asc,nulls_first}}. */
   private def emitSortAsExpr(so: SortOrder, anchor: Seq[Attribute], w: W): Unit =
-    w.msg(10) { sn => // PhysicalSortExprNode (:1156)
-      sn.msg(1)(emitExpr(so.child, anchor, _))
-      sn.bool(2, so.direction == org.apache.spark.sql.catalyst.expressions.Ascending)
-      sn.bool(3, so.nullOrdering == org.apache.spark.sql.catalyst.expressions.NullsFirst)
+    w.msg(10)(emitSortFields(so, anchor, _))
+
+  /** Bare PhysicalSortExprNode fields (:1156) — used both wrapped (inside
+    * a PhysicalExprNode) and direct (window order_by, field 6). */
+  private def emitSortFields(so: SortOrder, anchor: Seq[Attribute], w: W): Unit = {
+    w.msg(1)(emitExpr(so.child, anchor, _))
+    w.bool(2, so.direction == org.apache.spark.sql.catalyst.expressions.Ascending)
+    w.bool(3, so.nullOrdering == org.apache.spark.sql.catalyst.expressions.NullsFirst)
+  }
+
+  private def joinTypeCode(jt: JoinType): Long = jt match {
+    // datafusion_common.proto:80 JoinType
+    case Inner => 0L
+    case Cross => 0L
+    case LeftOuter => 1L
+    case RightOuter => 2L
+    case FullOuter => 3L
+    case LeftSemi => 4L
+    case LeftAnti => 5L
+    case other => throw new IllegalArgumentException(
+      s"dfproto physical emit: unsupported join type $other")
+  }
+
+  private def emitHashJoin(left: SparkPlan, right: SparkPlan,
+      leftKeys: Seq[CExpr], rightKeys: Seq[CExpr], jt: JoinType,
+      condition: Option[CExpr], mode: Long, nullAware: Boolean, w: W): Unit =
+    w.msg(9) { jn => // HashJoinExecNode (datafusion.proto:1315)
+      jn.msg(1)(emitPlan(left, _))
+      jn.msg(2)(emitPlan(right, _))
+      leftKeys.zip(rightKeys).foreach { case (lk, rk) =>
+        jn.msg(3) { on => // JoinOn (:1394)
+          on.msg(1)(emitExpr(lk, left.output, _))
+          on.msg(2)(emitExpr(rk, right.output, _))
+        }
+      }
+      jn.int64(4, joinTypeCode(jt))
+      jn.int64(6, mode) // PartitionMode (:1309)
+      jn.int64(7, 0L) // NullEquality::NullEqualsNothing
+      condition.foreach(c =>
+        jn.msg(8)(emitJoinFilter(c, left.output, right.output, _)))
+      if (nullAware) jn.bool(10, true)
     }
+
+  /** JoinFilter (datafusion.proto:1560): the residual condition over an
+    * INTERMEDIATE schema of exactly the columns it references, each mapped
+    * back to its side by ColumnIndex{index, side} — the reference's own
+    * join-filter representation. */
+  private def emitJoinFilter(cond: CExpr, left: Seq[Attribute],
+      right: Seq[Attribute], w: W): Unit = {
+    val refs = cond.collect { case a: AttributeReference => a }
+      .foldLeft(Vector.empty[AttributeReference])((acc, a) =>
+        if (acc.exists(_.exprId == a.exprId)) acc else acc :+ a)
+    w.msg(1)(emitExpr(cond, refs, _))
+    refs.foreach { a =>
+      w.msg(2) { ci => // ColumnIndex (:1566): index=1, side=2 (LEFT=0/RIGHT=1)
+        val li = left.indexWhere(_.exprId == a.exprId)
+        if (li >= 0) { ci.int64(1, li.toLong); ci.int64(2, 0L) }
+        else {
+          val ri = right.indexWhere(_.exprId == a.exprId)
+          require(ri >= 0, s"dfproto physical emit: filter column ${a.name} " +
+            "bound to neither join side")
+          ci.int64(1, ri.toLong); ci.int64(2, 1L)
+        }
+      }
+    }
+    w.msg(3) { schema =>
+      refs.foreach { a =>
+        schema.msg(1) { fld =>
+          fld.str(1, a.name)
+          fld.msg(2)(arrowType(a.dataType, _))
+          fld.bool(3, a.nullable)
+        }
+      }
+    }
+  }
+
+  /** PhysicalWindowExprNode (datafusion.proto:1101): udaf name=3 /
+    * udwf name=10, args=4, partition_by=5, order_by=6 (bare sort nodes),
+    * window_frame=7, name=8. */
+  private def emitWindowExpr(name: String, e: WindowExpression,
+      anchor: Seq[Attribute], w: W): Unit = {
+    val WindowExpression(fn, WindowSpecDefinition(parts, orders, frame)) = e
+    fn match {
+      case ae: AggregateExpression =>
+        val (n, args) = ae.aggregateFunction match {
+          case Sum(c, _) => ("sum", Seq(c))
+          case Count(cs) if cs.isEmpty ||
+            cs == Seq(CLiteral(1, IntegerType)) =>
+            ("count", Seq(CLiteral(1L, LongType)))
+          case Count(cs) => ("count", cs)
+          case Min(c) => ("min", Seq(c))
+          case Max(c) => ("max", Seq(c))
+          case Average(c, _) => ("avg", Seq(c))
+          case other => throw new IllegalArgumentException(
+            s"dfproto physical emit: unsupported window aggregate ${other.nodeName}")
+        }
+        w.str(3, n)
+        args.foreach(a => w.msg(4)(emitExpr(a, anchor, _)))
+      case _: RowNumber => w.str(10, "row_number")
+      case _: Rank => w.str(10, "rank")
+      case _: DenseRank => w.str(10, "dense_rank")
+      case _: PercentRank => w.str(10, "percent_rank")
+      case other => throw new IllegalArgumentException(
+        s"dfproto physical emit: unsupported window function ${other.nodeName}")
+    }
+    parts.foreach(p => w.msg(5)(emitExpr(p, anchor, _)))
+    orders.foreach(so => w.msg(6)(emitSortFields(so, anchor, _)))
+    frame match {
+      case SpecifiedWindowFrame(ft, lower, upper) =>
+        w.msg(7) { fr => // WindowFrame (:762), shared with the logical wire
+          fr.int64(1, ft match { case RowFrame => 0L; case RangeFrame => 1L })
+          fr.msg(2)(DataFusionProto.emitBound(lower, _))
+          fr.msg(3)(DataFusionProto.emitBound(upper, _))
+        }
+      case UnspecifiedFrame => ()
+    }
+    w.str(8, name)
+  }
 
   private def arrowType(t: DataType, w: W): Unit =
     DataFusionProto.arrowType(t, w)
@@ -365,26 +566,201 @@ object DataFusionProtoPhysical {
       case 7 => // LocalLimitExecNode — re-planned as a plain limit
         val input = consume(spark, sub(node, 1).get, tableFor)
         input.limit(vint(node, 2).getOrElse(0L).toInt)
+      case 9 => // HashJoinExecNode
+        val left = consume(spark, sub(node, 1).get, tableFor)
+        val right = consume(spark, sub(node, 2).get, tableFor)
+        // re-plan contract: COLLECT_LEFT broadcasts the left side,
+        // PARTITIONED pins the shuffle-hash strategy, AUTO lets the
+        // planner decide
+        val mode = vint(node, 6).getOrElse(2L)
+        val leftAdj = mode match {
+          case 0L => broadcast(left)
+          case 1L => left.hint("shuffle_hash")
+          case _ => left
+        }
+        consumeJoin(leftAdj, right, keysOf(node, 3, left, right),
+          vint(node, 4).getOrElse(0L), sub(node, 8),
+          nullEq = vint(node, 7).contains(1L),
+          projection = fields(node).collect { case (9, PVarint(i)) => i.toInt })
+      case 34 => // SortMergeJoinExecNode — filter rides field 5 here
+        val left = consume(spark, sub(node, 1).get, tableFor)
+        val right = consume(spark, sub(node, 2).get, tableFor)
+        consumeJoin(left.hint("merge"), right, keysOf(node, 3, left, right),
+          vint(node, 4).getOrElse(0L), sub(node, 5),
+          nullEq = vint(node, 7).contains(1L), projection = Seq.empty)
+      case 22 => // NestedLoopJoinExecNode: join_type=3, filter=4
+        val left = consume(spark, sub(node, 1).get, tableFor)
+        val right = consume(spark, sub(node, 2).get, tableFor)
+        consumeJoin(left, right, Seq.empty, vint(node, 3).getOrElse(0L),
+          sub(node, 4), nullEq = false,
+          projection = fields(node).collect { case (5, PVarint(i)) => i.toInt })
+      case 16 => // CrossJoinExecNode
+        val left = consume(spark, sub(node, 1).get, tableFor)
+        val right = consume(spark, sub(node, 2).get, tableFor)
+        left.crossJoin(right)
+      case 19 => // UnionExecNode — ALL semantics
+        val parts = subs(node, 1).map(b => consume(spark, b, tableFor))
+        parts.reduceLeft(_ union _)
+      case 15 => // WindowAggExecNode: output = input columns ++ window cols
+        val input = consume(spark, sub(node, 1).get, tableFor)
+        val winCols = subs(node, 2).map(we => consumeWindowExpr(we, input))
+        input.select(col("*") +: winCols: _*)
       case other => throw new IllegalArgumentException(
         s"dfproto physical consume: unsupported variant $other")
     }
   }
 
-  private def consumeExpr(b: Array[Byte], input: DataFrame): Column = {
+  /** JoinOn pairs (field `field`) resolved anchored to their own side so
+    * self-joins with colliding names stay unambiguous. */
+  private def keysOf(node: Array[Byte], field: Int, left: DataFrame,
+      right: DataFrame): Seq[(Column, Column)] =
+    subs(node, field).map { on =>
+      (consumeSideExpr(sub(on, 1).get, left),
+        consumeSideExpr(sub(on, 2).get, right))
+    }
+
+  private def consumeJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[(Column, Column)], jtCode: Long,
+      filter: Option[Array[Byte]], nullEq: Boolean,
+      projection: Seq[Int]): DataFrame = {
+    val keyCond = keys.map { case (l, r) => if (nullEq) l <=> r else l === r }
+      .reduceOption(_ && _)
+    val filCond = filter.map(f => consumeJoinFilter(f, left, right))
+    val cond = (keyCond, filCond) match {
+      case (Some(k), Some(f)) => Some(k && f)
+      case (k, f) => k.orElse(f)
+    }
+    // RIGHTSEMI/RIGHTANTI (6/7) have no Spark spelling — swap operands to
+    // the LEFT forms; the output (= the right side's columns) matches
+    val joined = (jtCode, cond) match {
+      case (6L, Some(c)) => right.join(left, c, "left_semi")
+      case (7L, Some(c)) => right.join(left, c, "left_anti")
+      case (0L, None) => left.crossJoin(right)
+      case (code, Some(c)) => left.join(right, c, joinTypeName(code))
+      case (code, None) => throw new IllegalArgumentException(
+        s"dfproto physical consume: join type $code without keys or filter")
+    }
+    if (projection.isEmpty) joined
+    else {
+      val cols = joined.columns
+      joined.select(projection.map(i => col(cols(i))): _*)
+    }
+  }
+
+  private def joinTypeName(code: Long): String = code match {
+    // datafusion_common.proto:80 JoinType
+    case 0L => "inner"
+    case 1L => "left"
+    case 2L => "right"
+    case 3L => "full"
+    case 4L => "left_semi"
+    case 5L => "left_anti"
+    case other => throw new IllegalArgumentException(
+      s"dfproto physical consume: unsupported join type $other")
+  }
+
+  /** JoinFilter (datafusion.proto:1560) → Column: the expression's
+    * PhysicalColumn indices address the filter's INTERMEDIATE schema;
+    * ColumnIndex maps each slot back to (side, index-in-side). */
+  private def consumeJoinFilter(b: Array[Byte], left: DataFrame,
+      right: DataFrame): Column = {
+    val slots: IndexedSeq[Column] = subs(b, 2).map { ci =>
+      val idx = vint(ci, 1).getOrElse(0L).toInt
+      vint(ci, 2).getOrElse(0L) match {
+        case 0L => left.col(left.columns(idx))
+        case 1L => right.col(right.columns(idx))
+        case s => throw new IllegalArgumentException(
+          s"dfproto physical consume: JoinSide $s")
+      }
+    }.toIndexedSeq
+    consumeExprR(sub(b, 1).get,
+      i => if (i >= 0 && i < slots.length) Some(slots(i)) else None,
+      n => col(n))
+  }
+
+  /** PhysicalWindowExprNode (datafusion.proto:1101) → windowed Column. */
+  private def consumeWindowExpr(b: Array[Byte], input: DataFrame): Column = {
+    val args = subs(b, 4).map(e => consumeExpr(e, input))
+    val fn = (sub(b, 3).map(strOf), sub(b, 10).map(strOf)) match {
+      case (Some(udaf), _) => udaf match {
+        case "sum" => sum(args.head)
+        case "count" => count(args.head)
+        case "min" => min(args.head)
+        case "max" => max(args.head)
+        case "avg" => avg(args.head)
+        case other => throw new IllegalArgumentException(
+          s"dfproto physical consume: unsupported window udaf $other")
+      }
+      case (None, Some(udwf)) => udwf match {
+        case "row_number" => row_number()
+        case "rank" => rank()
+        case "dense_rank" => dense_rank()
+        case "percent_rank" => percent_rank()
+        case other => throw new IllegalArgumentException(
+          s"dfproto physical consume: unsupported window udwf $other")
+      }
+      case _ => throw new IllegalArgumentException(
+        "dfproto physical consume: PhysicalWindowExprNode without function")
+    }
+    val parts = subs(b, 5).map(e => consumeExpr(e, input))
+    // order_by entries are BARE PhysicalSortExprNodes (expr=1 asc=2 nf=3)
+    val orders = subs(b, 6).map { sn =>
+      val c = consumeExpr(sub(sn, 1).get, input)
+      (vint(sn, 2).contains(1L), vint(sn, 3).contains(1L)) match {
+        case (true, true) => c.asc_nulls_first
+        case (true, false) => c.asc_nulls_last
+        case (false, true) => c.desc_nulls_first
+        case (false, false) => c.desc_nulls_last
+      }
+    }
+    var spec = org.apache.spark.sql.expressions.Window.partitionBy(parts: _*)
+    if (orders.nonEmpty) spec = spec.orderBy(orders: _*)
+    sub(b, 7).foreach { fr => // WindowFrame (:762)
+      val units = vint(fr, 1).getOrElse(0L)
+      val lower = DataFusionProto.frameBound(sub(fr, 2), isLower = true)
+      val upper = DataFusionProto.frameBound(sub(fr, 3), isLower = false)
+      units match {
+        case 0L => spec = spec.rowsBetween(lower, upper)
+        case 1L => spec = spec.rangeBetween(lower, upper)
+        case u => throw new IllegalArgumentException(
+          s"dfproto physical consume: unsupported frame units $u")
+      }
+    }
+    val over = fn.over(spec)
+    sub(b, 8).map(strOf).map(over.as).getOrElse(over)
+  }
+
+  private def consumeExpr(b: Array[Byte], input: DataFrame): Column =
+    consumeExprR(b,
+      i => if (i >= 0 && i < input.columns.length)
+        Some(col(input.columns(i))) else None,
+      n => col(n))
+
+  /** Like consumeExpr but column references resolve ANCHORED to `side`
+    * (side.col), so join keys stay unambiguous in self-joins. */
+  private def consumeSideExpr(b: Array[Byte], side: DataFrame): Column =
+    consumeExprR(b,
+      i => if (i >= 0 && i < side.columns.length)
+        Some(side.col(side.columns(i))) else None,
+      n => side.col(n))
+
+  /** PhysicalExprNode consume with a pluggable PhysicalColumn resolver:
+    * byIndex for the (name,index) positional convention, byName fallback. */
+  private def consumeExprR(b: Array[Byte], byIndex: Int => Option[Column],
+      byName: String => Column): Column = {
+    def rec(x: Array[Byte]): Column = consumeExprR(x, byIndex, byName)
     val fs = fields(b)
     require(fs.nonEmpty, "dfproto physical: empty expr")
     val (field, PBytes(node)) = (fs.head._1, fs.head._2): @unchecked
     field match {
       case 1 => // PhysicalColumn: resolve positionally, name as fallback
-        val idx = vint(node, 2).map(_.toInt)
-        idx.filter(i => i >= 0 && i < input.columns.length)
-          .map(i => col(input.columns(i)))
-          .getOrElse(col(sub(node, 1).map(strOf).getOrElse(
+        vint(node, 2).map(_.toInt).flatMap(byIndex)
+          .getOrElse(byName(sub(node, 1).map(strOf).getOrElse(
             throw new IllegalArgumentException("dfproto physical: column"))))
       case 2 => DataFusionProto.consumeLiteral(node)
       case 3 =>
-        val l = consumeExpr(sub(node, 1).get, input)
-        val r = consumeExpr(sub(node, 2).get, input)
+        val l = rec(sub(node, 1).get)
+        val r = rec(sub(node, 2).get)
         sub(node, 3).map(strOf).getOrElse("") match {
           case "Eq" => l === r
           case "NotEq" => l =!= r
@@ -401,14 +777,14 @@ object DataFusionProtoPhysical {
           case other => throw new IllegalArgumentException(
             s"dfproto physical consume: unsupported op $other")
         }
-      case 5 => consumeExpr(sub(node, 1).get, input).isNull
-      case 6 => consumeExpr(sub(node, 1).get, input).isNotNull
-      case 7 => !consumeExpr(sub(node, 1).get, input)
-      case 9 => consumeExpr(sub(node, 1).get, input)
+      case 5 => rec(sub(node, 1).get).isNull
+      case 6 => rec(sub(node, 1).get).isNotNull
+      case 7 => !rec(sub(node, 1).get)
+      case 9 => rec(sub(node, 1).get)
         .cast(DataFusionProto.consumeType(sub(node, 2).get))
       case 12 =>
-        val v = consumeExpr(sub(node, 1).get, input)
-        val list = subs(node, 2).map(e => consumeExpr(e, input))
+        val v = rec(sub(node, 1).get)
+        val list = subs(node, 2).map(rec)
         val in = v.isin(list: _*)
         if (vint(node, 3).contains(1L)) !in else in
       case other => throw new IllegalArgumentException(

@@ -430,6 +430,150 @@ class DataFusionProtoSpec extends AnyFunSuite {
       src.collect().map(_.toSeq).toSeq)
   }
 
+  test("physical wire: broadcast hash join emits HashJoinExecNode(9) " +
+      "with JoinOn/type/mode at the proto field numbers") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.DataFusionProtoPhysical
+    val n = Tables.load(spark, sfDir, "nation")
+    val r = Tables.load(spark, sfDir, "region")
+    val src = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name"), col("r_name"))
+    val bytes = DataFusionProtoPhysical.emit(src)
+    // spine: a Projection(4) over the HashJoin(9)
+    val proj = DataFusionProto.fields(bytes).collectFirst {
+      case (4, PBytes(v)) => v }.get
+    val join = DataFusionProto.fields(
+      DataFusionProto.fields(proj).collectFirst {
+        case (1, PBytes(v)) => v }.get).collectFirst {
+      case (9, PBytes(v)) => v }.get
+    val fs = DataFusionProto.fields(join)
+    assert(fs.exists(_._1 == 3), "JoinOn (field 3) present")
+    assert(fs.collectFirst { case (4, PVarint(v)) => v }.getOrElse(-1L) == 0L,
+      "join_type INNER")
+    // Spark broadcasts the RIGHT side here — no CollectRight on the wire,
+    // so partition_mode rides AUTO(2)
+    assert(fs.collectFirst { case (6, PVarint(v)) => v }.getOrElse(-1L) == 2L,
+      "partition_mode AUTO for a broadcast-right build")
+    val on = fs.collectFirst { case (3, PBytes(v)) => v }.get
+    val lk = DataFusionProto.fields(
+      DataFusionProto.fields(on).collectFirst { case (1, PBytes(v)) => v }.get)
+    assert(lk.head._1 == 1, "left key is a PhysicalColumn (variant 1)")
+    val back = DataFusionProtoPhysical.consume(spark, bytes,
+      t => Some(Tables.load(spark, sfDir, t)))
+    assert(back.collect().map(_.toSeq.toList).sortBy(_.toString).toSeq ==
+      src.collect().map(_.toSeq.toList).sortBy(_.toString).toSeq)
+  }
+
+  test("physical wire: sort-merge join + residual filter ride " +
+      "SortMergeJoinExecNode(34) with JoinFilter sides") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.DataFusionProtoPhysical
+    val c = Tables.load(spark, sfDir, "customer")
+    val o = Tables.load(spark, sfDir, "orders")
+    val src = c.hint("merge")
+      .join(o, col("c_custkey") === col("o_custkey") &&
+        col("o_totalprice") > col("c_acctbal"))
+      .select(col("c_name"), col("o_orderkey"))
+    val bytes = DataFusionProtoPhysical.emit(src)
+    val proj = DataFusionProto.fields(bytes).collectFirst {
+      case (4, PBytes(v)) => v }.get
+    val smj = DataFusionProto.fields(
+      DataFusionProto.fields(proj).collectFirst {
+        case (1, PBytes(v)) => v }.get).collectFirst {
+      case (34, PBytes(v)) => v }.get
+    val fs = DataFusionProto.fields(smj)
+    assert(fs.exists(_._1 == 3) && fs.exists(_._1 == 5),
+      "JoinOn (3) and JoinFilter (5) present")
+    val filter = fs.collectFirst { case (5, PBytes(v)) => v }.get
+    val sides = DataFusionProto.fields(filter).collect {
+      case (2, PBytes(ci)) => DataFusionProto.fields(ci).collectFirst {
+        case (2, PVarint(s)) => s }.getOrElse(0L)
+    }
+    assert(sides.toSet == Set(0L, 1L),
+      s"ColumnIndex maps one column per side: $sides")
+    val back = DataFusionProtoPhysical.consume(spark, bytes,
+      t => Some(Tables.load(spark, sfDir, t)))
+    assert(back.collect().map(_.toSeq.toList).sortBy(_.toString).toSeq ==
+      src.collect().map(_.toSeq.toList).sortBy(_.toString).toSeq)
+  }
+
+  test("physical wire: cross join (16), theta join (22) and union (19)") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.DataFusionProtoPhysical
+    val r = Tables.load(spark, sfDir, "region")
+    val n = Tables.load(spark, sfDir, "nation")
+    // cross
+    val cross = r.crossJoin(r.select(col("r_regionkey").as("k2")))
+    val cb = DataFusionProtoPhysical.emit(cross)
+    assert(DataFusionProto.fields(cb).head._1 == 16, "CrossJoinExecNode(16)")
+    val crossBack = DataFusionProtoPhysical.consume(spark, cb,
+      t => Some(Tables.load(spark, sfDir, t)))
+    assert(crossBack.count() == cross.count())
+    // theta: non-equi condition plans as a nested-loop join
+    val theta = r.select(col("r_regionkey").as("a"))
+      .join(n.select(col("n_regionkey").as("b")), col("a") < col("b"))
+    val tb = DataFusionProtoPhysical.emit(theta)
+    assert(DataFusionProto.fields(tb).head._1 == 22,
+      "NestedLoopJoinExecNode(22)")
+    val thetaBack = DataFusionProtoPhysical.consume(spark, tb,
+      t => Some(Tables.load(spark, sfDir, t)))
+    assert(thetaBack.collect().map(_.toSeq.toList).sortBy(_.toString).toSeq ==
+      theta.collect().map(_.toSeq.toList).sortBy(_.toString).toSeq)
+    // union ALL
+    val u = r.select(col("r_regionkey")).union(n.select(col("n_regionkey")))
+    val ub = DataFusionProtoPhysical.emit(u)
+    assert(DataFusionProto.fields(ub).head._1 == 19, "UnionExecNode(19)")
+    val inputs = DataFusionProto.fields(ub).collectFirst {
+      case (19, PBytes(v)) => DataFusionProto.fields(v).count(_._1 == 1) }.get
+    assert(inputs == 2, "two union inputs")
+    val uBack = DataFusionProtoPhysical.consume(spark, ub,
+      t => Some(Tables.load(spark, sfDir, t)))
+    assert(uBack.collect().map(_.getInt(0)).sorted.toSeq ==
+      u.collect().map(_.getInt(0)).sorted.toSeq)
+  }
+
+  test("physical wire: WindowAggExecNode(15) carries " +
+      "PhysicalWindowExprNode udwf/udaf + frame") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.plans.DataFusionProtoPhysical
+    val o = Tables.load(spark, sfDir, "orders").limit(200)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val spec = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderkey").asc_nulls_last)
+    val src = o.select(col("o_orderkey"), col("o_custkey"),
+      row_number().over(spec).as("rn"),
+      sum(col("o_totalprice")).over(spec.rowsBetween(-2, 0)).as("run3"))
+    val bytes = DataFusionProtoPhysical.emit(src)
+    def findWindow(b: Array[Byte]): Option[Array[Byte]] =
+      DataFusionProto.fields(b).headOption.flatMap {
+        case (15, PBytes(v)) => Some(v)
+        case (v, PBytes(node)) =>
+          val childField = v match { case 8 => 4; case _ => 1 }
+          DataFusionProto.fields(node).collectFirst {
+            case (`childField`, PBytes(c)) => c }.flatMap(findWindow)
+        case _ => None
+      }
+    val wn = findWindow(bytes).getOrElse(fail("no WindowAggExecNode(15)"))
+    val wes = DataFusionProto.fields(wn).collect { case (2, PBytes(v)) => v }
+    assert(wes.size == 2, "two window expressions")
+    val names = wes.flatMap(we => DataFusionProto.fields(we).collectFirst {
+      case (3, PBytes(s)) => new String(s, "UTF-8")
+      case (10, PBytes(s)) => new String(s, "UTF-8")
+    })
+    assert(names.toSet == Set("row_number", "sum"), s"functions: $names")
+    val framed = wes.find(we => DataFusionProto.fields(we)
+      .exists(_._1 == 7)).getOrElse(fail("no framed window expr"))
+    val fr = DataFusionProto.fields(framed).collectFirst {
+      case (7, PBytes(v)) => v }.get
+    assert(DataFusionProto.fields(fr).collectFirst {
+      case (1, PVarint(u)) => u }.getOrElse(-1L) == 0L, "ROWS units")
+    val back = DataFusionProtoPhysical.consume(spark, bytes,
+      t => Some(Tables.load(spark, sfDir, t)))
+    assert(back.collect().map(_.toSeq.toList).sortBy(_.toString).toSeq ==
+      src.collect().map(_.toSeq.toList).sortBy(_.toString).toSeq)
+  }
+
   test("literals of every supported type survive the wire") {
     import org.apache.spark.sql.functions._
     val src = Tables.load(spark, sfDir, "region")
