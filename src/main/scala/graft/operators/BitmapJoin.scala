@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** Flag-bitmap broadcast join: a semi-join specialization for build sides
+  * whose join key is a bounded non-negative integer (surrogate keys,
+  * order/part/customer keys). Instead of broadcasting a hash map keyed by
+  * 8-byte entries (~40 B/key with object headers), broadcast two DENSE
+  * bitsets over the key domain — `exists` (the key has a build row; an
+  * absent probe key is dropped, preserving inner-join semantics without
+  * assuming foreign-key integrity) and `flag` (the build row's boolean
+  * payload). For TPC-H q12's 1.5M-order build at SF1 that is 2 × 750 KB
+  * versus a ~60 MB hash relation, and the probe is two bit tests.
+  *
+  * This mirrors the perfect-hash/min-max join specializations native
+  * engines apply when build keys are dense integers (the reference picks
+  * its CollectLeft build from stats the same way —
+  * `datafusion/physical-optimizer/src/join_selection.rs`); here the
+  * payload is exactly one boolean, which is what makes the bitset form
+  * strictly smaller than any hash layout.
+  *
+  * Scale design: the build runs DISTRIBUTED — each partition ORs its keys
+  * into a local bitset sized by the keys it actually saw, and only the
+  * OR-reduction crosses the wire (the same driver-side materialization any
+  * broadcast build pays, at bitset size). Callers gate on footer stats:
+  * 2 × maxKey/8 bytes must fit the broadcast threshold
+  * (`BroadcastAdvisor.shouldBroadcast`), and minKey must be ≥ 0; past the
+  * gate, fall back to the shuffle join. At 100 TB the gate trips (maxKey
+  * ~150 B → 37 GB of bitset) and the plan reverts to the exchange form —
+  * the decision is planning-time stats, not a constant.
+  */
+object BitmapJoin {
+
+  /** One distributed pass over `df`: dense bitsets (exists, flag) over
+    * `df(key)` (non-negative long) with `df(flag)` (boolean). Partition-
+    * local build + OR-reduce; empty input yields empty bitsets (every
+    * probe misses — the inner join of an empty build side). */
+  def buildFlagBitmaps(df: DataFrame, key: String, flag: String)
+      : (Array[Long], Array[Long]) =
+    df.select(col(key).cast("long"), col(flag).cast("boolean"))
+      .rdd.mapPartitions { it =>
+        var exists = new Array[Long](1 << 10)
+        var flags = new Array[Long](1 << 10)
+        var maxW = -1
+        it.foreach { r =>
+          val k = r.getLong(0)
+          require(k >= 0, s"BitmapJoin: negative key $k")
+          val w = (k >> 6).toInt
+          if (w >= exists.length) {
+            var n = exists.length
+            while (n <= w) n <<= 1
+            exists = java.util.Arrays.copyOf(exists, n)
+            flags = java.util.Arrays.copyOf(flags, n)
+          }
+          val bit = 1L << (k & 63)
+          exists(w) |= bit
+          if (!r.isNullAt(1) && r.getBoolean(1)) flags(w) |= bit
+          if (w > maxW) maxW = w
+        }
+        if (maxW < 0) Iterator.empty
+        else Iterator.single((java.util.Arrays.copyOf(exists, maxW + 1),
+          java.util.Arrays.copyOf(flags, maxW + 1)))
+      }
+      .fold((Array.emptyLongArray, Array.emptyLongArray)) { (a, b) =>
+        val ((ae, af), (be, bf)) =
+          if (a._1.length >= b._1.length) (a, b) else (b, a)
+        var i = 0
+        while (i < be.length) { ae(i) |= be(i); af(i) |= bf(i); i += 1 }
+        (ae, af)
+      }
+
+  /** Tri-state probe column over broadcast bitsets: NULL when the key is
+    * absent from `exists` (callers filter it out — the inner-join drop),
+    * else the flag bit. */
+  def flagProbe(spark: SparkSession, exists: Array[Long],
+      flags: Array[Long]): UserDefinedFunction = {
+    val bcEx = spark.sparkContext.broadcast(exists)
+    val bcFl = spark.sparkContext.broadcast(flags)
+    udf { k: Long =>
+      val ex = bcEx.value
+      val w = (k >> 6).toInt
+      val bit = 1L << (k & 63)
+      if (k < 0 || w >= ex.length || (ex(w) & bit) == 0L)
+        null.asInstanceOf[java.lang.Boolean]
+      else java.lang.Boolean.valueOf((bcFl.value(w) & bit) != 0L)
+    }
+  }
+
+  /** Footer-stats gate: bitset pair fits the broadcast threshold and keys
+    * are non-negative. */
+  def gate(spark: SparkSession, keyStats: Option[graft.plans.BroadcastAdvisor.ColStats])
+      : Boolean =
+    keyStats.exists(c => c.minLong.exists(_ >= 0) &&
+      c.maxLong.exists(mk =>
+        graft.plans.BroadcastAdvisor.shouldBroadcast(spark, 2L * (mk / 8 + 16))))
+}
