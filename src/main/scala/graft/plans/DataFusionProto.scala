@@ -133,9 +133,89 @@ object DataFusionProto {
   /** DataFrame analyzed plan → LogicalPlanNode bytes
     * (datafusion.proto:31). */
   def emit(df: DataFrame): Array[Byte] = {
-    val analyzed = org.apache.spark.sql.catalyst.optimizer
+    val w = new W; emitPlan(analyzedOf(df), w); w.bytes
+  }
+
+  private def analyzedOf(df: DataFrame): LogicalPlan =
+    org.apache.spark.sql.catalyst.optimizer
       .InlineCTE(alwaysInline = true)(df.queryExecution.analyzed)
-    val w = new W; emitPlan(analyzed, w); w.bytes
+
+  /** Table names that stand in for a recursive CTE's work table while
+    * emitRecursiveQuery serializes the recursive term: a SubqueryAlias
+    * scan of one of these emits CteWorkTableScanNode(32) instead of its
+    * underlying (empty placeholder) relation. */
+  private val workTableMarkers: ThreadLocal[Set[String]] =
+    ThreadLocal.withInitial(() => Set.empty[String])
+
+  /** RecursiveQueryNode (datafusion.proto:1593): name=1, static_term=2,
+    * recursive_term=3, is_distinct=4. The caller registers `workTable`
+    * (usually = `name`) as a temp view with the CTE's schema — any shape
+    * works, it only anchors the recursive term's self-reference — and
+    * builds `recursiveTerm` against it; this emitter rewrites that scan
+    * into the reference's CteWorkTableScanNode(32). */
+  def emitRecursiveQuery(name: String, staticTerm: DataFrame,
+      recursiveTerm: DataFrame, workTable: String,
+      isDistinct: Boolean = false): Array[Byte] = {
+    val w = new W
+    w.msg(31) { r =>
+      r.str(1, name)
+      r.msg(2)(emitPlan(analyzedOf(staticTerm), _))
+      workTableMarkers.set(Set(workTable.toLowerCase))
+      try r.msg(3)(emitPlan(analyzedOf(recursiveTerm), _))
+      finally workTableMarkers.set(Set.empty)
+      if (isDistinct) r.bool(4, true)
+    }
+    w.bytes
+  }
+
+  /** CopyToNode (datafusion.proto:290): input=1, output_url=2,
+    * file_type=3 (FileFormatProto{kind,encoded} bytes, :311), partition_by
+    * =7. Spark's DataFrameWriter has no logical-plan form to pattern-match,
+    * so the emitting shape is this explicit constructor — the reference's
+    * `COPY (query) TO url` surface. */
+  def emitCopyTo(df: DataFrame, outputUrl: String, format: String,
+      partitionBy: Seq[String] = Nil): Array[Byte] = {
+    val kind = format.toLowerCase match {
+      case "csv" => 1L
+      case "json" => 2L
+      case "parquet" => 3L
+      case "arrow" => 4L
+      case "avro" => 5L
+      case other => throw new IllegalArgumentException(
+        s"dfproto emit: unsupported copy format $other")
+    }
+    val w = new W
+    w.msg(29) { c =>
+      c.msg(1)(emitPlan(analyzedOf(df), _))
+      c.str(2, outputUrl)
+      c.msg(3)(_.int64(1, kind)) // FileFormatProto.kind
+      partitionBy.foreach(p => c.str(7, p))
+    }
+    w.bytes
+  }
+
+  /** DmlNode (datafusion.proto:316): dml_type=1, input=2, table_name=3.
+    * Emitting subset: CTAS(2) / INSERT_APPEND(3) / INSERT_OVERWRITE(4) /
+    * TRUNCATE(6) — the session-table surface the engine executes
+    * (`operators/SessionTables`); UPDATE/DELETE/MERGE need the reference's
+    * target-plan encoding and stay out of the emitting subset. */
+  def emitDml(dmlType: String, tableName: String,
+      input: Option[DataFrame]): Array[Byte] = {
+    val code = dmlType.toLowerCase match {
+      case "ctas" => 2L
+      case "insert_append" => 3L
+      case "insert_overwrite" => 4L
+      case "truncate" => 6L
+      case other => throw new IllegalArgumentException(
+        s"dfproto emit: unsupported dml type $other")
+    }
+    val w = new W
+    w.msg(33) { d =>
+      d.int64(1, code)
+      input.foreach(df => d.msg(2)(emitPlan(analyzedOf(df), _)))
+      d.msg(3)(tr => tr.msg(1)(_.str(1, tableName)))
+    }
+    w.bytes
   }
 
   private def emitPlan(plan: LogicalPlan, w: W): Unit = plan match {
@@ -144,16 +224,44 @@ object DataFusionProto {
     // renaming aliases and aliases over derived plans are real
     // SubqueryAliasNodes (datafusion.proto:452) so qualified column
     // references resolve on consume
+    case SubqueryAlias(id, child)
+        if workTableMarkers.get.contains(id.name.toLowerCase) =>
+      // the recursive term's reference to the CTE's own name: the
+      // reference's CteWorkTableScanNode (datafusion.proto:1600)
+      w.msg(32) { c =>
+        c.str(1, id.name)
+        c.msg(2) { schema =>
+          plan.output.foreach { a =>
+            schema.msg(1) { f =>
+              f.str(1, a.name); f.msg(2)(arrowType(a.dataType, _))
+              f.bool(3, a.nullable)
+            }
+          }
+        }
+      }
     case SubqueryAlias(id, child: LogicalRelation)
         if id.name.equalsIgnoreCase(tableNameOf(child)) =>
       emitPlan(child, w)
+    // a temp/catalog view scan: SubqueryAlias(name, View(...)) — the
+    // alias repeats the view name, so the ViewTableScanNode carries it
+    case SubqueryAlias(id, v: View)
+        if id.name.equalsIgnoreCase(v.desc.identifier.table) =>
+      emitPlan(v, w)
     case SubqueryAlias(id, child) =>
       w.msg(21) { sa =>
         sa.msg(1)(emitPlan(child, _))
         sa.msg(3)(tr => tr.msg(1)(_.str(1, id.name))) // TableReference.bare
       }
     case h: ResolvedHint => emitPlan(h.child, w)
-    case v: View => emitPlan(v.child, w)
+    case v: View =>
+      // ViewTableScanNode (datafusion.proto:107): table_name=6, input=2,
+      // definition=5 — the consumer re-plans the view's own plan, so the
+      // bytes stay portable to catalogs that don't hold the view
+      w.msg(24) { vn =>
+        vn.msg(6)(tr => tr.msg(1)(_.str(1, v.desc.identifier.table)))
+        vn.msg(2)(emitPlan(v.child, _))
+        v.desc.viewText.foreach(t => vn.str(5, t))
+      }
     case lr: LogicalRelation =>
       // ListingTableScanNode (datafusion.proto:86-105): table_name=14
       // (TableReference:851/BareTableReference:836), paths=2,
@@ -178,6 +286,51 @@ object DataFusionProto {
           }
         }
         scan.msg(11)(_ => ()) // ParquetFormat{} — options omitted
+      }
+    // explode over a list column: the reference's UnnestNode (:382) unnests
+    // IN PLACE (the element column keeps the list column's name and slot),
+    // while Spark's Generate APPENDS the element column — so the wire form
+    // is UnnestNode + a ProjectionNode restoring Spark's names, valid when
+    // the projection doesn't also use the raw array
+    case Project(exprs, Generate(
+          org.apache.spark.sql.catalyst.expressions.Explode(arr: AttributeReference),
+          _, outer, _, genOut, child))
+        if genOut.size == 1 && !exprs.exists(_.references.exists(
+          _.exprId == arr.exprId)) =>
+      val el = genOut.head
+      def emitUnnest(w2: W): Unit = w2.msg(30) { un =>
+        un.msg(1)(emitPlan(child, _))
+        un.msg(2)(c => c.str(1, arr.name)) // exec_columns: Column.name
+        // list_type_columns: input_index + (output_column, depth=1)
+        val idx = child.output.indexWhere(_.exprId == arr.exprId)
+        if (idx >= 0) un.msg(3) { li =>
+          li.int64(1, idx.toLong)
+          li.msg(2) { rc =>
+            rc.msg(1)(_.str(1, arr.name)); rc.int64(2, 1L)
+          }
+        }
+        // options.null_handling: Spark explode drops null AND empty
+        // lists (DROP=1); explode_outer expands both to one NULL row
+        // (PRESERVE_AND_EXPAND_EMPTY=2)
+        un.msg(7)(_.int64(3, if (outer) 2L else 1L))
+      }
+      w.msg(3) { p =>
+        p.msg(1)(emitUnnest(_))
+        exprs.foreach { ne =>
+          // after unnest the element rides under the ARRAY column's name —
+          // substitute and alias back to Spark's output name
+          val t = ne.transform {
+            case a: AttributeReference if a.exprId == el.exprId =>
+              a.withName(arr.name)
+          }
+          val named = t match {
+            case a: AttributeReference if a.name != ne.name =>
+              Alias(a, ne.name)()
+            case x: org.apache.spark.sql.catalyst.expressions.NamedExpression => x
+            case x => Alias(x, ne.name)()
+          }
+          p.msg(2)(emitExpr(named, _))
+        }
       }
     case Project(exprs, child) =>
       w.msg(3) { p => // ProjectionNode (datafusion.proto:126)
@@ -555,6 +708,13 @@ object DataFusionProto {
     case TimestampNTZType => w.msg(20)(_.int64(1, 2L))
     case dt: DecimalType =>
       w.msg(24)(d => { d.int64(3, dt.precision.toLong); d.int64(4, dt.scale.toLong) })
+    case ArrayType(elem, containsNull) =>
+      w.msg(25) { l => // List (common:163): field_type=1 (Field :111)
+        l.msg(1) { f =>
+          f.str(1, "item"); f.msg(2)(arrowType(elem, _))
+          f.bool(3, containsNull)
+        }
+      }
     case other => throw new IllegalArgumentException(
       s"dfproto emit: unsupported type $other")
   }
@@ -697,10 +857,120 @@ object DataFusionProto {
         val fetch = vint(node, 3).getOrElse(-1L)
         val after = if (skip > 0) input.offset(skip.toInt) else input
         (if (fetch >= 0) after.limit(fetch.toInt) else after, scope)
+      case 24 => // ViewTableScanNode: re-plan the view's own input
+        val (input, scope) = rec(sub(node, 2).getOrElse(
+          throw new IllegalArgumentException(
+            "dfproto consume: ViewTableScanNode without input")))
+        sub(node, 6).flatMap(tr => sub(tr, 1)).flatMap(b => sub(b, 1))
+          .map(strOf) match {
+          case Some(n) =>
+            val aliased = input.alias(n)
+            (aliased, scope + (n.toLowerCase -> aliased))
+          case None => (input, scope)
+        }
+      case 30 => // UnnestNode: unnest IN PLACE (element keeps the name)
+        val (input, scope) = rec(sub(node, 1).get)
+        val cols = subs(node, 2).flatMap(c => sub(c, 1)).map(strOf)
+        require(cols.size == 1,
+          s"dfproto consume: multi-column unnest (${cols.size}) unsupported")
+        val nh = sub(node, 7).flatMap(o => vint(o, 3)).getOrElse(0L)
+        // PRESERVE(0)/DROP(1) → explode (null lists drop);
+        // PRESERVE_AND_EXPAND_EMPTY(2) → explode_outer
+        val target = cols.head
+        val out = input.select(input.columns.map { cn =>
+          if (cn.equalsIgnoreCase(target))
+            (if (nh == 2L) explode_outer(col(cn)) else explode(col(cn))).as(cn)
+          else col(cn)
+        }: _*)
+        (out, scope)
+      case 29 => // CopyToNode: execute the write, return the COPY count
+        val (input, scope) = rec(sub(node, 1).get)
+        val url = sub(node, 2).map(strOf).getOrElse(
+          throw new IllegalArgumentException(
+            "dfproto consume: CopyToNode without output_url"))
+        val fmt = sub(node, 3).flatMap(ff => vint(ff, 1)).getOrElse(3L) match {
+          case 1L => "csv"
+          case 2L => "json"
+          case 3L => "parquet"
+          case k => throw new IllegalArgumentException(
+            s"dfproto consume: unsupported copy FileFormatKind $k")
+        }
+        val parts = fields(node).collect { case (7, PBytes(v)) => strOf(v) }
+        val n = input.count()
+        var wr = input.write.mode("overwrite").format(fmt)
+        if (parts.nonEmpty) wr = wr.partitionBy(parts: _*)
+        wr.save(url)
+        (spark.sql(s"SELECT CAST($n AS BIGINT) AS count"), scope)
+      case 31 => // RecursiveQueryNode → the engine's work-table fixpoint
+        val name = fields(node).collectFirst {
+          case (1, PBytes(v)) => strOf(v) }.getOrElse("cte")
+        val (base, scope) = rec(sub(node, 2).get)
+        val recBytes = sub(node, 3).getOrElse(
+          throw new IllegalArgumentException(
+            "dfproto consume: RecursiveQueryNode without recursive_term"))
+        val distinct = vint(node, 4).contains(1L)
+        def step(f: DataFrame): DataFrame = {
+          val prev = workTables.get
+          workTables.set(prev + (name.toLowerCase -> f))
+          try consumeScoped(spark, recBytes, tableFor)._1
+          finally workTables.set(prev)
+        }
+        val out =
+          if (distinct) graft.operators.RecursiveCte.iterateDistinct(base, step)
+          else graft.operators.RecursiveCte.iterate(base, step)
+        (out, scope)
+      case 32 => // CteWorkTableScanNode: the current iteration's frontier
+        val nm = fields(node).collectFirst {
+          case (1, PBytes(v)) => strOf(v) }.getOrElse("")
+        val df = workTables.get.getOrElse(nm.toLowerCase,
+          throw new IllegalArgumentException(
+            s"dfproto consume: work table $nm outside a recursive query"))
+        (df, Map.empty[String, DataFrame])
+      case 33 => // DmlNode over session temp tables (MemTable emulation)
+        val name = sub(node, 3).flatMap(tr => sub(tr, 1)).flatMap(b => sub(b, 1))
+          .map(strOf).getOrElse(throw new IllegalArgumentException(
+            "dfproto consume: DmlNode without table_name"))
+        val input = sub(node, 2).map(b => rec(b)._1)
+        def register(df: DataFrame): DataFrame = {
+          // materialize before re-registering: the view must not lazily
+          // recompute (MemTable semantics), and self-referencing unions
+          // (INSERT INTO t SELECT FROM t) must not recurse
+          val pinned = df.localCheckpoint(true)
+          pinned.createOrReplaceTempView(name)
+          pinned
+        }
+        def countDf(n: Long) = spark.sql(s"SELECT CAST($n AS BIGINT) AS count")
+        val out = vint(node, 1).getOrElse(-1L) match {
+          case 2L => // CTAS
+            val df = input.getOrElse(throw new IllegalArgumentException(
+              "dfproto consume: CTAS without input"))
+            countDf(register(df).count())
+          case 3L => // INSERT_APPEND
+            val df = input.getOrElse(throw new IllegalArgumentException(
+              "dfproto consume: INSERT without input"))
+            val n = df.count()
+            register(spark.table(name).unionByName(df))
+            countDf(n)
+          case 4L => // INSERT_OVERWRITE
+            val df = input.getOrElse(throw new IllegalArgumentException(
+              "dfproto consume: INSERT without input"))
+            countDf(register(df).count())
+          case 6L => // TRUNCATE
+            register(spark.table(name).limit(0))
+            countDf(0L)
+          case t => throw new IllegalArgumentException(
+            s"dfproto consume: unsupported dml_type $t")
+        }
+        (out, Map.empty[String, DataFrame])
       case other => throw new IllegalArgumentException(
         s"dfproto consume: unsupported plan variant $other")
     }
   }
+
+  /** Work-table bindings in force while a RecursiveQueryNode consumes its
+    * recursive term (driver-side, single-threaded per consume). */
+  private val workTables: ThreadLocal[Map[String, DataFrame]] =
+    ThreadLocal.withInitial(() => Map.empty[String, DataFrame])
 
   private def joinTypeName(code: Long): String = code match {
     // datafusion_common.proto:80 JoinType
@@ -935,6 +1205,10 @@ object DataFusionProto {
       if (sub(ts, 2).isDefined) TimestampType else TimestampNTZType
     case (24, PBytes(d)) =>
       DecimalType(vint(d, 3).getOrElse(10L).toInt, vint(d, 4).getOrElse(0L).toInt)
+    case (25, PBytes(l)) =>
+      val f = sub(l, 1).getOrElse(
+        throw new IllegalArgumentException("dfproto: List without field_type"))
+      ArrayType(consumeType(sub(f, 2).get), vint(f, 3).contains(1L))
     case (f, _) => throw new IllegalArgumentException(
       s"dfproto consume: unsupported arrow type field $f")
   }

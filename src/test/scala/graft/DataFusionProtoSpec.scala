@@ -574,6 +574,129 @@ class DataFusionProtoSpec extends AnyFunSuite {
       src.collect().map(_.toSeq.toList).sortBy(_.toString).toSeq)
   }
 
+  test("UnnestNode (30): explode rides the in-place unnest + rename wire") {
+    import org.apache.spark.sql.functions._
+    val src = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id"), explode(col("embedding")).as("e"))
+    val bytes = DataFusionProto.emit(src)
+    // spine: ProjectionNode(3) over UnnestNode(30)
+    val proj = DataFusionProto.fields(bytes).collectFirst {
+      case (3, PBytes(v)) => v }.getOrElse(fail("no ProjectionNode"))
+    val un = DataFusionProto.fields(
+      DataFusionProto.fields(proj).collectFirst {
+        case (1, PBytes(v)) => v }.get).collectFirst {
+      case (30, PBytes(v)) => v }.getOrElse(fail("no UnnestNode(30)"))
+    val fs = DataFusionProto.fields(un)
+    val execCol = fs.collectFirst { case (2, PBytes(v)) =>
+      DataFusionProto.fields(v).collectFirst {
+        case (1, PBytes(n)) => new String(n, "UTF-8") }.get }
+    assert(execCol.contains("embedding"))
+    // options.null_handling = DROP(1) for a plain (non-outer) explode
+    val nh = fs.collectFirst { case (7, PBytes(o)) =>
+      DataFusionProto.fields(o).collectFirst {
+        case (3, PVarint(v)) => v }.getOrElse(0L) }
+    assert(nh.contains(1L))
+    val back = DataFusionProto.consume(spark, bytes,
+      n => Some(Tables.load(spark, sfDir, n)))
+    assert(back.columns.toSeq == Seq("vec_id", "e"))
+    assert(back.collect().map(r => (r.getLong(0), r.getFloat(1)))
+      .sortBy(_.toString).toSeq ==
+      src.collect().map(r => (r.getLong(0), r.getFloat(1)))
+        .sortBy(_.toString).toSeq)
+  }
+
+  test("ViewTableScanNode (24): a temp view scan carries name + plan") {
+    import org.apache.spark.sql.functions._
+    Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+      .createOrReplaceTempView("dfp_view_nations")
+    val src = spark.table("dfp_view_nations").filter(col("n_nationkey") < 10)
+    val bytes = DataFusionProto.emit(src)
+    def findView(b: Array[Byte]): Option[Array[Byte]] =
+      DataFusionProto.fields(b).headOption.flatMap {
+        case (24, PBytes(v)) => Some(v)
+        case (_, PBytes(node)) => DataFusionProto.fields(node).collectFirst {
+          case (1, PBytes(c)) => c }.flatMap(findView)
+        case _ => None
+      }
+    val vn = findView(bytes).getOrElse(fail("no ViewTableScanNode(24)"))
+    val nm = DataFusionProto.fields(vn).collectFirst { case (6, PBytes(tr)) =>
+      DataFusionProto.fields(tr).collectFirst { case (1, PBytes(b2)) =>
+        DataFusionProto.fields(b2).collectFirst {
+          case (1, PBytes(s)) => new String(s, "UTF-8") }.get }.get }
+    assert(nm.contains("dfp_view_nations"))
+    val back = DataFusionProto.consume(spark, bytes,
+      n => Some(Tables.load(spark, sfDir, n)))
+    assert(back.collect().map(_.toSeq).toSeq.sortBy(_.toString) ==
+      src.collect().map(_.toSeq).toSeq.sortBy(_.toString))
+  }
+
+  test("RecursiveQueryNode (31) + CteWorkTableScanNode (32): series fixpoint") {
+    import org.apache.spark.sql.functions._
+    // VALUES-shaped base/marker (the logical wire has no Range node)
+    val base = { import spark.implicits._; Seq(1L).toDF("n") }
+    // the work-table marker: any temp view with the CTE's schema
+    { import spark.implicits._
+      Seq.empty[Long].toDF("n").createOrReplaceTempView("dfp_series") }
+    val step = spark.table("dfp_series")
+      .filter(col("n") < 10).select((col("n") + 1).as("n"))
+    val bytes = DataFusionProto.emitRecursiveQuery(
+      "dfp_series", base, step, "dfp_series")
+    val node = DataFusionProto.fields(bytes).collectFirst {
+      case (31, PBytes(v)) => v }.getOrElse(fail("no RecursiveQueryNode(31)"))
+    // the recursive term must contain a CteWorkTableScanNode(32)
+    def has32(b: Array[Byte]): Boolean =
+      DataFusionProto.fields(b).exists {
+        case (32, PBytes(_)) => true
+        case (_, PBytes(inner)) => DataFusionProto.fields(inner).exists {
+          case (f, PBytes(c)) if f <= 4 => has32(c)
+          case _ => false
+        }
+        case _ => false
+      }
+    val recTerm = DataFusionProto.fields(node).collect {
+      case (3, PBytes(v)) => v }.head
+    assert(has32(recTerm), "CteWorkTableScanNode in the recursive term")
+    val back = DataFusionProto.consume(spark, bytes, _ => None)
+    assert(back.collect().map(_.getLong(0)).sorted.toSeq == (1L to 10L).toSeq)
+  }
+
+  test("CopyToNode (29): consume writes files and reports the COPY count") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("dfp_copy").toString
+    val src = Tables.load(spark, sfDir, "region")
+      .select(col("r_regionkey"), col("r_name"))
+    val bytes = DataFusionProto.emitCopyTo(src, s"$dir/out", "parquet")
+    assert(DataFusionProto.fields(bytes).head._1 == 29)
+    val res = DataFusionProto.consume(spark, bytes,
+      n => Some(Tables.load(spark, sfDir, n)))
+    assert(res.collect().head.getLong(0) == src.count())
+    val written = spark.read.parquet(s"$dir/out")
+    assert(written.collect().map(_.toSeq).toSeq.sortBy(_.toString) ==
+      src.collect().map(_.toSeq).toSeq.sortBy(_.toString))
+  }
+
+  test("DmlNode (33): CTAS, INSERT_APPEND and TRUNCATE against session tables") {
+    import org.apache.spark.sql.functions._
+    val src = Tables.load(spark, sfDir, "region")
+      .select(col("r_regionkey").cast("long").as("k"), col("r_name").as("v"))
+    val tf = (n: String) => Some(Tables.load(spark, sfDir, n))
+    val ctas = DataFusionProto.emitDml("ctas", "dfp_dml_t", Some(src))
+    assert(DataFusionProto.consume(spark, ctas, tf)
+      .collect().head.getLong(0) == src.count())
+    val extra = { import spark.implicits._
+      Seq((100L, "extra"), (101L, "extra"), (102L, "extra")).toDF("k", "v") }
+    val ins = DataFusionProto.emitDml("insert_append", "dfp_dml_t", Some(extra))
+    assert(DataFusionProto.consume(spark, ins, tf)
+      .collect().head.getLong(0) == 3L)
+    assert(spark.table("dfp_dml_t").count() == src.count() + 3)
+    val tr = DataFusionProto.emitDml("truncate", "dfp_dml_t", None)
+    assert(DataFusionProto.consume(spark, tr, _ => None)
+      .collect().head.getLong(0) == 0L)
+    assert(spark.table("dfp_dml_t").count() == 0L)
+  }
+
   test("literals of every supported type survive the wire") {
     import org.apache.spark.sql.functions._
     val src = Tables.load(spark, sfDir, "region")
