@@ -51,24 +51,56 @@ class DFContext(val spark: SparkSession) {
   // struct<tag: string, v_<variant>: T…>): union_extract yields the
   // variant field (NULL when another variant is selected), union_tag the
   // tag. Engine surface — also wired into the slt dialect.
+  // Error-class fidelity (reference union_extract.rs/union_tag.rs): arity
+  // errors are PLANNING class (AnalysisException); a non-union operand, a
+  // non-literal tag, or a missing variant are EXECUTION class — raised
+  // here as runtime exceptions so error-directive conformance sees the
+  // reference's own phase split.
+  private def isUnionCarrier(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    e.resolved && (e.dataType match {
+      case st: org.apache.spark.sql.types.StructType => st.fieldNames.contains("tag")
+      case _ => false
+    })
+  private def arrowTypeName(e: org.apache.spark.sql.catalyst.expressions.Expression): String =
+    if (e.resolved) graft.functions.ArrowTypeOf.arrowName(e.dataType) else "?"
   spark.sessionState.functionRegistry.createOrReplaceTempFunction(
     "union_extract", { es =>
+      if (es.isEmpty) org.apache.spark.sql.GraftSqlBridge.analysisError(
+        "'union_extract' does not support zero arguments")
       if (es.size != 2) org.apache.spark.sql.GraftSqlBridge.analysisError(
         s"The function 'union_extract' expected 2 arguments but received ${es.size}")
-      val name = es(1) match {
+      // execution-class restrictions plan as a deferred raise (an
+      // analysis-time throw would be wrapped into the compile class)
+      if (es.head.resolved && !isUnionCarrier(es.head))
+        graft.functions.RaiseRuntime("union_extract first argument must " +
+          s"be a union, got ${arrowTypeName(es.head)} instead")
+      else es(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(s, org.apache.spark.sql.types.StringType)
-            if s != null => String.valueOf(s)
-        case _ => throw new IllegalArgumentException(
-          "union_extract second argument must be a non-null string literal")
+            if s != null =>
+          val name = String.valueOf(s)
+          es.head.dataType match {
+            case st: org.apache.spark.sql.types.StructType
+                if es.head.resolved && !st.fieldNames.contains("v_" + name) =>
+              graft.functions.RaiseRuntime(s"field $name not found on union")
+            case _ =>
+              org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+                es.head, org.apache.spark.sql.catalyst.expressions.Literal("v_" + name))
+          }
+        case other => graft.functions.RaiseRuntime(
+          "union_extract second argument must be a non-null string " +
+            s"literal, got ${arrowTypeName(other)} instead")
       }
-      org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
-        es.head, org.apache.spark.sql.catalyst.expressions.Literal("v_" + name))
     }, "built-in")
   spark.sessionState.functionRegistry.createOrReplaceTempFunction(
     "union_tag", { es =>
+      if (es.isEmpty) org.apache.spark.sql.GraftSqlBridge.analysisError(
+        "'union_tag' does not support zero arguments")
       if (es.size != 1) org.apache.spark.sql.GraftSqlBridge.analysisError(
         s"The function 'union_tag' expected 1 arguments but received ${es.size}")
-      org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+      if (es.head.resolved && !isUnionCarrier(es.head))
+        graft.functions.RaiseRuntime(
+          s"union_tag only support unions, got ${arrowTypeName(es.head)}")
+      else org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
         es.head, org.apache.spark.sql.catalyst.expressions.Literal("tag"))
     }, "built-in")
 

@@ -75,14 +75,17 @@ object ArrayMathFunctions {
       ArrayTransform(dblArr(arr), lam1(x => Multiply(x, kd))))
   }
 
-  /** L2-normalize; any NULL element or a zero/empty vector → NULL row. */
+  /** L2-normalize; any NULL element or a zero vector → NULL row. An EMPTY
+    * array returns [] (the reference: nothing to normalize, no division —
+    * array_normalize.slt:117). */
   def normalizeExpr(arr0: Expression): Expression = {
     val arr = dblArr(arr0)
     def norm = Sqrt(ArrayAggregate(arr, Literal(0.0),
       lam2((acc, x) => Add(acc, Multiply(x, x))), lam1(identity)))
-    If(Or(ArrayExists(arr, lam1(IsNull)), LessThanOrEqual(norm, Literal(0.0))),
-      nullArr,
-      ArrayTransform(arr, lam1(x => Divide(x, norm))))
+    If(EqualTo(Size(arr), Literal(0)), arr,
+      If(Or(ArrayExists(arr, lam1(IsNull)), LessThanOrEqual(norm, Literal(0.0))),
+        nullArr,
+        ArrayTransform(arr, lam1(x => Divide(x, norm)))))
   }
 
   /** Register SQL names on a session (idempotent). */

@@ -27,7 +27,10 @@ import org.apache.spark.sql.types._
   * JoinFilter, WindowAggExecNode(15) with PhysicalWindowExprNode(:1101),
   * CrossJoinExecNode(16), UnionExecNode(19), NestedLoopJoinExecNode(22),
   * SortMergeJoinExecNode(34) (datafusion.proto:871-896,1309-1394,
-  * 1432-1445,1507-1512,1560-1569,1658-1666).
+  * 1432-1445,1507-1512,1560-1569,1658-1666), plus EmptyExecNode(3),
+  * CoalescePartitionsExecNode(13), RepartitionExecNode(14) with
+  * Partitioning round_robin/hash, and GenerateSeriesNode(33) int64 args
+  * (:1403,1525,1581-1597,1621-1655).
   *
   * Columns ride the reference's (name, index) convention
   * (PhysicalColumn, datafusion.proto:1385) — the index is the position in
@@ -61,27 +64,43 @@ object DataFusionProtoPhysical {
 
   private def emitPlan(plan: SparkPlan, w: W): Unit = plan match {
     case scan: FileSourceScanExec =>
-      w.msg(1) { p => // ParquetScanExecNode (datafusion.proto:1258)
-        p.msg(1) { conf => // FileScanExecConf (:1235)
-          scan.relation.location.inputFiles.foreach { f =>
-            conf.msg(1)(fg => fg.msg(1)(_.str(1, f))) // FileGroup/PartitionedFile
-          }
-          conf.msg(2) { schema => // full relation schema
-            scan.relation.schema.fields.foreach { f =>
-              schema.msg(1) { fld =>
-                fld.str(1, f.name)
-                fld.msg(2)(arrowType(f.dataType, _))
-                fld.bool(3, f.nullable)
-              }
+      def conf(c: W): Unit = { // FileScanExecConf (:1235)
+        scan.relation.location.inputFiles.foreach { f =>
+          c.msg(1)(fg => fg.msg(1)(_.str(1, f))) // FileGroup/PartitionedFile
+        }
+        c.msg(2) { schema => // full relation schema
+          scan.relation.schema.fields.foreach { f =>
+            schema.msg(1) { fld =>
+              fld.str(1, f.name)
+              fld.msg(2)(arrowType(f.dataType, _))
+              fld.bool(3, f.nullable)
             }
           }
-          // projection = indices of the scan output in the relation schema
-          scan.output.foreach { a =>
-            val idx = scan.relation.schema.fieldIndex(a.name)
-            conf.int64(4, idx.toLong)
-          }
-          conf.str(8, "file://")
         }
+        // projection = indices of the scan output in the relation schema
+        scan.output.foreach { a =>
+          val idx = scan.relation.schema.fieldIndex(a.name)
+          c.int64(4, idx.toLong)
+        }
+        c.str(8, "file://")
+      }
+      scan.relation.fileFormat match {
+        case _: org.apache.spark.sql.execution.datasources.csv.CSVFileFormat =>
+          w.msg(2) { p => // CsvScanExecNode (:1269)
+            p.msg(1)(conf(_))
+            val opts = scan.relation.options
+            p.bool(2, opts.getOrElse("header", "false").toBoolean)
+            p.str(3, opts.getOrElse("sep", opts.getOrElse("delimiter", ",")))
+            p.str(4, opts.getOrElse("quote", "\""))
+          }
+        case _: org.apache.spark.sql.execution.datasources.json.JsonFileFormat =>
+          w.msg(31)(p => p.msg(1)(conf(_))) // JsonScanExecNode (:1284)
+        case f if f.getClass.getName.contains("avro") =>
+          w.msg(17)(p => p.msg(1)(conf(_))) // AvroScanExecNode (:1288)
+        case _ =>
+          w.msg(1) { p => // ParquetScanExecNode (:1258)
+            p.msg(1)(conf(_))
+          }
       }
     case f: FilterExec =>
       w.msg(12) { fn => // FilterExecNode (:1204)
@@ -224,6 +243,51 @@ object DataFusionProtoPhysical {
         im.output.foreach { a =>
           pn.msg(2)(emitExpr(a, src.output, _))
           pn.str(3, a.name)
+        }
+      }
+    case r: org.apache.spark.sql.execution.RangeExec =>
+      w.msg(33) { gs => // GenerateSeriesNode (datafusion.proto:1646)
+        gs.msg(1) { schema =>
+          r.output.foreach { a =>
+            schema.msg(1) { fld =>
+              fld.str(1, a.name); fld.msg(2)(arrowType(a.dataType, _))
+              fld.bool(3, a.nullable)
+            }
+          }
+        }
+        gs.int64(2, 8192L) // the reference's default batch_size
+        gs.msg(4) { a => // GenerateSeriesArgsInt64 (:1621)
+          a.int64(1, r.start)
+          a.int64(2, r.end)
+          a.int64(3, r.step)
+          a.bool(4, false) // Spark range is end-EXCLUSIVE
+          a.int64(5, 1L) // GS_RANGE (:1614) — the exclusive-end spelling
+        }
+      }
+    case ex: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+      w.msg(14) { rn => // RepartitionExecNode (:1581): partitioning=5
+        rn.msg(1)(emitPlan(ex.child, _))
+        ex.outputPartitioning match {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+            rn.msg(5)(_.msg(2) { hp => // Partitioning.hash → PhysicalHashRepartition
+              h.expressions.foreach(e => hp.msg(1)(emitExpr(e, ex.child.output, _)))
+              hp.int64(2, h.numPartitions.toLong)
+            })
+          case p => // round-robin and the rest
+            rn.msg(5)(_.int64(1, p.numPartitions.toLong))
+        }
+      }
+    case c: org.apache.spark.sql.execution.CoalesceExec if c.numPartitions == 1 =>
+      w.msg(13)(m => m.msg(1)(emitPlan(c.child, _))) // CoalescePartitionsExecNode
+    case l: org.apache.spark.sql.execution.LocalTableScanExec if l.rows.isEmpty =>
+      w.msg(3) { en => // EmptyExecNode (:1403): schema only
+        en.msg(1) { schema =>
+          l.output.foreach { a =>
+            schema.msg(1) { fld =>
+              fld.str(1, a.name); fld.msg(2)(arrowType(a.dataType, _))
+              fld.bool(3, a.nullable)
+            }
+          }
         }
       }
     case other =>
@@ -483,7 +547,7 @@ object DataFusionProtoPhysical {
     require(fs.size == 1, s"dfproto physical: expected one variant, got ${fs.size}")
     val (field, PBytes(node)) = (fs.head._1, fs.head._2): @unchecked
     field match {
-      case 1 => // ParquetScanExecNode
+      case 1 | 2 | 31 | 17 => // Parquet/Csv/Json/Avro ScanExecNode
         val conf = sub(node, 1).getOrElse(throw new IllegalArgumentException(
           "dfproto physical: scan without base_conf"))
         val files = subs(conf, 1).flatMap(fg => subs(fg, 1))
@@ -493,13 +557,26 @@ object DataFusionProtoPhysical {
         val base = {
           val p = files.head
           val parent = p.substring(0, p.lastIndexOf('/'))
-          val leaf = if (p.endsWith(".parquet") && !parent.endsWith(".parquet"))
+          val leaf = if (p.matches(".*\\.\\w+$") && !parent.matches(".*\\.\\w+$"))
             p.substring(p.lastIndexOf('/') + 1) else parent.substring(parent.lastIndexOf('/') + 1)
           if (leaf.contains('.')) leaf.substring(0, leaf.lastIndexOf('.')) else leaf
         }
         val df = tableFor(base.toLowerCase).getOrElse {
           val parents = files.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
-          spark.read.parquet(parents: _*)
+          field match {
+            case 2 =>
+              var r = spark.read
+                .option("header", vint(node, 2).contains(1L).toString)
+                .option("inferSchema", "true")
+              sub(node, 3).map(strOf).filter(_.nonEmpty)
+                .foreach(d => r = r.option("sep", d))
+              sub(node, 4).map(strOf).filter(_.nonEmpty)
+                .foreach(q => r = r.option("quote", q))
+              r.csv(parents: _*)
+            case 31 => spark.read.json(parents: _*)
+            case 17 => spark.read.format("avro").load(parents: _*)
+            case _ => spark.read.parquet(parents: _*)
+          }
         }
         // apply the projection indices against the declared schema order
         val schemaNames = sub(conf, 2).toSeq.flatMap(s => subs(s, 1))
@@ -605,6 +682,41 @@ object DataFusionProtoPhysical {
         val input = consume(spark, sub(node, 1).get, tableFor)
         val winCols = subs(node, 2).map(we => consumeWindowExpr(we, input))
         input.select(col("*") +: winCols: _*)
+      case 33 => // GenerateSeriesNode (int64 args subset)
+        val a = sub(node, 4).getOrElse(throw new IllegalArgumentException(
+          "dfproto physical consume: GenerateSeriesNode without int64_args"))
+        val start = vint(a, 1).getOrElse(0L)
+        val end0 = vint(a, 2).getOrElse(0L)
+        val step = vint(a, 3).getOrElse(1L)
+        val inclusive = vint(a, 4).contains(1L)
+        val end = if (inclusive) end0 + (if (step >= 0) 1L else -1L) else end0
+        val name = sub(node, 1).toSeq.flatMap(s => subs(s, 1))
+          .flatMap(f => sub(f, 1)).map(strOf).headOption.getOrElse("id")
+        spark.range(start, end, step).toDF(name)
+      case 14 => // RepartitionExecNode: partitioning=5
+        val input = consume(spark, sub(node, 1).get, tableFor)
+        sub(node, 5) match {
+          case Some(p) =>
+            (vint(p, 1), sub(p, 2)) match {
+              case (Some(n), _) => input.repartition(n.toInt)
+              case (None, Some(h)) =>
+                val exprs = subs(h, 1).map(e => consumeExpr(e, input))
+                input.repartition(vint(h, 2).getOrElse(32L).toInt, exprs: _*)
+              case _ => input
+            }
+          case None => input
+        }
+      case 13 => // CoalescePartitionsExecNode → one partition
+        consume(spark, sub(node, 1).get, tableFor).coalesce(1)
+      case 3 => // EmptyExecNode: zero rows of the declared schema
+        val fields0 = sub(node, 1).toSeq.flatMap(s => subs(s, 1)).map { f =>
+          StructField(sub(f, 1).map(strOf).getOrElse("c"),
+            DataFusionProto.consumeType(sub(f, 2).get),
+            vint(f, 3).contains(1L))
+        }
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(fields0))
       case other => throw new IllegalArgumentException(
         s"dfproto physical consume: unsupported variant $other")
     }

@@ -130,6 +130,120 @@ object SltRunner {
     scala.util.Try(java.time.ZoneId.of(tz).getRules
       .getOffset(java.time.Instant.EPOCH).getId).getOrElse(tz)
 
+  /** Dictionary(K, V) is an ENCODING of V, semantically transparent —
+    * unwrap (recursively) to the value type. */
+  private def unwrapDictType(t: String): String = {
+    val T = t.trim
+    if (!T.toLowerCase.startsWith("dictionary")) T
+    else {
+      val open = T.indexOf('(')
+      val close = if (open >= 0) matchParen(T, open) else -1
+      if (open < 0 || close < 0) T
+      else {
+        val dinner = T.substring(open + 1, close)
+        var d = 0; var cut2 = -1; var k = 0
+        while (k < dinner.length && cut2 < 0) {
+          dinner(k) match {
+            case '(' => d += 1
+            case ')' => d -= 1
+            case ',' if d == 0 => cut2 = k
+            case _ =>
+          }
+          k += 1
+        }
+        if (cut2 > 0) unwrapDictType(dinner.substring(cut2 + 1)) else T
+      }
+    }
+  }
+
+  /** Arrow type text → Spark CAST target, recursing through the LAYOUT
+    * variants that are semantically transparent (SURVEY §1.2): LargeList/
+    * ListView/LargeListView/FixedSizeList are all ARRAY<T>,
+    * FixedSizeBinary is BINARY, Dictionary unwraps to its value type.
+    * None = no Spark spelling (the observable-encoding divergences —
+    * e.g. arrow_typeof over these — are folded separately). */
+  private[slt] def sparkCastType(t0: String): Option[String] = {
+    val t = unwrapDictType(t0.trim)
+    val ListRe = """(?is)^(?:Large)?List(?:View)?\s*\((.+)\)$""".r
+    val FslRe = """(?is)^FixedSizeList\s*\(\s*(\d+)\s*,\s*(.+)\)$""".r
+    val FsbRe = """(?is)^(?:Large)?FixedSizeBinary\s*\(\s*\d+\s*\)$""".r
+    val DecRe = """(?i)^Decimal(?:128|256)?\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$""".r
+    t match {
+      case ListRe(inner) => sparkCastType(inner).map(e => s"ARRAY<$e>")
+      case FslRe(_, inner) => sparkCastType(inner).map(e => s"ARRAY<$e>")
+      case FsbRe() => Some("BINARY")
+      case DecRe(p, sc) =>
+        val pc = math.min(p.toInt, 38)
+        Some(s"DECIMAL($pc, ${math.min(sc.toInt, math.min(pc, 37))})")
+      case other => arrowTypes.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(other) => v
+      }
+    }
+  }
+
+  /** Declared-encoding types whose arrow_typeof output IS the declared
+    * spelling: fold `arrow_typeof(arrow_cast(x, '<enc>'))` to the literal
+    * before the cast rewrite erases the encoding (the r10 Decimal256
+    * carrier-typing precedent extended to the layout encodings). */
+  private val FoldableEncodingRe =
+    """(?is)^\s*(LargeList|ListView|LargeListView|List|FixedSizeList|FixedSizeBinary|Utf8View|LargeUtf8|BinaryView|LargeBinary|Dictionary)\b.*""".r
+
+  private[slt] def foldTypeofOverEncodingCasts(sql: String): String = {
+    var s = sql
+    var from = 0
+    var guard = 0
+    while (guard < 100) {
+      guard += 1
+      val lower = s.toLowerCase
+      val i = lower.indexOf("arrow_typeof", from)
+      if (i < 0) return s
+      val okWord = i == 0 || !(s(i - 1).isLetterOrDigit || s(i - 1) == '_')
+      val open = i + "arrow_typeof".length
+      if (!okWord || open >= s.length || s(open) != '(') { from = i + 12 }
+      else {
+        val close = matchParen(s, open)
+        if (close < 0) return s
+        val inner = s.substring(open + 1, close).trim
+        val m = """(?is)^(arrow_cast|cast_to_type|try_cast_to_type)\s*\(""".r
+          .findFirstMatchIn(inner)
+        val folded = m.flatMap { mm =>
+          val cOpen = mm.end - 1
+          val cClose = matchParen(inner, cOpen)
+          if (cClose != inner.length - 1) None
+          else {
+            val args = inner.substring(cOpen + 1, cClose)
+            var d = 0; var cut = -1
+            for ((c, k) <- args.zipWithIndex) c match {
+              case '(' => d += 1
+              case ')' => d -= 1
+              case ',' if d == 0 => cut = k
+              case _ =>
+            }
+            if (cut < 0) None
+            else {
+              val tpe = args.substring(cut + 1).trim
+              if (tpe.startsWith("'") && tpe.endsWith("'") &&
+                  FoldableEncodingRe.findFirstIn(
+                    tpe.stripPrefix("'").stripSuffix("'")).isDefined)
+                Some(tpe)
+              else None
+            }
+          }
+        }
+        folded match {
+          case Some(lit0) =>
+            // arrow's Debug renders FixedSizeList(n, T) as "n x T"
+            val lit = lit0.replaceAll(
+              "(?i)(FixedSizeList\\s*\\(\\s*\\d+)\\s*,\\s*", "$1 x ")
+            s = s.substring(0, i) + lit + s.substring(close + 1)
+            from = i + lit.length
+          case None => from = i + 12
+        }
+      }
+    }
+    s
+  }
+
   private[slt] def translateArrowCast(sql: String): Option[String] = {
     // Timestamp(_, Some(tz)) casts translate via the session zone, so TWO
     // distinct zones in one statement have no faithful mapping (the
@@ -140,7 +254,7 @@ object SltRunner {
         .r.findAllMatchIn(sql).map(m => zoneKey(m.group(1))).toSeq.distinct
       if (zones.size > 1) return None
     }
-    var s = sql
+    var s = foldTypeofOverEncodingCasts(sql)
     var guard = 0
     def nextCall: Option[(String, Int)] =
       ArrowCastNames.flatMap { n =>
@@ -323,10 +437,18 @@ object SltRunner {
           s = s.substring(0, idx) + (
             if (litTooBig) s"$kw($expr AS DOUBLE)"
             else s"$kw($expr AS DECIMAL($pc, $scc))") + s.substring(close + 1)
-        case _ => arrowTypes.get(tpe) match {
+        case _ => arrowTypes.get(tpe).orElse(sparkCastType(tpe)) match {
           case Some(sparkT) =>
             val kw = if (fname == "try_cast_to_type") "TRY_CAST" else "CAST"
-            s = s.substring(0, idx) + s"$kw($expr AS $sparkT)" + s.substring(close + 1)
+            // the reference's scalar→list cast WRAPS the value in a
+            // one-element list (arrow_cast('1', 'List(Int64)') = [1]);
+            // recognizable for literal operands
+            val operand =
+              if (sparkT.startsWith("ARRAY<") &&
+                  expr.trim.matches("(?s)('([^']|'')*'|[-+]?[0-9]+(\\.[0-9]+)?)"))
+                s"array($expr)" // NULL stays NULL (a null list, not [NULL])
+              else expr
+            s = s.substring(0, idx) + s"$kw($operand AS $sparkT)" + s.substring(close + 1)
           case None => return None
         }
       }
@@ -4659,13 +4781,40 @@ object SltRunner {
     // canonical-text compare sees the reference's display form
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "make_time", { es =>
-        import org.apache.spark.sql.catalyst.expressions.{If, IsNull, Literal}
+        import org.apache.spark.sql.catalyst.expressions.{If, IsNull, Literal, Or}
         if (es.size != 3) throw new IllegalArgumentException(
           s"make_time(h, m, s) takes 3 arguments, got ${es.size}")
         val us = graft.functions.TimeFunctions.makeTime(es(0), es(1), es(2))
-        If(IsNull(us),
+        // reference semantics (make_time.rs): NULL inputs yield NULL, but
+        // OUT-OF-RANGE / unparseable components are an execution error
+        val anyNull = es.map(IsNull(_): org.apache.spark.sql.catalyst.expressions.Expression)
+          .reduceLeft(Or(_, _))
+        If(anyNull,
           Literal.create(null, org.apache.spark.sql.types.StringType),
-          graft.functions.TimeFunctions.timeFormat(us))
+          graft.functions.TimeFunctions.timeFormat(graft.functions.FailIfNull(
+            us, "make_time: invalid time component")))
+      }, "built-in")
+    // make_date: the reference errors on out-of-range/unparseable
+    // components at execution (make_date.rs); Spark's non-ANSI MakeDate
+    // nulls them — FailIfNull restores the reference's class (NULL inputs
+    // still yield NULL)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "make_date", { es =>
+        import org.apache.spark.sql.catalyst.expressions.{Cast, If, IsNull, Literal, MakeDate, Or}
+        import org.apache.spark.sql.types.IntegerType
+        if (es.size != 3) throw new IllegalArgumentException(
+          s"make_date(y, m, d) takes 3 arguments, got ${es.size}")
+        // evaluated only on the all-non-null branch of the If below, so a
+        // null out of the int cast means an UNPARSEABLE component → raise
+        val args = es.map(e => graft.functions.FailIfNull(
+          Cast(e, IntegerType), "make_date: invalid date component"))
+        val anyNull = es.map(IsNull(_): org.apache.spark.sql.catalyst.expressions.Expression)
+          .reduceLeft(Or(_, _))
+        If(anyNull,
+          Literal.create(null, org.apache.spark.sql.types.DateType),
+          graft.functions.FailIfNull(
+            MakeDate(args(0), args(1), args(2), failOnError = false),
+            "make_date: date out of range"))
       }, "built-in")
     // ns display shim: in the reference, to_timestamp_nanos (and every
     // naive Timestamp(ns) arrow_cast, which the translator routes here)
@@ -4796,21 +4945,45 @@ object SltRunner {
     // pattern as the MonthDayNano interval structs). union_extract yields
     // the variant field (NULL when another variant is selected, since
     // carriers null out unselected fields); union_tag reads the tag.
+    // error-class fidelity (r11): arity errors stay planning-class; a
+    // non-union operand, non-literal tag, or missing variant are the
+    // reference's EXECUTION class — planned as a deferred RaiseRuntime
+    def isUnionCarrier(e: Expression): Boolean =
+      e.resolved && (e.dataType match {
+        case st: org.apache.spark.sql.types.StructType => st.fieldNames.contains("tag")
+        case _ => false
+      })
+    def arrowNm(e: Expression): String =
+      if (e.resolved) graft.functions.ArrowTypeOf.arrowName(e.dataType) else "?"
     reg.createOrReplaceTempFunction("union_extract", es => {
       if (es.size != 2) org.apache.spark.sql.GraftSqlBridge.analysisError(
         s"The function 'union_extract' expected 2 arguments but received ${es.size}")
-      val name = es(1) match {
-        case Literal(s, StringType) if s != null => String.valueOf(s)
-        case _ => throw new IllegalArgumentException(
-          "union_extract second argument must be a non-null string literal")
+      if (es.head.resolved && !isUnionCarrier(es.head))
+        graft.functions.RaiseRuntime("union_extract first argument must " +
+          s"be a union, got ${arrowNm(es.head)} instead")
+      else es(1) match {
+        case Literal(s, StringType) if s != null =>
+          val name = String.valueOf(s)
+          es.head.dataType match {
+            case st: org.apache.spark.sql.types.StructType
+                if es.head.resolved && !st.fieldNames.contains("v_" + name) =>
+              graft.functions.RaiseRuntime(s"field $name not found on union")
+            case _ =>
+              org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+                es.head, Literal("v_" + name))
+          }
+        case other => graft.functions.RaiseRuntime(
+          "union_extract second argument must be a non-null string " +
+            s"literal, got ${arrowNm(other)} instead")
       }
-      org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
-        es.head, Literal("v_" + name))
     }, "built-in")
     reg.createOrReplaceTempFunction("union_tag", es => {
       if (es.size != 1) org.apache.spark.sql.GraftSqlBridge.analysisError(
         s"The function 'union_tag' expected 1 arguments but received ${es.size}")
-      org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+      if (es.head.resolved && !isUnionCarrier(es.head))
+        graft.functions.RaiseRuntime(
+          s"union_tag only support unions, got ${arrowNm(es.head)}")
+      else org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
         es.head, Literal("tag"))
     }, "built-in")
     reg.createOrReplaceTempFunction(

@@ -574,6 +574,72 @@ class DataFusionProtoSpec extends AnyFunSuite {
       src.collect().map(_.toSeq.toList).sortBy(_.toString).toSeq)
   }
 
+  test("physical wire: range (33), repartition (14), coalesce (13), empty (3)") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.DataFusionProtoPhysical
+    // GenerateSeriesNode: spark.range is the exclusive-end GS_RANGE form
+    val r = spark.range(5, 20, 3).toDF("n")
+    val rb = DataFusionProtoPhysical.emit(r)
+    assert(DataFusionProto.fields(rb).head._1 == 33, "GenerateSeriesNode(33)")
+    val args = DataFusionProto.fields(rb).collectFirst {
+      case (33, PBytes(v)) => v }.flatMap(n =>
+      DataFusionProto.fields(n).collectFirst { case (4, PBytes(a)) => a }).get
+    assert(DataFusionProto.fields(args).collectFirst {
+      case (1, PVarint(v)) => v }.contains(5L))
+    assert(DataFusionProto.fields(args).collectFirst {
+      case (5, PVarint(v)) => v }.contains(1L), "GS_RANGE name")
+    val rBack = DataFusionProtoPhysical.consume(spark, rb, _ => None)
+    assert(rBack.collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 8L, 11L, 14L, 17L))
+    // RepartitionExecNode: hash partitioning survives the wire
+    val rep = Tables.load(spark, sfDir, "nation").repartition(4, col("n_regionkey"))
+    val repB = DataFusionProtoPhysical.emit(rep)
+    assert(DataFusionProto.fields(repB).head._1 == 14, "RepartitionExecNode(14)")
+    val part = DataFusionProto.fields(repB).collectFirst {
+      case (14, PBytes(v)) => v }.flatMap(n =>
+      DataFusionProto.fields(n).collectFirst { case (5, PBytes(p)) => p }).get
+    assert(DataFusionProto.fields(part).head._1 == 2, "hash partitioning")
+    val repBack = DataFusionProtoPhysical.consume(spark, repB,
+      t => Some(Tables.load(spark, sfDir, t)))
+    assert(repBack.rdd.getNumPartitions == 4)
+    assert(repBack.count() == rep.count())
+    // CoalescePartitionsExecNode
+    val co = Tables.load(spark, sfDir, "region").coalesce(1)
+    val coB = DataFusionProtoPhysical.emit(co)
+    assert(DataFusionProto.fields(coB).head._1 == 13)
+    assert(DataFusionProtoPhysical.consume(spark, coB,
+      t => Some(Tables.load(spark, sfDir, t))).rdd.getNumPartitions == 1)
+    // EmptyExecNode: an empty local relation carries only its schema
+    import spark.implicits._
+    val empty = Seq.empty[(Int, String)].toDF("a", "b")
+    val eb = DataFusionProtoPhysical.emit(empty)
+    assert(DataFusionProto.fields(eb).head._1 == 3, "EmptyExecNode(3)")
+    val eBack = DataFusionProtoPhysical.consume(spark, eb, _ => None)
+    assert(eBack.columns.toSeq == Seq("a", "b") && eBack.count() == 0)
+  }
+
+  test("physical wire: CSV scan rides CsvScanExecNode(2) with header/delimiter") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.DataFusionProtoPhysical
+    val path = "/root/repo/src/test/resources/fixtures/aggregate_test_100.csv"
+    val src = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(path).select(col("c1"), col("c2")).filter(col("c2") > 2)
+    val bytes = DataFusionProtoPhysical.emit(src)
+    def findScan(b: Array[Byte]): Option[(Int, Array[Byte])] =
+      DataFusionProto.fields(b).headOption.flatMap {
+        case (f @ (1 | 2 | 31 | 17), PBytes(v)) => Some((f, v))
+        case (_, PBytes(node)) => DataFusionProto.fields(node).collectFirst {
+          case (1, PBytes(c)) => c }.flatMap(findScan)
+        case _ => None
+      }
+    val (variant, scanNode) = findScan(bytes).getOrElse(fail("no scan"))
+    assert(variant == 2, "CsvScanExecNode(2)")
+    assert(DataFusionProto.fields(scanNode).collectFirst {
+      case (2, PVarint(v)) => v }.contains(1L), "has_header")
+    val back = DataFusionProtoPhysical.consume(spark, bytes, _ => None)
+    assert(back.collect().map(_.toSeq).toSeq.sortBy(_.toString) ==
+      src.collect().map(_.toSeq).toSeq.sortBy(_.toString))
+  }
+
   test("UnnestNode (30): explode rides the in-place unnest + rename wire") {
     import org.apache.spark.sql.functions._
     val src = Tables.load(spark, sfDir, "embeddings")

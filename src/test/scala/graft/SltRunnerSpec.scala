@@ -308,7 +308,13 @@ class SltRunnerSpec extends AnyFunSuite {
   test("delete.slt")       { check("delete.slt", 4) }
   test("dml_delete.slt")   { check("dml_delete.slt", 25) }
   test("dml_update.slt")   { check("dml_update.slt", 38) }
-  test("binary.slt")       { check("binary.slt", 14) }
+  test("binary.slt")       {
+    // r11: FixedSizeBinary arrow_casts now map to the transparent BINARY
+    // carrier (fixtures unpoisoned); introspection of the COLUMN reports
+    // the carrier type — pinned like the other layout encodings
+    val fsb = "FixedSizeBinary layout rides the BINARY carrier (arrow_typeof reports Binary)"
+    check("binary.slt", 40, knownDivergent = Map(120 -> fsb, 361 -> fsb))
+  }
   test("type_coercion.slt") { check("type_coercion.slt", 15) }
   test("string_numeric_coercion.slt") {
     val mixedIn = "mixed string/number IN-list: reference coerces per element, Spark unifies the list type"
@@ -598,10 +604,19 @@ class SltRunnerSpec extends AnyFunSuite {
       "array_to_string.slt" -> "decimal element text: reference trims trailing .0 in joins",
       "cardinality.slt" -> "cardinality(NULL) nested: reference NULL, Spark legacy -1 via size",
       "array_literal.slt" -> "nested-list literal typing under arrow_typeof: reference Int64/Float64 elements, Spark Int32/Decimal")
+    // r11: the transparent-layout arrow_cast mapping (LargeList/ListView/
+    // FixedSizeList → ARRAY) unlocked these files wholesale; the per-line
+    // pins below are the layout-SPECIFIC semantics the carrier can't carry
+    val lineDivergent: Map[String, Map[Int, String]] = Map(
+      "array_append.slt" -> Map(
+        188 -> "arrow casts a NULL list to FixedSizeList(10) as ten NULL slots; the transparent ARRAY carrier keeps NULL"),
+      "make_array.slt" -> Map(
+        148 -> "nested LargeList layout + Int64 literal typing under arrow_typeof (the carrier reports List(List(Int32)))"))
     val dir = new java.io.File(s"$sltDir/array")
     var passed = 0; val bad = scala.collection.mutable.ListBuffer[String]()
     for (f <- dir.listFiles().filter(_.getName.endsWith(".slt")).sortBy(_.getName)) {
-      val r = SltRunner.runFile(spark.newSession(), f.getPath)
+      val r = SltRunner.runFile(spark.newSession(), f.getPath,
+        lineDivergent.getOrElse(f.getName, Map.empty))
       passed += r.passed
       if (r.failures.nonEmpty && !divergent.contains(f.getName))
         r.failures.foreach(x => bad += s"${f.getName} l${x.line}: ${x.detail.take(160)}")
@@ -691,8 +706,19 @@ class SltRunnerSpec extends AnyFunSuite {
         4301 -> "tz-to-tz comparison: the reference wall-shifts the literal into the column's zone (applies the target-zone offset to storage); Spark compares instants"))
   }
 
-  test("min_max/fixed_size_list.slt") { check("min_max/fixed_size_list.slt", 0) }
-  test("min_max/large_list.slt") { check("min_max/large_list.slt", 14) }
+  // r11: the FixedSizeList/LargeList arrow_casts now ride the transparent
+  // ARRAY carrier, unpoisoning both files wholesale; the same NULL-element
+  // comparison-rank pins as min_max/list.slt apply (same queries)
+  test("min_max/fixed_size_list.slt") {
+    val nulls = "MIN/MAX over array columns: NULL-element comparison rank differs between engines"
+    check("min_max/fixed_size_list.slt", 8, knownDivergent =
+      Seq(26, 34, 52, 61, 105, 116).map(_ -> nulls).toMap)
+  }
+  test("min_max/large_list.slt") {
+    val nulls = "MIN/MAX over array columns: NULL-element comparison rank differs between engines"
+    check("min_max/large_list.slt", 30, knownDivergent =
+      Seq(38, 44, 56, 62, 91, 99).map(_ -> nulls).toMap)
+  }
   test("min_max/list.slt") {
     val nulls = "MIN/MAX over array columns: NULL-element comparison rank differs between engines"
     check("min_max/list.slt", 35, knownDivergent =
