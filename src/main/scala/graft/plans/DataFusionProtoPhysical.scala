@@ -557,12 +557,16 @@ object DataFusionProtoPhysical {
         val base = {
           val p = files.head
           val parent = p.substring(0, p.lastIndexOf('/'))
-          val leaf = if (p.matches(".*\\.\\w+$") && !parent.matches(".*\\.\\w+$"))
+          // an extension starts with a LETTER ("orders.parquet", "t.csv");
+          // "sf0.001" is a data directory, not an extension
+          def hasExt(x: String) = x.matches(".*\\.[A-Za-z]\\w*$")
+          val leaf = if (hasExt(p) && !hasExt(parent))
             p.substring(p.lastIndexOf('/') + 1) else parent.substring(parent.lastIndexOf('/') + 1)
           if (leaf.contains('.')) leaf.substring(0, leaf.lastIndexOf('.')) else leaf
         }
         val df = tableFor(base.toLowerCase).getOrElse {
-          val parents = files.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+          // read the EXACT files the wire names — a parent-directory read
+          // would sweep in sibling files of other formats
           field match {
             case 2 =>
               var r = spark.read
@@ -572,10 +576,10 @@ object DataFusionProtoPhysical {
                 .foreach(d => r = r.option("sep", d))
               sub(node, 4).map(strOf).filter(_.nonEmpty)
                 .foreach(q => r = r.option("quote", q))
-              r.csv(parents: _*)
-            case 31 => spark.read.json(parents: _*)
-            case 17 => spark.read.format("avro").load(parents: _*)
-            case _ => spark.read.parquet(parents: _*)
+              r.csv(files: _*)
+            case 31 => spark.read.json(files: _*)
+            case 17 => spark.read.format("avro").load(files: _*)
+            case _ => spark.read.parquet(files: _*)
           }
         }
         // apply the projection indices against the declared schema order

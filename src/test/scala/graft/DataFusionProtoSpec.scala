@@ -578,7 +578,8 @@ class DataFusionProtoSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     import graft.plans.DataFusionProtoPhysical
     // GenerateSeriesNode: spark.range is the exclusive-end GS_RANGE form
-    val r = spark.range(5, 20, 3).toDF("n")
+    // (.toDF() only converts — a rename would add a ProjectionNode on top)
+    val r = spark.range(5, 20, 3).toDF()
     val rb = DataFusionProtoPhysical.emit(r)
     assert(DataFusionProto.fields(rb).head._1 == 33, "GenerateSeriesNode(33)")
     val args = DataFusionProto.fields(rb).collectFirst {
