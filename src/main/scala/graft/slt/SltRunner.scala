@@ -508,6 +508,160 @@ object SltRunner {
     Some(s)
   }
 
+  /** Minimal token spans (start, endExclusive, kind) — kind: 's' string
+    * literal, 'i' identifier (incl. back/double-quoted), 'n' number,
+    * 'p' single punctuation char. Whitespace skipped. */
+  private def tokenSpans(s: String): IndexedSeq[(Int, Int, Char)] = {
+    val out = Vector.newBuilder[(Int, Int, Char)]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'') {
+        var j = i + 1; var closed = false
+        while (j < n && !closed) {
+          if (s(j) == '\'') {
+            if (j + 1 < n && s(j + 1) == '\'') j += 2 else { closed = true; j += 1 }
+          } else j += 1
+        }
+        out += ((i, j, 's')); i = j
+      } else if (c == '"' || c == '`') {
+        var j = i + 1
+        while (j < n && s(j) != c) j += 1
+        out += ((i, math.min(j + 1, n), 'i')); i = j + 1
+      } else if (c.isLetter || c == '_') {
+        var j = i
+        while (j < n && (s(j).isLetterOrDigit || s(j) == '_')) j += 1
+        out += ((i, j, 'i')); i = j
+      } else if (c.isDigit) {
+        var j = i
+        while (j < n && (s(j).isLetterOrDigit || s(j) == '.')) j += 1
+        out += ((i, j, 'n')); i = j
+      } else { out += ((i, i + 1, 'p')); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Postgres array quantifiers the reference supports
+    * (array_has.slt/array_all.slt): `lhs <op> ANY(arr)` → Spark
+    * `exists(arr, e -> lhs <op> e)` and `lhs <op> ALL(arr)` →
+    * `forall(...)` — identical three-valued semantics (empty: ANY false /
+    * ALL true; no-match-with-NULLs: NULL). Subquery forms (ANY(SELECT…))
+    * are Spark-native and left alone. */
+  private[slt] def rewriteArrayQuantifiers(sql: String): String = {
+    if ("(?i)\\b(any|all)\\s*\\(".r.findFirstIn(sql).isEmpty) return sql
+    var s = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 60) {
+      guard += 1; changed = false
+      val toks = tokenSpans(s)
+      var k = 0
+      while (k < toks.length && !changed) {
+        val (ts, te, kind) = toks(k)
+        val word = s.substring(ts, te).toLowerCase
+        if (kind == 'i' && (word == "any" || word == "all") &&
+            k + 1 < toks.length && toks(k + 1)._3 == 'p' &&
+            s(toks(k + 1)._1) == '(') {
+          // balanced close via token scan
+          var depth = 0; var j = k + 1; var closeTok = -1
+          while (j < toks.length && closeTok < 0) {
+            if (toks(j)._3 == 'p') s(toks(j)._1) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) closeTok = j
+              case _ =>
+            }
+            j += 1
+          }
+          val innerHead = if (closeTok > k + 2) {
+            val (hs, he, hk) = toks(k + 2)
+            if (hk == 'i') s.substring(hs, he).toLowerCase else ""
+          } else ""
+          if (closeTok > 0 && innerHead != "select" && innerHead != "with" &&
+              k >= 2 && toks(k - 1)._3 == 'p' &&
+              "=<>!".contains(s(toks(k - 1)._1))) {
+            // operator run directly before the keyword (adjacent puncts)
+            var opStart = k - 1
+            while (opStart - 1 >= 0 && toks(opStart - 1)._3 == 'p' &&
+              "=<>!".contains(s(toks(opStart - 1)._1)) &&
+              toks(opStart - 1)._2 == toks(opStart)._1) opStart -= 1
+            val op = s.substring(toks(opStart)._1, toks(k - 1)._2)
+            if (Set("=", "<", ">", "<=", ">=", "<>", "!=")(op)) {
+              // backward primary-expression scan for the LHS
+              var lhsTok = opStart - 1
+              if (lhsTok >= 0) {
+                def openerOf(closeIdx: Int): Int = {
+                  val closeCh = s(toks(closeIdx)._1)
+                  val openCh = if (closeCh == ')') '(' else '['
+                  var d = 0; var r = closeIdx
+                  while (r >= 0) {
+                    if (toks(r)._3 == 'p') {
+                      if (s(toks(r)._1) == closeCh) d += 1
+                      else if (s(toks(r)._1) == openCh) {
+                        d -= 1; if (d == 0) return r
+                      }
+                    }
+                    r -= 1
+                  }
+                  -1
+                }
+                var start = lhsTok
+                var continueScan = true
+                while (continueScan) {
+                  continueScan = false
+                  val t = toks(start)
+                  if (t._3 == 'p' && (s(t._1) == ')' || s(t._1) == ']')) {
+                    val o = openerOf(start)
+                    if (o < 0) { start = -1 }
+                    else {
+                      start = o
+                      // a call/subscript base directly before the opener
+                      if (start - 1 >= 0 && (toks(start - 1)._3 == 'i' ||
+                          toks(start - 1)._3 == 's')) {
+                        start -= 1; continueScan = false
+                      }
+                    }
+                  }
+                  // identifier chains a.b / x::t extend leftwards
+                  if (start > 1 && (toks(start)._3 == 'i' || toks(start)._3 == 'n') &&
+                      toks(start - 1)._3 == 'p' && s(toks(start - 1)._1) == '.' &&
+                      toks(start - 2)._3 == 'i') {
+                    start -= 2; continueScan = true
+                  } else if (start > 2 && toks(start)._3 == 'i' &&
+                      toks(start - 1)._3 == 'p' && s(toks(start - 1)._1) == ':' &&
+                      toks(start - 2)._3 == 'p' && s(toks(start - 2)._1) == ':') {
+                    start -= 3; continueScan = true
+                  }
+                }
+                if (start >= 0) {
+                  val lhs = s.substring(toks(start)._1, toks(lhsTok)._2)
+                  val inner = s.substring(toks(k + 1)._2, toks(closeTok)._1)
+                  // the reference's ANY ignores NULL ELEMENTS (5 > ANY([6,
+                  // NULL]) = false, array_has.slt:760) but a NULL LHS is
+                  // still NULL (:838) — null-safe <=> TRUE per element
+                  // under a NULL-lhs guard; ALL keeps Spark's forall
+                  // (array_all.slt's expectations are three-valued)
+                  val replacement =
+                    if (word == "any")
+                      s"(CASE WHEN size($inner) = 0 THEN false " +
+                        s"WHEN ($lhs) IS NULL THEN CAST(NULL AS BOOLEAN) " +
+                        s"ELSE exists($inner, __qa -> (($lhs) $op __qa) <=> true) END)"
+                    else s"forall($inner, __qa -> ($lhs) $op __qa)"
+                  s = s.substring(0, toks(start)._1) + replacement +
+                    s.substring(toks(closeTok)._2)
+                  changed = true
+                }
+              }
+            }
+          }
+        }
+        k += 1
+      }
+    }
+    s
+  }
+
   /** Keywords a `[` may directly follow while still opening a list
     * LITERAL (subscripts only follow value-producing tokens). */
   private val BracketLiteralKeywords = Set("SELECT", "WHERE", "WHEN",
@@ -2720,7 +2874,8 @@ object SltRunner {
       pre0a0.replaceAll("(?i)(?<![\\w.])-0\\.0\\s*::\\s*(double|float|real)\\b",
         "CAST('-0.0' AS $1)")
     }
-    val pre1a = WhenNullRe.replaceAllIn(translateBrackets(pre0a),
+    val pre1a = WhenNullRe.replaceAllIn(
+      rewriteArrayQuantifiers(translateBrackets(pre0a)),
       "WHEN CAST(NULL AS BOOLEAN) THEN")
     val pre1 = WhereNullRe.replaceAllIn(pre1a, "WHERE CAST(NULL AS BOOLEAN)")
       .replaceAll("(?is)FILTER\\s*\\(\\s*WHERE\\s+NULL\\s*\\)",
