@@ -927,7 +927,10 @@ object SltRunner {
     // in-paren IGNORE NULLS (`array_agg(DISTINCT x IGNORE NULLS)`) is the
     // same semantics as the suffix spelling — normalize to the suffix,
     // which the pre1b chain strips (Spark's collect_list drops nulls)
-    var s = """(?is)\b(array_agg\s*\(\s*(?:DISTINCT\s+)?)(.+?)\s+IGNORE\s+NULLS\s*\)""".r
+    // the operand must stay WITHIN the call's own parens — a dot-matching
+    // group would swallow the close paren and hoist IGNORE NULLS out of an
+    // ENCLOSING call (array_length(array_agg(x) ignore nulls) broke)
+    var s = """(?is)\b(array_agg\s*\(\s*(?:DISTINCT\s+)?)([^()]+?)\s+IGNORE\s+NULLS\s*\)""".r
       .replaceAllIn(sql, mm => java.util.regex.Matcher.quoteReplacement(
         s"${mm.group(1)}${mm.group(2)}) IGNORE NULLS"))
     var from = 0
@@ -2427,6 +2430,10 @@ object SltRunner {
     false
   }
 
+  /** Probe-only: the translate pipeline with default null ordering. */
+  def translateForProbe(sql: String): Option[String] =
+    translate(sql, "nulls_max")
+
   private[slt] def translate(sqlRaw: String,
       nullOrdering: String = "nulls_max"): Option[String] = {
     val pre0raw = stripComments(sqlRaw).trim.replaceAll(";+\\s*$", "")
@@ -3013,7 +3020,9 @@ object SltRunner {
             .replaceAll("(?i)\\bBYTEA\\b", "BINARY")
             .replaceAll("(?i)\\bBOOL\\b(?!EAN)", "BOOLEAN")
             .replaceAll("(?i)\\breal\\b", "FLOAT")
-            .replaceAll("(?i)\\bTEXT\\b", "STRING")
+            // TYPE position only (identifier + space before): a COLUMN
+            // NAMED text must keep its name (array_transform.slt's t.text)
+            .replaceAll("(?i)\\b(\\w+\\s+)TEXT\\b", "$1STRING")
             // 0x… hex byte-string literals (bytea VALUES in group_by.slt)
             // → Spark's x'…', zero-padded to whole bytes
             .replaceAll("(?i)\\b0x([0-9a-f]+)\\b", "x'0$1'")
@@ -4922,6 +4931,19 @@ object SltRunner {
   private def registerCompat(spark: SparkSession): Unit = {
     graft.functions.GraftMath.register(spark)
     graft.functions.TimeFunctions.register(spark)
+    // Rust f64 Display (the reference renders array-joined floats through
+    // it): shortest round-trip digits, plain notation at any magnitude,
+    // integral values without the trailing .0, inf/-inf/NaN spellings
+    spark.udf.register("graft_f64_text", (d: java.lang.Double) =>
+      if (d == null) null
+      else if (d.isNaN) "NaN"
+      else if (d == Double.PositiveInfinity) "inf"
+      else if (d == Double.NegativeInfinity) "-inf"
+      else {
+        val s = new java.math.BigDecimal(d.toString)
+          .stripTrailingZeros.toPlainString
+        if (s == "-0") "0" else s
+      })
     // arrow_typeof (r9): resolved-type introspection in arrow's short
     // Debug form — graft.functions.ArrowTypeOf
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -5692,10 +5714,261 @@ object SltRunner {
             new ParseToDate(es.head, Literal("yyyyMMdd")),
             Literal.create(null, org.apache.spark.sql.types.DateType))))
     }, "built-in")
+    // ---- the reference's array-function surface the r11 sweep found
+    // unregistered (functions-nested crate; each maps to Spark kernels
+    // with the reference's own NULL semantics) ----
+    def lam2(body: (Expression, Expression) => Expression): Expression = {
+      val x = UnresolvedNamedLambdaVariable(Seq("x2"))
+      val i = UnresolvedNamedLambdaVariable(Seq("i2"))
+      LambdaFunction(body(x, i), Seq(x, i))
+    }
+    def nullBool = Literal.create(null, org.apache.spark.sql.types.BooleanType)
+    def orFalse(e: Expression) = Coalesce(Seq(e, Literal(false)))
+    def sz(a: Expression) = Size(a, legacySizeOfNull = false) // NULL → NULL, not -1
+    def longCast(e: Expression) = Cast(e, org.apache.spark.sql.types.LongType)
+    def intCast(e: Expression) = Cast(e, org.apache.spark.sql.types.IntegerType)
+    def arrayDepth(e: Expression): Int = {
+      import org.apache.spark.sql.types.ArrayType
+      def d(t: org.apache.spark.sql.types.DataType): Int = t match {
+        case ArrayType(inner, _) => 1 + d(inner)
+        case _ => 0
+      }
+      try d(e.dataType) catch { case _: Exception => 1 }
+    }
+    def one2(names: Seq[String])(build: Seq[Expression] => Expression): Unit =
+      names.foreach(n => reg.createOrReplaceTempFunction(n, build, "built-in"))
+    // array_has: NULL needle/array → NULL; absent → false even when the
+    // list has NULL elements (array_has.slt:22-40)
+    one2(Seq("array_has", "list_has", "array_contains", "list_contains")) { es =>
+      If(Or(IsNull(es(0)), IsNull(es(1))), nullBool,
+        orFalse(ArrayContains(es(0), es(1))))
+    }
+    // array_has_all: every needle element present; empty needle → true
+    one2(Seq("array_has_all", "list_has_all")) { es =>
+      If(Or(IsNull(es(0)), IsNull(es(1))), nullBool,
+        ArrayForAll(es(1), lam(x => orFalse(ArrayContains(es(0), x)))))
+    }
+    // array_concat SKIPS null list arguments (all-null → NULL)
+    one2(Seq("array_concat", "list_concat", "list_cat", "array_cat")) { es =>
+      val joined = Flatten(ArrayFilter(CreateArray(es), lam(IsNotNull(_))))
+      CaseWhen(Seq((Or(es.map(IsNotNull(_): Expression).reduceLeft(Or(_, _)),
+        Literal(false)), joined)), None)
+    }
+    // array_to_string flattens nested lists, skips NULLs (or renders them
+    // as the 3-arg null_string; a NULL null_string behaves like 2-arg).
+    // Element text follows the reference's Arrow renderings: f64 via Rust
+    // Display (registered graft_f64_text), timestamps ISO-'T'.
+    one2(Seq("array_to_string", "list_to_string", "array_join", "list_join")) { es =>
+      import org.apache.spark.sql.types._
+      val flat = (1 until arrayDepth(es.head)).foldLeft(es.head)((e, _) => Flatten(e))
+      val elemT = try flat.dataType match {
+        case ArrayType(t, _) => t
+        case _ => NullType
+      } catch { case _: Exception => NullType }
+      // literal-built decimal arrays are the reference's Float64 (bare
+      // fractional literals); EXPLICIT decimal casts keep their scale text
+      val literalBuilt = es.head.isInstanceOf[CreateArray]
+      val prepared = elemT match {
+        case _: DecimalType if !literalBuilt => flat
+        case DoubleType | FloatType | _: DecimalType =>
+          ArrayTransform(flat, lam(x =>
+            org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+              Seq("graft_f64_text"), Seq(Cast(x, DoubleType)), isDistinct = false)))
+        case TimestampType | TimestampNTZType =>
+          ArrayTransform(flat, lam(x =>
+            StringReplace(Cast(x, StringType), Literal(" "), Literal("T"))))
+        case _ => flat
+      }
+      if (es.size >= 3)
+        If(IsNull(es(2)), ArrayJoin(prepared, es(1), None),
+          ArrayJoin(prepared, es(1), Some(Cast(es(2), StringType))))
+      else ArrayJoin(prepared, es(1), None)
+    }
+    // array_element: 1-based, 0 and out-of-range → NULL, negative from end
+    one2(Seq("array_element", "list_element", "array_extract", "list_extract")) { es =>
+      val idx = intCast(es(1))
+      If(Or(IsNull(idx), EqualTo(idx, Literal(0))),
+        CaseWhen(Seq((Literal(false), new ElementAt(es(0), Literal(1)))), None),
+        new ElementAt(es(0), idx, None, failOnError = false))
+    }
+    one2(Seq("array_length", "list_length")) { es =>
+      // length along a (possibly RUNTIME) dimension: a CASE over the
+      // statically-known nesting depth — each level measures the first
+      // element; a dim beyond the depth (or NULL) is NULL
+      def lenAt(k: Int) = {
+        val target = (1 until k).foldLeft(es.head)((e, _) =>
+          new ElementAt(e, Literal(1), None, failOnError = false))
+        longCast(sz(target))
+      }
+      if (es.size < 2) If(IsNull(es.head), nullLong, lenAt(1))
+      else {
+        val dim = intCast(es(1))
+        CaseWhen((1 to arrayDepth(es.head)).map(k =>
+          (EqualTo(dim, Literal(k)): Expression, lenAt(k): Expression)), None)
+      }
+    }
+    one2(Seq("array_pop_back", "list_pop_back"))(es =>
+      new Slice(es.head, Literal(1),
+        If(GreaterThan(sz(es.head), Literal(0)),
+          Subtract(sz(es.head), Literal(1)), Literal(0))))
+    one2(Seq("array_pop_front", "list_pop_front"))(es =>
+      new Slice(es.head, Literal(2),
+        If(GreaterThan(sz(es.head), Literal(0)),
+          Subtract(sz(es.head), Literal(1)), Literal(0))))
+    one2(Seq("array_transform", "list_transform"))(es =>
+      ArrayTransform(es(0), es(1)))
+    one2(Seq("array_filter", "list_filter"))(es => ArrayFilter(es(0), es(1)))
+    one2(Seq("array_any_match", "list_any_match"))(es =>
+      ArrayExists(es(0), es(1)))
+    one2(Seq("array_all_match", "list_all_match"))(es =>
+      ArrayForAll(es(0), es(1)))
+    one2(Seq("empty", "array_empty", "list_empty"))(es =>
+      If(IsNull(es.head), nullBool, EqualTo(sz(es.head), Literal(0))))
+    one2(Seq("array_ndims", "list_ndims")) { es =>
+      If(IsNull(es.head), nullLong, longCast(Literal(arrayDepth(es.head))))
+    }
+    one2(Seq("array_dims", "list_dims")) { es =>
+      // dimensions along the first element at each nesting level; an
+      // EMPTY top-level array has no dimensions (reference → NULL)
+      val dims = (0 until arrayDepth(es.head)).map { lvl =>
+        val t = (0 until lvl).foldLeft(es.head)((e, _) =>
+          new ElementAt(e, Literal(1), None, failOnError = false))
+        longCast(sz(t))
+      }
+      CaseWhen(Seq((And(IsNotNull(es.head),
+        GreaterThan(sz(es.head), Literal(0))), CreateArray(dims))), None)
+    }
+    // string_to_array(s, delim[, null_str]): '' input → empty array,
+    // ''/NULL delimiter → the whole string as one element; the delimiter
+    // is regex-escaped at RUNTIME so column delimiters work
+    one2(Seq("string_to_array", "string_to_list")) { es =>
+      val input = Cast(es.head, StringType)
+      val delimS = Cast(es(1), StringType)
+      val quoted = RegExpReplace(delimS,
+        Literal("([^a-zA-Z0-9])"), Literal("\\\\$1"), Literal(1))
+      val emptyArr = new Slice(CreateArray(Seq(input)), Literal(1), Literal(0))
+      val base = If(EqualTo(input, Literal("")), emptyArr,
+        If(IsNull(delimS),
+          StringSplit(input, Literal("(?!^)(?!$)"), Literal(-1)), // per character
+          If(EqualTo(delimS, Literal("")),
+            CreateArray(Seq(input)), // '' delimiter → whole string
+            StringSplit(input, quoted, Literal(-1)))))
+      val withNull =
+        if (es.size >= 3)
+          ArrayTransform(base, lam(x =>
+            If(EqualTo(x, Cast(es(2), StringType)),
+              Literal.create(null, StringType), x)))
+        else base
+      If(IsNull(input),
+        CaseWhen(Seq((Literal(false), withNull)), None), withNull)
+    }
+    // array_remove_all / array_remove_n (array_remove = first occurrence
+    // is registered above); NULL needle → NULL like array_remove
+    one2(Seq("array_remove_all", "list_remove_all")) { es =>
+      val out = ArrayFilter(es(0), lam(x => Not(EqualNullSafe(x, es(1)))))
+      CaseWhen(Seq((IsNotNull(es(1)), out)), None)
+    }
+    one2(Seq("array_remove_n", "list_remove_n")) { es =>
+      val (a, v, n) = (es(0), es(1), es(2))
+      def matchesUpTo(i: Expression) = sz(ArrayFilter(
+        new Slice(a, Literal(1), Add(intCast(i), Literal(1))),
+        lam(y => EqualNullSafe(y, v))))
+      val out = ArrayFilter(a, lam2((x, i) =>
+        Not(And(EqualNullSafe(x, v),
+          LessThanOrEqual(matchesUpTo(i), intCast(n))))))
+      // NULL needle OR NULL count → NULL (reference)
+      CaseWhen(Seq((And(IsNotNull(v), IsNotNull(n)), out)), None)
+    }
+    one2(Seq("array_replace_all", "list_replace_all"))(es =>
+      ArrayTransform(es(0), lam(x => If(EqualNullSafe(x, es(1)), es(2), x))))
+    one2(Seq("array_replace", "list_replace")) { es =>
+      val (a, f, t) = (es(0), es(1), es(2))
+      val pos = intCast(positionOf(a, f))
+      If(IsNull(pos), a,
+        Concat(Seq(new Slice(a, Literal(1), Subtract(pos, Literal(1))),
+          CreateArray(Seq(t)),
+          new Slice(a, Add(pos, Literal(1)), sz(a)))))
+    }
+    one2(Seq("array_replace_n", "list_replace_n")) { es =>
+      val (a, f, t, n) = (es(0), es(1), es(2), es(3))
+      def matchesUpTo(i: Expression) = sz(ArrayFilter(
+        new Slice(a, Literal(1), Add(intCast(i), Literal(1))),
+        lam(y => EqualNullSafe(y, f))))
+      val out = ArrayTransform(a, lam2((x, i) =>
+        If(And(EqualNullSafe(x, f),
+          LessThanOrEqual(matchesUpTo(i), intCast(n))), t, x)))
+      // NULL count → NULL; a NULL NEEDLE is legitimate (replaces NULL
+      // elements — array_replace.slt:748)
+      CaseWhen(Seq((IsNotNull(n), out)), None)
+    }
+    // array_positions: every 1-based position of the needle (NULL-safe —
+    // a NULL needle finds NULL elements; no match is [], not NULL)
+    one2(Seq("array_positions", "list_positions")) { es =>
+      val marked = ArrayTransform(es(0), lam2((x, i) =>
+        If(EqualNullSafe(x, es(1)), longCast(Add(i, Literal(1))), nullLong)))
+      ArrayFilter(marked, lam(p => IsNotNull(p)))
+    }
+    // array_resize(a, n[, fill]): truncate or extend with fill
+    one2(Seq("array_resize", "list_resize")) { es =>
+      val (a, n) = (es(0), intCast(es(1)))
+      val fill = if (es.size >= 3) es(2)
+        else Literal.create(null, org.apache.spark.sql.types.NullType)
+      If(LessThanOrEqual(n, sz(a)),
+        new Slice(a, Literal(1), greatestZero(n)),
+        Concat(Seq(a, ArrayRepeat(fill, Subtract(n, sz(a))))))
+    }
+    // array_slice(a, from, to[, stride]): 1-based INCLUSIVE bounds,
+    // negative indexes from the end, clamped; stride may be negative
+    // (array_slice.rs). Built over sequence + element_at.
+    one2(Seq("array_slice", "list_slice")) { es =>
+      val a = es(0)
+      def norm(e: Expression) = {
+        val i = intCast(e)
+        If(LessThan(i, Literal(0)), Add(Add(sz(a), i), Literal(1)), i)
+      }
+      // a present-but-NULL stride yields NULL (array_slice.slt:48); only
+      // the 3-arg form defaults it to 1
+      val stride = if (es.size >= 4) intCast(es(3)) else Literal(1)
+      val from0 = norm(es(1))
+      val to0 = norm(es(2))
+      val fromAsc = greatestOne(from0)
+      val toAsc = leastOf(to0, sz(a))
+      val fromDesc = leastOf(from0, sz(a))
+      val toDesc = greatestOne(to0)
+      val asc = ArrayTransform(
+        new Sequence(fromAsc, toAsc, Some(stride),
+          Option(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)),
+        lam(i => new ElementAt(a, i, None, failOnError = false)))
+      val desc = ArrayTransform(
+        new Sequence(fromDesc, toDesc, Some(stride),
+          Option(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)),
+        lam(i => new ElementAt(a, i, None, failOnError = false)))
+      val emptyArr = new Slice(a, Literal(1), Literal(0))
+      If(Or(Or(IsNull(a), IsNull(stride)), Or(IsNull(from0), IsNull(to0))),
+        CaseWhen(Seq((Literal(false), asc)), None),
+        If(GreaterThan(stride, Literal(0)),
+          If(GreaterThan(fromAsc, toAsc), emptyArr, asc),
+          If(LessThan(fromDesc, toDesc), emptyArr, desc)))
+    }
     // reference string literals are standard SQL (no backslash escapes);
     // translate() doubles raw backslashes inside literals instead of the
     // legacy escapedStringLiterals conf, which breaks doubled-'' quotes
   }
+
+  private def greatestOne(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.catalyst.expressions.If(
+      org.apache.spark.sql.catalyst.expressions.LessThan(e,
+        org.apache.spark.sql.catalyst.expressions.Literal(1)),
+      org.apache.spark.sql.catalyst.expressions.Literal(1), e)
+  private def greatestZero(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.catalyst.expressions.If(
+      org.apache.spark.sql.catalyst.expressions.LessThan(e,
+        org.apache.spark.sql.catalyst.expressions.Literal(0)),
+      org.apache.spark.sql.catalyst.expressions.Literal(0), e)
+  private def leastOf(a: org.apache.spark.sql.catalyst.expressions.Expression,
+      b: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.catalyst.expressions.If(
+      org.apache.spark.sql.catalyst.expressions.LessThan(a, b), a, b)
 
   /** INSERT INTO a name our CREATE translation registered as a TEMP VIEW:
     * emulated at the Dataset level — the union plan CAPTURES the prior

@@ -611,7 +611,21 @@ class SltRunnerSpec extends AnyFunSuite {
       "array_append.slt" -> Map(
         188 -> "arrow casts a NULL list to FixedSizeList(10) as ten NULL slots; the transparent ARRAY carrier keeps NULL"),
       "make_array.slt" -> Map(
-        148 -> "nested LargeList layout + Int64 literal typing under arrow_typeof (the carrier reports List(List(Int32)))"))
+        148 -> "nested LargeList layout + Int64 literal typing under arrow_typeof (the carrier reports List(List(Int32)))"),
+      "array_concat.slt" -> {
+        val c = "concat result typing under arrow_typeof: Utf8View/LargeList carriers report Utf8/List"
+        Map(117 -> c, 125 -> c, 133 -> c, 141 -> c, 149 -> c)
+      },
+      "array_transform.slt" -> {
+        val dq = "double-quoted \"a\" inside a lambda: identifier in Spark, resolves as a string in the reference"
+        Map(49 -> dq, 55 -> dq)
+      },
+      "array_to_string.slt" -> Map(
+        86 -> "Utf8View literal typing under arrow_typeof (carrier reports Utf8)",
+        205 -> "a NULL INNER list under null_string: reference renders it as one null slot; Spark's flatten nulls the row",
+        354 -> "TIME-of-day carrier (epoch-anchored timestamp) inside array_to_string renders the carrier text",
+        359 -> "TIME-of-day carrier (epoch-anchored timestamp) inside array_to_string renders the carrier text",
+        371 -> "Duration ns carrier (BIGINT) inside array_to_string renders the count, not ISO-8601"))
     val dir = new java.io.File(s"$sltDir/array")
     var passed = 0; val bad = scala.collection.mutable.ListBuffer[String]()
     for (f <- dir.listFiles().filter(_.getName.endsWith(".slt")).sortBy(_.getName)) {
