@@ -57,7 +57,8 @@ case class ArrowTypeOf(child: Expression)
   * types as Int64 before the constructor runs); metadata carries the
   * attribute's field metadata as a string map. */
 case class ArrowField(child: Expression,
-    hint: Option[(String, Boolean, Metadata)] = None)
+    hint: Option[(String, Boolean, Metadata)] = None,
+    throughCasts: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrowField.structType
@@ -87,8 +88,20 @@ case class ArrowField(child: Expression,
     * the moment resolution hands us the resolved attribute. */
   override protected def withNewChildInternal(newChild: Expression): ArrowField = {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
-    val h = hint.orElse(newChild match {
+    // arrow_metadata mode (throughCasts): the reference's planner keeps
+    // field identity through casts, aggregates (min_by/first/last/nth) and
+    // window functions (lead/lag/first_value) — descend to the FIRST
+    // column reference, which is the function's value argument in all of
+    // those shapes
+    def strip(e: Expression): Expression = e match {
+      case c: Cast if throughCasts => strip(c.child)
+      case x => x
+    }
+    val h = hint.orElse(strip(newChild) match {
       case a: AttributeReference => Some((a.name, a.nullable, a.metadata))
+      case other if throughCasts =>
+        other.collectFirst { case a: AttributeReference => a }
+          .map(a => (a.name, a.nullable, a.metadata))
       case _ => None
     })
     copy(child = newChild, hint = h)

@@ -130,6 +130,10 @@ object SqlUnparser {
                    else values.mkString("(", ", ", ")")
         RawSql(s"$vtxt IN (${render(in.query.plan, subCtx).sql})", in.dataType)
       case s: SubqueryExpression => unsupported(s"subquery ${s.getClass.getSimpleName}")
+      // a Scala UDF closure has no SQL spelling — Expression.sql would
+      // emit "UDF(...)", which cannot re-parse (q12's bitmap probe)
+      case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF =>
+        unsupported(s"Scala UDF ${u.udfName.getOrElse("(anonymous)")}")
       // PIVOT analyzes into the internal PivotFirst aggregate, which has
       // no SQL spelling — fail loudly rather than emit "pivotfirst(...)"
       case p: org.apache.spark.sql.catalyst.expressions.aggregate.PivotFirst =>

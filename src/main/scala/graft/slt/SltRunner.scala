@@ -5714,6 +5714,24 @@ object SltRunner {
             new ParseToDate(es.head, Literal("yyyyMMdd")),
             Literal.create(null, org.apache.spark.sql.types.DateType))))
     }, "built-in")
+    // arrow_metadata(expr[, key]) (functions/src/core/arrow_metadata.rs):
+    // the source FIELD's metadata, surviving casts (the reference's
+    // planner keeps field identity through them) — ArrowField's snapshot
+    // in cast-descending mode, then the metadata map / one key of it
+    reg.createOrReplaceTempFunction("arrow_metadata", { es =>
+      // children are usually RESOLVED before function lookup — snapshot
+      // the field identity here (withNewChildInternal only fires when a
+      // later rule still rewrites the child)
+      val hint = es.head.collectFirst {
+        case a: AttributeReference => (a.name, a.nullable, a.metadata)
+      }
+      val af = graft.functions.ArrowField(es.head, hint, throughCasts = true)
+      val meta = org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+        af, Literal("metadata"))
+      if (es.size >= 2)
+        new ElementAt(meta, Cast(es(1), StringType), None, failOnError = false)
+      else meta
+    }, "built-in")
     // ---- the reference's array-function surface the r11 sweep found
     // unregistered (functions-nested crate; each maps to Spark kernels
     // with the reference's own NULL semantics) ----
@@ -6188,8 +6206,10 @@ object SltRunner {
           if (where == null) old.limit(0)
           else old.where(!org.apache.spark.sql.functions
             .coalesce(expr(where), org.apache.spark.sql.functions.lit(false)))
+        // the reference surfaces the DELETEd row count as a result set
+        val n = old.count() - kept.count()
         kept.createOrReplaceTempView(name)
-        Some(spark.emptyDataFrame)
+        Some(spark.sql(s"SELECT CAST($n AS BIGINT) AS count"))
       case UpdateRe(name, setList, where) if exists(name) =>
         val old = spark.table(name)
         val assigns: Map[String, String] = splitTopLevel(setList).map(_.trim).map { a =>
@@ -6209,8 +6229,10 @@ object SltRunner {
             case None => org.apache.spark.sql.functions.col(s"`${f.name}`").as(f.name)
           }
         }
+        // the reference surfaces the UPDATEd row count as a result set
+        val n = old.where(cond).count()
         old.select(cols.toIndexedSeq: _*).createOrReplaceTempView(name)
-        Some(spark.emptyDataFrame)
+        Some(spark.sql(s"SELECT CAST($n AS BIGINT) AS count"))
       case _ => None
     }
   }
@@ -6320,10 +6342,25 @@ object SltRunner {
         refreshExternalView(spark, name, path, fmt, parts, fields)
         Some(spark.sql(s"SELECT CAST($n AS BIGINT) AS count"))
       case InsertRe(name, _, colList, body) =>
-        val isTempView = try {
-          spark.catalog.tableExists(name) && spark.catalog.getTable(name).isTemporary
-        } catch { case _: Exception => false }
-        if (!isTempView) None
+        val tableKnown = try spark.catalog.tableExists(name)
+          catch { case _: Exception => false }
+        val isTempView = tableKnown && (try
+          spark.catalog.getTable(name).isTemporary
+          catch { case _: Exception => false })
+        if (!isTempView && tableKnown) {
+          // MANAGED table: run the native INSERT, but surface the
+          // reference's row-count result set — counted from the SOURCE
+          // before inserting so a self-reading INSERT…SELECT stays exact
+          val n = try spark.sql(
+            s"SELECT count(*) FROM (${
+              if (body.trim.toUpperCase.startsWith("VALUES"))
+                s"SELECT * FROM ($body)" else body})")
+            .collect().head.getLong(0)
+          catch { case _: Exception => return None }
+          spark.sql(sql).collect()
+          Some(spark.sql(s"SELECT CAST($n AS BIGINT) AS count"))
+        }
+        else if (!isTempView) None
         else {
           import org.apache.spark.sql.functions.{col, lit}
           val src = if (body.trim.toUpperCase.startsWith("VALUES"))
