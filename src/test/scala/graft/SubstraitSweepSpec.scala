@@ -54,6 +54,8 @@ class SubstraitSweepSpec extends AnyFunSuite {
     // virtualTable cross) closed the last emit gaps — plus the four
     // grouping-set shapes (multi-grouping AggregateRel, set-ordinal
     // lowering of grouping()/grouping_id()); no declared skips remain
-    assert(ok >= 26, s"only $ok roundtripped — emit support regressed")
+    // r11: q12 plans the bitmap-probe UDF (no Substrait spelling for a
+    // Scala closure) — one legitimate skip, floor 26 → 25
+    assert(ok >= 25, s"only $ok roundtripped — emit support regressed")
   }
 }
