@@ -5935,6 +5935,53 @@ object SltRunner {
         new Slice(a, Literal(1), greatestZero(n)),
         Concat(Seq(a, ArrayRepeat(fill, Subtract(n, sz(a))))))
     }
+    // SCALAR-position range/generate_series (array-returning; the FROM
+    // position rides GenerateSeriesTVF): Spark's sequence is INCLUSIVE =
+    // generate_series; range is end-EXCLUSIVE (drop the == stop element)
+    // and returns EMPTY on wrong-direction numeric args where
+    // generate_series errors (the reference's own split)
+    def seriesExpr(es: Seq[Expression], inclusive: Boolean): Expression = {
+      val (start, stop, step) = es match {
+        case Seq(s) => (Literal(0L), s, Literal(1L))
+        case Seq(a, b) => (a, b, Literal(1L))
+        case other => (other(0), other(1), other(2))
+      }
+      val seq = new Sequence(start, stop, Some(step),
+        Option(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+      val out = if (inclusive) seq
+        else ArrayFilter(seq, lam(x => Not(EqualNullSafe(x, stop))))
+      val numericStep = try step.resolved &&
+        step.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+      catch { case _: Exception => false }
+      // a LITERAL interval step's sign is static — both range and
+      // generate_series return [] on wrong-direction date/ts ranges
+      // (array_range.slt:172-187, 312-327)
+      val intervalSign: Option[Int] = step match {
+        case Literal(v: Int, _: org.apache.spark.sql.types.YearMonthIntervalType) =>
+          Some(Integer.signum(v))
+        case Literal(v: Long, _: org.apache.spark.sql.types.DayTimeIntervalType) =>
+          Some(java.lang.Long.signum(v).toInt)
+        case Literal(v: org.apache.spark.unsafe.types.CalendarInterval, _) =>
+          Some(java.lang.Long.signum(
+            v.months * 2678400000000L + v.days * 86400000000L + v.microseconds).toInt)
+        case _ => None
+      }
+      val empty = new Slice(CreateArray(Seq(start)), Literal(1), Literal(0))
+      if (!inclusive && numericStep) {
+        val zero = Cast(Literal(0), step.dataType)
+        If(Or(And(GreaterThan(step, zero), GreaterThan(start, stop)),
+          And(LessThan(step, zero), LessThan(start, stop))), empty, out)
+      } else intervalSign match {
+        case Some(sg) if sg > 0 => If(GreaterThan(start, stop), empty, out)
+        case Some(sg) if sg < 0 => If(LessThan(start, stop), empty, out)
+        case _ => out
+      }
+    }
+    reg.createOrReplaceTempFunction("range",
+      es => seriesExpr(es, inclusive = false), "built-in")
+    reg.createOrReplaceTempFunction("generate_series",
+      es => seriesExpr(es, inclusive = true), "built-in")
+
     // array_slice(a, from, to[, stride]): 1-based INCLUSIVE bounds,
     // negative indexes from the end, clamped; stride may be negative
     // (array_slice.rs). Built over sequence + element_at.

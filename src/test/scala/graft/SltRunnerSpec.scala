@@ -616,6 +616,8 @@ class SltRunnerSpec extends AnyFunSuite {
         val c = "concat result typing under arrow_typeof: Utf8View/LargeList carriers report Utf8/List"
         Map(117 -> c, 125 -> c, 133 -> c, 141 -> c, 149 -> c)
       },
+      "array_range.slt" -> Map(
+        59 -> "i64-extreme spans overflow Spark Sequence's length arithmetic (reference emits 2-3 elements)"),
       "array_transform.slt" -> {
         val dq = "double-quoted \"a\" inside a lambda: identifier in Spark, resolves as a string in the reference"
         Map(49 -> dq, 55 -> dq)
