@@ -5643,11 +5643,51 @@ object SltRunner {
       CaseWhen(Seq((IsNotNull(v), spliced)), None)
     }, "built-in")
     // reference array_append/array_prepend on a NULL array yield [v]
-    // (Spark null-propagates)
-    reg.createOrReplaceTempFunction("array_append", es =>
-      If(IsNull(es(0)), CreateArray(Seq(es(1))), ArrayAppend(es(0), es(1))), "built-in")
-    reg.createOrReplaceTempFunction("array_prepend", es =>
-      If(IsNull(es(0)), CreateArray(Seq(es(1))), ArrayPrepend(es(0), es(1))), "built-in")
+    // (Spark null-propagates). A bare NULL literal can't anchor Spark's
+    // array kernels at all → return [v] directly; a typed array casts the
+    // null-branch element so the If branches agree.
+    def appendLike(es: Seq[Expression],
+        k: (Expression, Expression) => Expression): Expression = {
+      val isNullLit = es(0) match {
+        case Literal(null, _) => true
+        case e => try e.resolved &&
+          e.dataType == org.apache.spark.sql.types.NullType
+        catch { case _: Exception => false }
+      }
+      if (isNullLit) CreateArray(Seq(es(1)))
+      else {
+        val elemT = (try Option(es(0).dataType) catch {
+          case _: Exception => None
+        }).collect { case org.apache.spark.sql.types.ArrayType(et, _) => et }
+        // a bare NULL element anchors to the array's element type (both
+        // branches need it — ArrayAppend/Prepend reject a VOID element)
+        val elem = es(1) match {
+          case Literal(null, org.apache.spark.sql.types.NullType)
+              if elemT.isDefined => Cast(es(1), elemT.get)
+          case x => x
+        }
+        val nullBranch = elemT match {
+          case Some(et) => CreateArray(Seq(Cast(elem, et)))
+          case _ => CreateArray(Seq(elem))
+        }
+        If(IsNull(es(0)), nullBranch, k(es(0), elem))
+      }
+    }
+    Seq("array_append", "list_append", "array_push_back", "list_push_back")
+      .foreach(n => reg.createOrReplaceTempFunction(n, es =>
+        appendLike(es, ArrayAppend(_, _)), "built-in"))
+    // array_prepend takes (ELEMENT, array) — the reference's order
+    // (array_prepend.rs); a NULL element anchors to the array's type
+    Seq("array_prepend", "list_prepend", "array_push_front", "list_push_front")
+      .foreach(n => reg.createOrReplaceTempFunction(n, es =>
+        appendLike(Seq(es(1), es(0)), ArrayPrepend(_, _)), "built-in"))
+    // a NULL-literal array argument has no Spark array type — the
+    // reference returns NULL for these introspections
+    reg.createOrReplaceTempFunction("flatten", es => es.head match {
+      case Literal(null, _) =>
+        Literal.create(null, org.apache.spark.sql.types.NullType)
+      case e => Flatten(e)
+    }, "built-in")
     // reference array_sort(arr [, 'ASC'|'DESC' [, 'NULLS FIRST'|'LAST']]):
     // defaults ASC NULLS FIRST. Spark primitives give asc-nulls-first and
     // desc-nulls-last; the other two combos append the NULLs explicitly.
@@ -5836,10 +5876,18 @@ object SltRunner {
     one2(Seq("array_transform", "list_transform"))(es =>
       ArrayTransform(es(0), es(1)))
     one2(Seq("array_filter", "list_filter"))(es => ArrayFilter(es(0), es(1)))
+    // a bare NULL literal has no element type to anchor the lambda —
+    // substitute a typed NULL array (result stays NULL), keeping the
+    // lambda attached to a higher-order function for the analyzer
+    def typedNullArr(e: Expression): Expression = e match {
+      case Literal(null, _) => Literal.create(null,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType))
+      case x => x
+    }
     one2(Seq("array_any_match", "list_any_match"))(es =>
-      ArrayExists(es(0), es(1)))
+      ArrayExists(typedNullArr(es(0)), es(1)))
     one2(Seq("array_all_match", "list_all_match"))(es =>
-      ArrayForAll(es(0), es(1)))
+      ArrayForAll(typedNullArr(es(0)), es(1)))
     one2(Seq("empty", "array_empty", "list_empty"))(es =>
       If(IsNull(es.head), nullBool, EqualTo(sz(es.head), Literal(0))))
     one2(Seq("array_ndims", "list_ndims")) { es =>

@@ -610,6 +610,8 @@ class SltRunnerSpec extends AnyFunSuite {
     val lineDivergent: Map[String, Map[Int, String]] = Map(
       "array_append.slt" -> Map(
         188 -> "arrow casts a NULL list to FixedSizeList(10) as ten NULL slots; the transparent ARRAY carrier keeps NULL"),
+      "array_prepend.slt" -> Map(
+        192 -> "arrow casts a NULL list to FixedSizeList(10) as ten NULL slots; the transparent ARRAY carrier keeps NULL"),
       "make_array.slt" -> Map(
         148 -> "nested LargeList layout + Int64 literal typing under arrow_typeof (the carrier reports List(List(Int32)))"),
       "array_concat.slt" -> {
