@@ -5169,7 +5169,10 @@ object SltRunner {
     reg.createOrReplaceTempFunction(
       "chr", es => If(IsNull(es.head),
         Literal.create(null, StringType),
-        FormatString(Literal("%c") +: es: _*)), "built-in")
+        // %c needs an Int — BIGINT codepoints (sequence elements) overflow
+        // the format conversion otherwise
+        FormatString(Literal("%c"),
+          Cast(es.head, org.apache.spark.sql.types.IntegerType))), "built-in")
     // reference concat() skips NULLs (Postgres-style); Spark's yields NULL
     reg.createOrReplaceTempFunction(
       "concat", es => Concat(es.map(e =>
