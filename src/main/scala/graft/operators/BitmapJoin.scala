@@ -36,7 +36,15 @@ object BitmapJoin {
   /** One distributed pass over `df`: dense bitsets (exists, flag) over
     * `df(key)` (non-negative long) with `df(flag)` (boolean). Partition-
     * local build + OR-reduce; empty input yields empty bitsets (every
-    * probe misses — the inner join of an empty build side). */
+    * probe misses — the inner join of an empty build side). NULL build
+    * keys are skipped (a NULL key never matches under equi-join
+    * semantics, so it must not set a bit for key 0).
+    *
+    * PRECONDITION: build keys must be UNIQUE. Duplicate keys OR-collapse
+    * their flag bits ("any row with this key has flag=true"), which
+    * diverges from inner-join semantics that would emit one probe match
+    * per build row. Callers join on a primary/surrogate key (q12's
+    * o_orderkey); for anything else use the exchange join. */
   def buildFlagBitmaps(df: DataFrame, key: String, flag: String)
       : (Array[Long], Array[Long]) =
     df.select(col(key).cast("long"), col(flag).cast("boolean"))
@@ -44,7 +52,7 @@ object BitmapJoin {
         var exists = new Array[Long](1 << 10)
         var flags = new Array[Long](1 << 10)
         var maxW = -1
-        it.foreach { r =>
+        it.filterNot(_.isNullAt(0)).foreach { r =>
           val k = r.getLong(0)
           require(k >= 0, s"BitmapJoin: negative key $k")
           val w = (k >> 6).toInt
@@ -89,7 +97,9 @@ object BitmapJoin {
   }
 
   /** Footer-stats gate: bitset pair fits the broadcast threshold and keys
-    * are non-negative. */
+    * are non-negative. Parquet footers carry no distinct counts, so the
+    * unique-key PRECONDITION (see buildFlagBitmaps) cannot be checked
+    * here — it is the caller's schema knowledge (primary key). */
   def gate(spark: SparkSession, keyStats: Option[graft.plans.BroadcastAdvisor.ColStats])
       : Boolean =
     keyStats.exists(c => c.minLong.exists(_ >= 0) &&

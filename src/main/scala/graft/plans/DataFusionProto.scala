@@ -160,9 +160,10 @@ object DataFusionProto {
     w.msg(31) { r =>
       r.str(1, name)
       r.msg(2)(emitPlan(analyzedOf(staticTerm), _))
-      workTableMarkers.set(Set(workTable.toLowerCase))
+      val prevMarkers = workTableMarkers.get
+      workTableMarkers.set(prevMarkers + workTable.toLowerCase)
       try r.msg(3)(emitPlan(analyzedOf(recursiveTerm), _))
-      finally workTableMarkers.set(Set.empty)
+      finally workTableMarkers.set(prevMarkers)
       if (isDistinct) r.bool(4, true)
     }
     w.bytes
@@ -874,12 +875,19 @@ object DataFusionProto {
         require(cols.size == 1,
           s"dfproto consume: multi-column unnest (${cols.size}) unsupported")
         val nh = sub(node, 7).flatMap(o => vint(o, 3)).getOrElse(0L)
-        // PRESERVE(0)/DROP(1) → explode (null lists drop);
-        // PRESERVE_AND_EXPAND_EMPTY(2) → explode_outer
+        // DROP(1) → explode (null AND empty lists drop);
+        // PRESERVE_AND_EXPAND_EMPTY(2) → explode_outer (both → NULL row);
+        // PRESERVE(0) — the reference's proto3 default — keeps one NULL
+        // row per NULL list but still drops empties: pre-filter empty
+        // lists, then explode_outer.
         val target = cols.head
-        val out = input.select(input.columns.map { cn =>
+        val pre =
+          if (nh == 0L)
+            input.where(col(target).isNull || size(col(target)) > 0)
+          else input
+        val out = pre.select(pre.columns.map { cn =>
           if (cn.equalsIgnoreCase(target))
-            (if (nh == 2L) explode_outer(col(cn)) else explode(col(cn))).as(cn)
+            (if (nh != 1L) explode_outer(col(cn)) else explode(col(cn))).as(cn)
           else col(cn)
         }: _*)
         (out, scope)

@@ -52,6 +52,28 @@ object DataFusionProtoPhysical {
     fields(b).collectFirst { case (`field`, PVarint(v)) => v }
   private def strOf(b: Array[Byte]): String = new String(b, "UTF-8")
 
+  /** repeated uint32 in BOTH wire encodings: proto3 packs repeated
+    * scalars by default (prost emits ONE length-delimited blob of
+    * varints), but unpacked one-varint-per-entry is equally legal wire
+    * — a conformant decoder accepts either. */
+  private def repeatedUint32(b: Array[Byte], field: Int): Seq[Int] =
+    fields(b).flatMap {
+      case (`field`, PVarint(v)) => Seq(v.toInt)
+      case (`field`, PBytes(packed)) =>
+        val out = scala.collection.mutable.ArrayBuffer[Int]()
+        var i = 0
+        while (i < packed.length) {
+          var shift = 0; var v = 0L; var more = true
+          while (more) {
+            val x = packed(i) & 0xff; i += 1
+            v |= (x & 0x7fL) << shift; shift += 7; more = (x & 0x80) != 0
+          }
+          out += v.toInt
+        }
+        out.toSeq
+      case _ => Seq.empty
+    }
+
   // ------------------------------------------------------------------ emit
 
   /** DataFrame → PhysicalPlanNode bytes (from the pre-exchange physical
@@ -585,7 +607,7 @@ object DataFusionProtoPhysical {
         // apply the projection indices against the declared schema order
         val schemaNames = sub(conf, 2).toSeq.flatMap(s => subs(s, 1))
           .flatMap(f => sub(f, 1)).map(strOf)
-        val proj = fields(conf).collect { case (4, PVarint(i)) => i.toInt }
+        val proj = repeatedUint32(conf, 4)
         if (proj.nonEmpty && schemaNames.nonEmpty)
           df.select(proj.map(i => col(schemaNames(i))): _*)
         else df
@@ -662,7 +684,7 @@ object DataFusionProtoPhysical {
         consumeJoin(leftAdj, right, keysOf(node, 3, left, right),
           vint(node, 4).getOrElse(0L), sub(node, 8),
           nullEq = vint(node, 7).contains(1L),
-          projection = fields(node).collect { case (9, PVarint(i)) => i.toInt })
+          projection = repeatedUint32(node, 9))
       case 34 => // SortMergeJoinExecNode — filter rides field 5 here
         val left = consume(spark, sub(node, 1).get, tableFor)
         val right = consume(spark, sub(node, 2).get, tableFor)
@@ -674,7 +696,7 @@ object DataFusionProtoPhysical {
         val right = consume(spark, sub(node, 2).get, tableFor)
         consumeJoin(left, right, Seq.empty, vint(node, 3).getOrElse(0L),
           sub(node, 4), nullEq = false,
-          projection = fields(node).collect { case (5, PVarint(i)) => i.toInt })
+          projection = repeatedUint32(node, 5))
       case 16 => // CrossJoinExecNode
         val left = consume(spark, sub(node, 1).get, tableFor)
         val right = consume(spark, sub(node, 2).get, tableFor)
@@ -693,10 +715,25 @@ object DataFusionProtoPhysical {
         val end0 = vint(a, 2).getOrElse(0L)
         val step = vint(a, 3).getOrElse(1L)
         val inclusive = vint(a, 4).contains(1L)
-        val end = if (inclusive) end0 + (if (step >= 0) 1L else -1L) else end0
         val name = sub(node, 1).toSeq.flatMap(s => subs(s, 1))
           .flatMap(f => sub(f, 1)).map(strOf).headOption.getOrElse("id")
-        spark.range(start, end, step).toDF(name)
+        // Inclusive end at the Long domain edge: end0 ± 1 would overflow
+        // and spark.range would see an empty interval — emit the
+        // exclusive-range body plus the final element explicitly.
+        val overflows = inclusive &&
+          ((step >= 0 && end0 == Long.MaxValue) ||
+           (step < 0 && end0 == Long.MinValue))
+        if (overflows) {
+          val body = spark.range(start, end0, step).toDF(name)
+          val stepAbs = BigInt(step).abs.max(1)
+          val hitsEnd = (BigInt(end0) - BigInt(start)) % stepAbs == 0
+          if (hitsEnd)
+            body.union(spark.range(1).select(lit(end0).as(name)))
+          else body
+        } else {
+          val end = if (inclusive) end0 + (if (step >= 0) 1L else -1L) else end0
+          spark.range(start, end, step).toDF(name)
+        }
       case 14 => // RepartitionExecNode: partitioning=5
         val input = consume(spark, sub(node, 1).get, tableFor)
         sub(node, 5) match {

@@ -24,6 +24,21 @@ class BitmapJoinSpec extends AnyFunSuite {
     assert(!bit(fl, 64L) && !bit(fl, 0L))
   }
 
+  test("NULL build keys are skipped — no phantom bit for key 0") {
+    import spark.implicits._
+    val df = Seq((java.lang.Long.valueOf(3L), java.lang.Boolean.TRUE),
+      (null.asInstanceOf[java.lang.Long], java.lang.Boolean.TRUE))
+      .toDF("k", "f")
+    val (ex, fl) = BitmapJoin.buildFlagBitmaps(df, "k", "f")
+    def bit(arr: Array[Long], k: Long): Boolean = {
+      val w = (k >> 6).toInt
+      w < arr.length && (arr(w) & (1L << (k & 63))) != 0
+    }
+    assert(bit(ex, 3L) && bit(fl, 3L))
+    assert(!bit(ex, 0L), "NULL key must not set bit 0 (never equi-matches)")
+    assert(!bit(fl, 0L))
+  }
+
   test("flagProbe is tri-state: flag for present keys, NULL for absent") {
     import spark.implicits._
     val df = Seq((5L, true), (9L, false)).toDF("k", "f")

@@ -764,6 +764,85 @@ class DataFusionProtoSpec extends AnyFunSuite {
     assert(spark.table("dfp_dml_t").count() == 0L)
   }
 
+  test("packed repeated uint32 projection decodes (proto3 default wire)") {
+    import graft.plans.DataFusionProtoPhysical
+    // Hand-crafted ParquetScanExecNode whose conf.projection (field 4)
+    // rides the PACKED encoding prost emits by default: one
+    // length-delimited blob of varints, not per-entry varints.
+    val w = new DataFusionProto.W
+    w.msg(1) { p =>
+      p.msg(1) { c =>
+        c.msg(1)(fg => fg.msg(1)(_.str(1, s"$sfDir/nation.parquet")))
+        c.msg(2) { s =>
+          Seq("n_nationkey", "n_name", "n_regionkey", "n_comment")
+            .foreach(n => s.msg(1)(_.str(1, n)))
+        }
+        val pk = new DataFusionProto.W
+        pk.varint(1L); pk.varint(2L)
+        c.raw(4, pk.bytes)
+      }
+    }
+    val back = DataFusionProtoPhysical.consume(spark, w.bytes, _ => None)
+    assert(back.columns.toSeq == Seq("n_name", "n_regionkey"),
+      s"packed projection applied: ${back.columns.toSeq}")
+    assert(back.count() == Tables.load(spark, sfDir, "nation").count())
+  }
+
+  test("GenerateSeriesNode: inclusive end at Long.MaxValue does not overflow") {
+    import graft.plans.DataFusionProtoPhysical
+    val w = new DataFusionProto.W
+    w.msg(33) { g =>
+      g.msg(1)(s => s.msg(1)(_.str(1, "v")))
+      g.msg(4) { a =>
+        a.int64(1, Long.MaxValue - 4)
+        a.int64(2, Long.MaxValue)
+        a.int64(3, 2L)
+        a.bool(4, true)
+      }
+    }
+    val back = DataFusionProtoPhysical.consume(spark, w.bytes, _ => None)
+    assert(back.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(Long.MaxValue - 4, Long.MaxValue - 2, Long.MaxValue))
+    // negative-step mirror at Long.MinValue
+    val w2 = new DataFusionProto.W
+    w2.msg(33) { g =>
+      g.msg(1)(s => s.msg(1)(_.str(1, "v")))
+      g.msg(4) { a =>
+        a.int64(1, Long.MinValue + 2)
+        a.int64(2, Long.MinValue)
+        a.int64(3, -1L)
+        a.bool(4, true)
+      }
+    }
+    val back2 = DataFusionProtoPhysical.consume(spark, w2.bytes, _ => None)
+    assert(back2.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(Long.MinValue, Long.MinValue + 1, Long.MinValue + 2))
+  }
+
+  test("UnnestNode PRESERVE(0): null lists keep one row, empty lists drop") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dfp_unnest").toString
+    Seq((1, Some(Seq(10, 20))), (2, None), (3, Some(Seq.empty[Int])))
+      .toDF("id", "xs").write.mode("overwrite").parquet(s"$dir/t")
+    val src = spark.read.parquet(s"$dir/t")
+    val inner = DataFusionProto.emit(src)
+    val w = new DataFusionProto.W
+    w.msg(30) { un =>
+      un.raw(1, inner)
+      un.msg(2)(_.str(1, "xs"))
+      // options (field 7) absent → null_handling = PRESERVE(0), the
+      // proto3 default the reference never writes on the wire
+    }
+    val back = DataFusionProto.consume(spark, w.bytes,
+      n => if (n == "t") Some(src) else None)
+    val rows = back.collect().map(r => (r.getInt(0),
+      if (r.isNullAt(1)) null else Integer.valueOf(r.getInt(1))))
+      .sortBy(t => (t._1, if (t._2 == null) -1 else t._2.intValue))
+    assert(rows.toSeq == Seq((1, Integer.valueOf(10)),
+      (1, Integer.valueOf(20)), (2, null)),
+      s"PRESERVE: null list → one NULL row, empty list → dropped; got ${rows.toSeq}")
+  }
+
   test("literals of every supported type survive the wire") {
     import org.apache.spark.sql.functions._
     val src = Tables.load(spark, sfDir, "region")
