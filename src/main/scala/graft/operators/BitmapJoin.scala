@@ -79,6 +79,58 @@ object BitmapJoin {
         (ae, af)
       }
 
+  /** Exists-only build: ONE dense bitset over `df(key)` — the semi-join
+    * specialization (an EXISTS/IN subquery with no payload is exactly a
+    * set). Unlike the flag form, duplicate keys are fine here: OR is
+    * idempotent and set membership IS the semi-join's semantics. NULL
+    * keys are skipped (never equi-match). */
+  def buildExistsBitmap(df: DataFrame, key: String): Array[Long] =
+    df.select(col(key).cast("long"))
+      .rdd.mapPartitions { it =>
+        var arr = new Array[Long](1 << 10)
+        var maxW = -1
+        it.filterNot(_.isNullAt(0)).foreach { r =>
+          val k = r.getLong(0)
+          require(k >= 0, s"BitmapJoin: negative key $k")
+          val w = (k >> 6).toInt
+          if (w >= arr.length) {
+            var n = arr.length
+            while (n <= w) n <<= 1
+            arr = java.util.Arrays.copyOf(arr, n)
+          }
+          arr(w) |= 1L << (k & 63)
+          if (w > maxW) maxW = w
+        }
+        if (maxW < 0) Iterator.empty
+        else Iterator.single(java.util.Arrays.copyOf(arr, maxW + 1))
+      }
+      .fold(Array.emptyLongArray) { (a, b) =>
+        val (big, small) = if (a.length >= b.length) (a, b) else (b, a)
+        var i = 0
+        while (i < small.length) { big(i) |= small(i); i += 1 }
+        big
+      }
+
+  /** Boolean membership probe over a broadcast exists bitset (the
+    * LEFT SEMI filter). A NULL probe key yields NULL (Spark skips the
+    * primitive-typed UDF), which a WHERE drops — EXISTS-false. */
+  def existsProbe(spark: SparkSession, exists: Array[Long])
+      : UserDefinedFunction = {
+    val bcEx = spark.sparkContext.broadcast(exists)
+    udf { k: Long =>
+      val ex = bcEx.value
+      val w = (k >> 6).toInt
+      k >= 0 && w < ex.length && (ex(w) & (1L << (k & 63))) != 0L
+    }
+  }
+
+  /** Footer-stats gate for the exists-only (one-plane) form. */
+  def gateExists(spark: SparkSession,
+      keyStats: Option[graft.plans.BroadcastAdvisor.ColStats]): Boolean =
+    keyStats.exists(c => c.minLong.exists(_ >= 0) &&
+      c.maxLong.exists(mk =>
+        graft.plans.BroadcastAdvisor.shouldBroadcast(spark, mk / 8 + 16)))
+
   /** Tri-state probe column over broadcast bitsets: NULL when the key is
     * absent from `exists` (callers filter it out — the inner-join drop),
     * else the flag bit. */

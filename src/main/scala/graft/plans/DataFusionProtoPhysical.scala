@@ -312,11 +312,159 @@ object DataFusionProtoPhysical {
           }
         }
       }
+    case l: org.apache.spark.sql.execution.LocalTableScanExec =>
+      // a non-empty local relation IS the reference's memory source:
+      // MemoryScanExecNode (:1296) carries the rows as Arrow IPC STREAM
+      // blobs, one per partition (parse_record_batches on their side).
+      // Local relations are driver-resident by definition, so encoding
+      // them driver-side adds no new materialization.
+      w.msg(35) { ms =>
+        val schema = StructType(l.output.map(a =>
+          StructField(a.name, a.dataType, a.nullable)))
+        val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToScalaConverter(schema)
+        val rows = l.rows.map(r =>
+          toScala(r).asInstanceOf[org.apache.spark.sql.Row])
+        ms.raw(1, graft.sources.ArrowIpcWriter.streamBytes(schema, rows))
+        ms.msg(2) { sc =>
+          l.output.foreach { a =>
+            sc.msg(1) { fld =>
+              fld.str(1, a.name); fld.msg(2)(arrowType(a.dataType, _))
+              fld.bool(3, a.nullable)
+            }
+          }
+        }
+      }
+    case g: org.apache.spark.sql.execution.GenerateExec =>
+      // explode(list) = the reference's in-place UnnestExecNode (:979):
+      // the unnested element keeps the LIST column's name and slot; a
+      // ProjectionExecNode on top restores Spark's Generate output
+      // (requiredChildOutput ++ generator output name)
+      val arr = g.generator match {
+        case org.apache.spark.sql.catalyst.expressions.Explode(
+          a: AttributeReference) => a
+        case other => throw new IllegalArgumentException(
+          s"dfproto physical emit: unsupported generator ${other.nodeName}")
+      }
+      require(g.generatorOutput.size == 1,
+        "dfproto physical emit: map/posexplode generators unsupported")
+      val el = g.generatorOutput.head
+      val arrIdx = g.child.output.indexWhere(_.exprId == arr.exprId)
+      require(arrIdx >= 0, s"dfproto physical emit: unbound list ${arr.name}")
+      def unnestNode(w2: W): Unit = w2.msg(30) { un =>
+        un.msg(1)(emitPlan(g.child, _))
+        un.msg(2) { sc => // post-unnest schema: list slot → element type
+          g.child.output.foreach { a =>
+            sc.msg(1) { fld =>
+              fld.str(1, a.name)
+              fld.msg(2)(arrowType(
+                if (a.exprId == arr.exprId) el.dataType else a.dataType, _))
+              fld.bool(3, if (a.exprId == arr.exprId) true else a.nullable)
+            }
+          }
+        }
+        un.msg(3) { lu => // ListUnnest (:987)
+          lu.int64(1, arrIdx.toLong); lu.int64(2, 1L)
+        }
+        // UnnestOptions.null_handling(3): explode → DROP(1),
+        // explode_outer → PRESERVE_AND_EXPAND_EMPTY(2)
+        un.msg(5)(_.int64(3, if (g.outer) 2L else 1L))
+      }
+      w.msg(4) { pn => // rename/select back to Spark's Generate output
+        pn.msg(1)(unnestNode(_))
+        (g.requiredChildOutput :+ el).foreach { a =>
+          val (nm, idx) =
+            if (a.exprId == el.exprId) (arr.name, arrIdx)
+            else (a.name, g.child.output.indexWhere(_.exprId == a.exprId))
+          require(idx >= 0, s"dfproto physical emit: unbound column ${a.name}")
+          pn.msg(2)(_.msg(1) { c => c.str(1, nm); c.int64(2, idx.toLong) })
+          pn.str(3, a.name)
+        }
+      }
+    case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.scan.isInstanceOf[graft.sources.ArrowIpcScan] =>
+      val scan = b.scan.asInstanceOf[graft.sources.ArrowIpcScan]
+      w.msg(38) { an => // ArrowScanExecNode (:1292)
+        an.msg(1) { c => // FileScanExecConf
+          graft.sources.ArrowIpcSource.files(scan.path).foreach { case (f, _) =>
+            c.msg(1)(fg => fg.msg(1)(_.str(1, f.toString)))
+          }
+          val full = graft.sources.ArrowIpcSource.readSchema(scan.path)
+          c.msg(2) { sc =>
+            full.fields.foreach { f =>
+              sc.msg(1) { fld =>
+                fld.str(1, f.name); fld.msg(2)(arrowType(f.dataType, _))
+                fld.bool(3, f.nullable)
+              }
+            }
+          }
+          scan.required.fieldNames.foreach { n =>
+            c.int64(4, full.fieldIndex(n).toLong)
+          }
+          c.str(8, "file://")
+        }
+      }
     case other =>
       // transparent wrappers (InputAdapter etc.) expose a single child
       if (other.children.size == 1) emitPlan(other.children.head, w)
       else throw new IllegalArgumentException(
         s"dfproto physical emit: unsupported node ${other.nodeName}")
+  }
+
+  /** Json(24)/Csv(28)/ParquetSinkExecNode(29) — DataFrameWriter has no
+    * physical-plan form to pattern-match, so the explicit constructor IS
+    * the emitting shape (same contract as the logical emitCopyTo).
+    * FileSinkConfig (:921): object_store_url=1, table_paths=3,
+    * output_schema=4, table_partition_cols=5, insert_op=10. */
+  def emitFileSink(df: DataFrame, url: String, format: String,
+      partitionBy: Seq[String] = Nil, overwrite: Boolean = true)
+      : Array[Byte] = {
+    val variant = format match {
+      case "json" => 24
+      case "csv" => 28
+      case "parquet" => 29
+      case other => throw new IllegalArgumentException(
+        s"dfproto physical emit: unsupported sink format $other")
+    }
+    val w = new W
+    w.msg(variant) { sn =>
+      sn.msg(1)(emitPlan(df.queryExecution.sparkPlan, _))
+      sn.msg(2) { sink => // JsonSink/CsvSink/ParquetSink{config=1}
+        sink.msg(1) { c =>
+          c.str(1, "file://")
+          c.str(3, url)
+          c.msg(4) { sc =>
+            df.schema.fields.foreach { f =>
+              sc.msg(1) { fld =>
+                fld.str(1, f.name)
+                fld.msg(2)(DataFusionProto.arrowType(f.dataType, _))
+                fld.bool(3, f.nullable)
+              }
+            }
+          }
+          partitionBy.foreach { p =>
+            c.msg(5) { pc => // PartitionColumn{name=1, arrow_type=2}
+              pc.str(1, p)
+              pc.msg(2)(DataFusionProto.arrowType(
+                df.schema(p).dataType, _))
+            }
+          }
+          if (overwrite) c.int64(10, 1L) // InsertOp.Overwrite
+        }
+        if (format == "csv") // CsvWriterOptions.has_header(3)
+          sink.msg(2)(_.bool(3, true))
+      }
+      sn.msg(3) { sc => // sink_schema
+        df.schema.fields.foreach { f =>
+          sc.msg(1) { fld =>
+            fld.str(1, f.name)
+            fld.msg(2)(DataFusionProto.arrowType(f.dataType, _))
+            fld.bool(3, f.nullable)
+          }
+        }
+      }
+    }
+    w.bytes
   }
 
   /** Output names for the non-key aggregates: the FINAL/SINGLE stage's
@@ -395,6 +543,17 @@ object DataFusionProtoPhysical {
         be.msg(1)(emitExpr(b.left, anchor, _))
         be.msg(2)(emitExpr(b.right, anchor, _))
         be.str(3, DataFusionProto.opName(b))
+      }
+    case s: org.apache.spark.sql.catalyst.expressions.Size =>
+      // Spark's InferFiltersFromGenerate inserts size(list) > 0 below
+      // explode — the reference spells list length `cardinality`
+      // (PhysicalScalarUdfNode, :1064)
+      w.msg(16) { u =>
+        u.str(1, "cardinality")
+        u.msg(2)(emitExpr(s.child, anchor, _))
+        u.msg(4)(arrowType(LongType, _))
+        u.bool(5, true)
+        u.str(6, "cardinality")
       }
     case IsNull(c) => w.msg(5)(m => m.msg(1)(emitExpr(c, anchor, _)))
     case IsNotNull(c) => w.msg(6)(m => m.msg(1)(emitExpr(c, anchor, _)))
@@ -758,10 +917,193 @@ object DataFusionProtoPhysical {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(fields0))
+      case 11 => // CoalesceBatchesExecNode: batch sizing is engine-internal
+        val input = consume(spark, sub(node, 1).get, tableFor)
+        vint(node, 3).map(f => input.limit(f.toInt)).getOrElse(input)
+      case 32 | 37 => // Cooperative / Buffer: scheduling wrappers, identity
+        consume(spark, sub(node, 1).get, tableFor)
+      case 26 => // InterleaveExecNode: partition-aligned union → plain union
+        subs(node, 1).map(b => consume(spark, b, tableFor)).reduceLeft(_ union _)
+      case 21 => // SortPreservingMergeExecNode: re-plan as a global sort —
+        // the merge-of-sorted-runs is Spark's own SortExec/AQE choice
+        val input = consume(spark, sub(node, 1).get, tableFor)
+        val orders = subs(node, 2).map { se =>
+          val sn = sub(se, 10).getOrElse(se)
+          val c = consumeExpr(sub(sn, 1).get, input)
+          (vint(sn, 2).contains(1L), vint(sn, 3).contains(1L)) match {
+            case (true, true) => c.asc_nulls_first
+            case (true, false) => c.asc_nulls_last
+            case (false, true) => c.desc_nulls_first
+            case (false, false) => c.desc_nulls_last
+          }
+        }
+        val sorted = if (orders.isEmpty) input else input.orderBy(orders: _*)
+        vint(node, 3).map(_.toInt).filter(_ >= 0)
+          .map(sorted.limit).getOrElse(sorted)
+      case 27 => // PlaceholderRowExecNode: one row per output partition
+        // (absent partitions(2) = 0 decodes as the historical single
+        // partition), all-NULL columns of the declared schema
+        val fields0 = sub(node, 1).toSeq.flatMap(s => subs(s, 1)).map { f =>
+          StructField(sub(f, 1).map(strOf).getOrElse("c"),
+            DataFusionProto.consumeType(sub(f, 2).get),
+            vint(f, 3).contains(1L))
+        }
+        val n = vint(node, 2).map(_.toInt).filter(_ > 0).getOrElse(1)
+        val base = spark.range(n.toLong).select()
+        fields0.foldLeft(base) { (df, f) =>
+          df.withColumn(f.name, lit(null).cast(f.dataType))
+        }
+      case 25 => // SymmetricHashJoinExecNode: the stream-stream hash join —
+        // on bounded inputs its output equals the plain join (the
+        // symmetric build is an execution strategy, not semantics)
+        val left = consume(spark, sub(node, 1).get, tableFor)
+        val right = consume(spark, sub(node, 2).get, tableFor)
+        consumeJoin(left, right, keysOf(node, 3, left, right),
+          vint(node, 4).getOrElse(0L), sub(node, 8),
+          nullEq = vint(node, 7).contains(1L), projection = Seq.empty)
+      case 30 => // UnnestExecNode: in-place list unnest by input index
+        val input = consume(spark, sub(node, 1).get, tableFor)
+        val lists = subs(node, 3).map { lu =>
+          (vint(lu, 1).getOrElse(0L).toInt, vint(lu, 2).getOrElse(1L).toInt)
+        }
+        require(lists.size == 1 && subs(node, 4).isEmpty,
+          "dfproto physical consume: multi-column/struct unnest unsupported")
+        val (idx, depth) = lists.head
+        require(depth == 1,
+          s"dfproto physical consume: unnest depth $depth unsupported")
+        val target = input.columns(idx)
+        val nh = sub(node, 5).flatMap(o => vint(o, 3)).getOrElse(0L)
+        val pre =
+          if (nh == 0L)
+            input.where(col(target).isNull || size(col(target)) > 0)
+          else input
+        pre.select(pre.columns.map { cn =>
+          if (cn == target)
+            (if (nh != 1L) explode_outer(col(cn)) else explode(col(cn))).as(cn)
+          else col(cn)
+        }: _*)
+      case 24 | 28 | 29 => // Json/Csv/ParquetSinkExecNode: execute the write,
+        // return the reference's count result set (the CopyTo convention)
+        val input = consume(spark, sub(node, 1).get, tableFor)
+        val sink = sub(node, 2).getOrElse(throw new IllegalArgumentException(
+          "dfproto physical consume: sink node without sink"))
+        val conf = sub(sink, 1).getOrElse(throw new IllegalArgumentException(
+          "dfproto physical consume: sink without FileSinkConfig"))
+        val path = subs(conf, 3).map(strOf).headOption.getOrElse(
+          throw new IllegalArgumentException(
+            "dfproto physical consume: sink without table_paths"))
+          .stripPrefix("file://")
+        val parts = subs(conf, 5).flatMap(pc => sub(pc, 1)).map(strOf)
+        val mode = if (vint(conf, 10).contains(1L)) "overwrite" else "append"
+        val fmt = field match { case 24 => "json"; case 28 => "csv"; case _ => "parquet" }
+        val n = input.count()
+        var wr = input.write.mode(mode).format(fmt)
+        if (fmt == "csv") {
+          // CsvWriterOptions.has_header(3): proto3 absent = false — the
+          // reference's decode reads the raw field, not the builder default
+          val header = sub(sink, 2).flatMap(o => vint(o, 3)).contains(1L)
+          wr = wr.option("header", header.toString)
+        }
+        if (parts.nonEmpty) wr = wr.partitionBy(parts: _*)
+        wr.save(path)
+        spark.sql(s"SELECT CAST($n AS BIGINT) AS count")
+      case 35 => // MemoryScanExecNode: partitions are Arrow IPC STREAM blobs
+        val schema0 = StructType(sub(node, 2).toSeq.flatMap(s => subs(s, 1)).map { f =>
+          StructField(sub(f, 1).map(strOf).getOrElse("c"),
+            DataFusionProto.consumeType(sub(f, 2).get),
+            vint(f, 3).contains(1L))
+        })
+        val blobs = subs(node, 1).filter(_.nonEmpty)
+        val base =
+          if (blobs.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema0)
+          else {
+            val dir = java.nio.file.Files.createTempDirectory("dfp_memscan")
+            blobs.zipWithIndex.foreach { case (b, i) =>
+              java.nio.file.Files.write(dir.resolve(f"part-$i%05d.arrows"), b)
+            }
+            spark.read.format(classOf[graft.sources.ArrowIpcTableProvider].getName)
+              .load(dir.toString)
+          }
+        // projection: [] = all, [u32::MAX] = the empty-projection sentinel
+        val proj = repeatedUint32(node, 3)
+        val projected =
+          if (proj.isEmpty) base
+          else if (proj == Seq(-1)) base.select() // u32::MAX wraps to -1
+          else base.select(proj.map(i => col(base.columns(i))): _*)
+        vint(node, 6).map(f => projected.limit(f.toInt)).getOrElse(projected)
+      case 38 => // ArrowScanExecNode: files through the Arrow IPC DSv2 source
+        val conf = sub(node, 1).getOrElse(throw new IllegalArgumentException(
+          "dfproto physical: arrow scan without base_conf"))
+        val files = subs(conf, 1).flatMap(fg => subs(fg, 1))
+          .flatMap(pf => sub(pf, 1)).map(strOf).map(_.stripPrefix("file://"))
+        require(files.nonEmpty, "dfproto physical: arrow scan without files")
+        val df = files.map(f =>
+          spark.read.format(classOf[graft.sources.ArrowIpcTableProvider].getName)
+            .load(f)).reduceLeft(_ union _)
+        val schemaNames = sub(conf, 2).toSeq.flatMap(s => subs(s, 1))
+          .flatMap(f => sub(f, 1)).map(strOf)
+        val proj = repeatedUint32(conf, 4)
+        if (proj.nonEmpty && schemaNames.nonEmpty)
+          df.select(proj.map(i => col(schemaNames(i))): _*)
+        else df
+      case 20 => // ExplainExecNode: the stringified plans ARE the result set
+        val rows = subs(node, 2).map { sp =>
+          val kind = sub(sp, 1).map(pt => fields(pt).headOption
+            .map(_._1.toString).getOrElse("0")).getOrElse("0")
+          org.apache.spark.sql.Row("plan_type_" + kind,
+            sub(sp, 2).map(strOf).getOrElse(""))
+        }
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1),
+          StructType(Seq(StructField("plan_type", StringType, false),
+            StructField("plan", StringType, false))))
+      case 23 => // AnalyzeExecNode: EXECUTE the input, report the plan —
+        // metric values are engine-specific; the re-plan contract keeps
+        // the schema (plan_type, plan) and the side effect of running it
+        val input = consume(spark, sub(node, 3).get, tableFor)
+        input.write.mode("overwrite").format("noop").save()
+        val txt = input.queryExecution.executedPlan.toString
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(
+            org.apache.spark.sql.Row("Plan with Metrics", txt)), 1),
+          StructType(Seq(StructField("plan_type", StringType, false),
+            StructField("plan", StringType, false))))
+      case 36 => // AsyncFuncExecNode: async UDF evaluation is an execution
+        // strategy — re-plan as synchronous projection of the exprs
+        val input = consume(spark, sub(node, 1).get, tableFor)
+        val exprs = subs(node, 2).map(e => consumeExpr(e, input))
+        val names = fields(node).collect { case (3, PBytes(v)) => strOf(v) }
+        val named = exprs.zipWithIndex.map { case (c, i) =>
+          if (i < names.size) c.as(names(i)) else c }
+        input.select(col("*") +: named: _*)
+      case 39 => // ScalarSubqueryExecNode: evaluate each subquery to its
+        // scalar (one value to the driver — that IS the operator's
+        // semantics), bind by index for PhysicalScalarSubqueryExprNode
+        val subPlans = subs(node, 2).map(b => consume(spark, b, tableFor))
+        val bound = subPlans.map { sq =>
+          val rows = sq.limit(2).collect()
+          require(rows.length <= 1 && rows.headOption.forall(_.size == 1),
+            "dfproto physical consume: scalar subquery must yield ≤1 row × 1 col")
+          rows.headOption.map(_.get(0)).map(v => lit(v)).getOrElse(lit(null))
+        }.toIndexedSeq
+        val prev = scalarSubqueryBindings.get
+        scalarSubqueryBindings.set(bound)
+        try consume(spark, sub(node, 1).get, tableFor)
+        finally scalarSubqueryBindings.set(prev)
+      case 18 => throw new IllegalArgumentException(
+        "dfproto physical consume: PhysicalExtensionNode carries an opaque " +
+          "engine-specific codec payload — not portable by construction")
       case other => throw new IllegalArgumentException(
         s"dfproto physical consume: unsupported variant $other")
     }
   }
+
+  /** Scalar-subquery literals bound by ScalarSubqueryExecNode(39) for the
+    * PhysicalScalarSubqueryExprNode(22) references inside its input. */
+  private val scalarSubqueryBindings: ThreadLocal[IndexedSeq[Column]] =
+    ThreadLocal.withInitial(() => IndexedSeq.empty[Column])
 
   /** JoinOn pairs (field `field`) resolved anchored to their own side so
     * self-joins with colliding names stay unambiguous. */
@@ -940,6 +1282,25 @@ object DataFusionProtoPhysical {
         val list = subs(node, 2).map(rec)
         val in = v.isin(list: _*)
         if (vint(node, 3).contains(1L)) !in else in
+      case 16 => // PhysicalScalarUdfNode: name(1) + args(2)
+        val args = subs(node, 2).map(rec)
+        sub(node, 1).map(strOf).getOrElse("") match {
+          case "cardinality" | "array_length" => size(args.head).cast("long")
+          case "abs" => abs(args.head)
+          case "coalesce" => coalesce(args: _*)
+          case "lower" => lower(args.head)
+          case "upper" => upper(args.head)
+          case other => throw new IllegalArgumentException(
+            s"dfproto physical consume: unsupported scalar udf $other")
+        }
+      case 22 => // PhysicalScalarSubqueryExprNode: literal bound by the
+        // enclosing ScalarSubqueryExecNode(39), index at field 3
+        val idx = vint(node, 3).getOrElse(0L).toInt
+        val bound = scalarSubqueryBindings.get
+        require(idx >= 0 && idx < bound.length,
+          s"dfproto physical consume: unbound scalar subquery index $idx")
+        sub(node, 1).map(t => bound(idx).cast(DataFusionProto.consumeType(t)))
+          .getOrElse(bound(idx))
       case other => throw new IllegalArgumentException(
         s"dfproto physical consume: unsupported expr variant $other")
     }

@@ -126,7 +126,7 @@ class ArrowIpcScanBuilder(fullSchema: StructType, path: String)
   override def build(): Scan = new ArrowIpcScan(required, path)
 }
 
-class ArrowIpcScan(required: StructType, path: String) extends Scan with Batch {
+class ArrowIpcScan(val required: StructType, val path: String) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = s"ArrowIpcScan($path, ${required.fieldNames.mkString(",")})"

@@ -44,6 +44,34 @@ object ArrowIpcWriter {
     } finally { writer.close(); ch.close(); root.close(); alloc.close() }
   }
 
+  /** Arrow IPC STREAM framing to an in-memory byte array — the encoding
+    * the reference uses for MemoryScanExecNode.partitions (one blob per
+    * partition, parsed back by `StreamReader`). Driver-side by nature:
+    * the rows ARE a local relation already. */
+  def streamBytes(schema: StructType, rows: Seq[Row], batchSize: Int = 4096)
+      : Array[Byte] = {
+    val alloc = new RootAllocator()
+    val root = VectorSchemaRoot.create(GraftSqlBridge.schemaToArrow(schema), alloc)
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = new org.apache.arrow.vector.ipc.ArrowStreamWriter(
+      root, null, java.nio.channels.Channels.newChannel(out))
+    try {
+      writer.start()
+      rows.grouped(batchSize).foreach { batch =>
+        root.allocateNew()
+        batch.zipWithIndex.foreach { case (row, i) =>
+          schema.fields.zipWithIndex.foreach { case (f, c) =>
+            fill(root.getVector(c), f.dataType, row, c, i)
+          }
+        }
+        root.setRowCount(batch.length)
+        writer.writeBatch()
+      }
+      writer.end()
+    } finally { writer.close(); root.close(); alloc.close() }
+    out.toByteArray
+  }
+
   private def fill(v: FieldVector, dt: DataType, row: Row, c: Int, i: Int): Unit =
     if (row.isNullAt(c)) v.asInstanceOf[BaseValueVector] match {
       case x: BaseFixedWidthVector    => x.setNull(i)

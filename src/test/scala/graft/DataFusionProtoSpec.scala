@@ -843,6 +843,220 @@ class DataFusionProtoSpec extends AnyFunSuite {
       s"PRESERVE: null list → one NULL row, empty list → dropped; got ${rows.toSeq}")
   }
 
+  test("physical UnnestExecNode (30): explode roundtrips as in-place unnest") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.DataFusionProtoPhysical
+    val src = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id"), explode(col("embedding")).as("e"))
+    val bytes = DataFusionProtoPhysical.emit(src)
+    // spine: ProjectionExecNode(4) over UnnestExecNode(30)
+    def findUnnest(b: Array[Byte]): Option[Array[Byte]] =
+      DataFusionProto.fields(b).headOption.flatMap {
+        case (30, PBytes(v)) => Some(v)
+        case (_, PBytes(node)) => DataFusionProto.fields(node).collectFirst {
+          case (1, PBytes(c)) => c }.flatMap(findUnnest)
+        case _ => None
+      }
+    val un = findUnnest(bytes).getOrElse(fail("no UnnestExecNode(30)"))
+    val lu = DataFusionProto.fields(un).collectFirst {
+      case (3, PBytes(v)) => v }.getOrElse(fail("no ListUnnest"))
+    assert(DataFusionProto.fields(lu).collectFirst {
+      case (2, PVarint(d)) => d }.contains(1L), "depth 1")
+    assert(DataFusionProto.fields(un).collectFirst {
+      case (5, PBytes(o)) => DataFusionProto.fields(o).collectFirst {
+        case (3, PVarint(nh)) => nh } }.flatten.contains(1L),
+      "explode → DROP(1)")
+    val back = DataFusionProtoPhysical.consume(spark, bytes,
+      t => Some(Tables.load(spark, sfDir, t)))
+    assert(back.columns.toSeq == src.columns.toSeq)
+    assert(back.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+      src.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+  }
+
+  test("physical MemoryScanExecNode (35): local relation rides Arrow IPC blobs") {
+    import spark.implicits._
+    import graft.plans.DataFusionProtoPhysical
+    val src = Seq((1L, "a", 1.5), (2L, "b", -2.5), (3L, null, 0.0))
+      .toDF("k", "s", "x")
+    val bytes = DataFusionProtoPhysical.emit(src)
+    assert(DataFusionProto.fields(bytes).head._1 == 35, "MemoryScanExecNode(35)")
+    val node = DataFusionProto.fields(bytes).collectFirst {
+      case (35, PBytes(v)) => v }.get
+    assert(DataFusionProto.fields(node).exists(_._1 == 1), "partition blob")
+    val back = DataFusionProtoPhysical.consume(spark, bytes, _ => None)
+    assert(back.columns.toSeq == Seq("k", "s", "x"))
+    assert(back.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+      src.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+  }
+
+  test("physical sink nodes (24/28/29): write executed from bytes") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.DataFusionProtoPhysical
+    val src = Tables.load(spark, sfDir, "region")
+      .select(col("r_regionkey"), col("r_name"))
+    val dir = java.nio.file.Files.createTempDirectory("dfp_sink").toString
+    for ((fmt, variant) <- Seq("parquet" -> 29, "csv" -> 28, "json" -> 24)) {
+      val bytes = DataFusionProtoPhysical.emitFileSink(
+        src, s"$dir/$fmt", fmt)
+      assert(DataFusionProto.fields(bytes).head._1 == variant, s"$fmt variant")
+      val res = DataFusionProtoPhysical.consume(spark, bytes,
+        t => Some(Tables.load(spark, sfDir, t)))
+      assert(res.collect().head.getLong(0) == src.count(), s"$fmt count")
+      val rd = fmt match {
+        case "parquet" => spark.read.parquet(s"$dir/$fmt")
+        case "csv" => spark.read.option("header", "true")
+          .option("inferSchema", "true").csv(s"$dir/$fmt")
+        case "json" => spark.read.json(s"$dir/$fmt")
+      }
+      assert(rd.count() == src.count(), s"$fmt rows on disk")
+    }
+  }
+
+  test("physical PlaceholderRow (27), SPM (21), pass-throughs (11/26/32/37)") {
+    import graft.plans.DataFusionProtoPhysical
+    // PlaceholderRowExecNode: 2 partitions × one all-NULL row
+    val w = new DataFusionProto.W
+    w.msg(27) { p =>
+      p.msg(1)(s => s.msg(1) { f =>
+        f.str(1, "c"); f.msg(2)(_.msg(14)(_ => ())); f.bool(3, true)
+      })
+      p.int64(2, 2L)
+    }
+    val ph = DataFusionProtoPhysical.consume(spark, w.bytes, _ => None)
+    assert(ph.columns.toSeq == Seq("c"))
+    assert(ph.count() == 2 && ph.collect().forall(_.isNullAt(0)))
+
+    // SortPreservingMergeExecNode over a nation scan: order + fetch
+    val scan = DataFusionProtoPhysical.emit(
+      Tables.load(spark, sfDir, "nation"))
+    val w2 = new DataFusionProto.W
+    w2.msg(21) { m =>
+      m.raw(1, scan)
+      m.msg(2)(_.msg(10) { sn => // PhysicalExprNode{sort=10}
+        sn.msg(1)(_.msg(1) { c => c.str(1, "n_nationkey"); c.int64(2, 0L) })
+        sn.bool(2, false) // desc
+        sn.bool(3, false)
+      })
+      m.int64(3, 3L)
+    }
+    val spm = DataFusionProtoPhysical.consume(spark, w2.bytes, _ => None)
+    val keys = spm.collect().map(_.getAs[Number](0).longValue).toSeq
+    assert(keys == keys.sorted.reverse && keys.size == 3, s"SPM topk: $keys")
+
+    // CoalesceBatches(11)/Cooperative(32)/Buffer(37) are identity wrappers
+    for (variant <- Seq(11, 32, 37)) {
+      val w3 = new DataFusionProto.W
+      w3.msg(variant)(_.raw(1, scan))
+      assert(DataFusionProtoPhysical.consume(spark, w3.bytes, _ => None)
+        .count() == Tables.load(spark, sfDir, "nation").count(), s"v$variant")
+    }
+    // InterleaveExecNode(26): union of inputs
+    val w4 = new DataFusionProto.W
+    w4.msg(26) { i => i.raw(1, scan); i.raw(1, scan) }
+    assert(DataFusionProtoPhysical.consume(spark, w4.bytes, _ => None)
+      .count() == 2 * Tables.load(spark, sfDir, "nation").count())
+  }
+
+  test("physical SymmetricHashJoin (25) consumes as the bounded join") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.DataFusionProtoPhysical
+    val nation = Tables.load(spark, sfDir, "nation")
+    val region = Tables.load(spark, sfDir, "region")
+    val w = new DataFusionProto.W
+    w.msg(25) { j =>
+      j.raw(1, DataFusionProtoPhysical.emit(nation))
+      j.raw(2, DataFusionProtoPhysical.emit(region))
+      j.msg(3) { on => // JoinOn{left=1, right=2}
+        on.msg(1)(_.msg(1) { c => c.str(1, "n_regionkey"); c.int64(2, 2L) })
+        on.msg(2)(_.msg(1) { c => c.str(1, "r_regionkey"); c.int64(2, 0L) })
+      }
+      j.int64(4, 0L) // inner
+    }
+    val back = DataFusionProtoPhysical.consume(spark, w.bytes, _ => None)
+    val expect = nation.join(region,
+      col("n_regionkey") === col("r_regionkey"))
+    assert(back.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+      expect.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+  }
+
+  test("physical ScalarSubqueryExecNode (39): subquery evaluated and bound") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.DataFusionProtoPhysical
+    val supplier = Tables.load(spark, sfDir, "supplier")
+    // subquery: avg(s_acctbal); input: filter s_acctbal > <scalar>
+    val sq = supplier.agg(avg(col("s_acctbal")).as("a"))
+    val w = new DataFusionProto.W
+    w.msg(39) { n =>
+      n.msg(1) { filt => // input: FilterExecNode over the scan
+        filt.msg(12) { f =>
+          f.raw(1, DataFusionProtoPhysical.emit(supplier))
+          f.msg(2)(_.msg(3) { be =>
+            be.msg(1)(_.msg(1) { c =>
+              c.str(1, "s_acctbal")
+              c.int64(2, supplier.columns.indexOf("s_acctbal").toLong)
+            })
+            be.msg(2)(_.msg(22) { ss => // PhysicalScalarSubqueryExprNode
+              ss.msg(1)(_.msg(13)(_ => ())) // Float64
+              ss.bool(2, true)
+              ss.int64(3, 0L)
+            })
+            be.str(3, "Gt")
+          })
+        }
+      }
+      n.raw(2, DataFusionProtoPhysical.emit(sq))
+    }
+    val back = DataFusionProtoPhysical.consume(spark, w.bytes, _ => None)
+    val avgVal = sq.collect().head.getDouble(0)
+    val expect = supplier.filter(col("s_acctbal") > avgVal)
+    assert(back.count() == expect.count() && back.count() > 0)
+  }
+
+  test("physical ArrowScanExecNode (38) roundtrips through the DSv2 source") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.DataFusionProtoPhysical
+    val dir = java.nio.file.Files.createTempDirectory("dfp_arrow").toString
+    val src = Tables.load(spark, sfDir, "region")
+      .select(col("r_regionkey").cast("long").as("k"), col("r_name").as("v"))
+    graft.sources.ArrowIpcWriter.write(src, s"$dir/data.arrow")
+    val scanned = spark.read
+      .format(classOf[graft.sources.ArrowIpcTableProvider].getName)
+      .load(dir).select(col("k"))
+    val bytes = DataFusionProtoPhysical.emit(scanned)
+    def findNode(b: Array[Byte], v: Int): Option[Array[Byte]] =
+      DataFusionProto.fields(b).headOption.flatMap {
+        case (`v`, PBytes(n)) => Some(n)
+        case (_, PBytes(node)) => DataFusionProto.fields(node).collectFirst {
+          case (1, PBytes(c)) => c }.flatMap(findNode(_, v))
+        case _ => None
+      }
+    assert(findNode(bytes, 38).isDefined, "ArrowScanExecNode(38)")
+    val back = DataFusionProtoPhysical.consume(spark, bytes, _ => None)
+    assert(back.columns.toSeq == Seq("k"))
+    assert(back.collect().map(_.getLong(0)).sorted.toSeq ==
+      src.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("physical Explain (20) and Analyze (23) consume to (plan_type, plan)") {
+    import graft.plans.DataFusionProtoPhysical
+    val w = new DataFusionProto.W
+    w.msg(20) { e =>
+      e.msg(2) { sp => sp.msg(1)(_.msg(3)(_ => ())); sp.str(2, "plan text") }
+      e.bool(3, false)
+    }
+    val ex = DataFusionProtoPhysical.consume(spark, w.bytes, _ => None)
+    assert(ex.columns.toSeq == Seq("plan_type", "plan"))
+    assert(ex.collect().head.getString(1) == "plan text")
+
+    val scan = DataFusionProtoPhysical.emit(Tables.load(spark, sfDir, "region"))
+    val w2 = new DataFusionProto.W
+    w2.msg(23)(a => a.raw(3, scan))
+    val an = DataFusionProtoPhysical.consume(spark, w2.bytes, _ => None)
+    assert(an.columns.toSeq == Seq("plan_type", "plan"))
+    assert(an.collect().head.getString(0) == "Plan with Metrics")
+  }
+
   test("literals of every supported type survive the wire") {
     import org.apache.spark.sql.functions._
     val src = Tables.load(spark, sfDir, "region")
