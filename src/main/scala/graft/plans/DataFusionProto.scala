@@ -219,6 +219,108 @@ object DataFusionProto {
     w.bytes
   }
 
+  /** CreateExternalTableNode (datafusion.proto:173): name=9(TableReference),
+    * location=2 (+locations=16), file_type=3, schema=4(DfSchema),
+    * table_partition_cols=5, if_not_exists=6, options=8. Spark DDL commands
+    * do not surface as DataFrame plans, so the explicit constructor is the
+    * emitting shape (same contract as emitCopyTo/emitDml). */
+  def emitCreateExternalTable(name: String, location: String,
+      fileType: String, schema: org.apache.spark.sql.types.StructType,
+      partitionCols: Seq[String] = Nil,
+      options: Map[String, String] = Map.empty,
+      ifNotExists: Boolean = false): Array[Byte] = {
+    val w = new W
+    w.msg(11) { n =>
+      n.str(2, location)
+      n.str(16, location)
+      n.str(3, fileType.toUpperCase)
+      n.msg(4) { ds => // DfSchema{columns=1(DfField{field=1})}
+        schema.fields.foreach { f =>
+          ds.msg(1)(_.msg(1) { fld =>
+            fld.str(1, f.name); fld.msg(2)(arrowType(f.dataType, _))
+            fld.bool(3, f.nullable)
+          })
+        }
+      }
+      partitionCols.foreach(n.str(5, _))
+      if (ifNotExists) n.bool(6, true)
+      options.foreach { case (k, v) =>
+        n.msg(8) { kv => kv.str(1, k); kv.str(2, v) }
+      }
+      n.msg(9)(tr => tr.msg(1)(_.str(1, name)))
+    }
+    w.bytes
+  }
+
+  /** CreateViewNode (datafusion.proto:219): name=5, input=2, or_replace=3,
+    * temporary=6 (field 1 reserved). */
+  def emitCreateView(name: String, df: DataFrame, orReplace: Boolean = true,
+      temporary: Boolean = true): Array[Byte] = {
+    val w = new W
+    w.msg(22) { n =>
+      n.msg(2)(emitPlan(analyzedOf(df), _))
+      if (orReplace) n.bool(3, true)
+      n.msg(5)(tr => tr.msg(1)(_.str(1, name)))
+      if (temporary) n.bool(6, true)
+    }
+    w.bytes
+  }
+
+  /** DropViewNode (datafusion.proto:213): name=1, if_exists=2. */
+  def emitDropView(name: String, ifExists: Boolean = true): Array[Byte] = {
+    val w = new W
+    w.msg(27) { n =>
+      n.msg(1)(tr => tr.msg(1)(_.str(1, name)))
+      if (ifExists) n.bool(2, true)
+    }
+    w.bytes
+  }
+
+  /** PrepareNode (datafusion.proto:192): name=1, input=3. The emitting
+    * subset carries fully-bound plans (placeholder binding happens before
+    * emission on this side). */
+  def emitPrepare(name: String, df: DataFrame): Array[Byte] = {
+    val w = new W
+    w.msg(26) { n =>
+      n.str(1, name)
+      n.msg(3)(emitPlan(analyzedOf(df), _))
+    }
+    w.bytes
+  }
+
+  /** ExplainNode (datafusion.proto:247) / AnalyzeNode (:235). */
+  def emitExplain(df: DataFrame, verbose: Boolean = false): Array[Byte] = {
+    val w = new W
+    w.msg(12) { n =>
+      n.msg(1)(emitPlan(analyzedOf(df), _))
+      if (verbose) n.bool(2, true)
+    }
+    w.bytes
+  }
+  def emitAnalyze(df: DataFrame, verbose: Boolean = false): Array[Byte] = {
+    val w = new W
+    w.msg(14) { n =>
+      n.msg(1)(emitPlan(analyzedOf(df), _))
+      if (verbose) n.bool(2, true)
+    }
+    w.bytes
+  }
+
+  /** CreateCatalogSchemaNode (datafusion.proto:201) /
+    * CreateCatalogNode (:207). */
+  def emitCreateCatalogSchema(name: String, ifNotExists: Boolean = true)
+      : Array[Byte] = {
+    val w = new W
+    w.msg(18) { n => n.str(1, name); if (ifNotExists) n.bool(2, true) }
+    w.bytes
+  }
+  def emitCreateCatalog(name: String, ifNotExists: Boolean = true)
+      : Array[Byte] = {
+    val w = new W
+    w.msg(20) { n => n.str(1, name); if (ifNotExists) n.bool(2, true) }
+    w.bytes
+  }
+
   private def emitPlan(plan: LogicalPlan, w: W): Unit = plan match {
     // an alias directly over a table scan that REPEATS the table name is
     // redundant on this wire (the scan already carries the table name);
@@ -970,10 +1072,151 @@ object DataFusionProto {
             s"dfproto consume: unsupported dml_type $t")
         }
         (out, Map.empty[String, DataFrame])
+      case 11 => // CreateExternalTableNode: register the location as a
+        // session table (Spark's session catalog IS the re-plan target)
+        val name = tableRefName(sub(node, 9)).getOrElse(
+          throw new IllegalArgumentException(
+            "dfproto consume: CreateExternalTableNode without name"))
+        val locs0 = fields(node).collect { case (16, PBytes(v)) => strOf(v) }
+        val locs = if (locs0.nonEmpty) locs0
+          else sub(node, 2).map(strOf).toSeq
+        require(locs.nonEmpty,
+          "dfproto consume: CreateExternalTableNode without location")
+        val fileType = sub(node, 3).map(strOf).map(_.toLowerCase)
+          .getOrElse("parquet")
+        val opts = subs(node, 8).flatMap { kv =>
+          for (k <- sub(kv, 1); v <- sub(kv, 2)) yield (strOf(k), strOf(v))
+        }.toMap
+        val ifNotExists = vint(node, 6).contains(1L)
+        if (ifNotExists && spark.catalog.tableExists(name))
+          (emptyResult(spark), Map.empty[String, DataFrame])
+        else {
+          var rd = spark.read.format(fileType match {
+            case "arrow" => classOf[graft.sources.ArrowIpcTableProvider].getName
+            case f => f
+          })
+          // the reference spells reader options `format.<key>`
+          opts.get("format.has_header").orElse(opts.get("has_header"))
+            .foreach(h => rd = rd.option("header", h))
+          opts.get("format.delimiter").orElse(opts.get("delimiter"))
+            .foreach(d => rd = rd.option("sep", d))
+          val df = rd.load(locs.map(_.stripPrefix("file://")): _*)
+          df.createOrReplaceTempView(name)
+          (emptyResult(spark), Map(name.toLowerCase -> df))
+        }
+      case 12 => // ExplainNode: the re-planned plans ARE the result set —
+        // (plan_type, plan) rows, the reference's EXPLAIN schema
+        val (input, _) = rec(sub(node, 1).get)
+        val rows = Seq(
+          org.apache.spark.sql.Row("logical_plan",
+            input.queryExecution.optimizedPlan.toString),
+          org.apache.spark.sql.Row("physical_plan",
+            input.queryExecution.executedPlan.toString))
+        (spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("plan_type",
+              org.apache.spark.sql.types.StringType, false),
+            org.apache.spark.sql.types.StructField("plan",
+              org.apache.spark.sql.types.StringType, false)))),
+          Map.empty[String, DataFrame])
+      case 14 => // AnalyzeNode: EXECUTE the input, report the plan text
+        val (input, _) = rec(sub(node, 1).get)
+        input.write.mode("overwrite").format("noop").save()
+        (spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+            "Plan with Metrics",
+            input.queryExecution.executedPlan.toString)), 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("plan_type",
+              org.apache.spark.sql.types.StringType, false),
+            org.apache.spark.sql.types.StructField("plan",
+              org.apache.spark.sql.types.StringType, false)))),
+          Map.empty[String, DataFrame])
+      case 18 => // CreateCatalogSchemaNode → Spark database (namespace)
+        val schemaName = sub(node, 1).map(strOf).getOrElse(
+          throw new IllegalArgumentException(
+            "dfproto consume: CreateCatalogSchemaNode without schema_name"))
+        val ine = if (vint(node, 2).contains(1L)) "IF NOT EXISTS " else ""
+        spark.sql(s"CREATE DATABASE $ine`$schemaName`")
+        (emptyResult(spark), Map.empty[String, DataFrame])
+      case 20 => // CreateCatalogNode: Spark catalogs are plugin-configured
+        // at session build — re-plan as a namespace in the session catalog
+        // (the single-catalog equivalent)
+        val catName = sub(node, 1).map(strOf).getOrElse(
+          throw new IllegalArgumentException(
+            "dfproto consume: CreateCatalogNode without catalog_name"))
+        val ine = if (vint(node, 2).contains(1L)) "IF NOT EXISTS " else ""
+        spark.sql(s"CREATE NAMESPACE $ine`$catName`")
+        (emptyResult(spark), Map.empty[String, DataFrame])
+      case 22 => // CreateViewNode: name=5, input=2, or_replace=3, temp=6.
+        // Registered as a session temp view either way — the session
+        // catalog is this consumer's view store.
+        val name = tableRefName(sub(node, 5)).getOrElse(
+          throw new IllegalArgumentException(
+            "dfproto consume: CreateViewNode without name"))
+        val (input, _) = rec(sub(node, 2).getOrElse(
+          throw new IllegalArgumentException(
+            "dfproto consume: CreateViewNode without input")))
+        if (vint(node, 3).contains(1L)) input.createOrReplaceTempView(name)
+        else input.createTempView(name)
+        (emptyResult(spark), Map(name.toLowerCase -> input))
+      case 26 => // PrepareNode: bind the plan under its statement name;
+        // executePrepared(name) is the EXECUTE surface
+        val name = sub(node, 1).map(strOf).getOrElse(
+          throw new IllegalArgumentException(
+            "dfproto consume: PrepareNode without name"))
+        val (input, _) = rec(sub(node, 3).getOrElse(
+          throw new IllegalArgumentException(
+            "dfproto consume: PrepareNode without input")))
+        preparedStatements.put(name.toLowerCase, input)
+        (emptyResult(spark), Map.empty[String, DataFrame])
+      case 27 => // DropViewNode: name=1, if_exists=2
+        val name = tableRefName(sub(node, 1)).getOrElse(
+          throw new IllegalArgumentException(
+            "dfproto consume: DropViewNode without name"))
+        val dropped = spark.catalog.dropTempView(name)
+        if (!dropped && !vint(node, 2).contains(1L))
+          throw new IllegalArgumentException(
+            s"dfproto consume: view $name does not exist")
+        (emptyResult(spark), Map.empty[String, DataFrame])
+      case 34 => // EmptyTableScanNode: a scan proven empty at plan time —
+        // zero rows of the declared schema
+        val fields0 = sub(node, 2).toSeq.flatMap(s => subs(s, 1)).map { f =>
+          org.apache.spark.sql.types.StructField(
+            sub(f, 1).map(strOf).getOrElse("c"),
+            consumeType(sub(f, 2).get), vint(f, 3).contains(1L))
+        }
+        (spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(fields0)),
+          Map.empty[String, DataFrame])
       case other => throw new IllegalArgumentException(
         s"dfproto consume: unsupported plan variant $other")
     }
   }
+
+  /** TableReference (datafusion.proto:843): bare=1{table=1},
+    * partial=2{schema=1,table=2}, full=3{catalog=1,schema=2,table=3} —
+    * the trailing table segment names the session object. */
+  private def tableRefName(tr: Option[Array[Byte]]): Option[String] =
+    tr.flatMap { b =>
+      sub(b, 1).flatMap(x => sub(x, 1)).map(strOf)
+        .orElse(sub(b, 2).flatMap(x => sub(x, 2)).map(strOf))
+        .orElse(sub(b, 3).flatMap(x => sub(x, 3)).map(strOf))
+    }
+
+  private def emptyResult(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Nil))
+
+  /** PREPARE bindings made by PrepareNode(26); EXECUTE resolves here. */
+  private val preparedStatements =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  def executePrepared(name: String): DataFrame =
+    preparedStatements.getOrElse(name.toLowerCase,
+      throw new IllegalArgumentException(s"no prepared statement $name"))
 
   /** Work-table bindings in force while a RecursiveQueryNode consumes its
     * recursive term (driver-side, single-threaded per consume). */

@@ -140,6 +140,41 @@ object Round12Queries {
       DataFusionProtoPhysical.consume(s, w.bytes, tf(s, dir))
     },
 
+    // Logical DDL tail: CREATE EXTERNAL TABLE from bytes registers the
+    // parquet location in the session catalog; the entry scans it back.
+    "dfproto_ddl_external_table" -> { (s, dir) =>
+      val schema = t(s, dir, "nation").schema
+      val bytes = DataFusionProto.emitCreateExternalTable(
+        "dfp12_ext_nation", s"$dir/nation.parquet", "parquet", schema)
+      DataFusionProto.consume(s, bytes, tf(s, dir)).collect()
+      s.table("dfp12_ext_nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    },
+
+    // CreateViewNode(22) executed from bytes, queried, dropped from
+    // bytes (DropViewNode(27)) — the result is the view's content.
+    "dfproto_ddl_view_lifecycle" -> { (s, dir) =>
+      val src = t(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+      DataFusionProto.consume(s,
+        DataFusionProto.emitCreateView("dfp12_v", src), tf(s, dir))
+      val out = s.table("dfp12_v").orderBy(col("r_regionkey")).collect()
+      DataFusionProto.consume(s,
+        DataFusionProto.emitDropView("dfp12_v"), tf(s, dir))
+      s.createDataFrame(s.sparkContext.parallelize(out.toSeq, 1),
+        src.schema).orderBy(col("r_regionkey"))
+    },
+
+    // PrepareNode(26) from bytes + the EXECUTE surface.
+    "dfproto_ddl_prepare_execute" -> { (s, dir) =>
+      val src = t(s, dir, "nation")
+        .groupBy(col("n_regionkey")).agg(count(lit(1)).as("n"))
+      DataFusionProto.consume(s,
+        DataFusionProto.emitPrepare("dfp12_stmt", src), tf(s, dir))
+      DataFusionProto.executePrepared("dfp12_stmt")
+        .orderBy(col("n_regionkey"))
+    },
+
     // ArrowScanExecNode(38): a scan of Arrow IPC files through the DSv2
     // source roundtrips (files + schema + projection in FileScanExecConf).
     "dfproto_physical_arrow_roundtrip" -> { (s, dir) =>
@@ -185,6 +220,14 @@ object Round12Queries {
         |ORDER BY s_suppkey""".stripMargin,
     "dfproto_physical_placeholder" ->
       "SELECT CAST(NULL AS VARCHAR) AS c",
+    "dfproto_ddl_external_table" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+    "dfproto_ddl_view_lifecycle" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "dfproto_ddl_prepare_execute" ->
+      """SELECT n_regionkey, count(*) AS n FROM nation
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "dfproto_physical_arrow_roundtrip" ->
       """SELECT CAST(r_regionkey AS BIGINT) AS k, r_name AS v FROM region
         |ORDER BY k""".stripMargin)

@@ -1057,6 +1057,91 @@ class DataFusionProtoSpec extends AnyFunSuite {
     assert(an.collect().head.getString(0) == "Plan with Metrics")
   }
 
+  test("DDL tail: CreateExternalTable (11) registers the location") {
+    import org.apache.spark.sql.functions._
+    val bytes = DataFusionProto.emitCreateExternalTable(
+      "dfp_ext_nation", s"$sfDir/nation.parquet", "parquet",
+      Tables.load(spark, sfDir, "nation").schema)
+    assert(DataFusionProto.fields(bytes).head._1 == 11)
+    val node = DataFusionProto.fields(bytes).collectFirst {
+      case (11, PBytes(v)) => v }.get
+    // name rides TableReference at field 9 (field 1 reserved)
+    val nm = DataFusionProto.fields(node).collectFirst {
+      case (9, PBytes(tr)) => DataFusionProto.fields(tr).collectFirst {
+        case (1, PBytes(b)) => DataFusionProto.fields(b).collectFirst {
+          case (1, PBytes(t)) => new String(t, "UTF-8") } } }
+      .flatten.flatten
+    assert(nm.contains("dfp_ext_nation"))
+    val res = DataFusionProto.consume(spark, bytes, _ => None)
+    assert(res.count() == 0, "DDL returns an empty result set")
+    assert(spark.table("dfp_ext_nation").count() ==
+      Tables.load(spark, sfDir, "nation").count())
+    spark.catalog.dropTempView("dfp_ext_nation")
+  }
+
+  test("DDL tail: CreateView (22) + DropView (27) against the session") {
+    import org.apache.spark.sql.functions._
+    val src = Tables.load(spark, sfDir, "region").select(col("r_name"))
+    DataFusionProto.consume(spark,
+      DataFusionProto.emitCreateView("dfp_v_tail", src),
+      n => Some(Tables.load(spark, sfDir, n)))
+    assert(spark.table("dfp_v_tail").count() == src.count())
+    DataFusionProto.consume(spark,
+      DataFusionProto.emitDropView("dfp_v_tail"), _ => None)
+    assert(!spark.catalog.tableExists("dfp_v_tail"))
+    // if_exists=false on a missing view is an error
+    intercept[IllegalArgumentException] {
+      DataFusionProto.consume(spark,
+        DataFusionProto.emitDropView("dfp_v_tail", ifExists = false),
+        _ => None)
+    }
+  }
+
+  test("DDL tail: Prepare (26) binds, Explain (12)/Analyze (14) report") {
+    import org.apache.spark.sql.functions._
+    val src = Tables.load(spark, sfDir, "nation")
+      .groupBy(col("n_regionkey")).agg(count(lit(1)).as("n"))
+    DataFusionProto.consume(spark,
+      DataFusionProto.emitPrepare("dfp_stmt", src),
+      n => Some(Tables.load(spark, sfDir, n)))
+    val executed = DataFusionProto.executePrepared("dfp_stmt")
+    assert(executed.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+      src.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+
+    val ex = DataFusionProto.consume(spark,
+      DataFusionProto.emitExplain(src),
+      n => Some(Tables.load(spark, sfDir, n)))
+    assert(ex.columns.toSeq == Seq("plan_type", "plan"))
+    assert(ex.collect().map(_.getString(0)).toSet ==
+      Set("logical_plan", "physical_plan"))
+
+    val an = DataFusionProto.consume(spark,
+      DataFusionProto.emitAnalyze(src),
+      n => Some(Tables.load(spark, sfDir, n)))
+    assert(an.collect().head.getString(0) == "Plan with Metrics")
+  }
+
+  test("DDL tail: CreateCatalogSchema (18) / CreateCatalog (20) / EmptyTableScan (34)") {
+    DataFusionProto.consume(spark,
+      DataFusionProto.emitCreateCatalogSchema("dfp_schema_tail"), _ => None)
+    assert(spark.catalog.databaseExists("dfp_schema_tail"))
+    spark.sql("DROP DATABASE dfp_schema_tail")
+    DataFusionProto.consume(spark,
+      DataFusionProto.emitCreateCatalog("dfp_cat_tail"), _ => None)
+    assert(spark.catalog.databaseExists("dfp_cat_tail"))
+    spark.sql("DROP DATABASE dfp_cat_tail")
+    // EmptyTableScanNode: zero rows of the declared schema
+    val w = new DataFusionProto.W
+    w.msg(34) { n =>
+      n.msg(1)(tr => tr.msg(1)(_.str(1, "t")))
+      n.msg(2)(s => s.msg(1) { f =>
+        f.str(1, "a"); f.msg(2)(_.msg(10)(_ => ())); f.bool(3, true)
+      })
+    }
+    val ets = DataFusionProto.consume(spark, w.bytes, _ => None)
+    assert(ets.columns.toSeq == Seq("a") && ets.count() == 0)
+  }
+
   test("literals of every supported type survive the wire") {
     import org.apache.spark.sql.functions._
     val src = Tables.load(spark, sfDir, "region")
