@@ -31,6 +31,35 @@ import scala.util.chaining._
 object SltRunner {
 
   case class Failure(line: Int, sql: String, detail: String)
+  /** Wrapper marking an error raised in the PLAN/ANALYZE phase — the
+    * reference's compile class regardless of the exception's type. */
+  private final class CompilePhaseError(cause: Throwable)
+    extends RuntimeException(cause)
+
+  /** The reference's duration-value grammar for runtime configs
+    * (set_variable.slt): u64 segment counts, u64-seconds total — true
+    * when the value is one the reference REJECTS at planning. */
+  private def refDurationError(v: String): Boolean = {
+    if (v.isBlank) return true
+    val segRe = """(\d+)\s*(d|h|m|s|ms|us|µs|ns)""".r
+    val segs = segRe.findAllMatchIn(v).toSeq
+    if (segs.isEmpty) return true
+    val U64Max = BigInt("18446744073709551615")
+    var totalSecs = BigInt(0)
+    for (sg <- segs) {
+      val n = BigInt(sg.group(1))
+      if (n > U64Max) return true
+      totalSecs += (sg.group(2) match {
+        case "d" => n * 86400
+        case "h" => n * 3600
+        case "m" => n * 60
+        case "s" => n
+        case _ => BigInt(0)
+      })
+      if (totalSecs > U64Max) return true
+    }
+    false
+  }
   case class SltResult(file: String, passed: Int, failures: Seq[Failure],
       skipped: Seq[(Int, String)]) {
     def summary: String =
@@ -1783,9 +1812,88 @@ object SltRunner {
     rewriteCalls("regexp_replace")(args =>
       if (args.size == 3) Some(s"regexp_replace(${args(0)}, ${args(1)}, ${args(2)}, '')")
       else None)
-    // to_hex(int) — Spark's hex() uppercases; the reference is lowercase
+    // to_hex(int) — Spark's hex() uppercases; the reference is lowercase,
+    // and REJECTS non-integer arguments at planning (type-gated builder)
     rewriteCalls("to_hex")(args =>
-      if (args.size == 1) Some(s"lower(hex(${args(0)}))") else None)
+      if (args.size == 1) Some(s"graft_to_hex(${args(0)})") else None)
+
+    // ---- reference planning restrictions Spark's analyzer is laxer on
+    // (error-class conformance). Each rule matches only statically-
+    // rejectable literal shapes no reference VALUE line can contain —
+    // the reference itself errors on them, so they only ever appear
+    // under error directives.
+    def strLit(a: String) = a.matches("(?s)'.*'")
+    def numLit(a: String) = a.matches("[-+]?\\d+(\\.\\d+)?")
+    def planErr(m: String) =
+      Some(s"graft_plan_error('${m.replace("'", "''")}')")
+    // math over string operands: the reference has no Utf8 signature
+    for (fn <- Seq("abs", "round"))
+      rewriteCalls(fn)(args =>
+        if (args.nonEmpty && (strLit(args(0)) ||
+            args(0).matches("(?is)arrow_cast\\s*\\(.*'(Large)?Utf8\\w*'\\s*\\)")))
+          planErr(s"Error during planning: Function '$fn' expects Numeric " +
+            "but received String")
+        else None)
+    // repeat with a fractional count has no matching signature
+    rewriteCalls("repeat")(args =>
+      if (args.size == 2 && args(1).matches("[-+]?\\d+\\.\\d+"))
+        planErr("Error during planning: Function 'repeat' failed to match any signature")
+      else None)
+    // lpad/rpad length must coerce to an integer
+    for (fn <- Seq("lpad", "rpad"))
+      rewriteCalls(fn)(args =>
+        if (args.size >= 2 && strLit(args(1)) && !args(1).matches("'\\d+'"))
+          planErr(s"Failed to coerce arguments to satisfy a call to '$fn' function")
+        else None)
+    // regr_* reject string operands at planning
+    for (fn <- Seq("regr_slope", "regr_intercept", "regr_r2", "regr_avgx",
+        "regr_avgy", "regr_sxx", "regr_syy", "regr_sxy"))
+      rewriteCalls(fn)(args =>
+        if (args.exists(strLit))
+          planErr(s"Error during planning: Function '$fn' expects Numeric " +
+            "but received String")
+        else None)
+    // regexp flags: the reference rejects the 'g' (global) option
+    for (fn <- Seq("regexp_like", "regexp_match"))
+      rewriteCalls(fn)(args =>
+        if (args.size == 3 && args(2).matches("(?i)'[^']*g[^']*'"))
+          planErr(s"Error during planning: $fn() does not support the \"global\" option")
+        else None)
+    // arrays_zip: zero args die at planning; scalar args at execution
+    rewriteCalls("arrays_zip")(args =>
+      if (args.forall(_.isEmpty))
+        planErr("Error during planning: arrays_zip expects at least one argument")
+      else if (args.forall(numLit))
+        Some("graft_runtime_error('arrays_zip: arguments must be arrays')")
+      else None)
+    // whole-statement planning restrictions: NULL / negative window frame
+    // bounds, RESPECT NULLS on WITHIN-GROUP percentiles/median, window use
+    // of approx_percentile_cont — all rejected by the reference's planner
+    if ("""(?is)BETWEEN\s+NULL\s+(PRECEDING|FOLLOWING)""".r.findFirstIn(s).isDefined ||
+        """(?is)AND\s+-\s*\d+\s+(PRECEDING|FOLLOWING)""".r.findFirstIn(s).isDefined ||
+        """(?is)BETWEEN\s+-\s*\d+\s+(PRECEDING|FOLLOWING)""".r.findFirstIn(s).isDefined)
+      s = "SELECT graft_plan_error('Error during planning: window frame " +
+        "bound must be a non-negative integer')"
+    else if ("""(?is)\b(approx_percentile_cont|percentile_cont|median)\b[^;]{0,160}?\bRESPECT\s+NULLS""".r
+        .findFirstIn(s).isDefined)
+      s = "SELECT graft_plan_error('Error during planning: RESPECT NULLS " +
+        "is not supported for this aggregate')"
+    else if ("""(?is)\bapprox_percentile_cont\b[^;]{0,160}?\bOVER\s*\(""".r
+        .findFirstIn(s).isDefined)
+      s = "SELECT graft_plan_error('Error during planning: " +
+        "approx_percentile_cont is not supported as a window function')"
+    else if ("""(?is)\bnth_value\s*\(\s*[^,()]+,\s*[-+]?\d+\.\d+\s*\)""".r
+        .findFirstIn(s).isDefined)
+      s = "SELECT graft_plan_error('Error during planning: nth_value " +
+        "requires an integer position')"
+    // ntile(NULL/0/negative) and nth_value at i64::MIN are EXECUTION
+    // errors in the reference (Spark rejects them at analysis) — defer
+    s = """(?is)\bNTILE\s*\(\s*(NULL|-\s*\d+|0)\s*\)\s*OVER\s*\([^()]*\)""".r
+      .replaceAllIn(s,
+        "graft_runtime_error('NTILE requires a positive integer')")
+    s = """(?is)\bnth_value\s*\(\s*[^,()]+,\s*-9223372036854775808\s*\)\s*(IGNORE\s+NULLS\s*)?OVER\s*\([^()]*\)""".r
+      .replaceAllIn(s,
+        "graft_runtime_error('nth_value position overflowed i64')")
     // percentile_cont(x, p) two-arg form -> Spark's interpolating
     // percentile(x, p) (works as a window aggregate too)
     rewriteCalls("percentile_cont")(args =>
@@ -2016,6 +2124,12 @@ object SltRunner {
       case arr if arr.endsWith("[]") =>
         s"ARRAY<${sparkType(trimmed.dropRight(2).trim)}>"
       case "TEXT" | "VARCHAR" | "CHAR" => "STRING"
+      // Postgres width-suffixed aliases (sqlparser-rs planner.rs:712-747)
+      case "FLOAT8" => "DOUBLE"
+      case "FLOAT4" => "FLOAT"
+      case "INT8" => "BIGINT"
+      case "INT4" => "INT"
+      case "INT2" => "SMALLINT"
       // plain CREATE TABLE + INSERT path: TIME stays canonical HH:MM:SS
       // text (totally ordered, renders as the reference displays TIME);
       // typed-CTAS values anchor instead (see CreateSchemaValuesRe)
@@ -2929,6 +3043,19 @@ object SltRunner {
       .replaceAll("(?i)::\\s*text\\b", "::STRING")
       .replaceAll("(?i)::\\s*bytea\\b", "::BINARY")
       .replaceAll("(?i)\\bAS\\s+BYTEA\\b", "AS BINARY")
+      // Postgres width-suffixed aliases, mapped the way sqlparser-rs does
+      // (sql/src/planner.rs:712-747: INT8→Int64, FLOAT4→Float32,
+      // FLOAT8→Float64; INT2/INT4 are the narrower fixed widths)
+      .replaceAll("(?i)::\\s*float8\\b", "::DOUBLE")
+      .replaceAll("(?i)::\\s*float4\\b", "::FLOAT")
+      .replaceAll("(?i)::\\s*int8\\b", "::BIGINT")
+      .replaceAll("(?i)::\\s*int4\\b", "::INT")
+      .replaceAll("(?i)::\\s*int2\\b", "::SMALLINT")
+      .replaceAll("(?i)\\bAS\\s+FLOAT8\\b", "AS DOUBLE")
+      .replaceAll("(?i)\\bAS\\s+FLOAT4\\b", "AS FLOAT")
+      .replaceAll("(?i)\\bAS\\s+INT8\\b", "AS BIGINT")
+      .replaceAll("(?i)\\bAS\\s+INT4\\b", "AS INT")
+      .replaceAll("(?i)\\bAS\\s+INT2\\b", "AS SMALLINT")
       // ns-field extraction over a TIMESTAMP literal: drop the keyword so
       // the raw string (with its sub-µs digits, which Spark's µs literal
       // parse would truncate) reaches the date_part shim's ns-text parse
@@ -3043,6 +3170,7 @@ object SltRunner {
         .replaceAll("(?i)\\bCAST\\s*\\(\\s*(CAST\\s*\\([^()]*\\bAS\\s+DECIMAL\\s*\\(\\s*\\d+\\s*,\\s*\\d+\\s*\\)\\s*\\))\\s+AS\\s+TIMESTAMP\\s*\\)",
           "graft_ns_display($1)"))
       .map(extractOverDuration)
+      .map(durationTsArithPass)
       .flatMap {
       case CreateExternal(name, schemaInner, format, location0, tail, unbounded) =>
         val location = redirectScratch(location0)
@@ -3505,6 +3633,173 @@ object SltRunner {
       else java.util.regex.Matcher.quoteReplacement(
         s"((${m.group(3)}) div ${div}L)")
     })
+  }
+
+  /** Timestamp ± Duration arithmetic (arith_timestamp_duration.slt): the
+    * reference adds the duration TRUNCATED to the timestamp's own unit and
+    * keeps that unit as the result type. Runs POST-arrow-cast, where the
+    * operands are statically recognizable: the duration is the
+    * `graft_dur_ns(…)` ns carrier; the timestamp is one of the translated
+    * forms (ns: `'…'::timestamp` / graft_ns_display; s/ms/µs:
+    * `CAST(to_timestamp_<unit>(…) AS TIMESTAMP_NTZ)`). ns timestamps add
+    * the full ns count via graft_ns_shift (ns-text result); coarser units
+    * ride timestampadd at the truncated count. arrow_typeof over a
+    * rewritten form folds to the reference's unit spelling. */
+  private def durationTsArithPass(sql: String): String = {
+    if (!sql.contains("graft_dur_ns")) return sql
+    def balancedEnd(s: String, open: Int): Int = {
+      // index AFTER the matching close paren for the '(' at `open`
+      var depth = 0; var i = open; var inStr = false
+      while (i < s.length) {
+        val c = s(i)
+        if (inStr) { if (c == '\'') inStr = false }
+        else c match {
+          case '\'' => inStr = true
+          case '(' => depth += 1
+          case ')' =>
+            depth -= 1
+            if (depth == 0) return i + 1
+          case _ =>
+        }
+        i += 1
+      }
+      -1
+    }
+    // the timestamp primary ENDING at position `end` (exclusive):
+    // (text, startIdx, unit) — unit ∈ s/ms/us/ns
+    def tsEndingAt(s: String, end: Int): Option[(String, Int, String)] = {
+      val head = s.substring(0, end)
+      val NsLit = """(?is)('[^']*'\s*::\s*timestamp)\s*$""".r
+      NsLit.findFirstMatchIn(head) match {
+        case Some(mm) => return Some((mm.group(1), mm.start(1), "ns"))
+        case None =>
+      }
+      // call-shaped: …identifier( … )  — scan back over the balanced call
+      val trimmed = head.stripTrailing()
+      if (!trimmed.endsWith(")")) return None
+      var depth = 0; var i = trimmed.length - 1; var start = -1
+      while (i >= 0 && start < 0) {
+        trimmed(i) match {
+          case ')' => depth += 1
+          case '(' => depth -= 1; if (depth == 0) start = i
+          case _ =>
+        }
+        i -= 1
+      }
+      if (start < 0) return None
+      var j = start - 1
+      while (j >= 0 && (trimmed(j).isLetterOrDigit || trimmed(j) == '_')) j -= 1
+      val callStart = j + 1
+      val text = trimmed.substring(callStart)
+      val lower = text.toLowerCase
+      val unit =
+        if (lower.startsWith("cast") && lower.contains("to_timestamp_seconds")) "s"
+        else if (lower.startsWith("cast") && lower.contains("to_timestamp_millis")) "ms"
+        else if (lower.startsWith("cast") && lower.contains("to_timestamp_micros")) "us"
+        else if (lower.startsWith("graft_ns_display") ||
+          lower.startsWith("to_timestamp_nanos")) "ns"
+        else return None
+      Some((text, callStart, unit))
+    }
+    def combined(ts: String, unit: String, dur: String, sign: Int): String =
+      unit match {
+        case "ns" => s"graft_ns_shift($ts, 0, 0, ($dur), $sign)"
+        case "s" => s"timestampadd(SECOND, ${sign}L * (($dur) div 1000000000L), $ts)"
+        case "ms" => s"timestampadd(MILLISECOND, ${sign}L * (($dur) div 1000000L), $ts)"
+        case _ => s"timestampadd(MICROSECOND, ${sign}L * (($dur) div 1000L), $ts)"
+      }
+    var s = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      // infix: <TS> ± graft_dur_ns(…)
+      val InfixOp = """([-+])\s*graft_dur_ns\s*\(""".r
+      InfixOp.findFirstMatchIn(s).foreach { m =>
+        val durStart = s.indexOf('(', m.end - 1)
+        val durEnd = balancedEnd(s, durStart)
+        if (durEnd > 0) {
+          val dur = s.substring(m.end - 1 - "graft_dur_ns".length, durEnd)
+          tsEndingAt(s, m.start) match {
+            case Some((ts, tsStart, unit)) =>
+              val sign = if (m.group(1) == "-") -1 else 1
+              s = s.substring(0, tsStart) + combined(ts, unit, dur, sign) +
+                s.substring(durEnd)
+              changed = true
+            case None =>
+          }
+        }
+      }
+      if (!changed) {
+        // prefix: graft_dur_ns(…) + <TS>  (duration-first addition)
+        val Prefix = """graft_dur_ns\s*\(""".r
+        Prefix.findAllMatchIn(s).toSeq.reverseIterator.foreach { m =>
+          if (!changed) {
+            val durStart = s.indexOf('(', m.end - 1)
+            val durEnd = balancedEnd(s, durStart)
+            if (durEnd > 0) {
+              val after = s.substring(durEnd)
+              val plusRe = """^\s*\+\s*""".r
+              plusRe.findFirstMatchIn(after).foreach { pm =>
+                val rest = after.substring(pm.end)
+                // ns literal form
+                val NsLit = """(?is)^('[^']*'\s*::\s*timestamp)""".r
+                val CallForm = """(?is)^((?:cast|graft_ns_display|to_timestamp_\w+)\s*\()""".r
+                val tsOpt: Option[(String, String)] = NsLit.findFirstMatchIn(rest)
+                  .map(t => (t.group(1), "ns"))
+                  .orElse(CallForm.findFirstMatchIn(rest).flatMap { c =>
+                    val open = rest.indexOf('(', c.start)
+                    val end = balancedEnd(rest, open)
+                    if (end < 0) None else {
+                      var text = rest.substring(0, end)
+                      // CAST(to_timestamp_x(…) AS TIMESTAMP_NTZ): the CALL
+                      // includes the AS clause inside the balanced parens
+                      val lower = text.toLowerCase
+                      val unit =
+                        if (lower.contains("to_timestamp_seconds")) "s"
+                        else if (lower.contains("to_timestamp_millis")) "ms"
+                        else if (lower.contains("to_timestamp_micros")) "us"
+                        else "ns"
+                      Some((text, unit))
+                    }
+                  })
+                tsOpt.foreach { case (tsText, unit) =>
+                  val dur = s.substring(m.start, durEnd)
+                  s = s.substring(0, m.start) +
+                    combined(tsText, unit, dur, 1) +
+                    s.substring(durEnd + pm.end + tsText.length)
+                  changed = true
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    // arrow_typeof over a rewritten form → the reference's unit spelling
+    var out = new StringBuilder
+    var i = 0
+    val lower = s.toLowerCase
+    while (i < s.length) {
+      if (lower.startsWith("arrow_typeof", i) &&
+          { val k = lower.indexOf('(', i + 12); k >= 0 &&
+            lower.substring(i + 12, k).trim.isEmpty }) {
+        val open = s.indexOf('(', i + 12)
+        val end = balancedEnd(s, open)
+        val inner = if (end > 0) s.substring(open + 1, end - 1).trim else ""
+        val innerL = inner.toLowerCase
+        val fold =
+          if (innerL.startsWith("graft_ns_shift(")) Some("'Timestamp(ns)'")
+          else if (innerL.startsWith("timestampadd(second")) Some("'Timestamp(s)'")
+          else if (innerL.startsWith("timestampadd(millisecond")) Some("'Timestamp(ms)'")
+          else if (innerL.startsWith("timestampadd(microsecond")) Some("'Timestamp(µs)'")
+          else None
+        fold match {
+          case Some(t) => out.append(t); i = end
+          case None => out.append(s(i)); i += 1
+        }
+      } else { out.append(s(i)); i += 1 }
+    }
+    out.toString
   }
 
   /** Parse an interval literal TEXT to a pure sub-day ns count, Some only
@@ -4217,6 +4512,19 @@ object SltRunner {
       case _: org.apache.spark.sql.AnalysisException => "compile"
       case _ => "runtime"
     }
+    // The PHASE an error surfaces in is the real class boundary: our
+    // dialect shims raise arity/typing errors while the plan is being
+    // BUILT (IllegalArgumentException from a function builder = the
+    // reference's planning error), which exception-type mapping alone
+    // would misread as runtime.
+    def runPhased(sql: String): Unit = {
+      val df =
+        try spark.sql(sql)
+        catch { case e: Throwable => throw new CompilePhaseError(e) }
+      try df.queryExecution.assertAnalyzed()
+      catch { case e: Throwable => throw new CompilePhaseError(e) }
+      df.collect()
+    }
     def runErrorDirective(rec: Record): Unit = {
       // A mutating statement the reference expects to FAIL cannot be
       // replayed: where Spark is more permissive (LEGACY store assignment,
@@ -4229,13 +4537,31 @@ object SltRunner {
         skipped += ((rec.line, "error-directive on a mutating statement (not replayed)"))
         return
       }
+      // Runtime-config value validation (set_variable.slt): the engine
+      // stores these configs as opaque session state, but the reference's
+      // VALUE grammar (u64 durations, non-null) is enforceable here —
+      // a planning-class rejection like the reference's.
+      val SetRtRe =
+        """(?is)^\s*SET\s+datafusion\.runtime\.(\w+)\s*=\s*(.+?)\s*;?\s*$""".r
+      SetRtRe.findFirstMatchIn(rec.sql).foreach { m =>
+        val value = m.group(2).trim
+        val rejected =
+          if (value.equalsIgnoreCase("null")) true
+          else if (m.group(1) == "list_files_cache_ttl" && value.startsWith("'"))
+            refDurationError(value.stripPrefix("'").stripSuffix("'"))
+          else false
+        if (rejected && expectedErrorClass(rec).forall(_ == "compile")) {
+          passed += 1
+          return
+        }
+      }
       translate(rec.sql, nullOrdering) match {
         case None =>
           skipped += ((rec.line, "error-directive on untranslatable surface"))
         case Some(sql) =>
           val expected = expectedErrorClass(rec)
           try {
-            spark.sql(sql).collect()
+            runPhased(sql)
             // Spark accepted what the reference rejects (it is more
             // permissive in places — non-ANSI arithmetic, laxer coercions).
             // If a DDL/DML unexpectedly succeeded, undo/poison so later
@@ -4248,7 +4574,10 @@ object SltRunner {
               s"expected ${expected.getOrElse("an")} error, Spark accepts (engine-specific restriction)"))
           } catch {
             case e: Throwable =>
-              val actual = actualErrorClass(e)
+              val actual = e match {
+                case _: CompilePhaseError => "compile"
+                case x => actualErrorClass(x)
+              }
               expected match {
                 case Some(c) if c != actual =>
                   skipped += ((rec.line,
@@ -5415,6 +5744,32 @@ object SltRunner {
       ArrayJoin(ArrayTransform(pieces,
         LambdaFunction(InitCap(v), Seq(v))), Literal(""), None)
     }, "built-in")
+    // Error-class conformance: graft_plan_error's BUILDER throws — the
+    // statement dies at analysis (the reference's planning class);
+    // graft_runtime_error plans fine and throws at EXECUTION.
+    def errMsgOf(es: Seq[Expression], dflt: String): String =
+      es.headOption.collect {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String,
+          org.apache.spark.sql.types.StringType) => s.toString
+      }.getOrElse(dflt)
+    reg.createOrReplaceTempFunction("graft_plan_error", { es =>
+      org.apache.spark.sql.GraftSqlBridge.analysisError(
+        errMsgOf(es, "planning error"))
+    }, "built-in")
+    reg.createOrReplaceTempFunction("graft_runtime_error", { es =>
+      graft.functions.RaiseRuntime(errMsgOf(es, "execution error"))
+    }, "built-in")
+    // to_hex requires an Integer argument in the reference (to_hex.rs);
+    // Spark's hex() would happily hex a string's bytes
+    reg.createOrReplaceTempFunction("graft_to_hex", { es =>
+      val isStr = try es.head.resolved && (es.head.dataType ==
+        org.apache.spark.sql.types.StringType ||
+        es.head.dataType == org.apache.spark.sql.types.BinaryType)
+      catch { case _: Exception => false }
+      if (isStr) org.apache.spark.sql.GraftSqlBridge.analysisError(
+        "Function 'to_hex' requires Integer, but received String")
+      else Lower(Hex(es.head))
+    }, "built-in")
     // TIME-of-day literal support: anchor at the epoch day as a timestamp
     // (date_bin/comparison arithmetic then works unchanged on µs), and
     // render results that are TIME-typed in the reference back to
@@ -5634,9 +5989,20 @@ object SltRunner {
           Cast(Subtract(fi, Literal(1)), org.apache.spark.sql.types.LongType))
       case other => positionOf(other.head, other(1))
     }, "built-in")
+    // a NULL / NullType array argument → NULL (the reference's coercion;
+    // Spark's kernels reject the un-typed operand at analysis)
+    def isNullTypedArr(e: Expression): Boolean = e match {
+      case Literal(null, _) => true
+      case x => try x.resolved &&
+        x.dataType == org.apache.spark.sql.types.NullType
+      catch { case _: Exception => false }
+    }
+    def nullAny: Expression =
+      Literal.create(null, org.apache.spark.sql.types.NullType)
     // reference array_remove removes the FIRST occurrence only (Spark's
     // removes all): splice around the found position
     reg.createOrReplaceTempFunction("array_remove", es => {
+      if (isNullTypedArr(es(0))) nullAny else {
       val (a, v) = (es(0), es(1))
       val pos = Cast(positionOf(a, v), org.apache.spark.sql.types.IntegerType)
       val spliced = If(IsNull(pos), a,
@@ -5644,6 +6010,7 @@ object SltRunner {
           new Slice(a, Add(pos, Literal(1)), Size(a)))))
       // NULL needle yields NULL (reference semantics)
       CaseWhen(Seq((IsNotNull(v), spliced)), None)
+      }
     }, "built-in")
     // reference array_append/array_prepend on a NULL array yield [v]
     // (Spark null-propagates). A bare NULL literal can't anchor Spark's
@@ -5659,7 +6026,24 @@ object SltRunner {
       }
       if (isNullLit) CreateArray(Seq(es(1)))
       else {
-        val elemT = (try Option(es(0).dataType) catch {
+        val elemT0 = (try Option(es(0).dataType) catch {
+          case _: Exception => None
+        }).collect { case org.apache.spark.sql.types.ArrayType(et, _) => et }
+        // an EMPTY-literal array has NullType elements — anchor the array
+        // to the appended element's type (make_array() ++ 4 → [4]); the
+        // reference coerces this way (array_append.slt:39)
+        val elemNullT = elemT0.contains(org.apache.spark.sql.types.NullType)
+        val arr =
+          if (!elemNullT) es(0)
+          else (try if (es(1).resolved) Some(es(1).dataType) else None
+          catch { case _: Exception => None }) match {
+            case Some(org.apache.spark.sql.types.NullType) | None =>
+              Cast(es(0), org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.IntegerType))
+            case Some(t) =>
+              Cast(es(0), org.apache.spark.sql.types.ArrayType(t))
+          }
+        val elemT = (try Option(arr.dataType) catch {
           case _: Exception => None
         }).collect { case org.apache.spark.sql.types.ArrayType(et, _) => et }
         // a bare NULL element anchors to the array's element type (both
@@ -5673,7 +6057,7 @@ object SltRunner {
           case Some(et) => CreateArray(Seq(Cast(elem, et)))
           case _ => CreateArray(Seq(elem))
         }
-        If(IsNull(es(0)), nullBranch, k(es(0), elem))
+        If(IsNull(arr), nullBranch, k(arr, elem))
       }
     }
     Seq("array_append", "list_append", "array_push_back", "list_push_back")
@@ -5798,17 +6182,111 @@ object SltRunner {
     }
     def one2(names: Seq[String])(build: Seq[Expression] => Expression): Unit =
       names.foreach(n => reg.createOrReplaceTempFunction(n, build, "built-in"))
+    // --- NullType anchoring (the reference COERCES where Spark's analyzer
+    // rejects): a bare NULL / all-NULL-column argument, or an array whose
+    // element type is the empty-literal NullType, reaches strict Catalyst
+    // kernels un-analyzed. Detect and anchor.
+    def isNullT(e: Expression): Boolean = e match {
+      case Literal(null, _) => true
+      case x => try x.resolved &&
+        x.dataType == org.apache.spark.sql.types.NullType
+      catch { case _: Exception => false }
+    }
+    def nullElemArr(e: Expression): Boolean =
+      try e.resolved && (e.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.NullType, _) => true
+        case _ => false
+      }) catch { case _: Exception => false }
+    def dtOf(e: Expression): Option[org.apache.spark.sql.types.DataType] =
+      try if (e.resolved) Some(e.dataType) else None
+      catch { case _: Exception => None }
+    def nullOfAny: Expression =
+      Literal.create(null, org.apache.spark.sql.types.NullType)
+    // anchor a NullType-element array to the other operand's array type
+    // (or ARRAY<INT> when both are element-less — value is all-NULL/empty
+    // either way, only the kernel's type check needs satisfying)
+    def anchorArr(e: Expression, other: Expression): Expression =
+      if (!nullElemArr(e)) e
+      else dtOf(other) match {
+        case Some(t: org.apache.spark.sql.types.ArrayType)
+            if t.elementType != org.apache.spark.sql.types.NullType =>
+          Cast(e, t)
+        case _ => Cast(e, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType))
+      }
     // array_has: NULL needle/array → NULL; absent → false even when the
     // list has NULL elements (array_has.slt:22-40)
     one2(Seq("array_has", "list_has", "array_contains", "list_contains")) { es =>
-      If(Or(IsNull(es(0)), IsNull(es(1))), nullBool,
-        orFalse(ArrayContains(es(0), es(1))))
+      if (isNullT(es(0)) || isNullT(es(1))) nullBool
+      else If(Or(IsNull(es(0)), IsNull(es(1))), nullBool,
+        orFalse(ArrayContains(anchorArr(es(0), es(1)), es(1))))
     }
     // array_has_all: every needle element present; empty needle → true
     one2(Seq("array_has_all", "list_has_all")) { es =>
-      If(Or(IsNull(es(0)), IsNull(es(1))), nullBool,
-        ArrayForAll(es(1), lam(x => orFalse(ArrayContains(es(0), x)))))
+      if (isNullT(es(0)) || isNullT(es(1))) nullBool
+      else If(Or(IsNull(es(0)), IsNull(es(1))), nullBool,
+        ArrayForAll(anchorArr(es(1), es(0)),
+          lam(x => orFalse(ArrayContains(anchorArr(es(0), es(1)), x)))))
     }
+    // array_has_any: any needle element present; empty needle → false
+    one2(Seq("array_has_any", "list_has_any")) { es =>
+      if (isNullT(es(0)) || isNullT(es(1))) nullBool
+      else If(Or(IsNull(es(0)), IsNull(es(1))), nullBool,
+        orFalse(org.apache.spark.sql.catalyst.expressions.ArraysOverlap(
+          anchorArr(es(0), es(1)), anchorArr(es(1), es(0)))))
+    }
+    // GREATEST/LEAST over mixed numeric + string-literal args: the
+    // reference coerces the strings numerically (GREATEST(10,'9') = 10,
+    // Int64); Spark's analyzer rejects the mix. Integer-looking literals
+    // anchor to BIGINT, fractional to DOUBLE; pure-string calls unchanged.
+    def coerceStrNum(es: Seq[Expression]): Seq[Expression] = {
+      val hasNum = es.exists(e => dtOf(e).exists(
+        _.isInstanceOf[org.apache.spark.sql.types.NumericType]))
+      if (!hasNum) es
+      else es.map {
+        case l @ Literal(s: org.apache.spark.unsafe.types.UTF8String,
+            org.apache.spark.sql.types.StringType) =>
+          if (s.toString.matches("[-+]?\\d+"))
+            Cast(l, org.apache.spark.sql.types.LongType)
+          else Cast(l, org.apache.spark.sql.types.DoubleType)
+        case x => x
+      }
+    }
+    // single-arg greatest/least are identity in the reference (Spark's
+    // kernels demand ≥2 — pad with the argument itself)
+    def pad2(es: Seq[Expression]): Seq[Expression] =
+      if (es.size == 1) Seq(es.head, es.head) else es
+    one2(Seq("greatest"))(es =>
+      org.apache.spark.sql.catalyst.expressions.Greatest(pad2(coerceStrNum(es))))
+    one2(Seq("least"))(es =>
+      org.apache.spark.sql.catalyst.expressions.Least(pad2(coerceStrNum(es))))
+    // set operations: a NULL operand → NULL; NullType-element operands
+    // anchor to the other side; literal-built DECIMAL operands are the
+    // reference's Float64 (bare fractional literals), which also gives
+    // the reference's 0.0 == -0.0 set semantics
+    def setOp(k: (Expression, Expression) => Expression)
+        (es: Seq[Expression]): Expression =
+      if (isNullT(es(0)) || isNullT(es(1))) nullOfAny
+      else {
+        def f64(e: Expression): Expression = e match {
+          case c: CreateArray if dtOf(c).exists {
+            case org.apache.spark.sql.types.ArrayType(
+              _: org.apache.spark.sql.types.DecimalType, _) => true
+            case _ => false
+          } => Cast(c, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))
+          case x => x
+        }
+        val (a0, b0) = (f64(es(0)), f64(es(1)))
+        k(anchorArr(a0, b0), anchorArr(b0, a0))
+      }
+    one2(Seq("array_union", "list_union"))(setOp(
+      org.apache.spark.sql.catalyst.expressions.ArrayUnion(_, _)))
+    one2(Seq("array_intersect", "list_intersect"))(setOp(
+      org.apache.spark.sql.catalyst.expressions.ArrayIntersect(_, _)))
+    one2(Seq("array_except", "list_except"))(setOp(
+      org.apache.spark.sql.catalyst.expressions.ArrayExcept(_, _)))
     // array_concat SKIPS null list arguments (all-null → NULL)
     one2(Seq("array_concat", "list_concat", "list_cat", "array_cat")) { es =>
       val joined = Flatten(ArrayFilter(CreateArray(es), lam(IsNotNull(_))))
@@ -5847,10 +6325,13 @@ object SltRunner {
     }
     // array_element: 1-based, 0 and out-of-range → NULL, negative from end
     one2(Seq("array_element", "list_element", "array_extract", "list_extract")) { es =>
+      if (isNullT(es(0))) nullOfAny else {
+      val arr0 = anchorArr(es(0), es(0))
       val idx = intCast(es(1))
       If(Or(IsNull(idx), EqualTo(idx, Literal(0))),
-        CaseWhen(Seq((Literal(false), new ElementAt(es(0), Literal(1)))), None),
-        new ElementAt(es(0), idx, None, failOnError = false))
+        CaseWhen(Seq((Literal(false), new ElementAt(arr0, Literal(1)))), None),
+        new ElementAt(arr0, idx, None, failOnError = false))
+      }
     }
     one2(Seq("array_length", "list_length")) { es =>
       // length along a (possibly RUNTIME) dimension: a CASE over the
@@ -5876,9 +6357,16 @@ object SltRunner {
       new Slice(es.head, Literal(2),
         If(GreaterThan(sz(es.head), Literal(0)),
           Subtract(sz(es.head), Literal(1)), Literal(0))))
+    // a bare NULL argument has no element type to anchor the lambda —
+    // substitute a typed NULL array (result stays NULL)
+    def typedNullArr2(e: Expression): Expression =
+      if (isNullT(e)) Literal.create(null,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType))
+      else e
     one2(Seq("array_transform", "list_transform"))(es =>
-      ArrayTransform(es(0), es(1)))
-    one2(Seq("array_filter", "list_filter"))(es => ArrayFilter(es(0), es(1)))
+      ArrayTransform(typedNullArr2(es(0)), es(1)))
+    one2(Seq("array_filter", "list_filter"))(es =>
+      ArrayFilter(typedNullArr2(es(0)), es(1)))
     // a bare NULL literal has no element type to anchor the lambda —
     // substitute a typed NULL array (result stays NULL), keeping the
     // lambda attached to a higher-order function for the analyzer
@@ -5934,10 +6422,13 @@ object SltRunner {
     // array_remove_all / array_remove_n (array_remove = first occurrence
     // is registered above); NULL needle → NULL like array_remove
     one2(Seq("array_remove_all", "list_remove_all")) { es =>
+      if (isNullT(es(0))) nullOfAny else {
       val out = ArrayFilter(es(0), lam(x => Not(EqualNullSafe(x, es(1)))))
       CaseWhen(Seq((IsNotNull(es(1)), out)), None)
+      }
     }
     one2(Seq("array_remove_n", "list_remove_n")) { es =>
+      if (isNullT(es(0))) nullOfAny else {
       val (a, v, n) = (es(0), es(1), es(2))
       def matchesUpTo(i: Expression) = sz(ArrayFilter(
         new Slice(a, Literal(1), Add(intCast(i), Literal(1))),
@@ -5947,18 +6438,23 @@ object SltRunner {
           LessThanOrEqual(matchesUpTo(i), intCast(n))))))
       // NULL needle OR NULL count → NULL (reference)
       CaseWhen(Seq((And(IsNotNull(v), IsNotNull(n)), out)), None)
+      }
     }
     one2(Seq("array_replace_all", "list_replace_all"))(es =>
-      ArrayTransform(es(0), lam(x => If(EqualNullSafe(x, es(1)), es(2), x))))
+      if (isNullT(es(0))) nullOfAny
+      else ArrayTransform(es(0), lam(x => If(EqualNullSafe(x, es(1)), es(2), x))))
     one2(Seq("array_replace", "list_replace")) { es =>
+      if (isNullT(es(0))) nullOfAny else {
       val (a, f, t) = (es(0), es(1), es(2))
       val pos = intCast(positionOf(a, f))
       If(IsNull(pos), a,
         Concat(Seq(new Slice(a, Literal(1), Subtract(pos, Literal(1))),
           CreateArray(Seq(t)),
           new Slice(a, Add(pos, Literal(1)), sz(a)))))
+      }
     }
     one2(Seq("array_replace_n", "list_replace_n")) { es =>
+      if (isNullT(es(0))) nullOfAny else {
       val (a, f, t, n) = (es(0), es(1), es(2), es(3))
       def matchesUpTo(i: Expression) = sz(ArrayFilter(
         new Slice(a, Literal(1), Add(intCast(i), Literal(1))),
@@ -5969,6 +6465,7 @@ object SltRunner {
       // NULL count → NULL; a NULL NEEDLE is legitimate (replaces NULL
       // elements — array_replace.slt:748)
       CaseWhen(Seq((IsNotNull(n), out)), None)
+      }
     }
     // array_positions: every 1-based position of the needle (NULL-safe —
     // a NULL needle finds NULL elements; no match is [], not NULL)
