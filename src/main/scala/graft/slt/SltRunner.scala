@@ -1866,6 +1866,39 @@ object SltRunner {
       else if (args.forall(numLit))
         Some("graft_runtime_error('arrays_zip: arguments must be arrays')")
       else None)
+    // array_first(arr, λ): first element satisfying the predicate — the
+    // lambda must sit directly under a Spark higher-order function
+    rewriteCalls("array_first")(args =>
+      if (args.size == 2)
+        Some(s"try_element_at(filter(${args(0)}, ${args(1)}), 1)")
+      else None)
+    // SUBSTR_INDEX is Spark's substring_index
+    rewriteCalls("substr_index")(args =>
+      if (args.size == 3) Some(s"substring_index(${args(0)}, ${args(1)}, ${args(2)})")
+      else None)
+    // arrow_try_cast: the TRY variant of arrow_cast — NULL on failed
+    // conversion; unknown targets die at planning like the reference
+    rewriteCalls("arrow_try_cast")(args =>
+      if (args.size == 2 && args(1).matches("(?s)'.*'")) {
+        val t = args(1).stripPrefix("'").stripSuffix("'").trim
+        val sparkT = t match {
+          case "Int8" => Some("TINYINT")
+          case "Int16" => Some("SMALLINT")
+          case "Int32" => Some("INT")
+          case "Int64" => Some("BIGINT")
+          case "Float32" => Some("FLOAT")
+          case "Float64" => Some("DOUBLE")
+          case "Utf8" | "LargeUtf8" | "Utf8View" => Some("STRING")
+          case "Boolean" => Some("BOOLEAN")
+          case "Date32" => Some("DATE")
+          case "Binary" | "LargeBinary" => Some("BINARY")
+          case d if d.startsWith("Dictionary(") && d.contains("Utf8") =>
+            Some("STRING") // dictionary encodings are transparent carriers
+          case _ => None
+        }
+        sparkT.map(st => s"TRY_CAST(${args(0)} AS $st)")
+          .orElse(planErr(s"Error during planning: Unsupported CAST target $t"))
+      } else None)
     // whole-statement planning restrictions: NULL / negative window frame
     // bounds, RESPECT NULLS on WITHIN-GROUP percentiles/median, window use
     // of approx_percentile_cont — all rejected by the reference's planner
@@ -6251,6 +6284,37 @@ object SltRunner {
             Cast(l, org.apache.spark.sql.types.LongType)
           else Cast(l, org.apache.spark.sql.types.DoubleType)
         case x => x
+      }
+    }
+    // array_any_value: the first NON-NULL element (any_value.rs)
+    one2(Seq("array_any_value", "list_any_value")) { es =>
+      if (isNullT(es.head)) nullOfAny
+      else new ElementAt(ArrayFilter(es.head, lam(IsNotNull(_))),
+        Literal(1), None, failOnError = false)
+    }
+    // array_first rides a textual rewrite (rewriteCalls): the analyzer
+    // demands the lambda's immediate parent be a higher-order function
+    // array_reverse: Spark's reverse; NULL/empty pass through
+    one2(Seq("array_reverse", "list_reverse")) { es =>
+      if (isNullT(es.head)) nullOfAny
+      else org.apache.spark.sql.catalyst.expressions.Reverse(es.head)
+    }
+    // map_extract(map, key): a LIST — [value] when the key is present
+    // (even if the value is NULL), [] when absent; keys coerce to the
+    // map's key type (map_extract.rs)
+    one2(Seq("map_extract", "list_extract_map")) { es =>
+      import org.apache.spark.sql.catalyst.expressions.{GetMapValue, MapKeys}
+      if (isNullT(es.head)) nullOfAny
+      else {
+        val m = es.head
+        val k = (try if (m.resolved) Some(m.dataType) else None
+        catch { case _: Exception => None }) match {
+          case Some(org.apache.spark.sql.types.MapType(kt, _, _)) =>
+            Cast(es(1), kt)
+          case _ => es(1)
+        }
+        // absent keys yield [NULL] (one slot, like a NULL-valued hit)
+        CreateArray(Seq(GetMapValue(m, k)))
       }
     }
     // single-arg greatest/least are identity in the reference (Spark's

@@ -777,8 +777,9 @@ class SltRunnerSpec extends AnyFunSuite {
     // whole file (32 -> 221 passed; the harness drops test_source while
     // test_basic_operator still reads it)
     val viewT = "Utf8View/LargeUtf8 result typing under arrow_typeof (Spark strings are Utf8)"
+    // r12: substr_index registered → 1082/1088 newly live, same typing class
     check("string/string_view.slt", 210, knownDivergent =
-      Seq(952, 1017, 1326, 1945, 1958).map(_ -> viewT).toMap)
+      Seq(952, 1017, 1082, 1088, 1326, 1945, 1958).map(_ -> viewT).toMap)
   }
   test("string/concat.slt") {
     val coerce = "concat of array||string mixed-type coercion differs"
