@@ -846,7 +846,35 @@ object DataFusionProto {
         val name = sub(node, 14).flatMap(tr => sub(tr, 1)).flatMap(b => sub(b, 1))
           .map(strOf).getOrElse(
             throw new IllegalArgumentException("dfproto: scan without table name"))
-        val df = tableFor(name.toLowerCase).getOrElse(
+        // resolve by name first (the re-plan contract); a reference-emitted
+        // node also carries its own paths(2) + FileFormatType — readable
+        // directly when the receiver has no binding for the name
+        val df = tableFor(name.toLowerCase).orElse {
+          val paths = fields(node).collect { case (2, PBytes(v)) => strOf(v) }
+            .map(_.stripPrefix("file://"))
+          if (paths.isEmpty) None
+          else {
+            val rd =
+              if (sub(node, 10).isDefined) {
+                // CsvFormat{options=5}: has_header rides CsvOptions(1)
+                val header = sub(node, 10).flatMap(f => sub(f, 5))
+                  .flatMap(o => fields(o).collectFirst {
+                    case (1, PBytes(h)) => h.nonEmpty && h(0) != 0 })
+                  .getOrElse(false)
+                spark.read.option("header", header.toString)
+                  .option("inferSchema", "true").csv(paths: _*)
+              }
+              else if (sub(node, 12).isDefined)
+                spark.read.format("avro").load(paths: _*)
+              else if (sub(node, 15).isDefined) spark.read.json(paths: _*)
+              else if (sub(node, 16).isDefined)
+                spark.read.format(
+                  classOf[graft.sources.ArrowIpcTableProvider].getName)
+                  .load(paths: _*)
+              else spark.read.parquet(paths: _*)
+            Some(rd)
+          }
+        }.getOrElse(
           throw new IllegalArgumentException(s"dfproto: unknown table $name"))
         // alias with the table name so qualified Column references
         // ("name.col") resolve through the plan like the reference's

@@ -1142,6 +1142,19 @@ class DataFusionProtoSpec extends AnyFunSuite {
     assert(ets.columns.toSeq == Seq("a") && ets.count() == 0)
   }
 
+  test("ListingTableScanNode: paths + format on the wire resolve without a binding") {
+    // hand-crafted reference-shaped node: table_name(14) the receiver
+    // does NOT know, paths(2) + ParquetFormat(11) carried on the wire
+    val w = new DataFusionProto.W
+    w.msg(1) { n =>
+      n.str(2, s"$sfDir/region.parquet")
+      n.msg(11)(_ => ()) // ParquetFormat
+      n.msg(14)(tr => tr.msg(1)(_.str(1, "totally_unknown_table")))
+    }
+    val back = DataFusionProto.consume(spark, w.bytes, _ => None)
+    assert(back.count() == Tables.load(spark, sfDir, "region").count())
+  }
+
   test("literals of every supported type survive the wire") {
     import org.apache.spark.sql.functions._
     val src = Tables.load(spark, sfDir, "region")
