@@ -59,13 +59,25 @@ object ArrayMathFunctions {
   }
 
   /** Elementwise combine; a NULL element yields a NULL at that position,
-    * a NULL array on either side yields a NULL row (zip_with semantics). */
-  private def zip(a: Expression, b: Expression,
-      f: (Expression, Expression) => Expression): Expression =
-    ZipWith(dblArr(a), dblArr(b), lam2(f))
+    * a NULL array on either side yields a NULL row (zip_with semantics);
+    * mismatched lengths are an EXECUTION error like the reference
+    * (array_add.slt:81 — silent min/pad semantics would be a wrong
+    * answer on ragged data). */
+  private def zip(name: String, a0: Expression, b0: Expression,
+      f: (Expression, Expression) => Expression): Expression = {
+    val (a, b) = (dblArr(a0), dblArr(b0))
+    If(And(And(IsNotNull(a), IsNotNull(b)),
+        Not(EqualTo(Size(a), Size(b)))),
+      Cast(RaiseRuntime(
+        s"$name requires both list inputs to have the same length per row"),
+        ArrayType(DoubleType)),
+      ZipWith(a, b, lam2(f)))
+  }
 
-  def addExpr(a: Expression, b: Expression): Expression = zip(a, b, Add(_, _))
-  def subtractExpr(a: Expression, b: Expression): Expression = zip(a, b, Subtract(_, _))
+  def addExpr(a: Expression, b: Expression): Expression =
+    zip("array_add", a, b, Add(_, _))
+  def subtractExpr(a: Expression, b: Expression): Expression =
+    zip("array_subtract", a, b, Subtract(_, _))
 
   /** Multiply every element by a scalar; NULL scalar → NULL row, NULL
     * element → NULL at that position. */
@@ -88,20 +100,36 @@ object ArrayMathFunctions {
         ArrayTransform(arr, lam1(x => Divide(x, norm)))))
   }
 
-  /** Register SQL names on a session (idempotent). */
+  /** Register SQL names on a session (idempotent). Arity is enforced at
+    * PLAN time — the reference rejects e.g. array_sum([1],[2]) during
+    * planning, not silently ignoring the extra operand. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    def one(names: Seq[String])(build: Seq[Expression] => Expression): Unit =
-      names.foreach(n => reg.createOrReplaceTempFunction(n, build, "built-in"))
-    one(Seq("array_sum", "list_sum"))(es => sumExpr(es.head))
-    one(Seq("array_avg", "list_avg"))(es => avgExpr(es.head))
-    one(Seq("array_product", "list_product"))(es => productExpr(es.head))
-    one(Seq("array_add", "list_add"))(es => addExpr(es.head, es(1)))
-    one(Seq("array_subtract", "list_subtract"))(es => subtractExpr(es.head, es(1)))
-    one(Seq("array_scale", "list_scale"))(es => scaleExpr(es.head, es(1)))
-    one(Seq("array_normalize", "list_normalize"))(es => normalizeExpr(es.head))
+    def one(names: Seq[String], arity: Int)
+        (build: Seq[Expression] => Expression): Unit =
+      names.foreach(n => reg.createOrReplaceTempFunction(n, es => {
+        if (es.size != arity)
+          org.apache.spark.sql.GraftSqlBridge.analysisError(
+            s"Function '$n' expects $arity argument(s) but received ${es.size}")
+        build(es)
+      }, "built-in"))
+    one(Seq("array_sum", "list_sum"), 1)(es => sumExpr(es.head))
+    one(Seq("array_avg", "list_avg"), 1)(es => avgExpr(es.head))
+    one(Seq("array_product", "list_product"), 1)(es => productExpr(es.head))
+    one(Seq("array_add", "list_add"), 2)(es => addExpr(es.head, es(1)))
+    one(Seq("array_subtract", "list_subtract"), 2)(es => subtractExpr(es.head, es(1)))
+    one(Seq("array_scale", "list_scale"), 2) { es =>
+      // a string scale factor has no numeric signature in the reference
+      val isStr = try es(1).resolved &&
+        es(1).dataType == org.apache.spark.sql.types.StringType
+      catch { case _: Exception => false }
+      if (isStr) org.apache.spark.sql.GraftSqlBridge.analysisError(
+        "Function 'array_scale' expects a numeric scale factor")
+      scaleExpr(es.head, es(1))
+    }
+    one(Seq("array_normalize", "list_normalize"), 1)(es => normalizeExpr(es.head))
     // reference aliases over existing kernels
-    one(Seq("array_has_any"))(es => ArraysOverlap(es.head, es(1)))
-    one(Seq("dot_product"))(es => InnerProduct(es.head, es(1)))
+    one(Seq("array_has_any"), 2)(es => ArraysOverlap(es.head, es(1)))
+    one(Seq("dot_product"), 2)(es => InnerProduct(es.head, es(1)))
   }
 }

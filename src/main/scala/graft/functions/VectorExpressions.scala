@@ -82,7 +82,11 @@ abstract class VectorBinaryExpression extends BinaryExpression with ImplicitCast
   override def nullSafeEval(a: Any, b: Any): Any = {
     val aa = a.asInstanceOf[ArrayData]
     val bb = b.asInstanceOf[ArrayData]
-    val n = math.min(aa.numElements(), bb.numElements())
+    val n = aa.numElements()
+    if (bb.numElements() != n)
+      throw new RuntimeException(s"Execution error: $prettyName requires " +
+        s"both list inputs to have the same length per row " +
+        s"(got $n and ${bb.numElements()})")
     var i = 0
     while (i < n) {
       if (aa.isNullAt(i) || bb.isNullAt(i)) return null
@@ -103,7 +107,10 @@ abstract class VectorBinaryExpression extends BinaryExpression with ImplicitCast
              |}""".stripMargin
         else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) throw new RuntimeException(
+         |  "Execution error: $prettyName requires both list inputs to " +
+         |  "have the same length per row");
          |$nullScan
          |double $result = 0.0;
          |if (!${ev.isNull}) {

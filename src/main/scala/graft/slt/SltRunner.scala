@@ -1866,6 +1866,11 @@ object SltRunner {
       else if (args.forall(numLit))
         Some("graft_runtime_error('arrays_zip: arguments must be arrays')")
       else None)
+    // array_resize with a negative size is an execution error
+    rewriteCalls("array_resize")(args =>
+      if (args.size >= 2 && args(1).matches("-\\d+"))
+        Some("graft_runtime_error('array_resize: size must be non-negative')")
+      else None)
     // array_first(arr, λ): first element satisfying the predicate — the
     // lambda must sit directly under a Spark higher-order function
     rewriteCalls("array_first")(args =>
@@ -6413,14 +6418,22 @@ object SltRunner {
           (EqualTo(dim, Literal(k)): Expression, lenAt(k): Expression)), None)
       }
     }
-    one2(Seq("array_pop_back", "list_pop_back"))(es =>
+    def popGuard(name: String, es: Seq[Expression]): Unit =
+      if (isNullT(es.head))
+        org.apache.spark.sql.GraftSqlBridge.analysisError(
+          s"$name does not support type: Null")
+    one2(Seq("array_pop_back", "list_pop_back")) { es =>
+      popGuard("array_pop_back", es)
       new Slice(es.head, Literal(1),
         If(GreaterThan(sz(es.head), Literal(0)),
-          Subtract(sz(es.head), Literal(1)), Literal(0))))
-    one2(Seq("array_pop_front", "list_pop_front"))(es =>
+          Subtract(sz(es.head), Literal(1)), Literal(0)))
+    }
+    one2(Seq("array_pop_front", "list_pop_front")) { es =>
+      popGuard("array_pop_front", es)
       new Slice(es.head, Literal(2),
         If(GreaterThan(sz(es.head), Literal(0)),
-          Subtract(sz(es.head), Literal(1)), Literal(0))))
+          Subtract(sz(es.head), Literal(1)), Literal(0)))
+    }
     // a bare NULL argument has no element type to anchor the lambda —
     // substitute a typed NULL array (result stays NULL)
     def typedNullArr2(e: Expression): Expression =
@@ -6443,8 +6456,14 @@ object SltRunner {
       ArrayExists(typedNullArr(es(0)), es(1)))
     one2(Seq("array_all_match", "list_all_match"))(es =>
       ArrayForAll(typedNullArr(es(0)), es(1)))
-    one2(Seq("empty", "array_empty", "list_empty"))(es =>
-      If(IsNull(es.head), nullBool, EqualTo(sz(es.head), Literal(0))))
+    one2(Seq("empty", "array_empty", "list_empty")) { es =>
+      // the reference REJECTS a bare NULL here (array_empty does not
+      // support type Null) rather than coercing like remove/replace do
+      if (isNullT(es.head))
+        org.apache.spark.sql.GraftSqlBridge.analysisError(
+          "array_empty does not support type Null")
+      If(IsNull(es.head), nullBool, EqualTo(sz(es.head), Literal(0)))
+    }
     one2(Seq("array_ndims", "list_ndims")) { es =>
       If(IsNull(es.head), nullLong, longCast(Literal(arrayDepth(es.head))))
     }
