@@ -22,9 +22,13 @@ class TpchReshapePlanSpec extends AnyFunSuite {
   private def scansOf(plan: String, table: String): Int =
     plan.linesIterator.count(l => l.contains("Scan") && l.contains(table))
 
-  test("q4: order window broadcasts; no sort-merge join") {
+  test("q4: bitmap exists-set probe — NO join node at all") {
+    // r12: the EXISTS subquery is a pure orderkey SET, collapsed to a
+    // broadcast bitset probe (BitmapJoin.existsProbe) inside the orders
+    // scan filter; the only exchange left is the ≤5-group aggregate
     val p = plan("q4_priority")
-    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("Join"), p.take(800))
+    assert(p.contains("UDF"), s"bitmap probe filter expected:\n${p.take(800)}")
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
 
