@@ -1208,6 +1208,38 @@ object DataFusionProto {
           throw new IllegalArgumentException(
             s"dfproto consume: view $name does not exist")
         (emptyResult(spark), Map.empty[String, DataFrame])
+      case 10 => // EmptyRelationNode: the SELECT-without-FROM seed —
+        // one zero-column row when produce_one_row, else zero rows
+        val one = vint(node, 1).contains(1L)
+        val base =
+          if (one) spark.range(1).select()
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Nil))
+        (base, Map.empty[String, DataFrame])
+      case 25 => // CustomTableScanNode: custom_table_data(5) is an opaque
+        // provider payload — portable consumption resolves the NAME
+        // against the receiver's own catalog (the re-plan contract);
+        // filters(4) apply on top, projection(2) narrows
+        val name = tableRefName(sub(node, 6)).getOrElse(
+          throw new IllegalArgumentException(
+            "dfproto consume: CustomTableScanNode without table_name"))
+        val df0 = tableFor(name.toLowerCase).getOrElse(
+          throw new IllegalArgumentException(
+            s"dfproto consume: unknown custom table $name " +
+              "(custom_table_data is provider-opaque)"))
+        val aliased = df0.alias(name)
+        val filtered = subs(node, 4).map(f => consumeExpr(f,
+            Map(name.toLowerCase -> aliased)))
+          .foldLeft(aliased)((d, c) => d.filter(c))
+        val projected = sub(node, 2) match {
+          case Some(pc) =>
+            val cols = subs(pc, 1).map(strOf)
+            if (cols.nonEmpty) filtered.select(cols.map(filtered.col): _*)
+            else filtered
+          case None => filtered
+        }
+        (projected, Map(name.toLowerCase -> aliased))
       case 34 => // EmptyTableScanNode: a scan proven empty at plan time —
         // zero rows of the declared schema
         val fields0 = sub(node, 2).toSeq.flatMap(s => subs(s, 1)).map { f =>

@@ -1155,6 +1155,26 @@ class DataFusionProtoSpec extends AnyFunSuite {
     assert(back.count() == Tables.load(spark, sfDir, "region").count())
   }
 
+  test("EmptyRelationNode (10) and CustomTableScanNode (25) consume") {
+    // EmptyRelation: produce_one_row drives 1-vs-0 rows
+    val w = new DataFusionProto.W
+    w.msg(10)(_.bool(1, true))
+    assert(DataFusionProto.consume(spark, w.bytes, _ => None).count() == 1)
+    val w0 = new DataFusionProto.W
+    w0.msg(10)(_ => ())
+    assert(DataFusionProto.consume(spark, w0.bytes, _ => None).count() == 0)
+    // CustomTableScan resolves by name; filters + projection apply
+    val w2 = new DataFusionProto.W
+    w2.msg(25) { n =>
+      n.msg(2)(pc => { pc.str(1, "n_name"); pc.str(1, "n_regionkey") })
+      n.msg(6)(tr => tr.msg(1)(_.str(1, "nation")))
+    }
+    val back = DataFusionProto.consume(spark, w2.bytes,
+      t => Some(Tables.load(spark, sfDir, t)))
+    assert(back.columns.toSeq == Seq("n_name", "n_regionkey"))
+    assert(back.count() == Tables.load(spark, sfDir, "nation").count())
+  }
+
   test("literals of every supported type survive the wire") {
     import org.apache.spark.sql.functions._
     val src = Tables.load(spark, sfDir, "region")
