@@ -803,6 +803,106 @@ object SltRunner {
 
   /** Find the index of the ')' matching the '(' at `open` (quote-aware);
     * -1 when unbalanced. */
+  /** The reference reunifies sibling struct literals BY FIELD NAME
+    * (`[{a:1,b:2},{b:3,a:4}]` is one List(Struct{a,b})); Spark's
+    * CreateArray demands identical field ORDER. Reorder every later
+    * named_struct inside an array literal (or CASE branch set) to the
+    * FIRST sibling's key order, recursively through nested structs.
+    * Only exact key-set matches are touched — anything else is left for
+    * the analyzer to judge. */
+  private[slt] def reorderSiblingStructs(sql: String): String = {
+    if (!sql.toLowerCase.contains("named_struct(")) return sql
+    def parseStruct(t0: String): Option[Seq[(String, String)]] = {
+      val t = t0.trim
+      if (!t.toLowerCase.startsWith("named_struct(") || !t.endsWith(")"))
+        return None
+      if (matchParen(t, "named_struct".length) != t.length - 1) return None
+      val inner = t.substring("named_struct(".length, t.length - 1)
+      val parts = splitTopLevel(inner).map(_.trim)
+      if (parts.isEmpty || parts.size % 2 != 0) return None
+      Some(parts.grouped(2).map(p => (p(0), p(1))).toSeq)
+    }
+    def render(pairs: Seq[(String, String)]): String =
+      pairs.map(p => s"${p._1}, ${p._2}").mkString("named_struct(", ", ", ")")
+    def align(ref: Seq[(String, String)], x: Seq[(String, String)])
+        : Option[Seq[(String, String)]] = {
+      if (ref.map(_._1.toLowerCase).sorted != x.map(_._1.toLowerCase).sorted)
+        return None
+      val m = x.map(p => p._1.toLowerCase -> p._2).toMap
+      Some(ref.map { case (k, refV) =>
+        val v = m(k.toLowerCase)
+        val v2 = (parseStruct(refV), parseStruct(v)) match {
+          case (Some(r2), Some(x2)) => align(r2, x2).map(render).getOrElse(v)
+          case _ => v
+        }
+        (k, v2)
+      })
+    }
+    def rewriteArgs(args: Seq[String]): Option[Seq[String]] = {
+      val structs = args.map(parseStruct)
+      if (args.size < 2 || structs.exists(_.isEmpty)) return None
+      // the reference's coercion unifies to the LAST element's field
+      // order (struct.slt:1113-1165: [{r,c},{c,r}] → List(Struct{c,r}))
+      val ref = structs.last.get
+      val aligned = structs.init.map(x => align(ref, x.get))
+      if (aligned.exists(_.isEmpty)) None
+      else Some(aligned.map(a => render(a.get)) :+ render(ref))
+    }
+    var s = sql
+    for (fn <- Seq("array", "make_array")) {
+      val re = ("""(?i)(?<![\w_])""" + fn + """\s*\(""").r
+      var from = 0
+      var cont = true
+      while (cont) {
+        re.findFirstMatchIn(s.substring(from)) match {
+          case None => cont = false
+          case Some(m) =>
+            val open = from + m.end - 1
+            val close = matchParen(s, open)
+            if (close < 0) cont = false
+            else {
+              val args = splitTopLevel(s.substring(open + 1, close)).map(_.trim)
+              rewriteArgs(args) match {
+                case Some(out) =>
+                  s = s.substring(0, open + 1) + out.mkString(", ") +
+                    s.substring(close)
+                case None =>
+              }
+              from = open + 1
+            }
+        }
+      }
+    }
+    // CASE branch values: align named_structs that sit DIRECTLY after a
+    // THEN/ELSE keyword to the first such branch struct — independent
+    // sibling structs elsewhere in the statement are never touched
+    if ("(?i)\\bCASE\\b".r.findFirstIn(s).isDefined) {
+      val branchRe = """(?i)\b(THEN|ELSE)\s+named_struct\s*\(""".r
+      val hits = branchRe.findAllMatchIn(s).toSeq.flatMap { m =>
+        val open = s.indexOf('(', m.end - 1)
+        val close = matchParen(s, open)
+        val nsStart = s.toLowerCase.indexOf("named_struct", m.start)
+        if (close < 0) None else Some((nsStart, close))
+      }
+      if (hits.size >= 2) {
+        val texts = hits.map { case (st, cl) => s.substring(st, cl + 1) }
+        val parsed = texts.map(parseStruct)
+        if (parsed.forall(_.isDefined)) {
+          val ref = parsed.last.get
+          val aligned = parsed.init.map(p => align(ref, p.get))
+          if (aligned.forall(_.isDefined)) {
+            val repl = hits.zip(aligned.map(a => render(a.get)) :+ texts.last)
+            s = repl.sortBy(-_._1._1).foldLeft(s) {
+              case (acc, ((st, cl), txt)) =>
+                acc.substring(0, st) + txt + acc.substring(cl + 1)
+            }
+          }
+        }
+      }
+    }
+    s
+  }
+
   private def matchParen(s: String, open: Int): Int = {
     var depth = 0; var i = open; var inStr = false
     while (i < s.length) {
@@ -3161,7 +3261,8 @@ object SltRunner {
       // generate_series/range need no rewrite: GenerateSeriesTVF registers
       // both as native table functions with the reference's semantics
 
-    val pre2 = translateStructs(foldLimitExprs(translateOrderedFirstLast(pre1b))) match {
+    val pre2 = translateStructs(foldLimitExprs(translateOrderedFirstLast(pre1b)))
+      .map(reorderSiblingStructs) match {
       case Some(s) => s
       case None    => return None
     }

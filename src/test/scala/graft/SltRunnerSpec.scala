@@ -127,9 +127,12 @@ class SltRunnerSpec extends AnyFunSuite {
       498 -> "literal typing under arrow_typeof: reference SQL literals are Int64/Float64, Spark Int32/Decimal"))
   }
   test("struct.slt")   {
-    check("struct.slt", 64, knownDivergent = Map(
+    // r12: sibling-struct field reunification (reorderSiblingStructs)
+    // unlocked the coercion block; 1143 is its arrow_typeof twin
+    check("struct.slt", 74, knownDivergent = Map(
       272 -> "literal typing under arrow_typeof: reference SQL literals are Int64/Float64, Spark Int32/Decimal",
-      277 -> "literal typing under arrow_typeof: reference SQL literals are Int64/Float64, Spark Int32/Decimal"))
+      277 -> "literal typing under arrow_typeof: reference SQL literals are Int64/Float64, Spark Int32/Decimal",
+      1143 -> "literal typing under arrow_typeof: reference SQL literals are Int64/Float64, Spark Int32/Decimal"))
   }
   test("map.slt")      {
     check("map.slt", 95, knownDivergent = Map(
