@@ -796,7 +796,7 @@ object DataFusionProto {
   }
 
   /** ArrowType (datafusion_common.proto:367). */
-  private[plans] def arrowType(t: DataType, w: W): Unit = t match {
+  private[graft] def arrowType(t: DataType, w: W): Unit = t match {
     case BooleanType => w.msg(2)(_ => ())
     case ByteType => w.msg(4)(_ => ())
     case ShortType => w.msg(6)(_ => ())
@@ -816,6 +816,29 @@ object DataFusionProto {
         l.msg(1) { f =>
           f.str(1, "item"); f.msg(2)(arrowType(elem, _))
           f.bool(3, containsNull)
+        }
+      }
+    case st: StructType =>
+      w.msg(28) { s => // Struct (common:177): repeated sub_field_types=1
+        st.fields.foreach { f =>
+          s.msg(1) { fd =>
+            fd.str(1, f.name); fd.msg(2)(arrowType(f.dataType, _))
+            fd.bool(3, f.nullable)
+          }
+        }
+      }
+    case MapType(kt, vt, valueNulls) =>
+      w.msg(33) { m => // Map (common:181): field_type = entries struct
+        m.msg(1) { fd =>
+          fd.str(1, "entries")
+          fd.msg(2)(_.msg(28) { s =>
+            s.msg(1) { k =>
+              k.str(1, "key"); k.msg(2)(arrowType(kt, _)); k.bool(3, false) }
+            s.msg(1) { v =>
+              v.str(1, "value"); v.msg(2)(arrowType(vt, _))
+              v.bool(3, valueNulls) }
+          })
+          fd.bool(3, false)
         }
       }
     case other => throw new IllegalArgumentException(
@@ -999,27 +1022,29 @@ object DataFusionProto {
             (aliased, scope + (n.toLowerCase -> aliased))
           case None => (input, scope)
         }
-      case 30 => // UnnestNode: unnest IN PLACE (element keeps the name)
+      case 30 => // UnnestNode: unnest IN PLACE (element keeps the name).
+        // list_type_columns(3) carries (input_index, recursion.depth)
+        // when present; otherwise exec_columns(2) names are depth-1 list
+        // unnests. struct_type_columns(4) expand horizontally. The zip/
+        // depth/NullHandling semantics live in the shared replan
+        // (DataFusionProtoPhysical.unnestReplan).
         val (input, scope) = rec(sub(node, 1).get)
-        val cols = subs(node, 2).flatMap(c => sub(c, 1)).map(strOf)
-        require(cols.size == 1,
-          s"dfproto consume: multi-column unnest (${cols.size}) unsupported")
         val nh = sub(node, 7).flatMap(o => vint(o, 3)).getOrElse(0L)
-        // DROP(1) → explode (null AND empty lists drop);
-        // PRESERVE_AND_EXPAND_EMPTY(2) → explode_outer (both → NULL row);
-        // PRESERVE(0) — the reference's proto3 default — keeps one NULL
-        // row per NULL list but still drops empties: pre-filter empty
-        // lists, then explode_outer.
-        val target = cols.head
-        val pre =
-          if (nh == 0L)
-            input.where(col(target).isNull || size(col(target)) > 0)
-          else input
-        val out = pre.select(pre.columns.map { cn =>
-          if (cn.equalsIgnoreCase(target))
-            (if (nh != 1L) explode_outer(col(cn)) else explode(col(cn))).as(cn)
-          else col(cn)
-        }: _*)
+        val structIdx = fields(node).collect {
+          case (4, PVarint(v)) => v.toInt }.toSet
+        val itemSpecs = subs(node, 3).map { it =>
+          (vint(it, 1).getOrElse(0L).toInt,
+            sub(it, 2).flatMap(r => vint(r, 2)).getOrElse(1L).toInt)
+        }
+        val listSpecs =
+          if (itemSpecs.nonEmpty) itemSpecs
+          else subs(node, 2).flatMap(c => sub(c, 1)).map(strOf).map { n =>
+            val i = input.columns.indexWhere(_.equalsIgnoreCase(n))
+            require(i >= 0, s"dfproto consume: unnest column $n not found")
+            i
+          }.filterNot(structIdx.contains).map(i => (i, 1))
+        val out = DataFusionProtoPhysical.unnestReplan(
+          input, listSpecs, structIdx, nh)
         (out, scope)
       case 29 => // CopyToNode: execute the write, return the COPY count
         val (input, scope) = rec(sub(node, 1).get)
@@ -1501,7 +1526,7 @@ object DataFusionProto {
     }
   }
 
-  private[plans] def consumeType(b: Array[Byte]): DataType = fields(b).head match {
+  private[graft] def consumeType(b: Array[Byte]): DataType = fields(b).head match {
     case (2, _) => BooleanType
     case (4, _) => ByteType
     case (6, _) => ShortType
@@ -1520,6 +1545,18 @@ object DataFusionProto {
       val f = sub(l, 1).getOrElse(
         throw new IllegalArgumentException("dfproto: List without field_type"))
       ArrayType(consumeType(sub(f, 2).get), vint(f, 3).contains(1L))
+    case (28, PBytes(s)) =>
+      StructType(subs(s, 1).map { f =>
+        StructField(sub(f, 1).map(strOf).getOrElse("c"),
+          consumeType(sub(f, 2).get), vint(f, 3).contains(1L))
+      })
+    case (33, PBytes(m)) =>
+      sub(m, 1).flatMap(f => sub(f, 2)).map(consumeType) match {
+        case Some(StructType(Array(k, v))) =>
+          MapType(k.dataType, v.dataType, v.nullable)
+        case other => throw new IllegalArgumentException(
+          s"dfproto consume: Map entries must be a 2-field struct, got $other")
+      }
     case (f, _) => throw new IllegalArgumentException(
       s"dfproto consume: unsupported arrow type field $f")
   }

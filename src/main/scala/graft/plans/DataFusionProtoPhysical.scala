@@ -74,6 +74,56 @@ object DataFusionProtoPhysical {
       case _ => Seq.empty
     }
 
+  /** The reference's UnnestExec contract re-planned on Spark
+    * (`physical-plan/src/unnest.rs:600-735,907-935`): all list columns
+    * active at a level are unnested TOGETHER, each row expanding to the
+    * longest adjusted length among them with shorter lists padded NULL;
+    * levels run from the deepest `ListUnnest.depth` down to 1 (a column
+    * with depth d joins at level d and keeps unnesting one level per
+    * round); struct columns then expand horizontally into their
+    * subfields in place (`flatten_struct_cols` :566). The adjusted
+    * length encodes NullHandling (`find_longest_length`): PRESERVE(0)
+    * counts a NULL list as 1 (one NULL row) and an empty list as 0;
+    * DROP(1) counts NULL as 0; PRESERVE_AND_EXPAND_EMPTY(2) counts both
+    * NULL and empty as 1. Rows whose longest length is 0 vanish.
+    * Per-position element access is `get(list, pos)` — NULL past the end
+    * — so the pad-with-NULL zip falls out of one `sequence`+`explode`
+    * per level, all codegen-friendly and partition-local (no shuffle).
+    */
+  private[plans] def unnestReplan(input: DataFrame,
+      listSpecs: Seq[(Int, Int)], structIdx: Set[Int], nh: Long): DataFrame = {
+    require(listSpecs.map(_._1).distinct.size == listSpecs.size,
+      "dfproto unnest consume: one column unnested at multiple depths unsupported")
+    def adjLen(c: Column): Column = nh match {
+      case 1L => when(c.isNull, lit(0)).otherwise(size(c))
+      case 2L => when(c.isNull || size(c) === 0, lit(1)).otherwise(size(c))
+      case _ => when(c.isNull, lit(1)).otherwise(size(c))
+    }
+    val maxDepth = (1 +: listSpecs.map(_._2)).max
+    var cur = input
+    for (level <- maxDepth to 1 by -1) {
+      val active = listSpecs.filter(_._2 >= level)
+        .map(t => cur.columns(t._1)).toSet
+      if (active.nonEmpty) {
+        val rowLen = active.toSeq.sorted.map(n => adjLen(col(n)))
+          .reduceLeft((a, b) => greatest(a, b))
+        val pos = "__dfp_unnest_pos"
+        val stepped = cur.where(rowLen > 0)
+          .withColumn(pos, explode(sequence(lit(0), rowLen - 1)))
+        cur = stepped.select(cur.columns.map { cn =>
+          if (active.contains(cn)) get(col(cn), col(pos)).as(cn) else col(cn)
+        }.toIndexedSeq: _*)
+      }
+    }
+    if (structIdx.isEmpty) cur
+    else cur.select(cur.columns.zipWithIndex.flatMap { case (cn, i) =>
+      if (structIdx.contains(i))
+        cur.schema(i).dataType.asInstanceOf[StructType].fields.toSeq
+          .map(f => col(cn).getField(f.name).as(f.name))
+      else Seq(col(cn))
+    }.toIndexedSeq: _*)
+  }
+
   // ------------------------------------------------------------------ emit
 
   /** DataFrame → PhysicalPlanNode bytes (from the pre-exchange physical
@@ -961,27 +1011,20 @@ object DataFusionProtoPhysical {
         consumeJoin(left, right, keysOf(node, 3, left, right),
           vint(node, 4).getOrElse(0L), sub(node, 8),
           nullEq = vint(node, 7).contains(1L), projection = Seq.empty)
-      case 30 => // UnnestExecNode: in-place list unnest by input index
+      case 30 => // UnnestExecNode: list columns zip-unnested in place
+        // (level-by-level for depth>1), struct columns expanded
+        // horizontally; output names from the node's declared schema(2)
         val input = consume(spark, sub(node, 1).get, tableFor)
         val lists = subs(node, 3).map { lu =>
           (vint(lu, 1).getOrElse(0L).toInt, vint(lu, 2).getOrElse(1L).toInt)
         }
-        require(lists.size == 1 && subs(node, 4).isEmpty,
-          "dfproto physical consume: multi-column/struct unnest unsupported")
-        val (idx, depth) = lists.head
-        require(depth == 1,
-          s"dfproto physical consume: unnest depth $depth unsupported")
-        val target = input.columns(idx)
+        val structIdx = repeatedUint32(node, 4).toSet
         val nh = sub(node, 5).flatMap(o => vint(o, 3)).getOrElse(0L)
-        val pre =
-          if (nh == 0L)
-            input.where(col(target).isNull || size(col(target)) > 0)
-          else input
-        pre.select(pre.columns.map { cn =>
-          if (cn == target)
-            (if (nh != 1L) explode_outer(col(cn)) else explode(col(cn))).as(cn)
-          else col(cn)
-        }: _*)
+        val expanded = unnestReplan(input, lists, structIdx, nh)
+        val outNames = sub(node, 2).toSeq.flatMap(s => subs(s, 1))
+          .flatMap(f => sub(f, 1)).map(strOf)
+        if (outNames.size == expanded.columns.length) expanded.toDF(outNames: _*)
+        else expanded
       case 24 | 28 | 29 => // Json/Csv/ParquetSinkExecNode: execute the write,
         // return the reference's count result set (the CopyTo convention)
         val input = consume(spark, sub(node, 1).get, tableFor)

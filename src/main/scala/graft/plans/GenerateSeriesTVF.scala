@@ -50,6 +50,26 @@ object GenerateSeriesTVF {
     * contain scalar subqueries — nothing is evaluated at plan time);
     * structs flatten to one row of one column per field. */
   private def buildUnnest(exprs: Seq[Expression]): LogicalPlan = {
+    if (exprs.size > 1) {
+      // FROM unnest(a, b, …): the reference ZIPS the lists to the longest
+      // per-row length, padding shorter ones with NULL (unnest.slt:321);
+      // a NULL list behaves as empty. explode(arrays_zip(…)) + a field
+      // projection expresses exactly that (arrays_zip pads to longest).
+      import org.apache.spark.sql.catalyst.expressions.{Alias, ArraysZip, Coalesce, CreateArray, Explode, Literal}
+      import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedExtractValue}
+      val names = exprs.indices.map(i => Literal(s"c$i"): Expression)
+      val coalesced = exprs.map(e =>
+        Coalesce(Seq(e, CreateArray(Seq.empty))): Expression)
+      val gen = org.apache.spark.sql.catalyst.plans.logical.Generate(
+        Explode(ArraysZip(coalesced.toIndexedSeq, names.toIndexedSeq)),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Nil,
+        org.apache.spark.sql.catalyst.plans.logical.OneRowRelation())
+      val cols = exprs.indices.map(i => Alias(
+        UnresolvedExtractValue(UnresolvedAttribute("col"), Literal(s"c$i")),
+        s"c$i")())
+      return Project(cols.toSeq, gen)
+    }
     require(exprs.size == 1, s"unnest table function expects 1 argument")
     val e = exprs.head
     val structType =

@@ -805,11 +805,14 @@ object SltRunner {
     * -1 when unbalanced. */
   /** The reference reunifies sibling struct literals BY FIELD NAME
     * (`[{a:1,b:2},{b:3,a:4}]` is one List(Struct{a,b})); Spark's
-    * CreateArray demands identical field ORDER. Reorder every later
-    * named_struct inside an array literal (or CASE branch set) to the
-    * FIRST sibling's key order, recursively through nested structs.
-    * Only exact key-set matches are touched — anything else is left for
-    * the analyzer to judge. */
+    * CreateArray demands identical field ORDER. Inside an array literal,
+    * reorder every EARLIER named_struct to the LAST sibling's key order
+    * (the reference's coercion direction — struct.slt:1113-1165:
+    * `[{r,c},{c,r}]` → List(Struct{c,r})); CASE branch structs align the
+    * same way (earlier branches to the LAST branch's order); VALUES rows
+    * align each column's later structs to the FIRST parseable one. All
+    * recurse through nested structs, and only exact key-set matches are
+    * touched — anything else is left for the analyzer to judge. */
   private[slt] def reorderSiblingStructs(sql: String): String = {
     if (!sql.toLowerCase.contains("named_struct(")) return sql
     def parseStruct(t0: String): Option[Seq[(String, String)]] = {
@@ -897,6 +900,59 @@ object SltRunner {
                 acc.substring(0, st) + txt + acc.substring(cl + 1)
             }
           }
+        }
+      }
+    }
+    // VALUES rows: same-position struct literals across rows are siblings
+    // too (Spark's inline-table coercion binds struct fields POSITIONALLY;
+    // the reference reunifies by name — struct.slt:1339-1357). Align every
+    // later row's struct at column i to the FIRST parseable one there.
+    for (vm <- "(?i)\\bVALUES\\b".r.findAllMatchIn(s).toSeq.reverse) {
+      // collect the run of top-level (…) row groups after this VALUES
+      val rows = scala.collection.mutable.Buffer[(Int, Int)]()
+      var i2 = vm.end
+      var cont = true
+      while (cont) {
+        while (i2 < s.length && s(i2).isWhitespace) i2 += 1
+        if (i2 >= s.length || s(i2) != '(') cont = false
+        else {
+          val cl = matchParen(s, i2)
+          if (cl < 0) cont = false
+          else {
+            rows += ((i2, cl))
+            i2 = cl + 1
+            while (i2 < s.length && s(i2).isWhitespace) i2 += 1
+            if (i2 < s.length && s(i2) == ',') i2 += 1 else cont = false
+          }
+        }
+      }
+      if (rows.size >= 2) {
+        val rowElems = rows.map { case (o, c) =>
+          splitTopLevel(s.substring(o + 1, c)).map(_.trim) }
+        val width = rowElems.map(_.size).min
+        // per column: first parseable struct is the reference order
+        var newRows: Seq[Seq[String]] = rowElems.map(_.toSeq).toSeq
+        var changedAny = false
+        for (col <- 0 until width) {
+          val parsed = newRows.map(r => parseStruct(r(col)))
+          if (parsed.count(_.isDefined) >= 2) {
+            val refIdx = parsed.indexWhere(_.isDefined)
+            val ref = parsed(refIdx).get
+            newRows = newRows.zipWithIndex.map { case (r, ri) =>
+              if (ri == refIdx || parsed(ri).isEmpty) r
+              else align(ref, parsed(ri).get) match {
+                case Some(a) =>
+                  changedAny = true
+                  r.updated(col, render(a))
+                case None => r
+              }
+            }
+          }
+        }
+        if (changedAny) {
+          val rebuilt = newRows.map(_.mkString("(", ", ", ")")).mkString(", ")
+          s = s.substring(0, rows.head._1) + rebuilt +
+            s.substring(rows.last._2 + 1)
         }
       }
     }
@@ -1717,11 +1773,49 @@ object SltRunner {
     * the reference names anonymous struct fields c0..cN positionally;
     * Spark says col1..colN. `expr AS name` args keep their name (the
     * reference numbers the unnamed positions around them). */
+  /** True when `args` reads as a field-definition list — `name TYPE`
+    * pairs — i.e. the sqlparser-rs STRUCT(...) TYPE syntax, not the
+    * struct(...) constructor call (two juxtaposed identifiers are not a
+    * legal expression, so the shapes cannot collide). */
+  private[slt] def isStructTypeArgs(args: Seq[String]): Boolean =
+    args.nonEmpty && args.forall { a =>
+      """(?is)^[A-Za-z_]\w*\s+\S.*$""".r.findFirstIn(a.trim).isDefined && {
+        val t = a.trim.replaceFirst("""(?s)^[A-Za-z_]\w*\s+""", "")
+          .replaceAll("(?i)\\s+NOT\\s+NULL$", "").replaceAll("(?i)\\s+NULL$", "")
+          .replaceAll("\\s*\\[\\s*\\]$", "").trim
+        """(?is)^(?:tinyint|smallint|int|integer|bigint|int2|int4|int8|varchar|char|character|text|string|boolean|bool|float|float4|float8|real|double(?:\s+precision)?|decimal|numeric|date|timestamp(?:tz)?|time|interval|binary|bytea|uuid)\s*(?:\(\s*-?\d+\s*(?:,\s*-?\d+\s*)?\))?$""".r
+          .findFirstIn(t).isDefined ||
+          """(?is)^struct\s*[(<].*[)>]$""".r.findFirstIn(t).isDefined ||
+          """(?is)^array\s*<.*>$""".r.findFirstIn(t).isDefined
+      }
+    }
+
+  /** Render a field-definition list as Spark's STRUCT<name: TYPE, …>,
+    * recursing through nested STRUCT(...) field types. */
+  private def renderStructType(args: Seq[String]): String = {
+    val fields = args.map { a0 =>
+      val a = a0.trim.replaceAll("(?i)\\s+NOT\\s+NULL$", "")
+        .replaceAll("(?i)\\s+NULL$", "")
+      val name = a.takeWhile(c => c.isLetterOrDigit || c == '_')
+      val tRaw = a.substring(name.length).trim
+      val arraySuffix = tRaw.matches("""(?s).*\[\s*\]$""")
+      val tCore = if (arraySuffix) tRaw.replaceAll("""\s*\[\s*\]$""", "").trim else tRaw
+      val inner = """(?is)^struct\s*\(""".r.findFirstMatchIn(tCore) match {
+        case Some(m2) if matchParen(tCore, m2.end - 1) == tCore.length - 1 =>
+          renderStructType(splitTopLevel(
+            tCore.substring(m2.end, tCore.length - 1)).map(_.trim))
+        case _ => sparkType(tCore)
+      }
+      s"`$name`: ${if (arraySuffix) s"ARRAY<$inner>" else inner}"
+    }
+    fields.mkString("STRUCT<", ", ", ">")
+  }
+
   private[slt] def translateStructFn(sql: String): String = {
     var s = sql
     var guard = 0
     val re = """(?i)(?<![\w_])(?:struct|row)\s*\(""".r
-    val AsRe = """(?is)^(.*\S)\s+AS\s+([A-Za-z_]\w*)$""".r
+    val AsRe = """(?is)^(.*\S)\s+AS\s+(?:([A-Za-z_]\w*)|'([^']*)'|"([^"]*)")$""".r
     var done = false
     while (!done && guard < 50) {
       guard += 1
@@ -1733,12 +1827,218 @@ object SltRunner {
           if (close < 0) done = true
           else {
             val args = splitTopLevel(s.substring(open + 1, close)).map(_.trim)
-            val named = args.zipWithIndex.map {
-              case (AsRe(e, name), _) => s"'$name', $e"
-              case (a, i)             => s"'c$i', $a"
-            }.mkString(", ")
-            s = s.substring(0, m.start) + s"named_struct($named)" + s.substring(close + 1)
+            // sqlparser-rs STRUCT(name TYPE, …) TYPE syntax (DDL columns,
+            // CAST targets) → Spark's STRUCT<name: TYPE, …>
+            if (isStructTypeArgs(args)) {
+              s = s.substring(0, m.start) + renderStructType(args) +
+                s.substring(close + 1)
+            } else {
+              val named = args.zipWithIndex.map {
+                case (AsRe(e, n1, n2, n3), _) =>
+                  val name = Seq(n1, n2, n3).find(_ != null).get
+                  s"'$name', $e"
+                case (a, i)             => s"'c$i', $a"
+              }.mkString(", ")
+              s = s.substring(0, m.start) + s"named_struct($named)" + s.substring(close + 1)
+            }
           }
+      }
+    }
+    s
+  }
+
+  /** `AGG(x) FILTER (WHERE p) OVER (…)`: Spark supports FILTER on plain
+    * aggregates but not on window aggregates — fold the predicate into
+    * the argument (`AGG(CASE WHEN p THEN x END) OVER`), exact because
+    * aggregates ignore NULLs; COUNT(*) counts a non-null 1. Plain
+    * (non-window) FILTER clauses are left untouched. */
+  private[slt] def translateWindowFilter(sql: String): String = {
+    if ("(?i)\\bFILTER\\s*\\(".r.findFirstIn(sql).isEmpty) return sql
+    var s = sql
+    var guard = 0
+    var from = 0
+    while (guard < 40) {
+      guard += 1
+      val m = """(?is)\)\s*FILTER\s*\(\s*WHERE\s""".r
+        .findFirstMatchIn(s.substring(from)).getOrElse(return s)
+      val aggClose = from + m.start
+      val filterOpen = from + m.start + m.group(0).indexOf('(')
+      val filterClose = matchParen(s, filterOpen)
+      if (filterClose < 0) return s
+      val afterFilter = s.substring(filterClose + 1)
+      if (!"(?is)^\\s*OVER\\b".r.findFirstIn(afterFilter).isDefined) {
+        from = filterClose + 1
+      } else {
+        // backward scan: the aggregate call whose close paren is aggClose
+        var depth2 = 0; var j = aggClose; var aggOpen = -1
+        while (j >= 0 && aggOpen < 0) {
+          s(j) match {
+            case ')' => depth2 += 1
+            case '(' => depth2 -= 1; if (depth2 == 0) aggOpen = j
+            case _ =>
+          }
+          j -= 1
+        }
+        if (aggOpen < 0) return s
+        var k2 = aggOpen - 1
+        while (k2 >= 0 && (s(k2).isLetterOrDigit || s(k2) == '_')) k2 -= 1
+        val fnName = s.substring(k2 + 1, aggOpen).trim
+        // only aggregates that IGNORE NULLs fold exactly; array_agg/
+        // string_agg would collect the CASE's NULLs as elements
+        val foldable = Set("sum", "min", "max", "avg", "count", "mean",
+          "stddev", "stddev_samp", "stddev_pop", "var_samp", "var_pop",
+          "variance", "bit_and", "bit_or", "bit_xor", "bool_and", "bool_or",
+          "first_value", "last_value")
+        if (fnName.isEmpty || !foldable(fnName.toLowerCase)) { from = filterClose + 1 }
+        else {
+          val arg0 = s.substring(aggOpen + 1, aggClose).trim
+          val cond = s.substring(filterOpen + 1, filterClose).trim
+            .replaceFirst("(?is)^WHERE\\s+", "")
+          val arg = if (arg0 == "*" || arg0.isEmpty) "1" else arg0
+          val repl = s"$fnName(CASE WHEN $cond THEN $arg END)"
+          s = s.substring(0, k2 + 1) + repl + s.substring(filterClose + 1)
+          from = k2 + 1 + repl.length
+        }
+      }
+    }
+    s
+  }
+
+  /** Parse `STRUCT<name: TYPE, …>` text (the Spark spelling, colon
+    * optional) → (name, TYPE) pairs; None when not a well-formed struct
+    * type at top level. */
+  private[slt] def parseStructTypeText(t0: String): Option[Seq[(String, String)]] = {
+    val t = t0.trim
+    if (!t.toLowerCase.startsWith("struct<") || !t.endsWith(">")) return None
+    val inner = t.substring("struct<".length, t.length - 1)
+    val parts = mutable.Buffer[String]()
+    var depth = 0; val cur = new StringBuilder
+    for (c <- inner) c match {
+      case '<' | '(' => depth += 1; cur += c
+      case '>' | ')' => depth -= 1; cur += c
+      case ',' if depth == 0 => parts += cur.toString; cur.clear()
+      case _ => cur += c
+    }
+    if (cur.nonEmpty) parts += cur.toString
+    if (depth != 0) return None
+    val pairs = parts.map(_.trim).map { p =>
+      val ci = p.indexOf(':')
+      if (ci > 0 && !p.substring(0, ci).trim.exists(_.isWhitespace))
+        (p.substring(0, ci).trim.stripPrefix("`").stripSuffix("`"),
+          p.substring(ci + 1).trim)
+      else if (p.startsWith("`") && p.indexOf('`', 1) > 0) {
+        val e = p.indexOf('`', 1)
+        (p.substring(1, e), p.substring(e + 1).trim.stripPrefix(":").trim)
+      } else {
+        val name = p.takeWhile(c => c.isLetterOrDigit || c == '_')
+        (name, p.substring(name.length).trim)
+      }
+    }
+    if (pairs.isEmpty || pairs.exists(p => p._1.isEmpty || p._2.isEmpty)) None
+    else Some(pairs.toSeq)
+  }
+
+  /** Parse a `named_struct('a', expr, …)` literal → (name, exprText)
+    * pairs; None when the text isn't exactly one such call. */
+  private[slt] def parseNamedStructLiteral(t0: String): Option[Seq[(String, String)]] = {
+    val t = t0.trim
+    val m = """(?is)^named_struct\s*\(""".r.findFirstMatchIn(t).getOrElse(return None)
+    val open = m.end - 1
+    if (matchParen(t, open) != t.length - 1) return None
+    val parts = splitTopLevel(t.substring(open + 1, t.length - 1)).map(_.trim)
+    if (parts.isEmpty || parts.size % 2 != 0) return None
+    val pairs = parts.grouped(2).map { g =>
+      val n = g(0)
+      if (n.startsWith("'") && n.endsWith("'") && n.length >= 2)
+        (n.substring(1, n.length - 1), g(1))
+      else return None
+    }.toSeq
+    Some(pairs)
+  }
+
+  private def renderStructTypeText(fields: Seq[(String, String)]): String =
+    fields.map(f => s"`${f._1}`: ${f._2}").mkString("STRUCT<", ", ", ">")
+
+  /** The reference's struct→struct CAST matches fields BY NAME: reorder,
+    * missing target fields fill with NULL, extra source fields drop
+    * (struct.slt:855-940); Spark's Cast is positional. Build the by-name
+    * construction explicitly. A named_struct literal operand aligns
+    * textually (None when NO names overlap — the reference errors there
+    * too, so the positional Spark cast's error stands in); any other
+    * operand becomes a NULL-preserving CASE over per-field casts. */
+  private def structCastText(operand: String, fields: Seq[(String, String)]): Option[String] = {
+    def castField(v: String, ft: String): String =
+      parseStructTypeText(ft) match {
+        case Some(nested) =>
+          structCastText(v, nested).getOrElse(s"CAST($v AS $ft)")
+        case None => s"CAST($v AS $ft)"
+      }
+    parseNamedStructLiteral(operand) match {
+      case Some(pairs) =>
+        if (!fields.exists(f => pairs.exists(_._1.equalsIgnoreCase(f._1))))
+          return None
+        Some(fields.map { case (fn, ft) =>
+          pairs.find(_._1.equalsIgnoreCase(fn)) match {
+            case Some((_, v)) => s"'$fn', ${castField(v, ft)}"
+            case None => s"'$fn', CAST(NULL AS $ft)"
+          }
+        }.mkString("named_struct(", ", ", ")"))
+      case None =>
+        if (operand.trim.equalsIgnoreCase("null"))
+          return Some(s"CAST(NULL AS ${renderStructTypeText(fields)})")
+        val body = fields.map { case (fn, ft) =>
+          s"'$fn', ${castField(s"($operand).`$fn`", ft)}"
+        }.mkString("named_struct(", ", ", ")")
+        Some(s"CASE WHEN ($operand) IS NULL THEN " +
+          s"CAST(NULL AS ${renderStructTypeText(fields)}) ELSE $body END")
+    }
+  }
+
+  /** Rewrite `CAST(X AS STRUCT<…>)` to the by-name construction (see
+    * structCastText). Runs after translateStructFn, so literal operands
+    * are named_struct and targets are the angle spelling. */
+  private[slt] def rewriteStructCasts(sql: String): String = {
+    if ("(?i)AS\\s+STRUCT\\s*<".r.findFirstIn(sql).isEmpty) return sql
+    var s = sql
+    var from = 0
+    var guard = 0
+    while (guard < 60) {
+      guard += 1
+      val m = """(?i)(?<![\w_])CAST\s*\(""".r
+        .findFirstMatchIn(s.substring(from)).getOrElse(return s)
+      val open = from + m.end - 1
+      val close = matchParen(s, open)
+      if (close < 0) return s
+      val inner = s.substring(open + 1, close)
+      // split at the LAST top-level ` AS ` (angle- and paren-aware)
+      var depth = 0; var inStr = false; var asAt = -1
+      var k = 0
+      while (k < inner.length) {
+        val c = inner(k)
+        if (inStr) { if (c == '\'') inStr = false }
+        else c match {
+          case '\'' => inStr = true
+          case '(' | '<' | '{' => depth += 1
+          case ')' | '>' | '}' => depth -= 1
+          case 'A' | 'a' if depth == 0 && k + 2 < inner.length &&
+              (k == 0 || inner(k - 1).isWhitespace) &&
+              inner.regionMatches(true, k, "AS", 0, 2) &&
+              inner(k + 2).isWhitespace => asAt = k
+          case _ =>
+        }
+        k += 1
+      }
+      val replaced = if (asAt < 0) None else {
+        val target = inner.substring(asAt + 2).trim
+        parseStructTypeText(target).flatMap(fields =>
+          structCastText(inner.substring(0, asAt).trim, fields))
+      }
+      replaced match {
+        case Some(r) =>
+          s = s.substring(0, from + m.start) + r + s.substring(close + 1)
+          from = from + m.start // re-scan: r may contain further CASTs? no — skip past
+          from = from + r.length
+        case None => from = open + 1
       }
     }
     s
@@ -2292,6 +2592,16 @@ object SltRunner {
               s"DECIMAL(38, ${math.min(m.group(3).toInt, 37)})"
             case _ => trimmed
           }
+      // angle generics recurse so nested field spellings (VARCHAR, INT8…)
+      // map too — `STRUCT<y VARCHAR>` must reach Spark as STRUCT<y: STRING>
+      case up if up.startsWith("STRUCT<") && up.endsWith(">") =>
+        parseStructTypeText(trimmed) match {
+          case Some(fs) => fs.map { case (n, t2) =>
+            s"`$n`: ${sparkType(t2)}" }.mkString("STRUCT<", ", ", ">")
+          case None => trimmed
+        }
+      case up if up.startsWith("ARRAY<") && up.endsWith(">") =>
+        s"ARRAY<${sparkType(trimmed.substring(6, trimmed.length - 1))}>"
       case _ => trimmed // preserve case: struct<...> field names are case-sensitive
     }
   }
@@ -2564,6 +2874,12 @@ object SltRunner {
     // there) — the postgres-dialect mapping applies to the main corpus only
     if (sparkDialect) return sql
     var s = sql
+    // quoted field name (`EXTRACT('day' FROM x)` — sqlparser-rs accepts
+    // a string literal there; Spark demands the bare keyword): route to
+    // date_part, whose shim also covers the sub-second fields Spark's
+    // EXTRACT lacks. The EXTRACT head swaps for `date_part('f', ` and the
+    // original close paren serves as the call's close.
+    s = s.replaceAll("(?i)\\bEXTRACT\\s*\\(\\s*'(\\w+)'\\s+FROM\\s+", "date_part('$1', ")
     s = s.replaceAll("(?i)\\bEXTRACT\\s*\\(\\s*`?isoyear`?\\s+FROM\\b", "EXTRACT(YEAROFWEEK FROM")
       .replaceAll("(?i)\\bEXTRACT\\s*\\(\\s*`?isodow`?\\s+FROM\\b", "EXTRACT(DAYOFWEEK_ISO FROM")
       .replaceAll("(?i)(date_part\\s*\\(\\s*)'isoyear'", "$1'YEAROFWEEK'")
@@ -2799,6 +3115,31 @@ object SltRunner {
           case "int" | "integer" => "::bigint"
           case _                 => "::decimal(20,0)"
         })
+      // postgres array-type cast suffix `x::T[]` → ::ARRAY<T> (before
+      // translateBrackets, which would otherwise read the `[]` as an
+      // empty array literal); the element spelling maps via sparkType
+      s2 = """(?i)::\s*([A-Za-z_]\w*)\s*\[\s*\]""".r.replaceAllIn(s2, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          s"::ARRAY<${sparkType(m.group(1))}>"))
+      // MySQL-dialect interval chains (interval_mysql.slt): the operand
+      // list folds arithmetically into ONE literal; a LEADING minus
+      // negates the first operand before the chain applies
+      // (-interval '5' - '1' - '2' year = -5-1-2 = -8 years)
+      def foldIvChain(neg: Boolean, chain: String, unit: String): String = {
+        val nums = "\\d+".r.findAllIn(chain).map(_.toLong).toSeq
+        val ops = "[-+]".r.findAllIn(chain).toSeq
+        var v = if (neg) -nums.head else nums.head
+        for ((op, n) <- ops.zip(nums.tail)) v = if (op == "-") v - n else v + n
+        s"INTERVAL '$v' ${unit.toUpperCase}"
+      }
+      // negated form first — the leading minus must follow SELECT/comma/
+      // open paren (a unary position), never a binary operand
+      s2 = """(?i)(?<=\bselect|[,(])\s*-\s*interval\s+(('\d+'|\d+)(\s*[-+]\s*('\d+'|\d+))+)\s+(year|month|day|hour|minute|second)s?\b""".r
+        .replaceAllIn(s2, m => java.util.regex.Matcher.quoteReplacement(
+          " " + foldIvChain(neg = true, m.group(1), m.group(5))))
+      s2 = """(?i)\binterval\s+(('\d+'|\d+)(\s*[-+]\s*('\d+'|\d+))+)\s+(year|month|day|hour|minute|second)s?\b""".r
+        .replaceAllIn(s2, m => java.util.regex.Matcher.quoteReplacement(
+          foldIvChain(neg = false, m.group(1), m.group(5))))
       // STRING_AGG: Spark's listagg without WITHIN GROUP emits in task
       // completion order (nondeterministic under local[N]); the reference
       // emits input order, which equals value order for the corpus's
@@ -2807,7 +3148,8 @@ object SltRunner {
       // null-as-largest (the reference's default null ordering): asc keys
       // sort NULLS LAST, desc keys NULLS FIRST
       def nullsMax(keys: String): String = keys.split(",").map(_.trim).map { k =>
-        if ("(?i)\\bdesc\\b".r.findFirstIn(k).isDefined) s"$k NULLS FIRST"
+        if ("(?i)\\bNULLS\\s+(FIRST|LAST)\\b".r.findFirstIn(k).isDefined) k
+        else if ("(?i)\\bdesc\\b".r.findFirstIn(k).isDefined) s"$k NULLS FIRST"
         else s"$k NULLS LAST"
       }.mkString(", ")
       s2 = """(?i)\bSTRING_AGG\s*\(\s*(DISTINCT\s+)?([\w.]+)\s*,\s*('[^']*(?:''[^']*)*')\s+ORDER\s+BY\s+([^()]+?)\s*\)"""
@@ -3150,17 +3492,38 @@ object SltRunner {
       case None    => return None
     }
     val pre1b = translateOrderByNulls(
-      translateValuesAlias(translateBareValues(translateInDoubleParen(translateStructFn(
+      translateValuesAlias(translateBareValues(translateInDoubleParen((translateStructFn(
         translateGetField(translateSubscripts(translateExtractFields(translateChronoFormats(
           translateNamedWindows(translateWindowSpecs(translateWindowMedian(
             translateArrayAggEmpty(translateOrderedAggs(translateStringFns(
-              translateRightSemiAnti(translateDoubleQuotes(pre1m)))))))))))))))),
+              translateRightSemiAnti(translateDoubleQuotes(translateWindowFilter(pre1m)))))))))))))))))),
       nullOrdering)
       .replaceAll("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?VIEW\\b",
         "CREATE OR REPLACE TEMPORARY VIEW")
       .replaceAll("(?i)\\bapprox_distinct\\s*\\(", "approx_count_distinct(")
       // Postgres `SET key TO value` spelling → Spark's SET key=value
       .replaceAll("(?is)^\\s*SET\\s+([\\w.]+)\\s+TO\\s+", "SET $1=")
+      // sqlparser-rs accepts `OFFSET n LIMIT k` in either order; Spark
+      // only parses LIMIT-first. Semantics are order-independent (skip n,
+      // take k) — swap the spelling.
+      .replaceAll("(?i)\\bOFFSET\\s+(\\d+)\\s+LIMIT\\s+(\\d+)", "LIMIT $2 OFFSET $1")
+      // Postgres bitwise XOR `#` → Spark's `^` (comments are stripped,
+      // literals excluded by the mapper)
+      .pipe(q => if (!q.contains("#")) q
+        else mapOutsideLiterals(q, _.replace("#", "^")))
+      // integer division/modulo by LITERAL zero: the reference's arrow
+      // kernel errors at runtime for every NON-NULL numerator and yields
+      // NULL for NULL numerators (math.slt:466-530); Spark (non-ANSI)
+      // yields NULL for both. Re-plan the divisor as a throw-on-eval so
+      // the error fires with the reference's cardinality — lazily (CASE
+      // branches that never evaluate it stay silent), and only when the
+      // numerator is non-NULL.
+      .pipe(q => if (!"""[/%]\s*0""".r.findFirstIn(q).isDefined) q
+        else mapOutsideLiterals(q, seg =>
+          """([A-Za-z_][\w.]*|\d+)\s*([/%])\s*0(?![\w.\d])""".r
+            .replaceAllIn(seg, m => java.util.regex.Matcher.quoteReplacement(
+              s"IF((${m.group(1)}) IS NULL, NULL, ${m.group(1)} ${m.group(2)} " +
+                "CAST(graft_runtime_error('Divide by zero error') AS INT))"))))
       // `X [NOT] SIMILAR TO 'pat'` (Postgres): a full-anchored regex with
       // the SQL wildcards mapped (% → .*, _ → .) — strings.slt
       .pipe(q => """(?i)([\w.]+|'[^']*(?:''[^']*)*')\s+(NOT\s+)?SIMILAR\s+TO\s+('[^']*(?:''[^']*)*')""".r
@@ -3262,7 +3625,7 @@ object SltRunner {
       // both as native table functions with the reference's semantics
 
     val pre2 = translateStructs(foldLimitExprs(translateOrderedFirstLast(pre1b)))
-      .map(reorderSiblingStructs) match {
+      .map(reorderSiblingStructs).map(rewriteStructCasts) match {
       case Some(s) => s
       case None    => return None
     }
@@ -3275,6 +3638,10 @@ object SltRunner {
           .replaceAll("(?i),?\\s*PRIMARY\\s+KEY\\s*\\([^)]*\\)", "")
           .replaceAll("(?i)\\bPRIMARY\\s+KEY\\b", "")
           .replaceAll("(?i),?\\s*UNIQUE\\s*\\([^)]*\\)", "")
+          // column-level UNIQUE stays a parse-skip: the reference's
+          // functional-dependency tests DERIVE results from the
+          // constraint (DISTINCT removal, sort-key pruning, bare-column
+          // GROUP BY) — semantics Spark's catalog cannot carry
           .replaceAll("(?i)\\bNOT\\s+NULL\\b", "")
           // Postgres type spellings in DDL (pg_compat, encoding.slt):
           // Spark's parser has no TEXT/BYTEA/BOOL/character varying/double
@@ -3546,6 +3913,17 @@ object SltRunner {
           else if (sparkType(raw) == "DATE" &&
               firstNonNull(i).exists(_.matches("-?[0-9]+")))
             s"DATE_FROM_UNIX_DATE(CAST($n AS INT)) AS $n"
+          // declared STRUCT column whose values are named_struct literals
+          // with overlapping field names: cast BY NAME (the reference's
+          // struct-cast semantics) — a positional Spark cast would bind
+          // reordered literals to the wrong fields. Constructor-style
+          // values (struct(1,2) → c0/c1 names) keep the positional cast,
+          // which is what renames them to the declared fields.
+          else if (sparkType(raw).toUpperCase.startsWith("STRUCT<") &&
+              parseStructTypeText(sparkType(raw)).exists(fs =>
+                firstNonNull(i).flatMap(parseNamedStructLiteral).exists(ps =>
+                  fs.exists(f => ps.exists(_._1.equalsIgnoreCase(f._1))))))
+            s"(${structCastText(n, parseStructTypeText(sparkType(raw)).get).get}) AS $n"
           else s"CAST($n AS ${sparkType(raw)}) AS $n"
         }.mkString(", ")
         s"CREATE OR REPLACE TEMPORARY VIEW $name AS SELECT $casts FROM ($body) AS $alias"
@@ -4101,15 +4479,27 @@ object SltRunner {
     val out = mutable.Buffer[String]()
     // braces nest too: `{x: 10, y: 100}` struct literals are split-atomic
     // even before translateStructs rewrites them to named_struct; commas
-    // inside string literals (',') never split
-    var depth = 0; var inStr = false; val cur = new StringBuilder
+    // inside string literals (',') never split. Generic type brackets
+    // (STRUCT<a: INT, b: INT>) nest as well — an '<' counts only when it
+    // directly follows a type-constructor word (no whitespace), so
+    // comparisons never open an angle context.
+    var depth = 0; var angle = 0; var inStr = false; val cur = new StringBuilder
+    def endsWithTypeCtor: Boolean = {
+      val t = cur; var j = t.length - 1
+      val e = j + 1
+      while (j >= 0 && (t(j).isLetterOrDigit || t(j) == '_')) j -= 1
+      val w = t.substring(j + 1, e).toLowerCase
+      w == "struct" || w == "array" || w == "map"
+    }
     for (c <- s) {
       if (inStr) { if (c == '\'') inStr = false; cur += c }
       else c match {
         case '\'' => inStr = true; cur += c
         case '(' | '{' => depth += 1; cur += c
         case ')' | '}' => depth -= 1; cur += c
-        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case '<' if angle > 0 || endsWithTypeCtor => angle += 1; cur += c
+        case '>' if angle > 0 => angle -= 1; cur += c
+        case ',' if depth == 0 && angle == 0 => out += cur.toString; cur.clear()
         case _ => cur += c
       }
     }
@@ -5872,6 +6262,29 @@ object SltRunner {
     // scalar registry and table registry are separate namespaces)
     reg.createOrReplaceTempFunction("unnest",
       es => Explode(es.head), "built-in")
+    // reference arrays_zip (functions-nested/src/zip.rs): zipped struct
+    // fields are named "1","2",… (Spark names them 0-based or by column);
+    // a NULL input list pads as all-NULL (like an empty list) unless
+    // EVERY input is NULL, where the result is NULL. Build ArraysZip with
+    // explicit 1-based names over coalesced-to-empty children.
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{ArraysZip, Coalesce, CreateArray, If, IsNull, Literal, And => CAnd}
+      reg.createOrReplaceTempFunction("arrays_zip", { es =>
+        val names = es.indices.map(i => Literal((i + 1).toString): Expression)
+        val coalesced = es.map(e =>
+          Coalesce(Seq(e, CreateArray(Seq.empty))): Expression)
+        val zipped = ArraysZip(coalesced.toIndexedSeq, names.toIndexedSeq)
+        val allNull = es.map(e => IsNull(e): Expression).reduceLeft(CAnd(_, _))
+        If(allNull, Literal.create(null,
+          org.apache.spark.sql.types.NullType), zipped)
+      }, "built-in")
+    }
+    // reference abs errors on i*::MIN overflow (math.slt:561-597 "mins"
+    // dataset); Spark's non-ANSI abs wraps silently — use the ANSI form,
+    // identical for every non-overflowing input
+    reg.createOrReplaceTempFunction("abs", es =>
+      org.apache.spark.sql.catalyst.expressions.Abs(es.head,
+        failOnError = true), "built-in")
     // reference initcap (functions/src/string/initcap.rs) starts a new
     // word after ANY non-alphanumeric (underscores included); Spark's only
     // after whitespace. Split keeping the '_' terminator, initcap each
@@ -7236,9 +7649,9 @@ object SltRunner {
     val Re = """(?s)^GRAFT_PARQUET_VIEW ([^|]+)\|([^|]*)\|([^|]*)\|([^|]*)$""".r
     Re.findFirstMatchIn(sql).map { m =>
       val (name, path) = (m.group(1), m.group(2))
-      val declared = m.group(3).split(",").filter(_.nonEmpty).map { cd =>
-        val Array(n, t) = cd.split(":", 2); (n, t)
-      }.toSeq
+      // angle-aware split: STRUCT/ARRAY column types carry commas
+      val declared = splitTopLevel(m.group(3)).map(_.trim).filter(_.nonEmpty)
+        .map { cd => val Array(n, t) = cd.split(":", 2); (n, t) }.toSeq
       val partCols = m.group(4).split(",").filter(_.nonEmpty).toSeq
       val base = spark.read.parquet(path)
       val have = base.columns.map(_.toLowerCase).toSet

@@ -1186,4 +1186,128 @@ class DataFusionProtoSpec extends AnyFunSuite {
       n => Some(Tables.load(spark, sfDir, n)))
     assert(src.collect().map(_.toSeq).toSeq == back.collect().map(_.toSeq).toSeq)
   }
+
+  // ------------------------------------------------- r13: unnest generality
+
+  private def parquetOf(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("dfp_unnest13").toString
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/t")
+    spark.read.parquet(s"$dir/t")
+  }
+
+  test("physical UnnestExecNode (30): multi-column zip pads shorter lists") {
+    import spark.implicits._
+    import graft.plans.DataFusionProtoPhysical
+    val src = parquetOf(Seq(
+      (1, Seq(1, 2), Seq("x"), (10, "p")),
+      (2, Seq(3), Seq.empty[String], (20, "q")),
+      (3, Seq(4, 5, 6), Seq("y", "z"), (30, "r"))
+    ).toDF("id", "a", "b", "st"))
+    val w = new DataFusionProto.W
+    w.msg(30) { un =>
+      un.raw(1, DataFusionProtoPhysical.emit(src))
+      un.msg(3) { lu => lu.int64(1, 1L); lu.int64(2, 1L) }
+      un.msg(3) { lu => lu.int64(1, 2L); lu.int64(2, 1L) }
+      un.int64(4, 3L) // struct col st → (_1, _2)
+      un.msg(5)(_.int64(3, 1L)) // DROP
+    }
+    val back = DataFusionProtoPhysical.consume(spark, w.bytes, _ => None)
+    val got = back.collect().map(r => (r.getInt(0),
+      if (r.isNullAt(1)) null else r.get(1),
+      if (r.isNullAt(2)) null else r.get(2),
+      r.get(3), r.get(4))).sortBy(_.toString)
+    assert(got.toSeq == Seq(
+      (1, 1, "x", 10, "p"), (1, 2, null, 10, "p"),
+      (2, 3, null, 20, "q"),
+      (3, 4, "y", 30, "r"), (3, 5, "z", 30, "r"), (3, 6, null, 30, "r")
+    ).map(t => (t._1, t._2, t._3, t._4, t._5)).sortBy(_.toString),
+      s"zip-to-longest with NULL pad; got ${got.toSeq}")
+  }
+
+  test("physical UnnestExecNode (30): depth-2 column zips at level 1") {
+    import spark.implicits._
+    import graft.plans.DataFusionProtoPhysical
+    val src = parquetOf(Seq(
+      (1, Seq(Seq(1, 2), Seq(3)), Seq(7, 8))
+    ).toDF("id", "c", "d"))
+    val w = new DataFusionProto.W
+    w.msg(30) { un =>
+      un.raw(1, DataFusionProtoPhysical.emit(src))
+      un.msg(3) { lu => lu.int64(1, 1L); lu.int64(2, 2L) } // c depth 2
+      un.msg(3) { lu => lu.int64(1, 2L); lu.int64(2, 1L) } // d depth 1
+      un.msg(5)(_.int64(3, 1L)) // DROP
+    }
+    val back = DataFusionProtoPhysical.consume(spark, w.bytes, _ => None)
+    val got = back.collect().map(r => (r.getInt(0),
+      if (r.isNullAt(1)) null else r.get(1),
+      if (r.isNullAt(2)) null else r.get(2))).sortBy(_.toString)
+    // level 2: ([1,2],[7,8]), ([3],[7,8]); level 1 zip:
+    //   [1,2]×[7,8] → (1,7),(2,8); [3]×[7,8] → (3,7),(NULL,8)
+    assert(got.toSeq == Seq((1, 1, 7), (1, 2, 8), (1, 3, 7), (1, null, 8))
+      .map(t => (t._1, t._2, t._3)).sortBy(_.toString),
+      s"depth-2 then zip; got ${got.toSeq}")
+  }
+
+  test("physical UnnestExecNode (30): NullHandling variants on one column") {
+    import spark.implicits._
+    import graft.plans.DataFusionProtoPhysical
+    val src = parquetOf(Seq(
+      (1, Some(Seq(10))), (2, None), (3, Some(Seq.empty[Int]))
+    ).toDF("id", "xs"))
+    def run(nh: Long): Seq[(Int, Any)] = {
+      val w = new DataFusionProto.W
+      w.msg(30) { un =>
+        un.raw(1, DataFusionProtoPhysical.emit(src))
+        un.msg(3) { lu => lu.int64(1, 1L); lu.int64(2, 1L) }
+        if (nh >= 0) un.msg(5)(_.int64(3, nh))
+      }
+      DataFusionProtoPhysical.consume(spark, w.bytes, _ => None)
+        .collect().map(r => (r.getInt(0),
+          if (r.isNullAt(1)) null else r.get(1))).toSeq.sortBy(_.toString)
+    }
+    assert(run(-1L) == Seq((1, 10), (2, null)), "absent options = PRESERVE(0)")
+    assert(run(0L) == Seq((1, 10), (2, null)), "PRESERVE: null→1 row, empty drops")
+    assert(run(1L) == Seq((1, 10)), "DROP: null and empty both drop")
+    assert(run(2L) == Seq((1, 10), (2, null), (3, null)),
+      "PRESERVE_AND_EXPAND_EMPTY: empty → one NULL row")
+  }
+
+  test("logical UnnestNode (30): multi-column + struct consume from bytes") {
+    import spark.implicits._
+    val src = parquetOf(Seq(
+      (1, Seq(1, 2), Seq("x"), (10, "p")),
+      (3, Seq(4, 5, 6), Seq("y", "z"), (30, "r"))
+    ).toDF("id", "a", "b", "st"))
+    val w = new DataFusionProto.W
+    w.msg(30) { un =>
+      un.raw(1, DataFusionProto.emit(src))
+      un.msg(3) { it => it.int64(1, 1L)
+        it.msg(2) { rc => rc.msg(1)(_.str(1, "a")); rc.int64(2, 1L) } }
+      un.msg(3) { it => it.int64(1, 2L)
+        it.msg(2) { rc => rc.msg(1)(_.str(1, "b")); rc.int64(2, 1L) } }
+      un.int64(4, 3L)
+      un.msg(7)(_.int64(3, 1L)) // DROP
+    }
+    val back = DataFusionProto.consume(spark, w.bytes,
+      n => if (n == "t") Some(src) else None)
+    val got = back.collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.toSeq == Seq(
+      Seq(1, 1, "x", 10, "p"), Seq(1, 2, null, 10, "p"),
+      Seq(3, 4, "y", 30, "r"), Seq(3, 5, "z", 30, "r"),
+      Seq(3, 6, null, 30, "r")).sortBy(_.toString),
+      s"logical multi-unnest; got ${got.toSeq}")
+  }
+
+  test("arrow type codec: struct and map roundtrip") {
+    import org.apache.spark.sql.types._
+    for (t <- Seq(
+      StructType(Seq(StructField("x", LongType, true),
+        StructField("y", StringType, false))),
+      MapType(StringType, IntegerType, true),
+      ArrayType(StructType(Seq(StructField("k", IntegerType, true))), true))) {
+      val w = new DataFusionProto.W
+      DataFusionProto.arrowType(t, w)
+      assert(DataFusionProto.consumeType(w.bytes) == t, s"type $t")
+    }
+  }
 }

@@ -49,7 +49,13 @@ class SltRunnerSpec extends AnyFunSuite {
   }
   test("strings.slt")  { check("strings.slt", 10) }
   test("cte.slt")      { check("cte.slt", 90) } // r10: strict_schema orders fixture
-  test("limit.slt")    { check("limit.slt", 30) }
+  test("limit.slt")    {
+    // r13: OFFSET-before-LIMIT spelling now swaps to Spark's order; 691/
+    // 718's inner subquery orders by a column with duplicate keys, so the
+    // skip-1-take-4 row CHOICE is engine-specific
+    val ties = "OFFSET/LIMIT over an ORDER BY with duplicate sort keys: the row choice is engine-specific"
+    check("limit.slt", 95, knownDivergent = Map(691 -> ties, 718 -> ties))
+  }
   test("predicates.slt") {
     // Spark's NaN semantics are intentionally non-IEEE (NaN = NaN is true,
     // NaN sorts greatest — Spark SQL docs, NaN Semantics), so IN-list
@@ -86,6 +92,10 @@ class SltRunnerSpec extends AnyFunSuite {
       842 -> nanNull, 848 -> nanNull,
       1448 -> "'^' is exponentiation in the reference, XOR in Spark",
       1460 -> "'^' is exponentiation in the reference, XOR in Spark",
+      // r13: '#' → '^' converted the XOR lines; this one mixes '#' with
+      // '>>', where Postgres groups both left-associatively at ONE
+      // precedence level but Spark's '^' binds below shifts
+      1484 -> "'#' XOR precedence: Postgres one-level left-assoc with shifts, Spark '^' binds below '>>'",
       1864 -> "int/int division: reference truncates, Spark yields double",
       1980 -> "numeric-suffix literal parsing (1ea) differs",
       // r6: the 1381 pin (trunc of a 2^53+1 value) is gone — the unsigned
@@ -128,11 +138,20 @@ class SltRunnerSpec extends AnyFunSuite {
   }
   test("struct.slt")   {
     // r12: sibling-struct field reunification (reorderSiblingStructs)
-    // unlocked the coercion block; 1143 is its arrow_typeof twin
-    check("struct.slt", 74, knownDivergent = Map(
-      272 -> "literal typing under arrow_typeof: reference SQL literals are Int64/Float64, Spark Int32/Decimal",
-      277 -> "literal typing under arrow_typeof: reference SQL literals are Int64/Float64, Spark Int32/Decimal",
-      1143 -> "literal typing under arrow_typeof: reference SQL literals are Int64/Float64, Spark Int32/Decimal"))
+    // unlocked the coercion block; 1143 is its arrow_typeof twin.
+    // r13: STRUCT(name TYPE) DDL/CAST type syntax + by-name struct casts
+    // (rewriteStructCasts) + VALUES-row struct alignment unlocked the
+    // CREATE/CAST blocks (74 → 177 passed)
+    val lit13 = "literal typing under arrow_typeof: reference SQL literals are Int64/Float64 nullable, Spark Int32/Decimal non-null"
+    val view13 = "Utf8View encoding visible through arrow_typeof (Arrow-only surface)"
+    check("struct.slt", 215, knownDivergent = Map(
+      272 -> lit13, 277 -> lit13, 1143 -> lit13,
+      1470 -> "INSERT coerces struct VALUES by field name in the reference; Spark inserts positionally",
+      1508 -> "struct comparison coerces by field name in the reference; Spark compares positionally",
+      1571 -> "struct comparison coerces by field name in the reference; Spark compares positionally",
+      1396 -> "UNION coerces struct branches by field name in the reference; Spark unions positionally") ++
+      Seq(531, 954, 972, 993, 1011, 1032).map(_ -> lit13).toMap ++
+      Seq(458, 509, 514, 561, 588, 618, 631, 637, 1072, 1240).map(_ -> view13).toMap)
   }
   test("map.slt")      {
     check("map.slt", 95, knownDivergent = Map(
@@ -140,11 +159,14 @@ class SltRunnerSpec extends AnyFunSuite {
   }
   test("math.slt")     {
     val nanNull = "isnan(NULL): reference returns NULL, Spark false by design"
-    val div0 = "float/0: reference yields IEEE NaN/±Inf, Spark (non-ANSI) yields NULL"
+    val div0 = "float/0: reference yields IEEE NaN/±Inf; the int-div-zero runtime enforcement errors here instead"
     // r8: Float16 casts quantize to the binary16 grid (graft_f16) — the
     // isnan/iszero/representation lines now run; 243's last row is the
     // isnan(NULL) class
-    check("math.slt", 105, knownDivergent = Map(
+    // r13: div/mod-by-literal-zero runtime enforcement + ANSI abs
+    // converted the 'Divide by zero'/'mins'-overflow error directives
+    // (105 -> 156 passed)
+    check("math.slt", 155, knownDivergent = Map(
       66 -> "round() on f32 at the representation boundary (reference rounds in f32, Spark in f64)",
       243 -> nanNull,
       200 -> nanNull, 205 -> nanNull, 211 -> nanNull, 216 -> nanNull,
@@ -175,7 +197,7 @@ class SltRunnerSpec extends AnyFunSuite {
   test("topk.slt")        { check("topk.slt", 12) }
   test("wildcard.slt")    { check("wildcard.slt", 10) }
   test("describe.slt")    { check("describe.slt", 8) }
-  test("prepare.slt")     { check("prepare.slt", 70) }
+  test("prepare.slt")     { check("prepare.slt", 95) }
   test("projection.slt")  { check("projection.slt", 25) }
   test("distinct_on.slt") { check("distinct_on.slt", 30) }
   test("qualify.slt")     { check("qualify.slt", 18) }
@@ -282,7 +304,7 @@ class SltRunnerSpec extends AnyFunSuite {
   }
   test("union_by_name.slt") { check("union_by_name.slt", 7) }
   test("table_functions.slt") { check("table_functions.slt", 55) }
-  test("unnest.slt")      { check("unnest.slt", 65) }
+  test("unnest.slt")      { check("unnest.slt", 105) } // r13: FROM-position multi-arg zip unnest
   // r8: Decimal256 partial surface — declared p>38 clamps to DECIMAL(38,s)
   // (exact whenever the value fits: the decimal256_simple table + its 15
   // query lines now pass); true >38-digit values and negative scales stay
@@ -566,7 +588,7 @@ class SltRunnerSpec extends AnyFunSuite {
   test("parquet_cdc_config.slt") { check("parquet_cdc_config.slt", 6) }
   test("parquet_max_row_group_bytes.slt") { check("parquet_max_row_group_bytes.slt", 25) }
   test("parquet_metadata_functions.slt") { check("parquet_metadata_functions.slt", 3) }
-  test("parquet_nested_schema_pruning.slt") { check("parquet_nested_schema_pruning.slt", 9) }
+  test("parquet_nested_schema_pruning.slt") { check("parquet_nested_schema_pruning.slt", 20) } // r13: STRUCT<> declared-schema views
   test("parquet_sorted_statistics.slt") { check("parquet_sorted_statistics.slt", 6) }
   test("preserve_file_partitioning.slt") { check("preserve_file_partitioning.slt", 70) }
   test("projection_pushdown.slt") { check("projection_pushdown.slt", 170) }
@@ -603,7 +625,6 @@ class SltRunnerSpec extends AnyFunSuite {
     val divergent = Map(
       "array_cast.slt" -> "mixed numeric/string array literal unifies to STRING in Spark, numeric in the reference",
       "array_index.slt" -> "runtime-column slice bounds (a[i:col]) are unsupported by Spark's slice",
-      "arrays_zip.slt" -> "zipped struct field naming: reference 1-based, Spark 0-based",
       "array_to_string.slt" -> "decimal element text: reference trims trailing .0 in joins",
       "cardinality.slt" -> "cardinality(NULL) nested: reference NULL, Spark legacy -1 via size",
       "array_literal.slt" -> "nested-list literal typing under arrow_typeof: reference Int64/Float64 elements, Spark Int32/Decimal")
@@ -611,6 +632,11 @@ class SltRunnerSpec extends AnyFunSuite {
     // FixedSizeList → ARRAY) unlocked these files wholesale; the per-line
     // pins below are the layout-SPECIFIC semantics the carrier can't carry
     val lineDivergent: Map[String, Map[Int, String]] = Map(
+      "arrays_zip.slt" -> Map(
+        // r13: the 1-based-names + null-pads-as-empty arrays_zip shim
+        // converted the whole naming class (167 → 200 passed)
+        534 -> "arrays_overlap counts a shared NULL element as overlap in the reference; Spark yields NULL",
+        552 -> "range() with a wrong-direction stride: reference returns [], Spark's sequence semantics differ"),
       "array_append.slt" -> Map(
         188 -> "arrow casts a NULL list to FixedSizeList(10) as ten NULL slots; the transparent ARRAY carrier keeps NULL"),
       "array_prepend.slt" -> Map(
@@ -689,7 +715,7 @@ class SltRunnerSpec extends AnyFunSuite {
     check("datetime/interval.slt", 35, knownDivergent = Map(
       478 -> "compact duration suffix literal ('1s'::interval) parses in the reference only"))
   }
-  test("datetime/interval_mysql.slt") { check("datetime/interval_mysql.slt", 3) }
+  test("datetime/interval_mysql.slt") { check("datetime/interval_mysql.slt", 9) } // r13: interval chain folding
   test("datetime/date_part.slt") {
     // r8: the epoch-ns layer's full-ns parse in the date_part shim (plus
     // sub-µs literal routing) converted 7 of the 8 r6 ns pins to passes;
