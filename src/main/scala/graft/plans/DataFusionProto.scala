@@ -645,6 +645,10 @@ object DataFusionProto {
     case _: org.apache.spark.sql.catalyst.expressions.Subtract => "Minus"
     case _: org.apache.spark.sql.catalyst.expressions.Multiply => "Multiply"
     case _: org.apache.spark.sql.catalyst.expressions.Divide => "Divide"
+    case _: org.apache.spark.sql.catalyst.expressions.Remainder => "Modulo"
+    case _: org.apache.spark.sql.catalyst.expressions.BitwiseAnd => "BitwiseAnd"
+    case _: org.apache.spark.sql.catalyst.expressions.BitwiseOr => "BitwiseOr"
+    case _: org.apache.spark.sql.catalyst.expressions.BitwiseXor => "BitwiseXor"
     case other => throw new IllegalArgumentException(
       s"dfproto emit: unsupported operator ${other.nodeName}")
   }
@@ -1382,6 +1386,10 @@ object DataFusionProto {
           case "Minus" => l - r
           case "Multiply" => l * r
           case "Divide" => l / r
+          case "Modulo" => l % r
+          case "BitwiseAnd" => l.bitwiseAND(r)
+          case "BitwiseOr" => l.bitwiseOR(r)
+          case "BitwiseXor" => l.bitwiseXOR(r)
           case other => throw new IllegalArgumentException(
             s"dfproto consume: unsupported op $other")
         })

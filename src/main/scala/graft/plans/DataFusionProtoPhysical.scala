@@ -1312,6 +1312,10 @@ object DataFusionProtoPhysical {
           case "Minus" => l - r
           case "Multiply" => l * r
           case "Divide" => l / r
+          case "Modulo" => l % r
+          case "BitwiseAnd" => l.bitwiseAND(r)
+          case "BitwiseOr" => l.bitwiseOR(r)
+          case "BitwiseXor" => l.bitwiseXOR(r)
           case other => throw new IllegalArgumentException(
             s"dfproto physical consume: unsupported op $other")
         }

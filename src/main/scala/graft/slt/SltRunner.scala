@@ -3518,7 +3518,8 @@ object SltRunner {
       // the error fires with the reference's cardinality — lazily (CASE
       // branches that never evaluate it stay silent), and only when the
       // numerator is non-NULL.
-      .pipe(q => if (!"""[/%]\s*0""".r.findFirstIn(q).isDefined) q
+      .pipe(q => if (sparkDialect ||
+          !"""[/%]\s*0""".r.findFirstIn(q).isDefined) q
         else mapOutsideLiterals(q, seg =>
           """([A-Za-z_][\w.]*|\d+)\s*([/%])\s*0(?![\w.\d])""".r
             .replaceAllIn(seg, m => java.util.regex.Matcher.quoteReplacement(
@@ -4916,6 +4917,12 @@ object SltRunner {
     // drop would actually sever a live dependency; string_view.slt drops
     // test_source while test_basic_operator still reads it).
     val viewBodies = mutable.Map[String, String]()
+    // declared-schema parquet views (GRAFT_PARQUET_VIEW): the reference's
+    // external table lists files at QUERY time, our view snapshots the
+    // listing at registration — keep the marker and re-register before
+    // any record that mentions the view, so COPYs landing after the
+    // CREATE (schema_evolution_nested.slt) become visible
+    val pendingParquetViews = mutable.Map[String, String]()
     val TempViewCreateRe =
       """(?is)^\s*CREATE\s+OR\s+REPLACE\s+TEMPORARY\s+VIEW\s+([\w.]+)\s+AS\b([\s\S]*)""".r
     val DropViewNameRe =
@@ -5185,6 +5192,12 @@ object SltRunner {
     for (rec <- records) {
       val d = rec.directive
       val upper = rec.sql.trim.toUpperCase
+      if (pendingParquetViews.nonEmpty)
+        for ((vn, marker) <- pendingParquetViews
+            if ("(?i)\\b" + java.util.regex.Pattern.quote(vn) + "\\b").r
+              .findFirstIn(rec.sql).isDefined)
+          try maybeEmulateDeclaredParquet(spark, marker)
+          catch { case _: Throwable => }
       if (rec.excluded.isDefined)
         skipped += ((rec.line,
           s"${rec.excluded.get} record (another engine's private setup)"))
@@ -5368,6 +5381,11 @@ object SltRunner {
                 case _ =>
               }
               val df: DataFrame = maybeEmulateDeclaredParquet(spark, sql)
+                .map { d =>
+                  "(?s)^GRAFT_PARQUET_VIEW ([^|]+)\\|".r.findFirstMatchIn(sql)
+                    .foreach(m2 => pendingParquetViews(m2.group(1).toLowerCase) = sql)
+                  d
+                }
                 .orElse(maybeEmulateExternalCreate(spark, sql))
                 .orElse(maybeEmulateInsert(spark, sql))
                 .orElse(maybeEmulateDml(spark, sql))
@@ -7474,10 +7492,13 @@ object SltRunner {
         .option("header", "true").option("inferSchema", "true")
         .option("mergeSchema", "true") // files may carry EVOLVING schemas
         .load(path)
-      val present = r.columns.map(_.toLowerCase).toSet
+      val present = r.schema.fields.map(f => f.name.toLowerCase -> f).toMap
       r.select(ordered.map { case (n, t, _) =>
-        if (present(n.toLowerCase)) col(n).cast(t).as(n)
-        else org.apache.spark.sql.functions.lit(null).cast(t).as(n) // schema evolution: absent column reads NULL
+        present.get(n.toLowerCase) match {
+          case Some(f) => org.apache.spark.sql.functions.expr(
+            castByName(s"`${f.name}`", Some(f.dataType), t, 0)).as(n)
+          case None => org.apache.spark.sql.functions.lit(null).cast(t).as(n) // schema evolution: absent column reads NULL
+        }
       }: _*).createOrReplaceTempView(name)
     } catch {
       // a location deliberately left in an unreadable state (the mixed-
@@ -7644,6 +7665,46 @@ object SltRunner {
     * column becomes a CAST when present or a typed NULL when absent
     * (schema evolution); hive partition columns bind via discovery and are
     * appended last (the reference's column order). */
+  /** Nested-evolution cast BY NAME (the reference's semantics —
+    * schema_evolution_nested.slt): declared struct fields bind by name,
+    * missing ones NULL-fill, extra source fields drop; arrays of structs
+    * map elementwise via transform. `avail` is the source's actual type
+    * (None → plain CAST fallback). */
+  private def castByName(path0: String,
+      avail: Option[org.apache.spark.sql.types.DataType], t: String,
+      depth: Int): String = {
+    val tt = t.trim
+    val up = tt.toUpperCase
+    if (up.startsWith("STRUCT<")) parseStructTypeText(tt) match {
+      case Some(fs) =>
+        val availFields: Map[String, org.apache.spark.sql.types.StructField] =
+          avail match {
+            case Some(st: org.apache.spark.sql.types.StructType) =>
+              st.fields.map(f => f.name.toLowerCase -> f).toMap
+            case _ => Map.empty
+          }
+        val body = fs.map { case (fn, ft) =>
+          availFields.get(fn.toLowerCase) match {
+            case Some(f) => s"'$fn', ${castByName(
+              s"($path0).`${f.name}`", Some(f.dataType), ft, depth + 1)}"
+            case None => s"'$fn', CAST(NULL AS $ft)"
+          }
+        }.mkString("named_struct(", ", ", ")")
+        s"CASE WHEN ($path0) IS NULL THEN CAST(NULL AS $tt) ELSE $body END"
+      case None => s"CAST($path0 AS $tt)"
+    } else if (up.startsWith("ARRAY<") && up.endsWith(">")) {
+      val elemT = tt.substring(6, tt.length - 1)
+      val elemAvail = avail match {
+        case Some(org.apache.spark.sql.types.ArrayType(e, _)) => Some(e)
+        case _ => None
+      }
+      if (elemT.trim.toUpperCase.startsWith("STRUCT<")) {
+        val v = s"__ev$depth"
+        s"transform($path0, $v -> ${castByName(v, elemAvail, elemT, depth + 1)})"
+      } else s"CAST($path0 AS $tt)"
+    } else s"CAST($path0 AS $tt)"
+  }
+
   private def maybeEmulateDeclaredParquet(spark: SparkSession,
       sql: String): Option[DataFrame] = {
     val Re = """(?s)^GRAFT_PARQUET_VIEW ([^|]+)\|([^|]*)\|([^|]*)\|([^|]*)$""".r
@@ -7653,12 +7714,36 @@ object SltRunner {
       val declared = splitTopLevel(m.group(3)).map(_.trim).filter(_.nonEmpty)
         .map { cd => val Array(n, t) = cd.split(":", 2); (n, t) }.toSeq
       val partCols = m.group(4).split(",").filter(_.nonEmpty).toSeq
-      val base = spark.read.parquet(path)
+      // mergeSchema: nested schema evolution unions struct fields across
+      // files, so the by-name cast below sees every field any file has.
+      // A not-yet-populated location registers as an EMPTY view of the
+      // declared schema (the loop re-registers once files land).
+      import org.apache.spark.sql.functions.{lit => flit}
+      val base0 =
+        try {
+          var rd = spark.read.option("mergeSchema", "true")
+          // COPY targets are often directories named *.parquet under the
+          // table location — only partition discovery forbids recursion
+          if (partCols.isEmpty) rd = rd.option("recursiveFileLookup", "true")
+          val d = rd.parquet(path)
+          if (d.schema.isEmpty) None else Some(d)
+        }
+        catch { case _: Exception => None }
+      if (base0.isEmpty) {
+        spark.range(0).select(declared.map { case (n, t) =>
+          flit(null).cast(t).as(n) }: _*).createOrReplaceTempView(name)
+        return Some(spark.emptyDataFrame)
+      }
+      val base = base0.get
       val have = base.columns.map(_.toLowerCase).toSet
+      val fieldOf = base.schema.fields.map(f => f.name.toLowerCase -> f).toMap
       import org.apache.spark.sql.functions.{col, expr, lit}
       val cols = declared.map { case (n, t) =>
-        if (have(n.toLowerCase)) expr(s"CAST($n AS $t)").as(n)
-        else lit(null).cast(t).as(n)
+        fieldOf.get(n.toLowerCase) match {
+          case Some(f) =>
+            expr(castByName(s"`${f.name}`", Some(f.dataType), t, 0)).as(n)
+          case None => lit(null).cast(t).as(n)
+        }
       } ++ partCols.filter(p => have(p.toLowerCase)).map(col)
       base.select(cols: _*).createOrReplaceTempView(name)
       spark.emptyDataFrame
