@@ -1,6 +1,5 @@
 package graft.functions
 
-import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -25,6 +24,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * shuffle left in the minhash pipeline is the band-bucket aggregation.
   * Heavy per-row compute, so CodegenFallback (an interpreted call from the
   * generated stage) costs nothing relative to the md5 work.
+  *
+  * r13 (optimization round): the inner loop is allocation-free. The md5
+  * input is fed straight from the document's UTF-8 bytes (word boundaries
+  * are byte offsets — a space is a single byte in UTF-8 and never part of a
+  * multi-byte sequence, so byte-level tokenization equals
+  * split(" ").filter(_.nonEmpty)); per-shingle/per-salt String building,
+  * hex encoding and substring slicing are gone. The running minima are kept
+  * as unsigned 32-bit ints (big-endian digest bytes): lexicographic order
+  * on fixed-width lowercase hex IS unsigned numeric order, so comparing
+  * ints and hex-encoding only the k winners at the end returns the same
+  * strings. Measured sf0.1: the signature stage of dedup_minhash_stats /
+  * dedup_cluster dropped ~2× (see OPTIMIZATION_r13.md).
   */
 case class MinHashSig(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
@@ -35,46 +46,84 @@ case class MinHashSig(child: Expression, k: Int)
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
-  private def toHex(bytes: Array[Byte]): String = {
-    val out = new Array[Char](bytes.length * 2)
+  /** 8-char lowercase hex of an unsigned 32-bit value — identical to the
+    * corresponding md5-hex slice. */
+  private def hex8(v: Long): String = {
+    val out = new Array[Char](8)
     var i = 0
-    while (i < bytes.length) {
-      val b = bytes(i) & 0xff
-      out(2 * i) = hexDigits(b >>> 4)
-      out(2 * i + 1) = hexDigits(b & 0xf)
+    while (i < 8) {
+      out(i) = hexDigits(((v >>> (28 - 4 * i)) & 0xf).toInt)
       i += 1
     }
     new String(out)
   }
 
+  private val nSalts = (k + 3) / 4
+  // "0|", "1|", ... — ASCII, so bytes == salt.toString+"|" under UTF-8
+  private val saltPrefix: Array[Array[Byte]] =
+    Array.tabulate(nSalts)(s => (s.toString + "|").getBytes("UTF-8"))
+  private val Space = ' '.toByte
+
   override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    val ws = text.split(" ", -1).filter(_.nonEmpty)
-    val shingles: Array[String] =
-      if (ws.length < 3) Array(ws.mkString(" "))
-      else Array.tabulate(ws.length - 2)(j => ws(j) + " " + ws(j + 1) + " " + ws(j + 2))
-    val nSalts = (k + 3) / 4
-    val mins = new Array[String](k)
+    val raw = input.asInstanceOf[UTF8String].getBytes
+    // tokenize: (offset, length) per non-empty single-space-separated token
+    var nWords = 0
+    var offs = new Array[Int](16)
+    var lens = new Array[Int](16)
+    var i = 0
+    val n = raw.length
+    while (i < n) {
+      while (i < n && raw(i) == Space) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && raw(i) != Space) i += 1
+        if (nWords == offs.length) {
+          offs = java.util.Arrays.copyOf(offs, nWords * 2)
+          lens = java.util.Arrays.copyOf(lens, nWords * 2)
+        }
+        offs(nWords) = start
+        lens(nWords) = i - start
+        nWords += 1
+      }
+    }
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
     val md = MessageDigest.getInstance("MD5")
-    var s = 0
-    while (s < shingles.length) {
-      val sh = shingles(s)
+    val digest = new Array[Byte](16)
+
+    // one shingle = words [from, to]; < 3 words → a single shingle of all
+    // words (empty text included: the digest input is just the salt prefix)
+    def shingle(from: Int, to: Int): Unit = {
       var salt = 0
       while (salt < nSalts) {
-        md.reset()
-        val hex = toHex(md.digest((salt.toString + "|" + sh).getBytes(StandardCharsets.UTF_8)))
+        md.update(saltPrefix(salt))
+        var w = from
+        while (w <= to) {
+          if (w > from) md.update(Space)
+          md.update(raw, offs(w), lens(w))
+          w += 1
+        }
+        md.digest(digest, 0, 16)
         var j = 0
         while (j < 4 && salt * 4 + j < k) {
-          val i = salt * 4 + j
-          val slice = hex.substring(8 * j, 8 * j + 8)
-          if (mins(i) == null || slice.compareTo(mins(i)) < 0) mins(i) = slice
+          val idx = salt * 4 + j
+          val v = ((digest(4 * j) & 0xffL) << 24) |
+            ((digest(4 * j + 1) & 0xffL) << 16) |
+            ((digest(4 * j + 2) & 0xffL) << 8) |
+            (digest(4 * j + 3) & 0xffL)
+          if (v < mins(idx)) mins(idx) = v
           j += 1
         }
         salt += 1
       }
-      s += 1
     }
-    new GenericArrayData(mins.map(m => UTF8String.fromString(m): Any))
+
+    if (nWords < 3) shingle(0, nWords - 1)
+    else {
+      var s = 0
+      while (s + 2 < nWords) { shingle(s, s + 2); s += 1 }
+    }
+    new GenericArrayData(mins.map(m => UTF8String.fromString(hex8(m)): Any))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

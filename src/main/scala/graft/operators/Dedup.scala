@@ -269,17 +269,24 @@ object Dedup {
                            col(dstCol).cast("long").as("dst"))
     val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
-    var labels = sym.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("component"))
-      .localCheckpoint(true)
+    // r13: no separate identity-label init. Round 0's propagation over
+    // identity labels is just the edge list itself — (dst ← src) messages
+    // unioned with (src ← src) self-labels, grouped by min — so the
+    // init-distinct's shuffle + checkpoint and round 0's join are folded
+    // into the first aggregation (two fewer jobs per invocation, identical
+    // labels after round 0: min(self, neighbors)).
+    var labels: DataFrame = null
     var prevSum = BigDecimal(-1)
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
-      val msgs = sym.join(labels, sym("src") === labels("node"))
-        .select(sym("dst").as("node"), col("component"))
-      val prop = labels.union(msgs).groupBy("node")
-        .agg(min("component").as("component"))
+      val prop = (if (round == 0)
+          sym.select(col("dst").as("node"), col("src").as("component"))
+            .union(sym.select(col("src").as("node"), col("src").as("component")))
+        else
+          labels.union(sym.join(labels, sym("src") === labels("node"))
+            .select(sym("dst").as("node"), col("component"))))
+        .groupBy("node").agg(min("component").as("component"))
       // Path halving: jump each pointer to its target's own label. Every
       // component value is itself a labeled node, so the lookup join hits
       // (coalesce guards the root, whose label is itself). Skipped in

@@ -49,9 +49,39 @@ object FunctionQueries3 {
     // oracle scales). Negated brand/type predicates + 8-value size IN,
     // distinct-supplier counts per (brand, type, size). partsupp and part
     // are both sub-fact-sized: plain AQE picks the broadcast.
-    "q16_suppcnt" -> { (s, dir) =>
-      fixtureViews(s, dir)
-      s.sql(TpchPartsuppSql.q16)
+    //
+    // r13 (stats-gated latency shape, the q12/q22 treatment): the join
+    // strategy is already decided at planning time (filtered part
+    // broadcasts), so AQE's per-stage materialize→replan handoffs are pure
+    // tax; and the ORDER BY's range exchange + its SAMPLING JOB sort a
+    // result bounded by |brand|×|type|×8 rows — group-count-bounded at ANY
+    // scale, so one final task is exact and sortWithinPartitions IS the
+    // total order. The distinct-agg's two real exchanges keep the session's
+    // full width (staticWideSession, not the 8-partition static session).
+    // Past the broadcast gate the plain AQE text runs unchanged.
+    "q16_suppcnt" -> { (s0, dir) =>
+      import graft.plans.BroadcastAdvisor._
+      val p = tableStats(s0, s"$dir/part.parquet")
+      val bc = shouldBroadcast(s0,
+        estimateBytes(p, p.rows * EqSelectivity,
+          Seq("p_partkey", "p_brand", "p_type")))
+      if (!bc) { fixtureViews(s0, dir); s0.sql(TpchPartsuppSql.q16) }
+      else {
+        val s = staticWideSession(s0)
+        fixtureViews(s, dir)
+        s.sql(
+          """SELECT /*+ BROADCAST(part) */ p_brand, p_type, p_size,
+            |  CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+            |FROM partsupp, part
+            |WHERE p_partkey = ps_partkey
+            |  AND p_brand <> 'Brand#3'
+            |  AND p_type NOT LIKE 'MEDIUM%'
+            |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+            |GROUP BY p_brand, p_type, p_size""".stripMargin)
+          .coalesce(1)
+          .sortWithinPartitions(col("supplier_cnt").desc, col("p_brand"),
+            col("p_type"), col("p_size"))
+      }
     })
 
   val oracleSql: Map[String, String] = Map(

@@ -14,6 +14,18 @@ import Q._
   */
 object TpchQueries2 {
 
+  /** q21 tail shared by the bitmap branch: resolve supplier names (the
+    * planner's own size estimate broadcasts the dimension; no hint, so past
+    * dimension-scale growth it degrades to the spillable partitioned join)
+    * and produce the top-20 with the oracle's exact column types. */
+  private def return21(l2: org.apache.spark.sql.DataFrame,
+      s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
+    l2.join(s.table("supplier"), col("high_supp") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(sum("nlines").cast("bigint").as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+
   val queries: Map[String, QueryFn] = Map(
     // Q4: EXISTS-decorrelated semi join + group on priority.
     // Reshape (stats-gated): the 3-month order window is the selective
@@ -225,7 +237,7 @@ object TpchQueries2 {
       val s = if (bc) staticPlanSession(s0) else s0
       fixtureViews(s, dir)
       val hint = if (bc) "/*+ BROADCAST(oc) */ " else ""
-      s.sql(
+      val grouped = s.sql(
         s"""SELECT c_count, count(*) AS custdist FROM (
           |  SELECT ${hint}coalesce(oc.n, 0) AS c_count
           |  FROM customer LEFT JOIN
@@ -233,7 +245,14 @@ object TpchQueries2 {
           |     WHERE o_orderpriority <> '1-URGENT'
           |     GROUP BY o_custkey) oc
           |  ON c_custkey = oc.o_custkey)
-          |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)
+          |GROUP BY c_count""".stripMargin)
+      // r13: the histogram is bounded by max(orders per customer) + 1 rows
+      // at ANY scale, so one final task is exact — sortWithinPartitions IS
+      // the total order and the ORDER BY's range exchange + its sampling
+      // job disappear (the q4/q22 latency treatment).
+      if (bc) grouped.coalesce(1)
+        .sortWithinPartitions(col("custdist").desc, col("c_count").desc)
+      else grouped.orderBy(col("custdist").desc, col("c_count").desc)
     },
 
     // Q15: top supplier(s) by quarterly revenue — view + scalar-subquery
@@ -267,9 +286,40 @@ object TpchQueries2 {
     },
 
     // Q17: small-quantity revenue vs per-part average (correlated agg).
-    "q17_smallqty" -> { (s, dir) =>
-      Tables.registerAll(s, dir)
-      s.sql("""
+    // fixtureViews (not registerAll): the scale fixtures carry only the
+    // TPC-H star, and registerAll's unconditional events/documents load
+    // fails there — q17 only needs lineitem + part.
+    //
+    // r13 reshape (stats-gated): Spark decorrelates the scalar subquery to
+    // a SECOND full lineitem scan (no part pre-filter reaches it — the
+    // correlation is on l_partkey, and the optimizer cannot see that
+    // p_partkey is part's key) joined back by SortMergeJoin: two fact
+    // scans, a full fact exchange + sort. But p_partkey is unique and
+    // p_brand is a part attribute, so every lineitem row of a qualifying
+    // partkey survives the brand join — the correlated avg over ALL rows
+    // of a partkey equals the window avg over the brand-filtered rows.
+    // One fact scan through a broadcast key filter, one keyed exchange,
+    // one window: no second scan, no fact sort-merge. The DuckDB oracle
+    // keeps the correlated text, so the selfcheck proves the equivalence.
+    // Past the broadcast gate the original text runs under AQE unchanged.
+    "q17_smallqty" -> { (s0, dir) =>
+      import graft.plans.BroadcastAdvisor._
+      val p = tableStats(s0, s"$dir/part.parquet")
+      val bc = shouldBroadcast(s0,
+        estimateBytes(p, p.rows * EqSelectivity, Seq("p_partkey")))
+      val s = if (bc) staticWideSession(s0) else s0
+      fixtureViews(s, dir)
+      if (bc) s.sql("""
+        SELECT floor((sum(l_extendedprice) / 7.0 + 1.37e-4) * 100 + 0.5) / 100 AS avg_yearly
+        FROM (
+          SELECT /*+ BROADCAST(pb) */ l_extendedprice, l_quantity,
+                 avg(l_quantity) OVER (PARTITION BY l_partkey) AS pavg
+          FROM lineitem
+          JOIN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1') pb
+            ON p_partkey = l_partkey)
+        WHERE l_quantity < 0.5 * pavg
+      """)
+      else s.sql("""
         SELECT floor((sum(l_extendedprice) / 7.0 + 1.37e-4) * 100 + 0.5) / 100 AS avg_yearly
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE p_brand = 'Brand#1'
@@ -323,6 +373,43 @@ object TpchQueries2 {
     "q21_waiting" -> { (s0, dir) =>
       import graft.plans.BroadcastAdvisor._
       val o = tableStats(s0, s"$dir/orders.parquet")
+      // r13: the F-order filter carries NO payload — it is a pure SET of
+      // orderkeys (the q4/q12 diagnosis transfers), so the broadcast-semi
+      // hash relation collapses to ONE dense bitset over o_orderkey
+      // (~190 KB at SF1 vs a ~750k-entry HashedRelation), probed by a bit
+      // test inside the lineitem scan. And the two-level aggregation
+      // (orderkey, suppkey) → (orderkey) paid TWO near-equal-size
+      // exchanges (24 MB + 22 MB at SF1 — level 1 barely combines at ~1.2
+      // lines per (order,supplier)); repartitioning the probe-filtered
+      // fact by l_orderkey ONCE satisfies both aggregates' required
+      // distribution, so both levels run in one stage with no further
+      // exchange — strictly fewer shuffled bytes at any scale. Gated on
+      // footer maxKey (maxKey/8 ≤ broadcast threshold, minKey ≥ 0); past
+      // the gate the prior measured broadcast/AQE chain below is
+      // unchanged. Q21Lab (SF1, interleaved min-of-8): see
+      // OPTIMIZATION_r13.md.
+      if (graft.operators.BitmapJoin.gateExists(s0, o.cols.get("o_orderkey"))) {
+        val s = staticWideSession(s0)
+        fixtureViews(s, dir)
+        val keys = s.table("orders")
+          .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+        val bm = graft.operators.BitmapJoin.buildExistsBitmap(keys, "o_orderkey")
+        val isF = graft.operators.BitmapJoin.existsProbe(s, bm)
+        val l = s.table("lineitem")
+          .filter(isF(col("l_orderkey").cast("long")))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            when(col("l_quantity") > 30, 1).otherwise(0).as("hi"))
+          .repartition(col("l_orderkey"))
+        val l2 = l.groupBy("l_orderkey", "l_suppkey")
+          .agg(sum("hi").as("high_lines"))
+          .groupBy("l_orderkey").agg(
+            max(when(col("high_lines") > 0, col("l_suppkey"))).as("high_supp"),
+            sum("high_lines").as("nlines"),
+            count(lit(1)).as("n_supp"),
+            sum(when(col("high_lines") > 0, 1).otherwise(0)).as("n_high"))
+          .filter(col("n_supp") >= 2 && col("n_high") === 1)
+        return21(l2, s)
+      } else {
       // o_orderstatus has 3 values — EqSelectivity (0.2) under-estimates;
       // gate on the conservative 1/2 of the key column
       val bcO = shouldBroadcast(s0,
@@ -347,6 +434,7 @@ object TpchQueries2 {
           |     AND sum(CASE WHEN high_lines > 0 THEN 1 ELSE 0 END) = 1) c
           |JOIN supplier ON c.high_supp = s_suppkey
           |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)
+      }
     },
 
     // Q22: customers with above-average balance and no orders —

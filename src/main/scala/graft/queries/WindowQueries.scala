@@ -111,7 +111,20 @@ object WindowQueries {
     "win_topk_per_group" -> { (s, dir) =>
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-      t(s, dir, "lineitem")
+      // r13: an under-partitioned scan (the single-row-group fixture file)
+      // runs the partial WindowGroupLimit's sort of the WHOLE table on one
+      // core (measured: 1 real task in a 21-task stage carrying ~all of the
+      // 0.7 s wall). Spread by the window's own partition key first: hash
+      // partitioning on l_suppkey satisfies the Window's required
+      // distribution, so the plan still has exactly ONE exchange — the
+      // partial limit work just lands on every core. At real scale the
+      // source arrives as many splits and this branch never fires, keeping
+      // the partial WindowGroupLimit's shuffle reduction.
+      val l0 = t(s, dir, "lineitem")
+      val par = s.sparkContext.defaultParallelism
+      val l = if (l0.rdd.getNumPartitions < par)
+        l0.repartition(par, col("l_suppkey")) else l0
+      l
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("l_suppkey"), col("rn").cast("long").as("rn"),

@@ -212,6 +212,35 @@ object WorkloadQueries {
     name -> ((s: org.apache.spark.sql.SparkSession, dir: String) => {
       fixtureViews(s, dir); s.sql(text)
     })
+  } + ("external_aggr_hicard" -> externalAggrSpread _)
+
+  /** r13: external_aggr's group key is near-unique (one group per ~1 row),
+    * so map-side partial aggregation reduces nothing — and on an
+    * under-partitioned scan (the single-row-group fixture) the useless
+    * 600k-entry partial hash map builds on ONE core (measured: 1 real task
+    * carrying ~0.8 s of the wall). When the scan is under-partitioned,
+    * repartition by the group key below the aggregate: same shuffled bytes
+    * (there was nothing to combine), aggregation now runs on every core,
+    * and hash partitioning on the group key means NO second exchange. At
+    * real scale the source arrives as many splits and the plain text runs
+    * unchanged — partial aggregation stays for the (rare) repeated keys.
+    * Same result rows: only the exchange placement moves. */
+  private def externalAggrSpread(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    fixtureViews(s, dir)
+    val under = graft.Tables.load(s, dir, "lineitem")
+      .rdd.getNumPartitions < s.sparkContext.defaultParallelism
+    if (!under) s.sql(sql("external_aggr_hicard"))
+    else s.sql(
+      s"""WITH g AS (
+        |  SELECT l_orderkey, l_partkey, SUM(l_extendedprice) AS s, COUNT(*) AS c
+        |  FROM (SELECT /*+ REPARTITION(l_orderkey, l_partkey) */
+        |          l_orderkey, l_partkey, l_extendedprice FROM lineitem)
+        |  GROUP BY l_orderkey, l_partkey)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(c) AS BIGINT) AS n_rows, ${r2sql("SUM(s)", "total")},
+        |  CAST(MAX(c) AS BIGINT) AS max_rows_per_group
+        |FROM g""".stripMargin)
   }
 
   val oracleSql: Map[String, String] = sql

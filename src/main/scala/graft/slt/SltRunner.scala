@@ -3780,10 +3780,15 @@ object SltRunner {
                 (sp(0), sparkType(if (sp.length > 1) sp(1) else "STRING"))
               }
             val PartRe2 = """(?is)\bPARTITIONED\s+BY\s*\(([^)]*)\)""".r
+            // keep EVERY partitioned-by name (even those repeated in the
+            // declared list): maybeEmulateDeclaredParquet keys partition
+            // DISCOVERY on partCols.nonEmpty — filtering declared ones out
+            // here turned recursiveFileLookup on and read hive partition
+            // columns as NULL (r13 inherited-state fix; the consumer
+            // dedupes so declared partition columns are not selected twice)
             val partCols = PartRe2.findFirstMatchIn(tail)
               .map(_.group(1).split(",").map(_.trim.split("\\s+")(0))
                 .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
-              .filterNot(p => declared.exists(_._1.equalsIgnoreCase(p)))
             // handled at execution time (maybeEmulateDeclaredParquet): the
             // footer schema decides cast-vs-NULL-fill per declared column
             Some(s"GRAFT_PARQUET_VIEW $name|$resolved|" +
@@ -5378,6 +5383,11 @@ object SltRunner {
                 case DropViewNameRe(dn) =>
                   pinDependentsBeforeDrop(spark, dn)
                   viewBodies -= dn.toLowerCase
+                  // a dropped declared-parquet view must not be resurrected
+                  // by the pending-refresh loop (a later CREATE of the same
+                  // name would otherwise race a stale marker —
+                  // parquet_filter_pushdown.slt drop/re-create sequence)
+                  pendingParquetViews -= dn.toLowerCase
                 case _ =>
               }
               val df: DataFrame = maybeEmulateDeclaredParquet(spark, sql)
@@ -7730,8 +7740,14 @@ object SltRunner {
         }
         catch { case _: Exception => None }
       if (base0.isEmpty) {
+        // undeclared partition columns would bind via discovery once files
+        // land; until then expose them as typed NULLs so references resolve
+        val extraParts = partCols
+          .filterNot(p => declared.exists(_._1.equalsIgnoreCase(p)))
+          .map(p => flit(null).cast("string").as(p))
         spark.range(0).select(declared.map { case (n, t) =>
-          flit(null).cast(t).as(n) }: _*).createOrReplaceTempView(name)
+          flit(null).cast(t).as(n) } ++ extraParts: _*)
+          .createOrReplaceTempView(name)
         return Some(spark.emptyDataFrame)
       }
       val base = base0.get
@@ -7744,7 +7760,8 @@ object SltRunner {
             expr(castByName(s"`${f.name}`", Some(f.dataType), t, 0)).as(n)
           case None => lit(null).cast(t).as(n)
         }
-      } ++ partCols.filter(p => have(p.toLowerCase)).map(col)
+      } ++ partCols.filter(p => have(p.toLowerCase) &&
+        !declared.exists(_._1.equalsIgnoreCase(p))).map(col)
       base.select(cols: _*).createOrReplaceTempView(name)
       spark.emptyDataFrame
     }
