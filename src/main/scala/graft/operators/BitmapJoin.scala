@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.UserDefinedFunction
+
 import org.apache.spark.sql.functions._
 
 /** Flag-bitmap broadcast join: a semi-join specialization for build sides
@@ -111,18 +111,21 @@ object BitmapJoin {
         big
       }
 
-  /** Boolean membership probe over a broadcast exists bitset (the
-    * LEFT SEMI filter). A NULL probe key yields NULL (Spark skips the
-    * primitive-typed UDF), which a WHERE drops — EXISTS-false. */
+  /** Boolean membership probe over the exists bitset (the LEFT SEMI
+    * filter). A NULL probe key yields NULL, which a WHERE drops —
+    * EXISTS-false.
+    *
+    * r13: a whole-stage-codegen expression instead of a Scala-closure UDF —
+    * the bit test inlines into the scan stage (no per-row boxing/dispatch);
+    * the bitset rides the expression's referenced objects, shipped once per
+    * stage in the broadcast task binary (the same distribution cost the
+    * explicit `broadcast` paid). Returns a Column transformer so call
+    * sites read like the old UDF application. */
   def existsProbe(spark: SparkSession, exists: Array[Long])
-      : UserDefinedFunction = {
-    val bcEx = spark.sparkContext.broadcast(exists)
-    udf { k: Long =>
-      val ex = bcEx.value
-      val w = (k >> 6).toInt
-      k >= 0 && w < ex.length && (ex(w) & (1L << (k & 63))) != 0L
-    }
-  }
+      : Column => Column = (k: Column) =>
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.BitmapExistsProbe(
+        org.apache.spark.sql.GraftSqlBridge.expression(k), exists))
 
   /** Footer-stats gate for the exists-only (one-plane) form. */
   def gateExists(spark: SparkSession,
@@ -131,22 +134,14 @@ object BitmapJoin {
       c.maxLong.exists(mk =>
         graft.plans.BroadcastAdvisor.shouldBroadcast(spark, mk / 8 + 16)))
 
-  /** Tri-state probe column over broadcast bitsets: NULL when the key is
-    * absent from `exists` (callers filter it out — the inner-join drop),
-    * else the flag bit. */
+  /** Tri-state probe column over the bitsets: NULL when the key is absent
+    * from `exists` (callers filter it out — the inner-join drop), else the
+    * flag bit. Codegen expression, same rationale as [[existsProbe]]. */
   def flagProbe(spark: SparkSession, exists: Array[Long],
-      flags: Array[Long]): UserDefinedFunction = {
-    val bcEx = spark.sparkContext.broadcast(exists)
-    val bcFl = spark.sparkContext.broadcast(flags)
-    udf { k: Long =>
-      val ex = bcEx.value
-      val w = (k >> 6).toInt
-      val bit = 1L << (k & 63)
-      if (k < 0 || w >= ex.length || (ex(w) & bit) == 0L)
-        null.asInstanceOf[java.lang.Boolean]
-      else java.lang.Boolean.valueOf((bcFl.value(w) & bit) != 0L)
-    }
-  }
+      flags: Array[Long]): Column => Column = (k: Column) =>
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.BitmapFlagProbe(
+        org.apache.spark.sql.GraftSqlBridge.expression(k), exists, flags))
 
   /** Footer-stats gate: bitset pair fits the broadcast threshold and keys
     * are non-negative. Parquet footers carry no distinct counts, so the

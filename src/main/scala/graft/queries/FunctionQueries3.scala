@@ -50,26 +50,27 @@ object FunctionQueries3 {
     // distinct-supplier counts per (brand, type, size). partsupp and part
     // are both sub-fact-sized: plain AQE picks the broadcast.
     //
-    // r13 (stats-gated latency shape, the q12/q22 treatment): the join
-    // strategy is already decided at planning time (filtered part
-    // broadcasts), so AQE's per-stage materialize→replan handoffs are pure
-    // tax; and the ORDER BY's range exchange + its SAMPLING JOB sort a
-    // result bounded by |brand|×|type|×8 rows — group-count-bounded at ANY
-    // scale, so one final task is exact and sortWithinPartitions IS the
-    // total order. The distinct-agg's two real exchanges keep the session's
-    // full width (staticWideSession, not the 8-partition static session).
-    // Past the broadcast gate the plain AQE text runs unchanged.
+    // r13 (stats-gated latency shape): BROADCAST(part) pins the join the
+    // planner already wants, and the ORDER BY's range exchange + its
+    // SAMPLING JOB sort a result bounded by |brand|×|type|×8 rows —
+    // group-count-bounded at ANY scale, so one final task is exact and
+    // sortWithinPartitions IS the total order. AQE stays ON: the
+    // distinct-agg's two mid-exchanges carry ~1 MB here and AQE's
+    // coalescing beats a fixed width (Q16Lab min-of-8 interleave, SF1:
+    // plain AQE 0.452 / AQE+coalesce-sort 0.392 / staticWide 0.677 — the
+    // static form's 32+32 task launches on KB-scale exchanges REGRESSED,
+    // so it was rejected). Past the broadcast gate the plain AQE text
+    // runs unchanged.
     "q16_suppcnt" -> { (s0, dir) =>
       import graft.plans.BroadcastAdvisor._
       val p = tableStats(s0, s"$dir/part.parquet")
       val bc = shouldBroadcast(s0,
         estimateBytes(p, p.rows * EqSelectivity,
           Seq("p_partkey", "p_brand", "p_type")))
-      if (!bc) { fixtureViews(s0, dir); s0.sql(TpchPartsuppSql.q16) }
+      fixtureViews(s0, dir)
+      if (!bc) s0.sql(TpchPartsuppSql.q16)
       else {
-        val s = staticWideSession(s0)
-        fixtureViews(s, dir)
-        s.sql(
+        s0.sql(
           """SELECT /*+ BROADCAST(part) */ p_brand, p_type, p_size,
             |  CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
             |FROM partsupp, part

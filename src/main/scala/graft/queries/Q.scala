@@ -98,6 +98,23 @@ object Q {
       ss.conf.set("spark.sql.adaptive.enabled", "false")
       ss.conf.set("spark.sql.shuffle.partitions", "1")
       ss.conf.set("spark.sql.constraintPropagation.enabled", "false")
+      // r13 (Q22Lab variant G, min-of-8 interleave: shipped 0.649 →
+      // excluded-rules 0.555): rules that CANNOT fire on the tiny-result
+      // shapes routed here (explicit joins — no reorder; no CSV/JSON
+      // exprs, decimals, object serialization, concats, repartitions or
+      // windows) still walk the whole tree every plan. Plan-constant
+      // shaving, scale-independent; results oracle-gated as always.
+      ss.conf.set("spark.sql.optimizer.excludedRules", Seq(
+        "org.apache.spark.sql.catalyst.optimizer.CostBasedJoinReorder",
+        "org.apache.spark.sql.catalyst.optimizer.ReorderJoin",
+        "org.apache.spark.sql.catalyst.optimizer.OptimizeCsvJsonExprs",
+        "org.apache.spark.sql.catalyst.optimizer.DecimalAggregates",
+        "org.apache.spark.sql.catalyst.optimizer.ObjectSerializerPruning",
+        "org.apache.spark.sql.catalyst.optimizer.EliminateSerialization",
+        "org.apache.spark.sql.catalyst.optimizer.CombineConcats",
+        "org.apache.spark.sql.catalyst.optimizer.OptimizeRepartition",
+        "org.apache.spark.sql.catalyst.optimizer.TransposeWindow",
+        "org.apache.spark.sql.catalyst.optimizer.InferWindowGroupLimit").mkString(","))
       tinySessions.put(s, ss)
       ss
     }

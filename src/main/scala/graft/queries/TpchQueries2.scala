@@ -200,24 +200,36 @@ object TpchQueries2 {
         shouldBroadcast(s0,
           estimateBytes(sup, sup.rows.toDouble, Seq("s_suppkey")))
       fixtureViews(s0, dir)
-      val hint =
-        if (bc) "/*+ BROADCAST(psx), BROADCAST(sn), SHUFFLE_HASH(ox) */ " else ""
+      // r13: fold the amount expression BELOW the fact-side exchange
+      // (guide: project before the exchange). The SHUFFLE_HASH fact side
+      // used to carry (l_quantity, l_extendedprice, l_discount,
+      // ps_supplycost) through hashpartitioning(l_orderkey) only to
+      // combine them immediately after — computing `amount` inside the
+      // broadcast-join subquery shrinks the shuffled row from 6 columns
+      // to 3 (orderkey, amount, n_name). Identical row set; the epsilon
+      // rounding already absorbs FP summation-order drift (oracle-gated).
+      val hint = if (bc) "/*+ SHUFFLE_HASH(ox) */ " else ""
+      val factHint = if (bc) "/*+ BROADCAST(psx), BROADCAST(sn) */ " else ""
       val innerHint = if (bc) "/*+ BROADCAST(pn) */ " else ""
       s0.sql(
         s"""SELECT ${hint}n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-          |  CAST(FLOOR((sum(l_extendedprice * (1 - l_discount)
-          |    - ps_supplycost * l_quantity) + 1.37e-4) * 100 + 0.5) AS DOUBLE) / 100 AS profit
-          |FROM lineitem,
-          |  (SELECT ${innerHint}ps_partkey, ps_suppkey,
-          |     CAST(ps_supplycost AS DOUBLE) AS ps_supplycost
-          |   FROM partsupp,
-          |     (SELECT p_partkey FROM part WHERE contains(p_name, 'red')) pn
-          |   WHERE ps_partkey = pn.p_partkey) psx,
-          |  (SELECT s_suppkey, n_name FROM supplier, nation
-          |   WHERE s_nationkey = n_nationkey) sn,
+          |  CAST(FLOOR((sum(amount) + 1.37e-4) * 100 + 0.5) AS DOUBLE) / 100 AS profit
+          |FROM
+          |  (SELECT ${factHint}l_orderkey, n_name,
+          |     l_extendedprice * (1 - l_discount)
+          |       - ps_supplycost * l_quantity AS amount
+          |   FROM lineitem,
+          |     (SELECT ${innerHint}ps_partkey, ps_suppkey,
+          |        CAST(ps_supplycost AS DOUBLE) AS ps_supplycost
+          |      FROM partsupp,
+          |        (SELECT p_partkey FROM part WHERE contains(p_name, 'red')) pn
+          |      WHERE ps_partkey = pn.p_partkey) psx,
+          |     (SELECT s_suppkey, n_name FROM supplier, nation
+          |      WHERE s_nationkey = n_nationkey) sn
+          |   WHERE l_partkey = psx.ps_partkey AND l_suppkey = psx.ps_suppkey
+          |     AND l_suppkey = sn.s_suppkey) f,
           |  (SELECT o_orderkey, o_orderdate FROM orders) ox
-          |WHERE l_partkey = psx.ps_partkey AND l_suppkey = psx.ps_suppkey
-          |  AND l_suppkey = sn.s_suppkey AND l_orderkey = ox.o_orderkey
+          |WHERE f.l_orderkey = ox.o_orderkey
           |GROUP BY n_name, o_year""".stripMargin)
     },
 

@@ -28,7 +28,11 @@ class TpchReshapePlanSpec extends AnyFunSuite {
     // scan filter; the only exchange left is the ≤5-group aggregate
     val p = plan("q4_priority")
     assert(!p.contains("Join"), p.take(800))
-    assert(p.contains("UDF"), s"bitmap probe filter expected:\n${p.take(800)}")
+    // r13: the probe is a codegen expression (bitmap_exists_probe), no
+    // longer a Scala UDF — assert it sits inside the whole-stage-codegen
+    // filter rather than at a BatchEvalPython/UDF boundary
+    assert(p.contains("bitmap_exists_probe"),
+      s"bitmap probe filter expected:\n${p.take(800)}")
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
 
