@@ -134,6 +134,12 @@ object SqlUnparser {
       // emit "UDF(...)", which cannot re-parse (q12's bitmap probe)
       case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF =>
         unsupported(s"Scala UDF ${u.udfName.getOrElse("(anonymous)")}")
+      // the r13 codegen bitmap probes carry a broadcast bitset as a
+      // referenced object — no SQL spelling, same class as a Scala UDF
+      case b: graft.functions.BitmapExistsProbe =>
+        unsupported(s"bitmap probe ${b.prettyName}")
+      case b: graft.functions.BitmapFlagProbe =>
+        unsupported(s"bitmap probe ${b.prettyName}")
       // PIVOT analyzes into the internal PivotFirst aggregate, which has
       // no SQL spelling — fail loudly rather than emit "pivotfirst(...)"
       case p: org.apache.spark.sql.catalyst.expressions.aggregate.PivotFirst =>

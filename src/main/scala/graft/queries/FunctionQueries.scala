@@ -188,7 +188,17 @@ object FunctionQueries {
     // Unnest / explode (reference: physical-plan/src/unnest.rs:65,
     // logical plan.rs:295 — explode family in Spark).
     "unnest_words" -> { (s, dir) =>
-      t(s, dir, "documents")
+      // r13: the explode multiplies rows ~#tokens× but inherits the
+      // SOURCE scan's parallelism — the single-file fixture yields 2
+      // splits, so Generate + the partial distinct-agg ran on 2 cores.
+      // Spread the narrow (id, text) input first when under-partitioned
+      // (hash on the id — deterministic); a many-split real corpus never
+      // takes this branch (same treatment as Dedup.ngramWindows).
+      val d0 = t(s, dir, "documents")
+      val par = s.sparkContext.defaultParallelism
+      val d = if (d0.rdd.getNumPartitions < par)
+        d0.repartition(par, col("doc_id")) else d0
+      d
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .groupBy("word")
         .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))

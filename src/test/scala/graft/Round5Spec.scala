@@ -53,7 +53,7 @@ class Round5Spec extends AnyFunSuite {
     sSh.conf.set("spark.sql.adaptive.enabled", "false") // inspect static plan
     val planSh = graft.queries.TpchQueries.queries("q12_shipmode")(sSh, dir)
       .queryExecution.executedPlan.toString
-    assert(planSh.contains("UDF") && !planSh.contains("Join"),
+    assert(planSh.contains("bitmap_flag_probe") && !planSh.contains("Join"),
       s"expected the bitmap-probe plan (no join), got:\n$planSh")
 
     val sPlain = spark.newSession()
@@ -61,7 +61,8 @@ class Round5Spec extends AnyFunSuite {
     sPlain.conf.set(BroadcastAdvisor.ThresholdConf, "1")
     val planPlain = graft.queries.TpchQueries.queries("q12_shipmode")(sPlain, dir)
       .queryExecution.executedPlan.toString
-    assert(!planPlain.contains("ShuffledHashJoin") && !planPlain.contains("UDF"),
+    assert(!planPlain.contains("ShuffledHashJoin") &&
+      !planPlain.contains("bitmap_flag_probe"),
       s"expected hint-free join plan past threshold, got:\n$planPlain")
     assert(planPlain.contains("Join"),
       s"expected a join operator past threshold, got:\n$planPlain")
