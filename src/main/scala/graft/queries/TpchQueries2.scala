@@ -388,32 +388,28 @@ object TpchQueries2 {
       // r13: the F-order filter carries NO payload — it is a pure SET of
       // orderkeys (the q4/q12 diagnosis transfers), so the broadcast-semi
       // hash relation collapses to ONE dense bitset over o_orderkey
-      // (~190 KB at SF1 vs a ~750k-entry HashedRelation), probed by a bit
-      // test inside the lineitem scan. And the two-level aggregation
-      // (orderkey, suppkey) → (orderkey) paid TWO near-equal-size
-      // exchanges (24 MB + 22 MB at SF1 — level 1 barely combines at ~1.2
-      // lines per (order,supplier)); repartitioning the probe-filtered
-      // fact by l_orderkey ONCE satisfies both aggregates' required
-      // distribution, so both levels run in one stage with no further
-      // exchange — strictly fewer shuffled bytes at any scale. Gated on
-      // footer maxKey (maxKey/8 ≤ broadcast threshold, minKey ≥ 0); past
-      // the gate the prior measured broadcast/AQE chain below is
-      // unchanged. Q21Lab (SF1, interleaved min-of-8): see
-      // OPTIMIZATION_r13.md.
+      // (~190 KB at SF1 vs a ~750k-entry HashedRelation; build stage
+      // 671 → 66 ms in the SF1 profile), probed by a codegen bit test
+      // inside the lineitem scan. The two-level aggregate keeps the
+      // prior partial-agg cascade: Q21Lab (SF1, same-JVM interleaved
+      // min-of-8) measured the single-exchange repartition form WORSE
+      // (B min 1.066 / med 1.422) than this cascade (C min 0.930 /
+      // med 1.142) and the prior broadcast chain (A 0.946 / 1.195) —
+      // stacking both 3M-entry hash builds into one stage loses more
+      // than the second, well-combined exchange costs. Gated on footer
+      // maxKey (maxKey/8 ≤ broadcast threshold, minKey ≥ 0); past the
+      // gate the prior measured broadcast/AQE chain below is unchanged.
       if (graft.operators.BitmapJoin.gateExists(s0, o.cols.get("o_orderkey"))) {
-        val s = staticWideSession(s0)
+        val s = staticPlanSession(s0)
         fixtureViews(s, dir)
         val keys = s.table("orders")
           .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
         val bm = graft.operators.BitmapJoin.buildExistsBitmap(keys, "o_orderkey")
         val isF = graft.operators.BitmapJoin.existsProbe(s, bm)
-        val l = s.table("lineitem")
+        val l2 = s.table("lineitem")
           .filter(isF(col("l_orderkey").cast("long")))
-          .select(col("l_orderkey"), col("l_suppkey"),
-            when(col("l_quantity") > 30, 1).otherwise(0).as("hi"))
-          .repartition(col("l_orderkey"))
-        val l2 = l.groupBy("l_orderkey", "l_suppkey")
-          .agg(sum("hi").as("high_lines"))
+          .groupBy("l_orderkey", "l_suppkey")
+          .agg(sum(when(col("l_quantity") > 30, 1).otherwise(0)).as("high_lines"))
           .groupBy("l_orderkey").agg(
             max(when(col("high_lines") > 0, col("l_suppkey"))).as("high_supp"),
             sum("high_lines").as("nlines"),
