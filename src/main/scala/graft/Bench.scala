@@ -183,7 +183,11 @@ object Bench {
       s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter"""
     val fullJson =
       s"""{"metric":"total","value":$total,$common,"queries":$qs,"pass_times":$passDetail${t22Json._1}}"""
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    // r14: default OUT is a non-repo path — the committed BENCH_FULL.json
+    // artifact used to be clobbered by every driver/builder run (r13
+    // verdict hygiene item); point SPARK_GRAFT_BENCH_OUT at the repo
+    // explicitly when an artifact commit is intended.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       fullJson.getBytes("UTF-8"))
     catch { case e: Exception =>

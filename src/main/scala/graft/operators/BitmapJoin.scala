@@ -111,6 +111,70 @@ object BitmapJoin {
         big
       }
 
+  /** Dense byte-map build (r14): one distributed pass over `df` producing
+    * `bytes(key) = value` for every row, 0 = absent. `value` must be an
+    * integer column in 1..255 after the caller's own offsetting (q9 stores
+    * `year(o_orderdate) - 1900`); out-of-range values fail the build, so a
+    * caller must gate on footer min/max first. NULL keys/values are
+    * skipped (an equi-join never matches them).
+    *
+    * PRECONDITION: build keys must be UNIQUE (primary/surrogate key) — a
+    * duplicate key would keep one arbitrary row's value; with a true PK
+    * both writes carry the same value and the merge is idempotent. */
+  def buildByteMap(df: DataFrame, key: String, value: Column): Array[Byte] =
+    df.select(col(key).cast("long"), value.cast("int"))
+      .rdd.mapPartitions { it =>
+        var arr = new Array[Byte](1 << 13)
+        var maxK = -1L
+        it.foreach { r =>
+          if (!r.isNullAt(0) && !r.isNullAt(1)) {
+            val k = r.getLong(0)
+            val v = r.getInt(1)
+            require(k >= 0 && k < Int.MaxValue - 8,
+              s"BitmapJoin: bytemap key $k out of dense range")
+            require(v >= 1 && v <= 255, s"BitmapJoin: bytemap value $v out of 1..255")
+            if (k >= arr.length) {
+              var n = arr.length
+              while (n <= k) n <<= 1
+              arr = java.util.Arrays.copyOf(arr, n)
+            }
+            arr(k.toInt) = v.toByte
+            if (k > maxK) maxK = k
+          }
+        }
+        if (maxK < 0) Iterator.empty
+        else Iterator.single(java.util.Arrays.copyOf(arr, maxK.toInt + 1))
+      }
+      .fold(Array.emptyByteArray) { (a, b) =>
+        val (big, small) = if (a.length >= b.length) (a, b) else (b, a)
+        var i = 0
+        while (i < small.length) {
+          if (small(i) != 0) big(i) = small(i)
+          i += 1
+        }
+        big
+      }
+
+  /** Int-valued lookup probe over the byte map: NULL when the key is
+    * absent (callers filter it out — the inner-join drop), else the 1..255
+    * payload. Codegen expression, same rationale as [[existsProbe]]. */
+  def byteMapProbe(spark: SparkSession, bytes: Array[Byte])
+      : Column => Column = (k: Column) =>
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.ByteMapProbe(
+        org.apache.spark.sql.GraftSqlBridge.expression(k), bytes))
+
+  /** Footer-stats gate for the byte-map form: maxKey BYTES must fit the
+    * broadcast threshold (8× the exists-bitmap footprint for the same key
+    * domain) and keys must be non-negative. The 1..255 payload range is
+    * the CALLER's check (it knows the value column's units — q9 gates the
+    * year range off the date footer's microsPerUnit). */
+  def gateByteMap(spark: SparkSession,
+      keyStats: Option[graft.plans.BroadcastAdvisor.ColStats]): Boolean =
+    keyStats.exists(c => c.minLong.exists(_ >= 0) &&
+      c.maxLong.exists(mk =>
+        graft.plans.BroadcastAdvisor.shouldBroadcast(spark, mk + 16)))
+
   /** Boolean membership probe over the exists bitset (the LEFT SEMI
     * filter). A NULL probe key yields NULL, which a WHERE drops —
     * EXISTS-false.

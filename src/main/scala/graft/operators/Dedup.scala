@@ -223,23 +223,90 @@ object Dedup {
     * the band key bounds the quadratic work.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String, bandCol: Column): DataFrame = {
-    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spark = docs.sparkSession
+    val par = spark.sparkContext.defaultParallelism
     // Shingles are pre-hashed to 64-bit once per document: the pairwise
     // set-intersection then probes fixed-width longs instead of re-hashing
     // every shingle string for every partner the doc meets in its bucket.
     // Jaccard over hashed shingles equals Jaccard over the strings absent a
     // 64-bit collision inside one document pair's union (~|U|²/2⁶⁴).
-    val prepped = docs.repartition(par).select(
-      col(idCol).as("doc_id"),
-      bandCol.as("bucket"),
-      array_distinct(transform(TextFunctions.shingles3(col(textCol)), xxhash64(_))).as("sh"))
-    val a = prepped.select(col("bucket"), col("doc_id").as("ida"), col("sh").as("sha"))
-    val b = prepped.select(col("bucket"), col("doc_id").as("idb"), col("sh").as("shb"))
-    // |A∪B| = |A|+|B|−|A∩B|: one set-probe pass per pair, no union array.
+    //
+    // r14: ONE shingling pass, materialized. The self-join used to compute
+    // the split→shingle→hash pipeline on BOTH sides (r14 profile: 557 ms
+    // broadcast-build + 551 ms probe stage of a 1.75 s steady run, plus an
+    // 11.6 s first-run codegen bill for 2-3 copies of the giant expression
+    // tree). localCheckpoint stores the narrow (doc_id, bucket, sh) rows
+    // once on the executors — both sides read it, and AQE sees its REAL
+    // materialized size instead of flip-flopping the join strategy on a
+    // borderline estimate (eager, per-invocation lifecycle — the
+    // cutRepeatedSpans precedent; never a cross-run cache). The spread is
+    // gated: a many-split real corpus skips it (ngramWindows precedent).
+    val d0 = docs.select(col(idCol).as("doc_id"), bandCol.as("bucket"),
+      col(textCol).as("text"))
+    val spread = if (d0.rdd.getNumPartitions < par)
+      d0.repartition(par, col("doc_id")) else d0
+    val prepped = spread.select(col("doc_id"), col("bucket"),
+      array_distinct(transform(TextFunctions.shingles3(col("text")), xxhash64(_))).as("sh"))
+      .localCheckpoint(true)
+    // r14 hot-bucket triangle split (guide §2.5): a bucket with B docs is
+    // ONE join key, so its whole B² set-probe pass lands on a single task —
+    // at corpus scale one hot (source, lang, band) bucket is a job-killing
+    // straggler. GATED on a measured hot bucket actually existing: the max
+    // bucket size is one tiny aggregate over the checkpointed rows (the
+    // NgramLab A/B measured the always-on triangle apparatus at ~0.7 s on
+    // the flat sf0.1 distribution — max bucket 54 docs — while the
+    // checkpoint alone is a 1.6× win; pay the split only when it buys
+    // something). Past the gate, buckets split into k = ⌈B/cap⌉ (≤64)
+    // deterministic salt classes (pmod(xxhash64(doc_id), k)); each doc is
+    // replicated to the k triangle cells (min(s,j), max(s,j)) so every pair
+    // meets in EXACTLY one cell: for salts u≠v the cell sets intersect only
+    // at (min(u,v), max(u,v)), and for u=v the explicit cell==(u,u) filter
+    // keeps one of the k shared cells. Same pairs, same jaccard — spread
+    // over k(k+1)/2 tasks.
+    val cap = spark.conf.get("spark.graft.ngramPairs.bucketCap", "4096").toInt
+    // Gate statistic WITHOUT an exchange: a DataFrame groupBy+max+first
+    // costs 2 exchanges / 4 stages of launch latency (~0.45 s measured at
+    // sf0.1) just to learn one number; a partition-local count-map reduce
+    // is one job over the checkpointed rows (map size ≤ |buckets|, bounded
+    // by |sources × langs × bands| at any scale).
+    val maxBn = {
+      import scala.jdk.CollectionConverters._
+      prepped.select(col("bucket")).rdd.mapPartitions { it =>
+        val m = new java.util.HashMap[String, java.lang.Long]()
+        it.foreach(r => m.merge(r.getString(0), 1L, (a: java.lang.Long, b: java.lang.Long) => a + b))
+        Iterator.single(m)
+      }.fold(new java.util.HashMap[String, java.lang.Long]()) { (a, b) =>
+        b.forEach((k, v) => a.merge(k, v, (x: java.lang.Long, y: java.lang.Long) => x + y))
+        a
+      }.values.asScala.foldLeft(0L)((acc, v) => math.max(acc, v.longValue))
+    }
+    val counts = prepped.groupBy("bucket").agg(count(lit(1)).as("_bn"))
     val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
-    a.join(b, Seq("bucket")).where(col("ida") < col("idb"))
-      .select(col("ida"), col("idb"),
-        (inter / (size(col("sha")) + size(col("shb")) - inter)).as("jaccard"))
+    if (maxBn <= cap) {
+      val a = prepped.select(col("bucket"), col("doc_id").as("ida"), col("sh").as("sha"))
+      val b = prepped.select(col("bucket"), col("doc_id").as("idb"), col("sh").as("shb"))
+      // |A∪B| = |A|+|B|−|A∩B|: one set-probe pass per pair, no union array.
+      a.join(b, Seq("bucket")).where(col("ida") < col("idb"))
+        .select(col("ida"), col("idb"),
+          (inter / (size(col("sha")) + size(col("shb")) - inter)).as("jaccard"))
+    } else {
+      val cells = prepped.join(broadcast(counts), "bucket")
+        .withColumn("_k", least(ceil(col("_bn").cast("double") / cap), lit(64L)).cast("int"))
+        .withColumn("_s", pmod(xxhash64(col("doc_id")), col("_k")).cast("int"))
+        .select(col("doc_id"), col("bucket"), col("sh"), col("_s"),
+          explode(expr("transform(sequence(0, _k - 1), " +
+            "j -> named_struct('ci', least(_s, j), 'cj', greatest(_s, j)))")).as("_cell"))
+      val a = cells.select(col("bucket"), col("_cell"), col("doc_id").as("ida"),
+        col("_s").as("_sa"), col("sh").as("sha"))
+      val b = cells.select(col("bucket"), col("_cell"), col("doc_id").as("idb"),
+        col("_s").as("_sb"), col("sh").as("shb"))
+      a.join(b, Seq("bucket", "_cell"))
+        .where(col("ida") < col("idb") &&
+          least(col("_sa"), col("_sb")) === col("_cell.ci") &&
+          greatest(col("_sa"), col("_sb")) === col("_cell.cj"))
+        .select(col("ida"), col("idb"),
+          (inter / (size(col("sha")) + size(col("shb")) - inter)).as("jaccard"))
+    }
   }
 
   /** Connected components over an undirected edge list by iterative
@@ -292,6 +359,16 @@ object Dedup {
       // (coalesce guards the root, whose label is itself). Skipped in
       // round 0: near-clique dup graphs reach fixpoint there, and halving
       // only pays once labels are stale (chains).
+      // r14 NOTE: folding this fixpoint statistic into the checkpoint
+      // materialization via observe() (VERDICT item 8) was implemented and
+      // REVERTED: Spark 4.1's classic SparkSession holds its
+      // ObservationManager in a NON-transient lazy val and the manager is
+      // not Serializable, so the FIRST observe() on a session permanently
+      // breaks every later Java-serialization of that session — e.g. the
+      // streaming TransformWithState processor that captures it
+      // (QueriesSpec stream_tws_profile failed with Task not serializable
+      // once dedup_cluster had run first in the shared test session). One
+      // small job per round is not worth a session-wide landmine.
       val next = (if (round == 0) prop
         else {
           val lk = prop.select(col("node").as("l_node"), col("component").as("l_comp"))

@@ -134,12 +134,24 @@ object SqlUnparser {
       // emit "UDF(...)", which cannot re-parse (q12's bitmap probe)
       case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF =>
         unsupported(s"Scala UDF ${u.udfName.getOrElse("(anonymous)")}")
-      // the r13 codegen bitmap probes carry a broadcast bitset as a
-      // referenced object — no SQL spelling, same class as a Scala UDF
+      // r14: the codegen probes' payloads ride as base64 string literals —
+      // the registered builders (TextFunctions) decode them back to the
+      // exact expression on re-parse, so the optimized q4/q12/q21/q9 plans
+      // cross the wire instead of eroding the sweep floor (payload size is
+      // bounded by the same broadcast-threshold gate that admits the probe)
       case b: graft.functions.BitmapExistsProbe =>
-        unsupported(s"bitmap probe ${b.prettyName}")
+        RawSql(s"bitmap_exists_probe(${rewrite(b.child).sql}, " +
+          s"'${graft.functions.ProbePayloadCodec.encodeLongs(b.exists)}')",
+          b.dataType)
       case b: graft.functions.BitmapFlagProbe =>
-        unsupported(s"bitmap probe ${b.prettyName}")
+        RawSql(s"bitmap_flag_probe(${rewrite(b.child).sql}, " +
+          s"'${graft.functions.ProbePayloadCodec.encodeLongs(b.exists)}', " +
+          s"'${graft.functions.ProbePayloadCodec.encodeLongs(b.flags)}')",
+          b.dataType)
+      case b: graft.functions.ByteMapProbe =>
+        RawSql(s"bytemap_probe(${rewrite(b.child).sql}, " +
+          s"'${graft.functions.ProbePayloadCodec.encodeBytes(b.bytes)}')",
+          b.dataType)
       // PIVOT analyzes into the internal PivotFirst aggregate, which has
       // no SQL spelling — fail loudly rather than emit "pivotfirst(...)"
       case p: org.apache.spark.sql.catalyst.expressions.aggregate.PivotFirst =>

@@ -188,17 +188,12 @@ object FunctionQueries {
     // Unnest / explode (reference: physical-plan/src/unnest.rs:65,
     // logical plan.rs:295 — explode family in Spark).
     "unnest_words" -> { (s, dir) =>
-      // r13: the explode multiplies rows ~#tokens× but inherits the
-      // SOURCE scan's parallelism — the single-file fixture yields 2
-      // splits, so Generate + the partial distinct-agg ran on 2 cores.
-      // Spread the narrow (id, text) input first when under-partitioned
-      // (hash on the id — deterministic); a many-split real corpus never
-      // takes this branch (same treatment as Dedup.ngramWindows).
-      val d0 = t(s, dir, "documents")
-      val par = s.sparkContext.defaultParallelism
-      val d = if (d0.rdd.getNumPartitions < par)
-        d0.repartition(par, col("doc_id")) else d0
-      d
+      // r14: NO repartition spread here. The r13 spread-before-explode was
+      // A/B-measured a LOSS on this shape (plain 0.314 s vs spread 0.421 s,
+      // same-box min-of-8): unlike win_topk_per_group, the explode output
+      // combines heavily in the partial distinct-agg, so the extra exchange
+      // costs more than the 2-core Generate saves.
+      t(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .groupBy("word")
         .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))

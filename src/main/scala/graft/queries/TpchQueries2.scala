@@ -199,6 +199,55 @@ object TpchQueries2 {
           Seq("p_partkey", "p_partkey", "p_retailprice"))) &&
         shouldBroadcast(s0,
           estimateBytes(sup, sup.rows.toDouble, Seq("s_suppkey")))
+      // r14: orders' ONLY contribution to q9 is o_year = year(o_orderdate)
+      // looked up by the PK o_orderkey — a 1-byte payload per key. Past the
+      // r13 fold the SHUFFLE_HASH still exchanged BOTH the folded fact
+      // (orderkey, amount, n_name) and all of orders, then built a
+      // 1.5M-entry hash relation per partition. A dense byte map
+      // (bytes[o_orderkey] = year-1900, 0 = absent → NULL → dropped, the
+      // inner-join semantics without assuming FK integrity) turns that
+      // join into an in-scan codegen array index: the only exchange left
+      // is the ~175-group final aggregate. Gated on footer stats like
+      // q21's bitmap: maxKey bytes ≤ broadcast threshold, minKey ≥ 0, and
+      // o_orderdate's footer year range inside 1901..2155 so the payload
+      // fits 1..255 (at 100 TB maxKey trips the gate and the exchange
+      // plan below is unchanged). o_orderkey unique + o_orderdate non-null
+      // are schema knowledge (TPC-H PK/NOT NULL), same as q12/q21.
+      val o = tableStats(s0, s"$dir/orders.parquet")
+      def yearOf(v: Long, unit: Double): Int = java.time.LocalDate
+        .ofEpochDay(math.floor(v * unit / 86.4e9).toLong).getYear
+      val yearsOk = o.cols.get("o_orderdate").exists(c => (for {
+        mn <- c.minLong; mx <- c.maxLong; u <- c.microsPerUnit
+      } yield yearOf(mn, u) >= 1901 && yearOf(mx, u) <= 2155).getOrElse(false))
+      if (bc && yearsOk &&
+          graft.operators.BitmapJoin.gateByteMap(s0, o.cols.get("o_orderkey"))) {
+        val s = staticPlanSession(s0)
+        fixtureViews(s, dir)
+        val ym = graft.operators.BitmapJoin.buildByteMap(
+          s.table("orders").select(col("o_orderkey"), col("o_orderdate")),
+          "o_orderkey", year(col("o_orderdate")) - 1900)
+        val oyear = graft.operators.BitmapJoin.byteMapProbe(s, ym)
+        val f = s.sql(
+          """SELECT /*+ BROADCAST(psx), BROADCAST(sn) */ l_orderkey, n_name,
+            |   l_extendedprice * (1 - l_discount)
+            |     - ps_supplycost * l_quantity AS amount
+            | FROM lineitem,
+            |   (SELECT /*+ BROADCAST(pn) */ ps_partkey, ps_suppkey,
+            |      CAST(ps_supplycost AS DOUBLE) AS ps_supplycost
+            |    FROM partsupp,
+            |      (SELECT p_partkey FROM part WHERE contains(p_name, 'red')) pn
+            |    WHERE ps_partkey = pn.p_partkey) psx,
+            |   (SELECT s_suppkey, n_name FROM supplier, nation
+            |    WHERE s_nationkey = n_nationkey) sn
+            | WHERE l_partkey = psx.ps_partkey AND l_suppkey = psx.ps_suppkey
+            |   AND l_suppkey = sn.s_suppkey""".stripMargin)
+        f.withColumn("o_year",
+            (oyear(col("l_orderkey").cast("long")) + 1900).cast("long"))
+          .where(col("o_year").isNotNull)
+          .groupBy("n_name", "o_year")
+          .agg((floor((sum(col("amount")) + lit(1.37e-4)) * 100 + 0.5)
+            .cast("double") / 100).as("profit"))
+      } else {
       fixtureViews(s0, dir)
       // r13: fold the amount expression BELOW the fact-side exchange
       // (guide: project before the exchange). The SHUFFLE_HASH fact side
@@ -231,6 +280,7 @@ object TpchQueries2 {
           |  (SELECT o_orderkey, o_orderdate FROM orders) ox
           |WHERE f.l_orderkey = ox.o_orderkey
           |GROUP BY n_name, o_year""".stripMargin)
+      }
     },
 
     // Q13: distribution of orders per customer (left join + double groupBy).

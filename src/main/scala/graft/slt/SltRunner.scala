@@ -30,6 +30,28 @@ import scala.util.chaining._
   */
 object SltRunner {
 
+  /** Writable scratch root for the read-only reference checkout's
+    * `test_files/scratch` subtree. r14: suffixed with the JVM pid — the
+    * runner WIPES this dir at the start of every slt file ("exclusively
+    * ours"), so two JVMs running slt suites concurrently (the r13 driver's
+    * timed-out sbt leaving an orphaned fork behind, or the r14 parallel
+    * test groups) would otherwise clobber each other's COPY targets
+    * mid-file — exactly the joins.slt/group_by.slt phantom failures
+    * diagnosed from the r13b log. */
+  private[slt] val ScratchRoot: String = {
+    val root = s"/tmp/graft_slt_scratch_${ProcessHandle.current().pid()}"
+    // best-effort cleanup at JVM exit so per-pid dirs don't accumulate
+    sys.addShutdownHook {
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(x => scala.util.Try(java.nio.file.Files.deleteIfExists(x)))
+      }
+    }
+    root
+  }
+
   case class Failure(line: Int, sql: String, detail: String)
   /** Wrapper marking an error raised in the PLAN/ANALYZE phase — the
     * reference's compile class regardless of the exception's type. */
@@ -3706,7 +3728,7 @@ object SltRunner {
               val r = resolved.stripSuffix("/")
               pp == r || r.startsWith(pp + "/") || pp.startsWith(r + "/")
             }) None
-          else if (resolved.startsWith("/tmp/graft_slt_scratch") && schemaInner.isDefined) {
+          else if (resolved.startsWith(ScratchRoot) && schemaInner.isDefined) {
             val partNames0 = """(?is)\bPARTITIONED\s+BY\s*\(([^)]*)\)""".r
               .findFirstMatchIn(tail)
               .map(_.group(1).split(",").map(_.trim.split("\\s+")(0))
@@ -4537,10 +4559,10 @@ object SltRunner {
       // results carrying scratch file paths (input_file_name) render at
       // the reference's workspace-relative spelling, inverting the
       // scratch redirection the way the expected blocks are written
-      val s = if (!s0.contains("/tmp/graft_slt_scratch")) s0
-        else s0.replaceAll("file:/+tmp/graft_slt_scratch",
+      val s = if (!s0.contains(ScratchRoot)) s0
+        else s0.replaceAll("file:/+" + ScratchRoot.stripPrefix("/"),
             "WORKSPACE_ROOT/datafusion/sqllogictest/test_files/scratch")
-          .replace("/tmp/graft_slt_scratch",
+          .replace(ScratchRoot,
             "WORKSPACE_ROOT/datafusion/sqllogictest/test_files/scratch")
       if (s.isEmpty && !nested) "(empty)" else s.replace("\u0000", "\\0")
     case bytes: Array[Byte] => bytes.map("%02x".format(_)).mkString
@@ -4885,7 +4907,7 @@ object SltRunner {
     globExternalViews = Map.empty
     // scratch output dir is exclusively ours; start each file clean
     locally {
-      val scratch = java.nio.file.Paths.get("/tmp/graft_slt_scratch")
+      val scratch = java.nio.file.Paths.get(ScratchRoot)
       if (java.nio.file.Files.exists(scratch)) {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(scratch).iterator().asScala.toSeq.reverse
@@ -7256,7 +7278,7 @@ object SltRunner {
     * writable temp dir for both COPY targets and LOCATION reads. */
   private[slt] def redirectScratch(path: String): String =
     if (path.startsWith("test_files/scratch"))
-      "/tmp/graft_slt_scratch" + path.stripPrefix("test_files/scratch")
+      ScratchRoot + path.stripPrefix("test_files/scratch")
     else path
 
   /** `COPY <table|(query)> TO 'path' [STORED AS fmt] [PARTITIONED BY (…)]
@@ -7294,7 +7316,7 @@ object SltRunner {
         // targets appear only in error-directive tests)
         val destCheck = java.nio.file.Paths.get(redirectScratch(target))
           .toAbsolutePath.normalize()
-        if (!destCheck.startsWith("/tmp/graft_slt_scratch"))
+        if (!destCheck.startsWith(ScratchRoot))
           throw new IllegalArgumentException(
             s"COPY target outside scratch dir rejected: $target")
         val n = df.count()

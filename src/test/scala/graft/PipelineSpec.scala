@@ -210,6 +210,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(!allPairs.contains((3L, 4L)))
   }
 
+  test("triangle-split hot-bucket path emits exactly the plain path's pairs") {
+    // r14: ngramJaccardPairs splits buckets above spark.graft.ngramPairs.
+    // bucketCap into deterministic triangle cells. Force the salted path
+    // with a tiny cap on the real fixture and require BIT-IDENTICAL pairs
+    // (ids and jaccard) vs the plain single-cell join — every pair must
+    // meet in exactly one cell, same-salt pairs filtered to their diagonal.
+    val docs = Tables.load(spark, sfDir, "documents")
+    val band = concat_ws("|", col("source"), col("lang"),
+      Dedup.lengthBand(col("text")))
+    def pairs(): Set[String] =
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", band)
+        .collect().map(_.toString).toSet
+    val plain = pairs()
+    val capKey = "spark.graft.ngramPairs.bucketCap"
+    spark.conf.set(capKey, "3")
+    try {
+      val salted = pairs()
+      assert(salted == plain,
+        s"salted path diverged: ${salted.size} vs ${plain.size} pairs; " +
+          s"missing=${(plain -- salted).take(3)} extra=${(salted -- plain).take(3)}")
+    } finally spark.conf.unset(capKey)
+  }
+
   test("fused MinHashSig kernel is bit-identical to the composed form") {
     val docs = Tables.load(spark, sfDir, "documents").limit(200)
     val composed = Dedup.minhashSignatures(docs, "doc_id", "text", 8)

@@ -7,10 +7,26 @@ import graft.slt.SltRunner
   * reference checkout) through the DFContext front-door. Skips (error
   * directives, Arrow-only surface) are printed, never silent; a test
   * fails on ANY mismatching query result.
+  *
+  * r14: split into five sibling suites (SltRunnerSpec + B..E) so the sbt
+  * test gate can run them as parallel forked groups (build.sbt
+  * testGrouping) — the monolithic suite was ~19 min of the ~30 min
+  * sequential test wall-clock, which is what made the r13 driver's sbt
+  * test time out (VERIFY_r13 tests_ok=false with a truncated tail).
+  * Every slt file keeps exactly ONE test with its name, thresholds and
+  * divergence pins unchanged; [[SltParts.partOf]] just decides which
+  * sibling suite registers it, duration-balanced from a full sequential
+  * run's per-file timings.
   */
-class SltRunnerSpec extends AnyFunSuite {
+abstract class SltRunnerPart(part: Int) extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sltDir = "/root/reference/datafusion/sqllogictest/test_files"
+
+  /** Registers the slt file's test only in the sibling suite that owns it
+    * — the union over the five suites is exactly the old monolithic test
+    * list (each file appears once: partOf is a total function to 0..4). */
+  private def sltTest(name: String)(body: => Unit): Unit =
+    if (SltParts.partOf(name) == part) test(name)(body)
 
   private def available: Boolean = new java.io.File(sltDir).isDirectory
 
@@ -27,12 +43,12 @@ class SltRunnerSpec extends AnyFunSuite {
     assert(r.passed >= minPassed, s"only ${r.passed} passed in $file")
   }
 
-  test("nvl.slt")      { check("nvl.slt", 12) }
-  test("nvl2.slt")     { check("nvl2.slt", 6) }
-  test("nullif.slt")   { check("nullif.slt", 18) }
-  test("case.slt")     { check("case.slt", 60) }
-  test("misc.slt")     { check("misc.slt", 3) }
-  test("coalesce.slt") {
+  sltTest("nvl.slt")      { check("nvl.slt", 12) }
+  sltTest("nvl2.slt")     { check("nvl2.slt", 6) }
+  sltTest("nullif.slt")   { check("nullif.slt", 18) }
+  sltTest("case.slt")     { check("case.slt", 60) }
+  sltTest("misc.slt")     { check("misc.slt", 3) }
+  sltTest("coalesce.slt") {
     val lit = "literal typing under arrow_typeof: reference SQL literals are Int64/Float64, Spark Int32/Decimal"
     check("coalesce.slt", 25, knownDivergent =
       // 197/204/212 reachable since r10's ARRAY[..] constructor rewrite
@@ -41,22 +57,22 @@ class SltRunnerSpec extends AnyFunSuite {
         .map(_ -> lit).toMap ++ Map(
       322 -> "mixed numeric/string coalesce: reference coerces to f64, Spark to string"))
   }
-  test("operator.slt") {
+  sltTest("operator.slt") {
     check("operator.slt", 8, knownDivergent =
       Seq(40, 58, 76, 97, 115, 133, 154, 172, 190, 212, 230, 248)
         .map(_ -> ("decimal-literal arithmetic typing under arrow_typeof: " +
           "reference computes fractional literals in f64, Spark in decimal")).toMap)
   }
-  test("strings.slt")  { check("strings.slt", 10) }
-  test("cte.slt")      { check("cte.slt", 90) } // r10: strict_schema orders fixture
-  test("limit.slt")    {
+  sltTest("strings.slt")  { check("strings.slt", 10) }
+  sltTest("cte.slt")      { check("cte.slt", 90) } // r10: strict_schema orders fixture
+  sltTest("limit.slt")    {
     // r13: OFFSET-before-LIMIT spelling now swaps to Spark's order; 691/
     // 718's inner subquery orders by a column with duplicate keys, so the
     // skip-1-take-4 row CHOICE is engine-specific
     val ties = "OFFSET/LIMIT over an ORDER BY with duplicate sort keys: the row choice is engine-specific"
     check("limit.slt", 95, knownDivergent = Map(691 -> ties, 718 -> ties))
   }
-  test("predicates.slt") {
+  sltTest("predicates.slt") {
     // Spark's NaN semantics are intentionally non-IEEE (NaN = NaN is true,
     // NaN sorts greatest — Spark SQL docs, NaN Semantics), so IN-list
     // membership over NaN columns legitimately differs from the reference.
@@ -68,9 +84,9 @@ class SltRunnerSpec extends AnyFunSuite {
         1011 -> "NULL NOT IN (empty subquery): reference applies the empty-set rule (TRUE), Spark yields NULL",
         1018 -> "NULL NOT IN (empty subquery): reference applies the empty-set rule (TRUE), Spark yields NULL"))
   }
-  test("union.slt")    { check("union.slt", 20, knownDivergent = Map(
+  sltTest("union.slt")    { check("union.slt", 20, knownDivergent = Map(
     771 -> "ORDER BY over a UNION with duplicate output column names (reference resolves to the first)")) }
-  test("joins.slt") {
+  sltTest("joins.slt") {
     // r8: the 9 ns pins (timestamp::bigint epoch-ns, int-VALUES Timestamp
     // coercion, ns-digit rendering) all pass via the epoch-ns convention
     // layer (graft_ns_epoch/graft_ns_text — TimeFunctions)
@@ -79,12 +95,12 @@ class SltRunnerSpec extends AnyFunSuite {
       // r10: reachable since the COPY(VALUES…) fix registered t1/t2
       4402 -> "FULL JOIN LIMIT without ORDER BY: row selection is plan-specific (both engines return matched rows)"))
   }
-  test("expr.slt")      {
+  sltTest("expr.slt")      {
     check("expr.slt", 280, knownDivergent = Map(
       25 -> "isnan(NULL) inside the scalar batch: reference NULL, Spark false",
       1962 -> "int/int division: reference truncates, Spark yields double"))
   }
-  test("scalar.slt")    {
+  sltTest("scalar.slt")    {
     val nanNull = "isnan(NULL): reference returns NULL, Spark false by design"
     val decDiv = "decimal-literal division: reference computes in f64, Spark in decimal"
     check("scalar.slt", 190, knownDivergent = Map(
@@ -110,7 +126,7 @@ class SltRunnerSpec extends AnyFunSuite {
         1337 -> "trunc over decimal: reference preserves the decimal type, Spark computes in f64",
         1064 -> "round over Decimal256: the p>38 cast clamps to Decimal128 (typing only; the value matches)"))
   }
-  test("functions.slt") {
+  sltTest("functions.slt") {
     val f32 = "sqrt/avg on f32 computed in f64 here (display digits differ)"
     val viewT = "Utf8View/LargeUtf8/Dictionary carrier typing under arrow_typeof (Spark strings are Utf8)"
     check("functions.slt", 215, knownDivergent = Map(
@@ -123,7 +139,7 @@ class SltRunnerSpec extends AnyFunSuite {
         660, 665, 677, 747, 752, 774, 786, 812, 817, 842, 853, 864,
         875).map(_ -> viewT).toMap)
   }
-  test("select.slt")   {
+  sltTest("select.slt")   {
     val nan = "Spark NaN semantics intentionally differ (NaN=NaN, NaN>x)"
     check("select.slt", 110, knownDivergent = Map(
       410 -> "RANDOM() in VALUES — nondeterministic fold differs",
@@ -136,7 +152,7 @@ class SltRunnerSpec extends AnyFunSuite {
       492 -> "literal typing under arrow_typeof: reference SQL literals are Int64/Float64, Spark Int32/Decimal",
       498 -> "literal typing under arrow_typeof: reference SQL literals are Int64/Float64, Spark Int32/Decimal"))
   }
-  test("struct.slt")   {
+  sltTest("struct.slt")   {
     // r12: sibling-struct field reunification (reorderSiblingStructs)
     // unlocked the coercion block; 1143 is its arrow_typeof twin.
     // r13: STRUCT(name TYPE) DDL/CAST type syntax + by-name struct casts
@@ -153,11 +169,11 @@ class SltRunnerSpec extends AnyFunSuite {
       Seq(531, 954, 972, 993, 1011, 1032).map(_ -> lit13).toMap ++
       Seq(458, 509, 514, 561, 588, 618, 631, 637, 1072, 1240).map(_ -> view13).toMap)
   }
-  test("map.slt")      {
+  sltTest("map.slt")      {
     check("map.slt", 95, knownDivergent = Map(
       50 -> "struct field order from JSON inference differs"))
   }
-  test("math.slt")     {
+  sltTest("math.slt")     {
     val nanNull = "isnan(NULL): reference returns NULL, Spark false by design"
     val div0 = "float/0: reference yields IEEE NaN/±Inf; the int-div-zero runtime enforcement errors here instead"
     // r8: Float16 casts quantize to the binary16 grid (graft_f16) — the
@@ -179,33 +195,33 @@ class SltRunnerSpec extends AnyFunSuite {
         ("gcd/lcm over decimals: reference computes in decimal " +
           "(fractional gcd), Spark maps to integer gcd")).toMap)
   }
-  test("subquery.slt") {
+  sltTest("subquery.slt") {
     check("subquery.slt", 140, knownDivergent = Map(
       1519 -> "doubly-nested correlated EXISTS in a disjunction (Spark internal limitation)",
       2123 -> "correlated scalar subquery inside a join key (Spark limitation)",
       2216 -> "(SELECT random()) caching semantics differ by design"))
   }
-  test("alias.slt")       { check("alias.slt", 10) }
-  test("identifiers.slt") { check("identifiers.slt", 13) }
-  test("cast.slt")        { check("cast.slt", 16) }
-  test("in_list.slt")     {
+  sltTest("alias.slt")       { check("alias.slt", 10) }
+  sltTest("identifiers.slt") { check("identifiers.slt", 13) }
+  sltTest("cast.slt")        { check("cast.slt", 16) }
+  sltTest("in_list.slt")     {
     check("in_list.slt", 29, knownDivergent = Map(
       52 -> "graft carrier typing under arrow_typeof (unsigned widening / Float16-as-Float32 / Decimal256 clamp / FixedSizeBinary-as-Binary / Dictionary transparent)",
       535 -> "INTERVAL '1 month' literal is YearMonth in Spark, MonthDayNano in the reference"))
   }
-  test("group.slt")       { check("group.slt", 24) }
-  test("topk.slt")        { check("topk.slt", 12) }
-  test("wildcard.slt")    { check("wildcard.slt", 10) }
-  test("describe.slt")    { check("describe.slt", 8) }
-  test("prepare.slt")     { check("prepare.slt", 95) }
-  test("projection.slt")  { check("projection.slt", 25) }
-  test("distinct_on.slt") { check("distinct_on.slt", 30) }
-  test("qualify.slt")     { check("qualify.slt", 18) }
-  test("order.slt")       { check("order.slt", 110, knownDivergent = Map(
+  sltTest("group.slt")       { check("group.slt", 24) }
+  sltTest("topk.slt")        { check("topk.slt", 12) }
+  sltTest("wildcard.slt")    { check("wildcard.slt", 10) }
+  sltTest("describe.slt")    { check("describe.slt", 8) }
+  sltTest("prepare.slt")     { check("prepare.slt", 95) }
+  sltTest("projection.slt")  { check("projection.slt", 25) }
+  sltTest("distinct_on.slt") { check("distinct_on.slt", 30) }
+  sltTest("qualify.slt")     { check("qualify.slt", 18) }
+  sltTest("order.slt")       { check("order.slt", 110, knownDivergent = Map(
     657 -> "ORDER BY the pre-alias column of a DISTINCT projection (reference resolves through the alias)",
     1515 -> "scalar-subquery select item naming: reference propagates the inner column name, Spark says scalarsubquery()",
     1870 -> "u8 addition wraps modulo 256 in the reference; the unsigned-widening convention (SURVEY 1.2) computes the exact sum")) }
-  test("group_by.slt")    {
+  sltTest("group_by.slt")    {
     val intdiv = "int/int division: reference truncates, Spark yields double"
     val fd = "functional-dependence grouping via PRIMARY KEY metadata (Spark has no PK constraints)"
     val nth = "NTH_VALUE as a plain aggregate (Spark's nth_value is window-only)"
@@ -226,7 +242,7 @@ class SltRunnerSpec extends AnyFunSuite {
       4947 -> nth, 5033 -> nth,
       5212 -> dupgs, 5225 -> dupgs))
   }
-  test("window.slt")      {
+  sltTest("window.slt")      {
     val lim = "LIMIT without ORDER BY: row selection is engine-dependent"
     val tie = "window ORDER BY with duplicate sort keys: tie order is the reference's file order (WITH ORDER metadata), engine-dependent in Spark"
     val fd  = "functional-dependence grouping (unique row_number key) — Spark has no FD inference"
@@ -251,7 +267,7 @@ class SltRunnerSpec extends AnyFunSuite {
       6314 -> ovf, 6326 -> ovf, 6339 -> ovf, 6353 -> ovf, 6365 -> ovf,
       6407 -> ovf, 6419 -> ovf, 6432 -> ovf, 6446 -> ovf, 6458 -> ovf))
   }
-  test("aggregate.slt")   {
+  sltTest("aggregate.slt")   {
     val nancorr = "corr/covar over NaN inputs: reference propagates NaN, Spark yields NULL"
     val med = "median preserves the input type in the reference (decimal scale, f32, i64-extreme interpolation); Spark computes in double"
     val dwin = "DISTINCT inside a window aggregate (Spark unsupported)"
@@ -302,15 +318,15 @@ class SltRunnerSpec extends AnyFunSuite {
           "precision (Decimal128(14,8)/Decimal256), Spark keeps its own " +
           "promotion")))
   }
-  test("union_by_name.slt") { check("union_by_name.slt", 7) }
-  test("table_functions.slt") { check("table_functions.slt", 55) }
-  test("unnest.slt")      { check("unnest.slt", 105) } // r13: FROM-position multi-arg zip unnest
+  sltTest("union_by_name.slt") { check("union_by_name.slt", 7) }
+  sltTest("table_functions.slt") { check("table_functions.slt", 55) }
+  sltTest("unnest.slt")      { check("unnest.slt", 105) } // r13: FROM-position multi-arg zip unnest
   // r8: Decimal256 partial surface — declared p>38 clamps to DECIMAL(38,s)
   // (exact whenever the value fits: the decimal256_simple table + its 15
   // query lines now pass); true >38-digit values and negative scales stay
   // honest skips. The two r6 pins (division scale, f64 literal) now pass
   // unpinned — probe-verified zero failures.
-  test("decimal.slt")     {
+  sltTest("decimal.slt")     {
     val d256 = "Decimal256 typing clamps to Decimal128(38) under arrow_typeof"
     val promo = "decimal arithmetic result-type promotion rules differ (values identical)"
     check("decimal.slt", 125, knownDivergent = Map(
@@ -320,28 +336,28 @@ class SltRunnerSpec extends AnyFunSuite {
       391 -> promo, 584 -> promo,
       634 -> d256, 678 -> d256, 683 -> d256, 688 -> d256, 693 -> d256))
   }
-  test("encoding.slt")    { check("encoding.slt", 12) }
+  sltTest("encoding.slt")    { check("encoding.slt", 12) }
   // r8: the 171 ns pin passes via the session-tagged ns render
-  test("to_timestamp_timezone.slt") {
+  sltTest("to_timestamp_timezone.slt") {
     val unit = "timestamp unit typing: to_timestamp_* yields the µs convention carrier (s/ms/ns inputs truncate or ride the ns-text layer)"
     check("to_timestamp_timezone.slt", 26, knownDivergent = Map(
       86 -> unit, 177 -> unit, 182 -> unit, 192 -> unit, 197 -> unit))
   }
-  test("truncate.slt")     { check("truncate.slt", 4) }
-  test("count_star_rule.slt") { check("count_star_rule.slt", 6) }
-  test("update.slt")       { check("update.slt", 9) }
-  test("delete.slt")       { check("delete.slt", 4) }
-  test("dml_delete.slt")   { check("dml_delete.slt", 25) }
-  test("dml_update.slt")   { check("dml_update.slt", 38) }
-  test("binary.slt")       {
+  sltTest("truncate.slt")     { check("truncate.slt", 4) }
+  sltTest("count_star_rule.slt") { check("count_star_rule.slt", 6) }
+  sltTest("update.slt")       { check("update.slt", 9) }
+  sltTest("delete.slt")       { check("delete.slt", 4) }
+  sltTest("dml_delete.slt")   { check("dml_delete.slt", 25) }
+  sltTest("dml_update.slt")   { check("dml_update.slt", 38) }
+  sltTest("binary.slt")       {
     // r11: FixedSizeBinary arrow_casts now map to the transparent BINARY
     // carrier (fixtures unpoisoned); introspection of the COLUMN reports
     // the carrier type — pinned like the other layout encodings
     val fsb = "FixedSizeBinary layout rides the BINARY carrier (arrow_typeof reports Binary)"
     check("binary.slt", 40, knownDivergent = Map(120 -> fsb, 361 -> fsb))
   }
-  test("type_coercion.slt") { check("type_coercion.slt", 15) }
-  test("string_numeric_coercion.slt") {
+  sltTest("type_coercion.slt") { check("type_coercion.slt", 15) }
+  sltTest("string_numeric_coercion.slt") {
     val mixedIn = "mixed string/number IN-list: reference coerces per element, Spark unifies the list type"
     check("string_numeric_coercion.slt", 53,
       knownDivergent = Map(250 -> mixedIn, 257 -> mixedIn,
@@ -350,61 +366,61 @@ class SltRunnerSpec extends AnyFunSuite {
         472 -> "literal typing under arrow_typeof: reference SQL literals are Int64/Float64, Spark Int32/Decimal"))
   }
   // r8: with_dates fixture reconstruction — 52 passed, 0 failed
-  test("array_agg.slt")    {
+  sltTest("array_agg.slt")    {
     check("array_agg.slt", 52, knownDivergent = Map(
       591 -> "Dictionary encoding is transparent in Spark (value type only)",
       613 -> "Dictionary encoding is transparent in Spark (value type only)"))
   }
-  test("regexp_like.slt")  { check("regexp/regexp_like.slt", 40) } // r10: fixture + unicode classes
-  test("regexp_match.slt") { check("regexp/regexp_match.slt", 28) }
-  test("regexp_replace.slt") { check("regexp/regexp_replace.slt", 27) }
-  test("regexp_count.slt") { check("regexp/regexp_count.slt", 38) }
-  test("regexp_instr.slt") { check("regexp/regexp_instr.slt", 28) }
-  test("ddl.slt")          { // r10: quoted dotted names + writable external tables
+  sltTest("regexp_like.slt")  { check("regexp/regexp_like.slt", 40) } // r10: fixture + unicode classes
+  sltTest("regexp_match.slt") { check("regexp/regexp_match.slt", 28) }
+  sltTest("regexp_replace.slt") { check("regexp/regexp_replace.slt", 27) }
+  sltTest("regexp_count.slt") { check("regexp/regexp_count.slt", 38) }
+  sltTest("regexp_instr.slt") { check("regexp/regexp_instr.slt", 28) }
+  sltTest("ddl.slt")          { // r10: quoted dotted names + writable external tables
     val dotted = "dotted table names in backticks (Spark restricts identifier charset)"
     check("ddl.slt", 120, knownDivergent = Map(91 -> dotted, 114 -> dotted))
   }
-  test("information_schema.slt") { check("information_schema.slt", 35) }
-  test("copy.slt")         { check("copy.slt", 70) } // r10: COPY(VALUES), .arrow inference
-  test("avro.slt")         { check("avro.slt", 2) }
-  test("schema_evolution.slt") { check("schema_evolution.slt", 22) } // r10: mergeSchema external reads
-  test("subquery_sort.slt") { check("subquery_sort.slt", 6) }
-  test("sort_merge_join.slt") { check("sort_merge_join.slt", 70) }
+  sltTest("information_schema.slt") { check("information_schema.slt", 35) }
+  sltTest("copy.slt")         { check("copy.slt", 70) } // r10: COPY(VALUES), .arrow inference
+  sltTest("avro.slt")         { check("avro.slt", 2) }
+  sltTest("schema_evolution.slt") { check("schema_evolution.slt", 22) } // r10: mergeSchema external reads
+  sltTest("subquery_sort.slt") { check("subquery_sort.slt", 6) }
+  sltTest("sort_merge_join.slt") { check("sort_merge_join.slt", 70) }
 
-  test("join_only.slt") {
+  sltTest("join_only.slt") {
     val scope = "qualified outer column through an unaliased subquery (Spark scoping)"
     check("join_only.slt", 160, knownDivergent = Map(1132 -> scope, 1143 -> scope))
   }
-  test("intersection.slt")  { check("intersection.slt", 2) }
-  test("aggregate_any_value.slt") { check("aggregate_any_value.slt", 5) }
-  test("join_lists.slt")    { check("join_lists.slt", 6) }
-  test("same_column_name_cross_join.slt") { check("same_column_name_cross_join.slt", 10) }
-  test("first_last_nested.slt") { check("first_last_nested.slt", 2) }
-  test("references.slt")    { check("references.slt", 9) }
-  test("negative_zero.slt") {
+  sltTest("intersection.slt")  { check("intersection.slt", 2) }
+  sltTest("aggregate_any_value.slt") { check("aggregate_any_value.slt", 5) }
+  sltTest("join_lists.slt")    { check("join_lists.slt", 6) }
+  sltTest("same_column_name_cross_join.slt") { check("same_column_name_cross_join.slt", 10) }
+  sltTest("first_last_nested.slt") { check("first_last_nested.slt", 2) }
+  sltTest("references.slt")    { check("references.slt", 9) }
+  sltTest("negative_zero.slt") {
     val negz = "-0.0 grouping keys: Spark normalizes -0.0 to 0.0 and float/0 is NULL (non-ANSI)"
     check("negative_zero.slt", 22, knownDivergent = Map(65 -> negz, 80 -> negz))
   }
-  test("grouping.slt") {
+  sltTest("grouping.slt") {
     val total = "grand-total row over an empty input: reference emits it (SQL standard), Spark's expand-based grouping emits none"
     check("grouping.slt", 14, knownDivergent = Map(248 -> total, 254 -> total, 260 -> total))
   }
-  test("errors.slt")        { check("errors.slt", 6) }
-  test("json.slt")          { check("json.slt", 16) }
-  test("ident_normalization.slt") { check("ident_normalization.slt", 24) }
-  test("named_arguments.slt") { check("named_arguments.slt", 32) }
-  test("merge_into.slt")    { check("merge_into.slt", 9) }
-  test("insert.slt")        { check("insert.slt", 28) } // r10: emulated-INSERT counts surface
-  test("null_aware_anti_join.slt") {
+  sltTest("errors.slt")        { check("errors.slt", 6) }
+  sltTest("json.slt")          { check("json.slt", 16) }
+  sltTest("ident_normalization.slt") { check("ident_normalization.slt", 24) }
+  sltTest("named_arguments.slt") { check("named_arguments.slt", 32) }
+  sltTest("merge_into.slt")    { check("merge_into.slt", 9) }
+  sltTest("insert.slt")        { check("insert.slt", 28) } // r10: emulated-INSERT counts surface
+  sltTest("null_aware_anti_join.slt") {
     check("null_aware_anti_join.slt", 79, knownDivergent = Map(
       174 -> "NULL NOT IN (empty subquery): reference applies the empty-set rule (TRUE), Spark yields NULL"))
   }
-  test("window_limits.slt") { check("window_limits.slt", 70) }
-  test("window_topn.slt")   { check("window_topn.slt", 76) }
-  test("aggregates_topk.slt") { check("aggregates_topk.slt", 82) }
-  test("lateral_join.slt")  { check("lateral_join.slt", 60) }
-  test("pipe_operator.slt") { check("pipe_operator.slt", 14) }
-  test("parquet.slt")       {
+  sltTest("window_limits.slt") { check("window_limits.slt", 70) }
+  sltTest("window_topn.slt")   { check("window_topn.slt", 76) }
+  sltTest("aggregates_topk.slt") { check("aggregates_topk.slt", 82) }
+  sltTest("lateral_join.slt")  { check("lateral_join.slt", 60) }
+  sltTest("pipe_operator.slt") { check("pipe_operator.slt", 14) }
+  sltTest("parquet.slt")       {
     // r10: 57 -> 98 passed (src_table INT->DATE coercion unlocked the
     // whole test_table family; subdirectory toggle; binary_as_string
     // reachable — its BinaryView/Utf8View typing pins below)
@@ -415,64 +431,64 @@ class SltRunnerSpec extends AnyFunSuite {
       590 -> "FixedSizeBinary reads as Binary in Spark",
       430 -> bview, 477 -> bview, 527 -> bview))
   }
-  test("create_external_table.slt") { check("create_external_table.slt", 18) } // r10: writable external tables
-  test("cosine_distance.slt") { check("cosine_distance.slt", 11) }
-  test("inner_product.slt") { check("inner_product.slt", 14) }
-  test("array_sum.slt")     { check("array_sum.slt", 10) }
-  test("array_add.slt")     { check("array_add.slt", 18) }
-  test("array_avg.slt")     { check("array_avg.slt", 12) }
-  test("array_product.slt") { check("array_product.slt", 10) }
-  test("array_subtract.slt") { check("array_subtract.slt", 18) }
-  test("array_normalize.slt") { check("array_normalize.slt", 12) }
-  test("array_scale.slt")   { check("array_scale.slt", 17) }
+  sltTest("create_external_table.slt") { check("create_external_table.slt", 18) } // r10: writable external tables
+  sltTest("cosine_distance.slt") { check("cosine_distance.slt", 11) }
+  sltTest("inner_product.slt") { check("inner_product.slt", 14) }
+  sltTest("array_sum.slt")     { check("array_sum.slt", 10) }
+  sltTest("array_add.slt")     { check("array_add.slt", 18) }
+  sltTest("array_avg.slt")     { check("array_avg.slt", 12) }
+  sltTest("array_product.slt") { check("array_product.slt", 10) }
+  sltTest("array_subtract.slt") { check("array_subtract.slt", 18) }
+  sltTest("array_normalize.slt") { check("array_normalize.slt", 12) }
+  sltTest("array_scale.slt")   { check("array_scale.slt", 17) }
 
-  test("join_is_not_distinct_from.slt") { check("join_is_not_distinct_from.slt", 24) }
-  test("eliminate_outer_join.slt") { check("eliminate_outer_join.slt", 48) }
-  test("push_down_filter_outer_joins.slt") { check("push_down_filter_outer_joins.slt", 18) }
-  test("propagate_empty_relation_outer_join.slt") { check("propagate_empty_relation_outer_join.slt", 14) }
-  test("simplify_expr.slt")  { check("simplify_expr.slt", 10) }
-  test("simplify_predicates.slt") { check("simplify_predicates.slt", 4) }
-  test("cse.slt")            { check("cse.slt", 1) }
-  test("floor_preimage.slt") { check("floor_preimage.slt", 20) }
-  test("optimizer_group_by_constant.slt") { check("optimizer_group_by_constant.slt", 5) }
-  test("monotonic_projection_test.slt") { check("monotonic_projection_test.slt", 16) }
-  test("filter_without_sort_exec.slt") { check("filter_without_sort_exec.slt", 3) }
-  test("limit_pruning.slt")  { check("limit_pruning.slt", 15) }
-  test("join_limit_pushdown.slt") { check("join_limit_pushdown.slt", 22) }
-  test("push_down_topk_through_join.slt") { check("push_down_topk_through_join.slt", 43) }
-  test("sort_pushdown.slt")  { check("sort_pushdown.slt", 370) }
-  test("window_topk_pushdown.slt") { check("window_topk_pushdown.slt", 12) }
-  test("aggregate_repartition.slt") { check("aggregate_repartition.slt", 8) }
-  test("aggregates_simplify.slt") {
+  sltTest("join_is_not_distinct_from.slt") { check("join_is_not_distinct_from.slt", 24) }
+  sltTest("eliminate_outer_join.slt") { check("eliminate_outer_join.slt", 48) }
+  sltTest("push_down_filter_outer_joins.slt") { check("push_down_filter_outer_joins.slt", 18) }
+  sltTest("propagate_empty_relation_outer_join.slt") { check("propagate_empty_relation_outer_join.slt", 14) }
+  sltTest("simplify_expr.slt")  { check("simplify_expr.slt", 10) }
+  sltTest("simplify_predicates.slt") { check("simplify_predicates.slt", 4) }
+  sltTest("cse.slt")            { check("cse.slt", 1) }
+  sltTest("floor_preimage.slt") { check("floor_preimage.slt", 20) }
+  sltTest("optimizer_group_by_constant.slt") { check("optimizer_group_by_constant.slt", 5) }
+  sltTest("monotonic_projection_test.slt") { check("monotonic_projection_test.slt", 16) }
+  sltTest("filter_without_sort_exec.slt") { check("filter_without_sort_exec.slt", 3) }
+  sltTest("limit_pruning.slt")  { check("limit_pruning.slt", 15) }
+  sltTest("join_limit_pushdown.slt") { check("join_limit_pushdown.slt", 22) }
+  sltTest("push_down_topk_through_join.slt") { check("push_down_topk_through_join.slt", 43) }
+  sltTest("sort_pushdown.slt")  { check("sort_pushdown.slt", 370) }
+  sltTest("window_topk_pushdown.slt") { check("window_topk_pushdown.slt", 12) }
+  sltTest("aggregate_repartition.slt") { check("aggregate_repartition.slt", 8) }
+  sltTest("aggregates_simplify.slt") {
     check("aggregates_simplify.slt", 19, knownDivergent = Map(
       238 -> "nondeterministic expression inside an aggregate: Spark rejects by design"))
   }
-  test("agg_func_substitute.slt") { check("agg_func_substitute.slt", 1) }
-  test("array_agg_sliding_window.slt") {
+  sltTest("agg_func_substitute.slt") { check("agg_func_substitute.slt", 1) }
+  sltTest("array_agg_sliding_window.slt") {
     val dwin = "DISTINCT inside a window aggregate (Spark: DISTINCT_WINDOW_FUNCTION_UNSUPPORTED)"
     // r10: the ::TEXT DDL rewrite un-poisoned t_dist_growth — l389 is the
     // same DISTINCT-window class, now reachable
     check("array_agg_sliding_window.slt", 36, knownDivergent =
       Seq(190, 202, 222, 238, 254, 275, 318, 342, 389).map(_ -> dwin).toMap)
   }
-  test("array_query.slt")    { check("array_query.slt", 33) }
-  test("issue_17138.slt")    { check("issue_17138.slt", 4) }
-  test("cast_to_type.slt")   { check("cast_to_type.slt", 11) }
-  test("dictionary.slt")     { check("dictionary.slt", 3) }
-  test("listing_table_partitions.slt") { check("listing_table_partitions.slt", 19) } // r10: COPY(VALUES)+infer_partitions off
+  sltTest("array_query.slt")    { check("array_query.slt", 33) }
+  sltTest("issue_17138.slt")    { check("issue_17138.slt", 4) }
+  sltTest("cast_to_type.slt")   { check("cast_to_type.slt", 11) }
+  sltTest("dictionary.slt")     { check("dictionary.slt", 3) }
+  sltTest("listing_table_partitions.slt") { check("listing_table_partitions.slt", 19) } // r10: COPY(VALUES)+infer_partitions off
   // r8: the two ns-filter pins pass via the epoch-ns text layer (the
   // ns-distinct keys no longer collapse at µs)
-  test("parquet_filter_pushdown.slt") { check("parquet_filter_pushdown.slt", 85) }
-  test("parquet_statistics.slt") { check("parquet_statistics.slt", 11) }
-  test("insert_to_external.slt") { check("insert_to_external.slt", 78) } // r10: writable external tables
-  test("dynamic_file.slt") {
+  sltTest("parquet_filter_pushdown.slt") { check("parquet_filter_pushdown.slt", 85) }
+  sltTest("parquet_statistics.slt") { check("parquet_statistics.slt", 11) }
+  sltTest("insert_to_external.slt") { check("insert_to_external.slt", 78) } // r10: writable external tables
+  sltTest("dynamic_file.slt") {
     val apart = "partitioned Arrow IPC write (the DSv2 arrow writer is unpartitioned)"
     check("dynamic_file.slt", 15, knownDivergent = Map(111 -> apart, 118 -> apart))
   }
-  test("binary_view.slt")    { check("binary_view.slt", 6) }
-  test("slt_features.slt")   { check("slt_features.slt", 9) }
+  sltTest("binary_view.slt")    { check("binary_view.slt", 6) }
+  sltTest("slt_features.slt")   { check("slt_features.slt", 9) }
 
-  test("csv_files.slt")    {
+  sltTest("csv_files.slt")    {
     check("csv_files.slt", 62, knownDivergent = Map( // r10: comment option, writer comment-char neutralized
       83 -> "CSV quote-as-escape parsing nuance differs between arrow-csv and univocity",
       326 -> "slt multiline-cell rendering convention for newlines_in_values",
@@ -486,8 +502,8 @@ class SltRunnerSpec extends AnyFunSuite {
   // now pins its exact lines via check()'s knownDivergent map, so a NEW
   // failure in those files can no longer hide under a prose reason.)
 
-  test("aggregate_memory_spill.slt") { check("aggregate_memory_spill.slt", 18) }
-  test("aggregate_skip_partial.slt") {
+  sltTest("aggregate_memory_spill.slt") { check("aggregate_memory_spill.slt", 18) }
+  sltTest("aggregate_skip_partial.slt") {
     val med = "median over f32: reference computes/displays in f32, Spark in double"
     val hll = "approx_count_distinct HLL estimate: sketch implementations differ"
     val tdig = "approx_median/percentile sketches differ: the reference's t-digest interpolates, Spark's picks data points"
@@ -497,7 +513,7 @@ class SltRunnerSpec extends AnyFunSuite {
       // groups expose the interpolation difference
       321 -> tdig, 402 -> tdig, 519 -> tdig, 703 -> tdig, 716 -> tdig))
   }
-  test("arrow_field.slt") {
+  sltTest("arrow_field.slt") {
     // r10: arrow_field implemented + the metadata-table fixture rebuilt
     val dictT = "Dictionary carrier typing (encoding transparent in Spark)"
     check("arrow_field.slt", 19, knownDivergent = Map(
@@ -505,9 +521,9 @@ class SltRunnerSpec extends AnyFunSuite {
       99 -> "Utf8View/LargeUtf8 result typing under arrow_typeof (Spark strings are Utf8)",
       116 -> "declared-nullable column over non-null VALUES derives non-null in Spark"))
   }
-  test("arrow_files.slt")     { check("arrow_files.slt", 35) }
-  test("arrow_try_cast.slt")  { check("arrow_try_cast.slt", 2) }
-  test("arrow_typeof.slt")    {
+  sltTest("arrow_files.slt")     { check("arrow_files.slt", 35) }
+  sltTest("arrow_try_cast.slt")  { check("arrow_try_cast.slt", 2) }
+  sltTest("arrow_typeof.slt")    {
     // arrow_typeof runs for real since r9 (ArrowTypeOf shim); the pins
     // are the declared carrier conventions — each line names the class
     val us = "µs timestamp convention: the reference's default Timestamp is ns"
@@ -520,95 +536,95 @@ class SltRunnerSpec extends AnyFunSuite {
       440 -> "Spark CAST AS STRING yields Utf8, not Utf8View",
       447 -> "Spark CAST AS BINARY yields Binary, not BinaryView"))
   }
-  test("async_udf.slt")       { check("async_udf.slt", 4) }
-  test("cast_extension_type_metadata.slt") { check("cast_extension_type_metadata.slt", 0) }
-  test("clickbench.slt")      { check("clickbench.slt", 3) }
-  test("clickbench_extended.slt") { check("clickbench_extended.slt", 6) }
-  test("create_function.slt") {
+  sltTest("async_udf.slt")       { check("async_udf.slt", 4) }
+  sltTest("cast_extension_type_metadata.slt") { check("cast_extension_type_metadata.slt", 0) }
+  sltTest("clickbench.slt")      { check("clickbench.slt", 3) }
+  sltTest("clickbench_extended.slt") { check("clickbench_extended.slt", 6) }
+  sltTest("create_function.slt") {
     val builtin = "DROP FUNCTION on a builtin: the reference deregisters it, Spark protects builtins"
     check("create_function.slt", 3, knownDivergent = Map(42 -> builtin, 54 -> builtin))
   }
-  test("date_bin_errors.slt") { check("date_bin_errors.slt", 0) }
-  test("dictionary_struct.slt") {
+  sltTest("date_bin_errors.slt") { check("date_bin_errors.slt", 0) }
+  sltTest("dictionary_struct.slt") {
     // r10: dict_struct fixtures rebuilt (Dictionary = transparent encoding)
     val dictT = "Dictionary carrier typing (encoding transparent in Spark)"
     check("dictionary_struct.slt", 11, knownDivergent =
       Seq(45, 71, 76).map(_ -> dictT).toMap)
   }
-  test("dynamic_filter_pushdown_config.slt") { check("dynamic_filter_pushdown_config.slt", 100) }
-  test("dynamic_row_group_pruning.slt") { check("dynamic_row_group_pruning.slt", 12) }
-  test("encrypted_parquet.slt") { check("encrypted_parquet.slt", 4) } // r10: INSERT INTO TABLE spelling
-  test("explain.slt")         { check("explain.slt", 55) }
-  test("explain_analyze.slt") { check("explain_analyze.slt", 90) }
-  test("explain_tree.slt")    { check("explain_tree.slt", 70) } // r10: scratch fixtures + regex unroll
-  test("file_row_index.slt")  { check("file_row_index.slt", 4) }
+  sltTest("dynamic_filter_pushdown_config.slt") { check("dynamic_filter_pushdown_config.slt", 100) }
+  sltTest("dynamic_row_group_pruning.slt") { check("dynamic_row_group_pruning.slt", 12) }
+  sltTest("encrypted_parquet.slt") { check("encrypted_parquet.slt", 4) } // r10: INSERT INTO TABLE spelling
+  sltTest("explain.slt")         { check("explain.slt", 55) }
+  sltTest("explain_analyze.slt") { check("explain_analyze.slt", 90) }
+  sltTest("explain_tree.slt")    { check("explain_tree.slt", 70) } // r10: scratch fixtures + regex unroll
+  sltTest("file_row_index.slt")  { check("file_row_index.slt", 4) }
   // r8: graft_f16 quantization + mixed NaN-VALUES coercion — 8 passed
-  test("float16.slt")         {
+  sltTest("float16.slt")         {
     check("float16.slt", 8, knownDivergent = Map(
       26 -> "Float16 carried as Float32 (binary16-quantized values, f32 carrier)"))
   }
-  test("functional_dependencies.slt") {
+  sltTest("functional_dependencies.slt") {
     check("functional_dependencies.slt", 18, knownDivergent = Map(
       207 -> "functional-dependence grouping via PRIMARY KEY metadata (Spark has no PK constraints)"))
   }
-  test("grouping_set_repartition.slt") { check("grouping_set_repartition.slt", 12) }
-  test("imdb.slt")            { check("imdb.slt", 170) }
-  test("information_schema_columns.slt") { check("information_schema_columns.slt", 8) }
-  test("information_schema_multiple_catalogs.slt") {
+  sltTest("grouping_set_repartition.slt") { check("grouping_set_repartition.slt", 12) }
+  sltTest("imdb.slt")            { check("imdb.slt", 170) }
+  sltTest("information_schema_columns.slt") { check("information_schema_columns.slt", 8) }
+  sltTest("information_schema_multiple_catalogs.slt") {
     val cat = "multi-catalog namespaces need a DSv2 catalog plugin; the single-catalog information_schema surface is covered"
     check("information_schema_multiple_catalogs.slt", 19,
       knownDivergent = Map(50 -> cat, 68 -> cat))
   }
-  test("information_schema_table_types.slt") { check("information_schema_table_types.slt", 6) }
-  test("input_file_name.slt") { check("input_file_name.slt", 12) } // r10: scratch-path render normalization
-  test("insert_values_placeholders.slt") { check("insert_values_placeholders.slt", 2) }
-  test("join_disable_repartition_joins.slt") {
+  sltTest("information_schema_table_types.slt") { check("information_schema_table_types.slt", 6) }
+  sltTest("input_file_name.slt") { check("input_file_name.slt", 12) } // r10: scratch-path render normalization
+  sltTest("insert_values_placeholders.slt") { check("insert_values_placeholders.slt", 2) }
+  sltTest("join_disable_repartition_joins.slt") {
     val scope = "qualified outer column through an unaliased subquery (Spark scoping)"
     check("join_disable_repartition_joins.slt", 170,
       knownDivergent = Map(1132 -> scope, 1143 -> scope))
   }
-  test("lead_lag_extreme_offsets.slt") {
+  sltTest("lead_lag_extreme_offsets.slt") {
     val ext = "i64-extreme lead/lag offsets overflow Spark's offset-frame arithmetic (32-bit offsets)"
     check("lead_lag_extreme_offsets.slt", 4, knownDivergent =
       Seq(10, 18, 26, 38, 46, 54).map(_ -> ext).toMap)
   }
-  test("limit_single_row_batches.slt") { check("limit_single_row_batches.slt", 7) }
-  test("list_view.slt")       { check("list_view.slt", 0) }
-  test("listing_table_statistics.slt") { check("listing_table_statistics.slt", 9) }
-  test("metadata.slt")        { check("metadata.slt", 25) } // r10: fixture rebuilt
-  test("nested_loop_join_spill.slt") { check("nested_loop_join_spill.slt", 11) }
-  test("options.slt")         {
+  sltTest("limit_single_row_batches.slt") { check("limit_single_row_batches.slt", 7) }
+  sltTest("list_view.slt")       { check("list_view.slt", 0) }
+  sltTest("listing_table_statistics.slt") { check("listing_table_statistics.slt", 9) }
+  sltTest("metadata.slt")        { check("metadata.slt", 25) } // r10: fixture rebuilt
+  sltTest("nested_loop_join_spill.slt") { check("nested_loop_join_spill.slt", 11) }
+  sltTest("options.slt")         {
     val popt = "DataFusion parser-option literal typing (parse_float_as_decimal / beyond-i64 integers -> UInt64/Decimal128/Decimal256): Spark's parser has no such modes"
     check("options.slt", 22, knownDivergent =
       Seq(103, 119, 131, 144, 154, 164, 174, 185, 193, 200, 221, 242,
         248, 262, 267, 276).map(_ -> popt).toMap)
   }
-  test("ordered_aggregate_spill.slt") { check("ordered_aggregate_spill.slt", 35) }
-  test("parquet_cdc.slt")     { check("parquet_cdc.slt", 18) }
-  test("parquet_cdc_config.slt") { check("parquet_cdc_config.slt", 6) }
-  test("parquet_max_row_group_bytes.slt") { check("parquet_max_row_group_bytes.slt", 25) }
-  test("parquet_metadata_functions.slt") { check("parquet_metadata_functions.slt", 3) }
-  test("parquet_nested_schema_pruning.slt") { check("parquet_nested_schema_pruning.slt", 20) } // r13: STRUCT<> declared-schema views
-  test("parquet_sorted_statistics.slt") { check("parquet_sorted_statistics.slt", 6) }
-  test("preserve_file_partitioning.slt") { check("preserve_file_partitioning.slt", 70) }
-  test("projection_pushdown.slt") { check("projection_pushdown.slt", 170) }
-  test("push_down_filter_parquet.slt") { check("push_down_filter_parquet.slt", 150) }
-  test("push_down_filter_regression.slt") { check("push_down_filter_regression.slt", 70) }
-  test("push_down_filter_unnest.slt") { check("push_down_filter_unnest.slt", 17) }
-  test("pwmj.slt") {
+  sltTest("ordered_aggregate_spill.slt") { check("ordered_aggregate_spill.slt", 35) }
+  sltTest("parquet_cdc.slt")     { check("parquet_cdc.slt", 18) }
+  sltTest("parquet_cdc_config.slt") { check("parquet_cdc_config.slt", 6) }
+  sltTest("parquet_max_row_group_bytes.slt") { check("parquet_max_row_group_bytes.slt", 25) }
+  sltTest("parquet_metadata_functions.slt") { check("parquet_metadata_functions.slt", 3) }
+  sltTest("parquet_nested_schema_pruning.slt") { check("parquet_nested_schema_pruning.slt", 20) } // r13: STRUCT<> declared-schema views
+  sltTest("parquet_sorted_statistics.slt") { check("parquet_sorted_statistics.slt", 6) }
+  sltTest("preserve_file_partitioning.slt") { check("preserve_file_partitioning.slt", 70) }
+  sltTest("projection_pushdown.slt") { check("projection_pushdown.slt", 170) }
+  sltTest("push_down_filter_parquet.slt") { check("push_down_filter_parquet.slt", 150) }
+  sltTest("push_down_filter_regression.slt") { check("push_down_filter_regression.slt", 70) }
+  sltTest("push_down_filter_unnest.slt") { check("push_down_filter_unnest.slt", 17) }
+  sltTest("pwmj.slt") {
     val order = "reference emission order contradicts the query's ORDER BY (PWMJ row order); values identical as a set"
     check("pwmj.slt", 23, knownDivergent = Map(141 -> order, 232 -> order))
   }
-  test("range_partitioning.slt") { check("range_partitioning.slt", 50) }
-  test("repartition.slt")     { check("repartition.slt", 11) }
-  test("repartition_scan.slt") { check("repartition_scan.slt", 30) } // r10: COPY(VALUES) fixtures
-  test("repartition_subset_satisfaction.slt") { check("repartition_subset_satisfaction.slt", 35) }
-  test("run_end_encoded.slt") { check("run_end_encoded.slt", 0) }
-  test("schema_evolution_nested.slt") { check("schema_evolution_nested.slt", 2) }
-  test("set_variable.slt")    { check("set_variable.slt", 80) }
-  test("sort_merge_join_spill.slt") { check("sort_merge_join_spill.slt", 45) }
-  test("statistics_registry.slt") { check("statistics_registry.slt", 23) }
-  test("union_function.slt")  {
+  sltTest("range_partitioning.slt") { check("range_partitioning.slt", 50) }
+  sltTest("repartition.slt")     { check("repartition.slt", 11) }
+  sltTest("repartition_scan.slt") { check("repartition_scan.slt", 30) } // r10: COPY(VALUES) fixtures
+  sltTest("repartition_subset_satisfaction.slt") { check("repartition_subset_satisfaction.slt", 35) }
+  sltTest("run_end_encoded.slt") { check("run_end_encoded.slt", 0) }
+  sltTest("schema_evolution_nested.slt") { check("schema_evolution_nested.slt", 2) }
+  sltTest("set_variable.slt")    { check("set_variable.slt", 80) }
+  sltTest("sort_merge_join_spill.slt") { check("sort_merge_join_spill.slt", 45) }
+  sltTest("statistics_registry.slt") { check("statistics_registry.slt", 23) }
+  sltTest("union_function.slt")  {
     // r10: union_extract/union_tag over the struct-carrier Union
     // convention + the harness-registered union_table rebuilt — 6 -> 10
     check("union_function.slt", 10)
@@ -620,7 +636,7 @@ class SltRunnerSpec extends AnyFunSuite {
   // array_position, first-occurrence array_remove, four-way array_sort,
   // null-array append/prepend, recursive cardinality, 1-based computed
   // subscripts via try_element_at) makes 32 fully green
-  test("array/ subtree (36 files)") {
+  sltTest("array/ subtree (36 files)") {
     assume(available)
     val divergent = Map(
       "array_cast.slt" -> "mixed numeric/string array literal unifies to STRING in Spark, numeric in the reference",
@@ -676,7 +692,7 @@ class SltRunnerSpec extends AnyFunSuite {
     assert(passed >= 2100, s"only $passed passed in array/")
   }
 
-  test("datetime/arith files") {
+  sltTest("datetime/arith files") {
     assume(available)
     // the arith_* matrix: date/time/timestamp × interval/duration ops
     val divergent = Map(
@@ -705,30 +721,30 @@ class SltRunnerSpec extends AnyFunSuite {
     assert(passed >= 17, s"only $passed passed")
   }
 
-  test("datetime/current_date_timezone.slt") { check("datetime/current_date_timezone.slt", 9) }
-  test("datetime/current_time_timezone.slt") {
+  sltTest("datetime/current_date_timezone.slt") { check("datetime/current_date_timezone.slt", 9) }
+  sltTest("datetime/current_time_timezone.slt") {
     check("datetime/current_time_timezone.slt", 15, knownDivergent = Map(
       29 -> "current_time typing: Time64(ns) in the reference, the µs TimeType here",
       44 -> "current_time typing: Time64(ns) in the reference, the µs TimeType here"))
   }
-  test("datetime/interval.slt") {
+  sltTest("datetime/interval.slt") {
     check("datetime/interval.slt", 35, knownDivergent = Map(
       478 -> "compact duration suffix literal ('1s'::interval) parses in the reference only"))
   }
-  test("datetime/interval_mysql.slt") { check("datetime/interval_mysql.slt", 9) } // r13: interval chain folding
-  test("datetime/date_part.slt") {
+  sltTest("datetime/interval_mysql.slt") { check("datetime/interval_mysql.slt", 9) } // r13: interval chain folding
+  sltTest("datetime/date_part.slt") {
     // r8: the epoch-ns layer's full-ns parse in the date_part shim (plus
     // sub-µs literal routing) converted 7 of the 8 r6 ns pins to passes;
     // the last is Time64(ns) — the TIME layer stays µs-of-day
     check("datetime/date_part.slt", 195, knownDivergent = Map(
       891 -> "sub-µs TIME-of-day digits: the TIME layer is a µs-of-day anchor"))
   }
-  test("datetime/dates.slt") {
+  sltTest("datetime/dates.slt") {
     // r6: zero divergences — undelimited yyyyMMdd parse + BCE/5-digit-year
     // rendering fixed; chrono %-format LISTS skip as dialect surface
     check("datetime/dates.slt", 33)
   }
-  test("datetime/timestamps.slt") {
+  sltTest("datetime/timestamps.slt") {
     val colTy = "numeric-COLUMN::timestamp: the reinterpret-as-ns cast needs the operand type, unknown to the textual dialect layer"
     val coerce = "naive->tz coercion: the reference coerces a naive origin as UTC, Spark as session-local time"
     val coltz = "Arrow column-embedded timezone (Timestamp(ns, tz)) survives RESET; Spark timestamps carry no per-column tz"
@@ -756,52 +772,52 @@ class SltRunnerSpec extends AnyFunSuite {
   // r11: the FixedSizeList/LargeList arrow_casts now ride the transparent
   // ARRAY carrier, unpoisoning both files wholesale; the same NULL-element
   // comparison-rank pins as min_max/list.slt apply (same queries)
-  test("min_max/fixed_size_list.slt") {
+  sltTest("min_max/fixed_size_list.slt") {
     val nulls = "MIN/MAX over array columns: NULL-element comparison rank differs between engines"
     check("min_max/fixed_size_list.slt", 8, knownDivergent =
       Seq(26, 34, 52, 61, 105, 116).map(_ -> nulls).toMap)
   }
-  test("min_max/large_list.slt") {
+  sltTest("min_max/large_list.slt") {
     val nulls = "MIN/MAX over array columns: NULL-element comparison rank differs between engines"
     check("min_max/large_list.slt", 30, knownDivergent =
       Seq(38, 44, 56, 62, 91, 99).map(_ -> nulls).toMap)
   }
-  test("min_max/list.slt") {
+  sltTest("min_max/list.slt") {
     val nulls = "MIN/MAX over array columns: NULL-element comparison rank differs between engines"
     check("min_max/list.slt", 35, knownDivergent =
       Seq(38, 44, 56, 62, 91, 99).map(_ -> nulls).toMap)
   }
 
-  test("pg_compat/pg_compat_simple.slt") { check("pg_compat/pg_compat_simple.slt", 7) }
-  test("pg_compat/pg_compat_null.slt") { check("pg_compat/pg_compat_null.slt", 0) }
-  test("pg_compat/pg_compat_type_coercion.slt") { check("pg_compat/pg_compat_type_coercion.slt", 7) }
-  test("pg_compat/pg_compat_types.slt") { check("pg_compat/pg_compat_types.slt", 14) }
-  test("pg_compat/pg_compat_union.slt") { check("pg_compat/pg_compat_union.slt", 1) }
-  test("pg_compat/pg_compat_window.slt") { check("pg_compat/pg_compat_window.slt", 0) }
+  sltTest("pg_compat/pg_compat_simple.slt") { check("pg_compat/pg_compat_simple.slt", 7) }
+  sltTest("pg_compat/pg_compat_null.slt") { check("pg_compat/pg_compat_null.slt", 0) }
+  sltTest("pg_compat/pg_compat_type_coercion.slt") { check("pg_compat/pg_compat_type_coercion.slt", 7) }
+  sltTest("pg_compat/pg_compat_types.slt") { check("pg_compat/pg_compat_types.slt", 14) }
+  sltTest("pg_compat/pg_compat_union.slt") { check("pg_compat/pg_compat_union.slt", 1) }
+  sltTest("pg_compat/pg_compat_window.slt") { check("pg_compat/pg_compat_window.slt", 0) }
 
-  test("string/dictionary_utf8.slt") {
+  sltTest("string/dictionary_utf8.slt") {
     // r10: unlocked by pin-dependents-before-DROP (6 -> 104 passed)
     val viewT = "Utf8View/LargeUtf8 result typing under arrow_typeof (Spark strings are Utf8)"
     check("string/dictionary_utf8.slt", 100, knownDivergent =
       Seq(1945, 1958).map(_ -> viewT).toMap)
   }
-  test("string/large_string.slt") {
+  sltTest("string/large_string.slt") {
     check("string/large_string.slt", 88, knownDivergent = Map(
       621 -> "LargeUtf8 coercion corner (same line as string.slt)",
       1945 -> "Utf8View/LargeUtf8 result typing under arrow_typeof (Spark strings are Utf8)", 1958 -> "Utf8View/LargeUtf8 result typing under arrow_typeof (Spark strings are Utf8)"))
   }
-  test("string/string.slt") {
+  sltTest("string/string.slt") {
     check("string/string.slt", 87, knownDivergent = Map(
       621 -> "starts_with/ends_with NULL-propagation corner differs",
       1945 -> "Utf8View/LargeUtf8 result typing under arrow_typeof (Spark strings are Utf8)", 1958 -> "Utf8View/LargeUtf8 result typing under arrow_typeof (Spark strings are Utf8)"))
   }
-  test("string/string_literal.slt") {
+  sltTest("string/string_literal.slt") {
     val esc = "escape-dialect corners: quoted-quote inside LIKE patterns and unicode escape spellings"
     check("string/string_literal.slt", 145, knownDivergent =
       Seq(970, 1238, 1249, 1290).map(_ -> esc).toMap ++
       Seq(461, 466, 532, 537, 547, 2035, 2040).map(_ -> "Utf8View/LargeUtf8 result typing under arrow_typeof (Spark strings are Utf8)").toMap)
   }
-  test("string/string_view.slt") {
+  sltTest("string/string_view.slt") {
     // r10: the pin-dependents-before-DROP materialization unlocked the
     // whole file (32 -> 221 passed; the harness drops test_source while
     // test_basic_operator still reads it)
@@ -810,7 +826,7 @@ class SltRunnerSpec extends AnyFunSuite {
     check("string/string_view.slt", 210, knownDivergent =
       Seq(952, 1017, 1082, 1088, 1326, 1945, 1958).map(_ -> viewT).toMap)
   }
-  test("string/concat.slt") {
+  sltTest("string/concat.slt") {
     val coerce = "concat of array||string mixed-type coercion differs"
     val viewT = "Utf8View/LargeUtf8/BinaryView result typing under arrow_typeof; binary concat carried as string"
     check("string/concat.slt", 7, knownDivergent =
@@ -818,5 +834,85 @@ class SltRunnerSpec extends AnyFunSuite {
       Seq(23, 53, 59, 65, 89, 95, 101, 106, 111, 117).map(_ -> viewT).toMap)
   }
 
-  test("tpch/tpch.slt") { check("tpch/tpch.slt", 4) }
+  sltTest("tpch/tpch.slt") { check("tpch/tpch.slt", 4) }
+}
+
+/** The five duration-balanced siblings. SltRunnerSpec keeps the historical
+  * name (docs/COVERAGE reference it); B..E carry the rest. */
+class SltRunnerSpec  extends SltRunnerPart(0)
+class SltRunnerSpecB extends SltRunnerPart(1)
+class SltRunnerSpecC extends SltRunnerPart(2)
+class SltRunnerSpecD extends SltRunnerPart(3)
+class SltRunnerSpecE extends SltRunnerPart(4)
+
+/** Part assignment: files measured >= 4 s in the r14 sequential run are
+  * greedy-packed by duration (totals ~225 s per part); everything else —
+  * including any slt test added later — falls to a stable hash. */
+object SltParts {
+  val Parts = 5
+  private val pinned: Map[String, Int] = Map(
+    "aggregate.slt" -> 1,
+    "alias.slt" -> 1,
+    "arrow_field.slt" -> 1,
+    "binary_view.slt" -> 3,
+    "copy.slt" -> 2,
+    "create_external_table.slt" -> 0,
+    "csv_files.slt" -> 1,
+    "datetime/current_date_timezone.slt" -> 0,
+    "datetime/dates.slt" -> 4,
+    "datetime/timestamps.slt" -> 2,
+    "ddl.slt" -> 3,
+    "decimal.slt" -> 2,
+    "dictionary_struct.slt" -> 2,
+    "distinct_on.slt" -> 4,
+    "dynamic_file.slt" -> 3,
+    "dynamic_row_group_pruning.slt" -> 1,
+    "encoding.slt" -> 1,
+    "explain_tree.slt" -> 4,
+    "expr.slt" -> 2,
+    "functions.slt" -> 3,
+    "group_by.slt" -> 2,
+    "information_schema_columns.slt" -> 2,
+    "intersection.slt" -> 4,
+    "join_only.slt" -> 2,
+    "joins.slt" -> 3,
+    "lateral_join.slt" -> 4,
+    "lead_lag_extreme_offsets.slt" -> 3,
+    "limit.slt" -> 4,
+    "map.slt" -> 1,
+    "math.slt" -> 2,
+    "metadata.slt" -> 2,
+    "min_max/fixed_size_list.slt" -> 4,
+    "parquet.slt" -> 4,
+    "parquet_cdc_config.slt" -> 3,
+    "parquet_filter_pushdown.slt" -> 2,
+    "parquet_sorted_statistics.slt" -> 2,
+    "parquet_statistics.slt" -> 3,
+    "pg_compat/pg_compat_window.slt" -> 0,
+    "pipe_operator.slt" -> 2,
+    "predicates.slt" -> 2,
+    "projection_pushdown.slt" -> 3,
+    "push_down_filter_outer_joins.slt" -> 1,
+    "push_down_filter_parquet.slt" -> 3,
+    "push_down_filter_regression.slt" -> 3,
+    "push_down_filter_unnest.slt" -> 4,
+    "qualify.slt" -> 2,
+    "regexp_like.slt" -> 2,
+    "repartition_subset_satisfaction.slt" -> 4,
+    "run_end_encoded.slt" -> 1,
+    "scalar.slt" -> 4,
+    "select.slt" -> 4,
+    "string/large_string.slt" -> 1,
+    "string/string_view.slt" -> 4,
+    "subquery.slt" -> 4,
+    "subquery_sort.slt" -> 4,
+    "table_functions.slt" -> 3,
+    "topk.slt" -> 1,
+    "union.slt" -> 3,
+    "unnest.slt" -> 3,
+    "window.slt" -> 4,
+    "window_limits.slt" -> 3,
+    "window_topk_pushdown.slt" -> 3)
+  def partOf(name: String): Int =
+    pinned.getOrElse(name, math.abs(name.hashCode) % Parts)
 }

@@ -60,6 +60,10 @@ class SubstraitSweepSpec extends AnyFunSuite {
     // r13: q21 joins the bitmap-probe class (exists-bitmap + single
     // exchange, see OPTIMIZATION_r13.md §6) — floor 24 → 23; the
     // past-gate fallback shapes still cross the wire
-    assert(ok >= 23, s"only $ok roundtripped — emit support regressed")
+    // r14: the probe family got a wire spelling (payload as a base64
+    // string literal, ProbePayloadCodec) — q4/q12/q21 roundtrip again and
+    // q9's new bytemap plan joins them: floor 23 → 26, the r11-r13
+    // erosion reversed (verdict item 9)
+    assert(ok >= 26, s"only $ok roundtripped — emit support regressed")
   }
 }

@@ -45,11 +45,20 @@ class TpchReshapePlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q9: dims broadcast, orders join is shuffled-hash (no sort)") {
+  test("q9: dims broadcast, orders collapsed to a byte-map year probe") {
+    // r14: orders' only contribution is o_year keyed by the PK — the
+    // SHUFFLE_HASH (both sides exchanged + 1.5M-entry hash relation)
+    // became a dense bytemap_probe inside the fact scan; no orders scan,
+    // no shuffled join, a single final-agg exchange.
     val p = plan("q9_profit")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
-    assert(p.contains("ShuffledHashJoin"), p.take(800))
+    assert(p.contains("bytemap_probe"),
+      s"byte-map year probe expected:\n${p.take(800)}")
+    assert(!p.contains("ShuffledHashJoin"), p.take(800))
     assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert(scansOf(p, "orders") == 0, "orders must not be scanned in-plan")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"one final-agg exchange expected:\n${p.take(1200)}")
   }
 
   test("q13: per-customer counts broadcast over customer (left outer)") {
