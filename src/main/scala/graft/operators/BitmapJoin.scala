@@ -47,8 +47,9 @@ object BitmapJoin {
     * o_orderkey); for anything else use the exchange join. */
   def buildFlagBitmaps(df: DataFrame, key: String, flag: String)
       : (Array[Long], Array[Long]) =
-    df.select(col(key).cast("long"), col(flag).cast("boolean"))
-      .rdd.mapPartitions { it =>
+    org.apache.spark.sql.GraftSqlBridge.internalRdd(
+      df.select(col(key).cast("long"), col(flag).cast("boolean")))
+      .mapPartitions { it =>
         var exists = new Array[Long](1 << 10)
         var flags = new Array[Long](1 << 10)
         var maxW = -1
@@ -85,8 +86,9 @@ object BitmapJoin {
     * idempotent and set membership IS the semi-join's semantics. NULL
     * keys are skipped (never equi-match). */
   def buildExistsBitmap(df: DataFrame, key: String): Array[Long] =
-    df.select(col(key).cast("long"))
-      .rdd.mapPartitions { it =>
+    org.apache.spark.sql.GraftSqlBridge.internalRdd(
+      df.select(col(key).cast("long")))
+      .mapPartitions { it =>
         var arr = new Array[Long](1 << 10)
         var maxW = -1
         it.filterNot(_.isNullAt(0)).foreach { r =>
@@ -122,8 +124,9 @@ object BitmapJoin {
     * duplicate key would keep one arbitrary row's value; with a true PK
     * both writes carry the same value and the merge is idempotent. */
   def buildByteMap(df: DataFrame, key: String, value: Column): Array[Byte] =
-    df.select(col(key).cast("long"), value.cast("int"))
-      .rdd.mapPartitions { it =>
+    org.apache.spark.sql.GraftSqlBridge.internalRdd(
+      df.select(col(key).cast("long"), value.cast("int")))
+      .mapPartitions { it =>
         var arr = new Array[Byte](1 << 13)
         var maxK = -1L
         it.foreach { r =>

@@ -271,7 +271,8 @@ object Dedup {
     // by |sources × langs × bands| at any scale).
     val maxBn = {
       import scala.jdk.CollectionConverters._
-      prepped.select(col("bucket")).rdd.mapPartitions { it =>
+      org.apache.spark.sql.GraftSqlBridge.internalRdd(
+        prepped.select(col("bucket"))).mapPartitions { it =>
         val m = new java.util.HashMap[String, java.lang.Long]()
         it.foreach(r => m.merge(r.getString(0), 1L, (a: java.lang.Long, b: java.lang.Long) => a + b))
         Iterator.single(m)
@@ -419,9 +420,16 @@ object Dedup {
     val toks = spread.select(col(idCol).as("doc_id"),
       TextFunctions.words(col(textCol)).as("a"))
       .filter(size(col("a")) >= n)
+    // r14: one-pass window kernel — the transform/slice/concat_ws form
+    // rebuilt every window from an n-element slice (O(tokens×n) bytes and
+    // a giant codegen tree: 533 ms of text_repeated_ngrams' 1.58 s steady
+    // profile, 8.8 s first-run compile); NgramWindows joins the tokens
+    // once and emits windows as zero-copy slices of that buffer.
+    // Bit-identical output (Round5Spec asserts against the old expression).
     val w = toks.select(col("doc_id"),
-      posexplode(expr(
-        s"transform(sequence(0, size(a) - $n), i -> concat_ws(' ', slice(a, i + 1, $n)))"))
+      posexplode(org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.NgramWindows(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("a")), n)))
         .as(Seq("pos", "win")))
     if (hashed)
       w.select(col("doc_id"), col("pos"), xxhash64(col("win")).as("win"))

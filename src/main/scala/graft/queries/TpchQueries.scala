@@ -263,6 +263,16 @@ object TpchQueries {
       val l = t(s, dir, "lineitem")
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
+      // r14: materializing the HAVING survivors (localCheckpoint + real
+      // count) and broadcasting them into the orders scan was implemented
+      // and measured-REJECTED (Q18Lab, SF1, same-JVM min-of-8: shuffle
+      // join 1.43/1.67 vs ckpt+broadcast 1.61/2.14). The orders exchange
+      // this removes runs CONCURRENTLY with the lineitem partial-agg
+      // exchange (the query's semantic shuffle), so cutting it buys no
+      // wall-clock while the checkpoint inserts a barrier + count job +
+      // broadcast build on the critical path. The 44 MB partial-agg
+      // exchange itself is the query's semantics (every orderkey's
+      // partial sums must meet once) — shape stands as r13 left it.
       val big = l.groupBy("l_orderkey")
         .agg(sum("l_quantity").as("tot_qty"))
         .filter(col("tot_qty") > 150)

@@ -44,6 +44,15 @@ object GraftSqlBridge {
   def isOrderable(dt: types.DataType): Boolean =
     catalyst.expressions.RowOrdering.isOrderable(dt)
 
+  /** The Dataset's RDD of UNSAFE internal rows — no per-row Row boxing.
+    * For driver-side scans that fold millions of narrow rows into a
+    * broadcast structure (BitmapJoin builds), the public `.rdd` path
+    * deserializes every row into a GenericRow; this skips that. Rows may
+    * be REUSED per partition — callers must read primitives immediately
+    * and never retain the row. */
+  def internalRdd(df: Dataset[_]): org.apache.spark.rdd.RDD[catalyst.InternalRow] =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.toRdd
+
   /** Arrow ↔ Spark schema conversion (private[sql] ArrowUtils) — used by
     * the Arrow IPC DSv2 source. */
   def schemaFromArrow(schema: org.apache.arrow.vector.types.pojo.Schema): types.StructType =

@@ -210,6 +210,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(!allPairs.contains((3L, 4L)))
   }
 
+  test("NgramWindows kernel is bit-identical to the transform/slice form") {
+    // r14: the zero-copy window kernel replaced the per-window
+    // slice+concat_ws expression inside Dedup.ngramWindows — compare
+    // (doc_id, pos, win) over the real fixture for several n, including
+    // the filter boundary (docs shorter than n are excluded upstream).
+    val docs = Tables.load(spark, sfDir, "documents")
+    for (n <- Seq(2, 3, 20)) {
+      val old = docs
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.words(col("text")).as("a"))
+        .filter(size(col("a")) >= n)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, size(a) - $n), i -> concat_ws(' ', slice(a, i + 1, $n)))"))
+          .as(Seq("pos", "win")))
+        .collect().map(_.toString).toSet
+      val neo = Dedup.ngramWindows(docs, "doc_id", "text", n)
+        .collect().map(_.toString).toSet
+      assert(neo == old, s"n=$n: ${old.size} vs ${neo.size} windows")
+    }
+  }
+
   test("triangle-split hot-bucket path emits exactly the plain path's pairs") {
     // r14: ngramJaccardPairs splits buckets above spark.graft.ngramPairs.
     // bucketCap into deterministic triangle cells. Force the salted path
